@@ -1,0 +1,45 @@
+package graft
+
+import graft.catalog.Catalog
+import graft.io.Datastore
+
+/** Audit-column constants stamped onto every extracted dataset
+  * (reference: betl/ConfClass.py:33-46, betl/dataflow/dfl_audit.py:4-16).
+  */
+object Audit {
+  val SourceSystem = "audit_source_system"
+  val BulkLoadDate = "audit_bulk_load_date"
+  val LatestDeltaLoadDate = "audit_latest_delta_load_date"
+  val LatestLoadOperation = "audit_latest_load_operation"
+  val all: Seq[String] =
+    Seq(SourceSystem, BulkLoadDate, LatestDeltaLoadDate, LatestLoadOperation)
+}
+
+/** Engine configuration — the Spark-side equivalent of the reference's
+  * appConfig.ini-driven Conf object (betl/ConfClass.py:64-249). Only the
+  * data-semantic knobs are kept; scheduler/GSheet plumbing is out of scope.
+  *
+  * @param warehousePath  root dir; tables live at `<root>/<LAYER>/<table>`
+  * @param srcSystems     source-system id → datastore (extract inputs)
+  * @param dataLimitRows  dev-mode row cap applied at extract
+  *                       (reference `limitdata`, betl/ConfClass.py:186-190)
+  * @param debugCounts    eager per-step row counting for step logs — the
+  *                       reference is always-eager; we only pay for counts
+  *                       when this flag is on
+  */
+case class GraftConf(
+    warehousePath: String,
+    srcSystems: Map[String, Datastore] = Map.empty,
+    dataLimitRows: Option[Int] = None,
+    debugCounts: Boolean = false,
+    earliestDateInData: String = "1992-01-01",
+    latestDateInData: String = "2000-12-31",
+    catalog: Catalog = new Catalog) {
+
+  def tablePath(layer: graft.catalog.Layer, table: String): String =
+    s"$warehousePath/${layer.id}/$table"
+
+  def srcSystem(id: String): Datastore =
+    srcSystems.getOrElse(id, throw new IllegalArgumentException(
+      s"Source system '$id' not configured (have: ${srcSystems.keys.mkString(", ")})"))
+}

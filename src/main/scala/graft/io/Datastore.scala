@@ -1,0 +1,92 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** A connectable source/sink system — the Spark equivalent of the
+  * reference's Datastore hierarchy (betl/io/DatastoreClass.py:1-11 with
+  * Postgres/SQLite/CSV/GSheet/Excel subclasses). v0 keeps the two that
+  * carry the data semantics — files (CSV) and columnar (Parquet) — plus a
+  * generic JDBC connector covering the Postgres/SQLite cases. GSheet/Excel
+  * are external-service plumbing, de-scoped per SURVEY §7.1.
+  */
+trait Datastore extends Serializable {
+  /** Read one table from this datastore. */
+  def read(spark: SparkSession, table: String): DataFrame
+  /** List of table names, when enumerable (for default-extract DAG fan-out). */
+  def tableNames(spark: SparkSession): Seq[String] = Seq.empty
+}
+
+/** Directory of Parquet files: `<dir>/<table>.parquet`. Matches the driver
+  * test corpus layout (TESTDATA.md).
+  */
+case class ParquetDatastore(dir: String) extends Datastore {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  override def tableNames(spark: SparkSession): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).getOrElse(Array.empty[String]).toSeq
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+  }
+}
+
+/** Directory of CSV files: `<dir>/<table>.csv`.
+  *
+  * Faithful to the reference's ingestion contract: every column is read as
+  * STRING and empty cells stay empty strings, not nulls
+  * (betl/io/fileIO.py:26-36 — `dtype=str`, `na_filter=False`). Schema
+  * inference is therefore OFF; the header row names the columns.
+  */
+case class CsvDatastore(dir: String, delimiter: String = ",")
+    extends Datastore {
+
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val path = s"$dir/$table.csv"
+    // Two-pass: sniff the header to build an all-string schema, then read
+    // with that schema. Keeps inferSchema off and types faithful.
+    val header = spark.read.option("header", "true").option("sep", delimiter)
+      .csv(path).schema.fieldNames
+    val schema = StructType(header.map(StructField(_, StringType)))
+    val df = spark.read
+      .option("header", "true")
+      .option("sep", delimiter)
+      .option("nullValue", null)
+      .option("emptyValue", "")
+      .schema(schema)
+      .csv(path)
+    // na_filter=False parity: nulls from missing trailing fields → ''
+    df.na.fill("")
+  }
+
+  override def tableNames(spark: SparkSession): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).getOrElse(Array.empty[String]).toSeq
+      .filter(_.endsWith(".csv")).map(_.stripSuffix(".csv")).sorted
+  }
+}
+
+/** Generic JDBC datastore covering the reference's Postgres/SQLite
+  * connectors (betl/io/_postgres.py, _sqlite.py). Reads partition by a
+  * numeric column when provided so large tables parallelise across
+  * executors instead of funnelling through one connection.
+  */
+case class JdbcDatastore(
+    url: String,
+    properties: Map[String, String] = Map.empty,
+    partitionColumn: Option[String] = None,
+    numPartitions: Int = 8) extends Datastore {
+
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    partitionColumn match {
+      case Some(pc) =>
+        val bounds = spark.read.jdbc(url,
+          s"(SELECT min($pc) lo, max($pc) hi FROM $table) b", props).head()
+        spark.read.jdbc(url, table, pc,
+          bounds.getLong(0), bounds.getLong(1), numPartitions, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+  }
+}
