@@ -513,6 +513,26 @@ class DataFlow(
       this
     }(_ => None)
 
+  /** Master-data mapping against a mapping dataset (reference
+    * mapMasterData, betl/dataflow/dfl_mdm.py:8-213 — semantics in
+    * [[graft.mdm.MasterData]]; the Google-Sheet worksheet becomes a named
+    * dataset and the write-back becomes `<dataset>_writeback`).
+    */
+  def mapMasterData(
+      dataset: String,
+      mappingDataset: String,
+      joinCols: Seq[String],
+      masterDataCols: Seq[String],
+      autoPopMappingCols: Seq[String] = Seq.empty): DataFlow =
+    log.step("mapMasterData", s"$dataset ↔ $mappingDataset") {
+      val res = graft.mdm.MasterData.mapMasterData(
+        get(dataset), get(mappingDataset),
+        joinCols, masterDataCols, autoPopMappingCols)
+      put(dataset, res.mapped)
+      put(s"${dataset}_writeback", res.writeBack)
+      put(s"${dataset}_unmapped", res.unmapped)
+    }(r => Some(r.get(dataset)))
+
   /** Release references (reference close, DataFlowClass.py:105-115 — which
     * frees pandas memory; here plans are lazy so this just clears the map).
     */

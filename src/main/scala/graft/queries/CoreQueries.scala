@@ -14,9 +14,14 @@ import org.apache.spark.sql.types.DecimalType
 object Q {
   val Src = "TESTDATA"
 
-  def conf(sfDir: String): GraftConf = GraftConf(
+  /** Per-query `sub` dirs isolate warehouse-writing queries from each
+    * other (a lifecycle query overwriting `dm_customer` must not race
+    * another query's read of it).
+    */
+  def conf(sfDir: String, sub: String = ""): GraftConf = GraftConf(
     warehousePath =
-      s"/root/repo/target/warehouse/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}",
+      s"/root/repo/target/warehouse/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        (if (sub.nonEmpty) s"/$sub" else ""),
     srcSystems = Map(Src -> ParquetDatastore(sfDir)))
 
   /** Extract a table and drop the (timestamped, nondeterministic) audit
@@ -346,6 +351,29 @@ object CoreQueries {
       dfl.get("ops").orderBy("op_rank")
     },
 
+    // §2.8 applyFunctionToRows: distributed side-effecting foreach,
+    // observed through an accumulator
+    "q_apply_fn_rows" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_apply_fn_rows")
+      src(dfl, "supplier")
+      val seen = s.sparkContext.longAccumulator("rows_seen")
+      dfl.applyFunctionToRows("supplier", _ => seen.add(1))
+      import s.implicits._
+      Seq(seen.value).toDF("n_rows")
+    },
+
+    // §2.8 row-function column: pandas apply(axis=1) equivalent
+    "q_row_function" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_row_function")
+      src(dfl, "nation")
+      dfl.withRowFunction("nation", "tagged", r =>
+        s"${r.getAs[String]("n_name")}:${r.getAs[Int]("n_regionkey")}")
+      dfl.getColumns("nation", Seq("n_nationkey", "tagged"))
+        .orderBy("n_nationkey")
+    },
+
     // §2.6 NK collapse: concat_ws over composite natural key
     "q_nk_collapse" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -360,6 +388,12 @@ object CoreQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "q_apply_fn_rows" ->
+      "SELECT COUNT(*) AS n_rows FROM supplier",
+    "q_row_function" ->
+      """SELECT n_nationkey,
+        |  n_name || ':' || CAST(n_regionkey AS VARCHAR) AS tagged
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

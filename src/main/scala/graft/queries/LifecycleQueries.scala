@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft._
+import graft.catalog.Layer
+import graft.pipeline.{Pipeline, PipelineOp, Stage}
+import graft.warehouse._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the warehouse-lifecycle operators (SURVEY.md §2.6,
+  * §2.7): date/audit dimension generators, SK assignment, dimension/fact
+  * bulk loads, MDM, truncate, and the full E/T/L/S pipeline.
+  */
+object LifecycleQueries {
+  import Q._
+
+  private def mdmMapping(dfl: DataFlow): Unit =
+    dfl.createDataset("mapping", Map(
+      "n_name" -> Seq("NATION_3", "NATION_7", "NATION_99"),
+      "region_name" -> Seq("EU-OVERRIDE", "", "GHOST")))
+
+  private def mdmData(dfl: DataFlow): Unit = {
+    src(dfl, "nation")
+    src(dfl, "region")
+    dfl.renameColumns("region", Map("r_regionkey" -> "n_regionkey"))
+    dfl.join(("nation", "region"), "nation_r",
+      joinCols = Seq("n_regionkey"), how = "inner",
+      keepCols = Seq("n_nationkey", "n_name", "r_name"),
+      broadcastRight = true)
+    dfl.renameColumns("nation_r", Map("r_name" -> "region_name"))
+    mdmMapping(dfl)
+    dfl.mapMasterData("nation_r", "mapping",
+      joinCols = Seq("n_name"),
+      masterDataCols = Seq("region_name"),
+      autoPopMappingCols = Seq("region_name"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.7 transformDMDate: calendar dimension from the conf date range
+    "q_dm_date" -> { (s, _) =>
+      DmDate.build(s, "1995-01-01", "1996-12-31").orderBy("date_key")
+    },
+
+    // §2.7 transformDMAudit: load-ops × DQ-scores cartesian
+    "q_dm_audit" -> { (s, _) =>
+      DmAudit.build(s).orderBy("load_operation", "dq_score")
+    },
+
+    // §2.7 bulkLoadDimension: deterministic SKs + default rows + SK/NK map
+    "q_bulk_load_dimension" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_bulk_load_dimension")
+      val dfl = DataFlow(s, "q_bulk_load_dimension")
+      src(dfl, "customer")
+      dfl.dropColumns("customer",
+        colsToKeep = Seq("c_custkey", "c_name", "c_mktsegment"),
+        dropAuditCols = true)
+      dfl.prepForLoad("customer", "dm_customer")
+      StageLoad.bulkLoadDimension(s, c, DimensionSpec(
+        "dm_customer", Seq("c_custkey"), Seq("c_name", "c_mktsegment")))
+        .orderBy("sk_customer")
+    },
+
+    // §2.7 bulkLoadFact: NK→SK broadcast joins with -1 defaulting
+    "q_bulk_load_fact" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_bulk_load_fact")
+      val dfl = DataFlow(s, "q_bulk_load_fact")
+      src(dfl, "supplier")
+      dfl.filter("supplier", Map("s_acctbal" -> FilterSpec.Gt(0.0)))
+      dfl.dropColumns("supplier", colsToKeep = Seq("s_suppkey", "s_name"),
+        dropAuditCols = true)
+      dfl.prepForLoad("supplier", "dm_supplier")
+      src(dfl, "part")
+      dfl.filter("part", Map("p_size" -> FilterSpec.Gt(10)))
+      dfl.dropColumns("part", colsToKeep = Seq("p_partkey", "p_name"),
+        dropAuditCols = true)
+      dfl.prepForLoad("part", "dm_part")
+      src(dfl, "lineitem")
+      dfl.dropColumns("lineitem", colsToKeep =
+        Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+          "l_quantity"), dropAuditCols = true)
+      dfl.prepForLoad("lineitem", "ft_lineitem")
+      StageLoad.bulkLoadDimension(s, c, DimensionSpec(
+        "dm_supplier", Seq("s_suppkey"), Seq("s_name")))
+      StageLoad.bulkLoadDimension(s, c, DimensionSpec(
+        "dm_part", Seq("p_partkey"), Seq("p_name")))
+      StageLoad.bulkLoadFact(s, c, FactSpec("ft_lineitem", Seq(
+        FkMapping("l_suppkey", "dm_supplier", "s_suppkey"),
+        FkMapping("l_partkey", "dm_part", "p_partkey"))))
+        .select("l_orderkey", "l_linenumber", "sk_supplier", "sk_part",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // §2.7 mapMasterData: outer join + indicator + auto-populate
+    "q_mdm" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_mdm")
+      mdmData(dfl)
+      dfl.get("nation_r")
+        .select("n_nationkey", "n_name", "region_name")
+        .orderBy("n_nationkey")
+    },
+
+    // §2.4 MDM write-back: group-by-all-columns occurrence counts
+    "q_mdm_writeback" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_mdm_writeback")
+      mdmData(dfl)
+      dfl.get("nation_r_writeback").orderBy(desc("count"), asc("n_name"))
+    },
+
+    // §2.1 truncate: schema-preserving empty overwrite
+    "q_truncate" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_truncate")
+      val dfl = DataFlow(s, "q_truncate")
+      src(dfl, "nation")
+      dfl.write("nation", "nation_trunc", Layer.EXT)
+      dfl.truncate("nation_trunc", Layer.EXT)
+      dfl.read("nation_trunc", Layer.EXT, Some("after"))
+      dfl.get("after").agg(count(lit(1)).as("n_rows"))
+    },
+
+    // §3.1 the full pipeline: E → T → L(dim→fact) → S over a real DAG
+    "q_pipeline_e2e" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_pipeline_e2e")
+      val ops = Seq(
+        PipelineOp("extract_customer", Stage.Extract, (sp, cf) => {
+          val dfl = new DataFlow(sp, "extract_customer", cf)
+          dfl.getDataFromSrc("customer", Src)
+          dfl.write("customer", "customer", Layer.EXT)
+        }),
+        PipelineOp("extract_orders", Stage.Extract, (sp, cf) => {
+          val dfl = new DataFlow(sp, "extract_orders", cf)
+          dfl.getDataFromSrc("orders", Src)
+          dfl.write("orders", "orders", Layer.EXT)
+        }),
+        PipelineOp("transform_dm_customer", Stage.Transform, (sp, cf) => {
+          val dfl = new DataFlow(sp, "transform_dm_customer", cf)
+          dfl.read("customer", Layer.EXT)
+          dfl.dropColumns("customer",
+            colsToKeep = Seq("c_custkey", "c_name", "c_mktsegment"),
+            dropAuditCols = true)
+          dfl.prepForLoad("customer", "dm_customer")
+        }),
+        PipelineOp("transform_ft_orders", Stage.Transform, (sp, cf) => {
+          val dfl = new DataFlow(sp, "transform_ft_orders", cf)
+          dfl.read("orders", Layer.EXT)
+          dfl.dropColumns("orders",
+            colsToKeep = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+            dropAuditCols = true)
+          dfl.prepForLoad("orders", "ft_orders")
+        }),
+        PipelineOp("load_dm_customer", Stage.LoadDim, (sp, cf) =>
+          StageLoad.bulkLoadDimension(sp, cf, DimensionSpec(
+            "dm_customer", Seq("c_custkey"), Seq("c_name", "c_mktsegment")))),
+        PipelineOp("load_ft_orders", Stage.LoadFact, (sp, cf) =>
+          StageLoad.bulkLoadFact(sp, cf, FactSpec("ft_orders",
+            Seq(FkMapping("o_custkey", "dm_customer", "c_custkey"))))),
+        PipelineOp("summarise_sales", Stage.Summarise, (sp, cf) => {
+          val dfl = new DataFlow(sp, "summarise_sales", cf)
+          dfl.read("ft_orders", Layer.BSE)
+          dfl.read("dm_customer", Layer.BSE)
+          dfl.join(("ft_orders", "dm_customer"), "sales",
+            joinCols = Seq("sk_customer"), broadcastRight = true)
+          val su = dfl.get("sales").groupBy(
+            col("c_mktsegment").as("segment"))
+            .agg(dsum(col("o_totalprice"), 2).as("total_sales"),
+              count(lit(1)).as("n_orders"))
+          dfl.createDataset("su_sales_by_segment", su)
+          dfl.write("su_sales_by_segment", "su_sales_by_segment", Layer.SUM)
+        }))
+      new Pipeline(c, ops, parallelism = 2).run(s)
+      s.read.parquet(c.tablePath(Layer.SUM, "su_sales_by_segment"))
+        .orderBy("segment")
+    })
+
+  private val mdmMappingSql =
+    "(VALUES ('NATION_3','EU-OVERRIDE'), ('NATION_7',''), " +
+      "('NATION_99','GHOST')) m(n_name, region_name)"
+
+  val oracles: Map[String, String] = Map(
+    "q_dm_date" ->
+      """SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_key,
+        |  strftime(d, '%Y-%m-%d') AS cal_date_str,
+        |  CAST(year(d) AS INT) AS cal_year,
+        |  CAST(month(d) AS INT) AS cal_month,
+        |  CAST(day(d) AS INT) AS cal_day,
+        |  monthname(d) AS month_name,
+        |  CAST(isodow(d) AS INT) AS day_of_week_iso,
+        |  CAST(dayofweek(d) + 1 AS INT) AS day_of_week_us,
+        |  CAST(dayofyear(d) AS INT) AS day_of_year,
+        |  CAST(week(d) AS INT) AS week_of_year_iso
+        |FROM generate_series(DATE '1995-01-01', DATE '1996-12-31',
+        |  INTERVAL 1 DAY) t(d)
+        |ORDER BY date_key""".stripMargin,
+    "q_dm_audit" ->
+      """SELECT op || '_' || CAST(sc AS VARCHAR) AS nk_audit,
+        |  op AS load_operation, CAST(sc AS INT) AS dq_score
+        |FROM (VALUES ('BULK'),('DELTA'),('NO LOAD'),('REFRESH')) o(op)
+        |CROSS JOIN generate_series(1, 10) t(sc)
+        |ORDER BY load_operation, dq_score""".stripMargin,
+    "q_bulk_load_dimension" ->
+      """SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+        |      AS sk_customer, c_custkey, c_name, c_mktsegment
+        |  FROM customer
+        |  UNION ALL SELECT -1, NULL, 'MISSING', 'MISSING'
+        |  UNION ALL SELECT -2, NULL, 'UNRECOGNISED', 'UNRECOGNISED')
+        |ORDER BY sk_customer""".stripMargin,
+    "q_bulk_load_fact" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  COALESCE(sm.sk_supplier, -1) AS sk_supplier,
+        |  COALESCE(pm.sk_part, -1) AS sk_part, l_quantity
+        |FROM lineitem
+        |LEFT JOIN (SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT)
+        |    AS sk_supplier, s_suppkey FROM supplier WHERE s_acctbal > 0.0) sm
+        |  ON l_suppkey = sm.s_suppkey
+        |LEFT JOIN (SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT)
+        |    AS sk_part, p_partkey FROM part WHERE p_size > 10) pm
+        |  ON l_partkey = pm.p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_mdm" ->
+      s"""SELECT n_nationkey, n.n_name AS n_name,
+        |  CASE WHEN m.region_name IS NULL OR m.region_name = ''
+        |       THEN r.r_name ELSE m.region_name END AS region_name
+        |FROM nation n
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |LEFT JOIN $mdmMappingSql ON n.n_name = m.n_name
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_mdm_writeback" ->
+      s"""WITH d AS (SELECT n_name, r_name FROM nation
+        |           JOIN region ON n_regionkey = r_regionkey)
+        |SELECT COALESCE(d.n_name, m.n_name) AS n_name,
+        |  COALESCE(CASE WHEN m.region_name IS NULL OR m.region_name = ''
+        |    THEN d.r_name ELSE m.region_name END, '') AS region_name,
+        |  COUNT(*) AS "count"
+        |FROM d FULL OUTER JOIN $mdmMappingSql ON d.n_name = m.n_name
+        |GROUP BY 1, 2
+        |ORDER BY "count" DESC, n_name""".stripMargin,
+    "q_truncate" -> "SELECT CAST(0 AS BIGINT) AS n_rows",
+    "q_pipeline_e2e" ->
+      """SELECT c_mktsegment AS segment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS total_sales,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY segment""".stripMargin)
+}

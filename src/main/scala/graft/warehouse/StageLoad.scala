@@ -1,0 +1,116 @@
+package graft.warehouse
+
+import graft.GraftConf
+import graft.catalog.Layer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** A default row appended to every dimension with a negative surrogate key
+  * (reference: per-dimension GSheet-synced txt files,
+  * betl/defaultdataflows/stageLoad.py:76-93,233-268; conventionally
+  * -1 = MISSING, -2 = UNRECOGNISED). String attributes get the label;
+  * NK and non-string attributes stay null.
+  */
+case class DefaultRow(sk: Long, label: String)
+
+object DefaultRow {
+  val standard: Seq[DefaultRow] =
+    Seq(DefaultRow(-1L, "MISSING"), DefaultRow(-2L, "UNRECOGNISED"))
+}
+
+/** Declarative description of a dimension bulk load. `skName` and the
+  * SK/NK-map table name derive from the table name by convention:
+  * `dm_customer` → `sk_customer` (reference stageLoad.py:270-316 emits the
+  * same `sk_<dim>` map back to the LOD layer).
+  */
+case class DimensionSpec(
+    name: String,
+    nkCols: Seq[String],
+    attrCols: Seq[String],
+    defaultRows: Seq[DefaultRow] = DefaultRow.standard) {
+  def baseName: String = name.stripPrefix("dm_")
+  def skName: String = s"sk_$baseName"
+  def mapTableName: String = s"sk_$baseName"
+}
+
+/** One FK resolution on a fact: `factNkCol` in the fact joins `mapNkCol`
+  * in the dimension's SK/NK map, producing the dim's SK column.
+  */
+case class FkMapping(factNkCol: String, dimName: String, mapNkCol: String) {
+  def baseName: String = dimName.stripPrefix("dm_")
+  def skName: String = s"sk_$baseName"
+}
+
+case class FactSpec(name: String, fks: Seq[FkMapping])
+
+/** Bulk dimension/fact loading — the engine's rendering of the reference's
+  * load stage (betl/defaultdataflows/stageLoad.py:184-430).
+  *
+  * Differences by design:
+  *  - SKs are deterministic NK-rank (see [[SurrogateKeys]]) instead of DB
+  *    sequences; the truncate-to-reset-sequence dance disappears.
+  *  - The SK/NK map is a pure projection of the loaded dimension.
+  *  - Fact FK resolution is a chain of LEFT broadcast joins against the
+  *    (small) SK/NK maps with -1 defaulting — the reference's per-FK pandas
+  *    merge loop (stageLoad.py:361-409) at cluster scale.
+  *  - Index DDL around the load (stageLoad.py:96-131) is a Parquet no-op.
+  */
+object StageLoad {
+
+  /** truncate BSE dim → read LOD → assign SKs → append default rows →
+    * write BSE + emit SK/NK map to LOD
+    * (reference bulkLoadDimension, stageLoad.py:184-316).
+    */
+  def bulkLoadDimension(
+      spark: SparkSession, conf: GraftConf, spec: DimensionSpec): DataFrame = {
+    val lod = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+    val deduped = lod
+      .select((spec.nkCols ++ spec.attrCols).map(col): _*)
+      .dropDuplicates(spec.nkCols)
+    val keyed = SurrogateKeys.assign(deduped, spec.nkCols, spec.skName)
+
+    // default rows: negative SKs, label in string attrs, null elsewhere
+    val defaults = spec.defaultRows.map { dr =>
+      keyed.schema.fields.foldLeft(
+        spark.range(1).toDF("_one").select(lit(dr.sk).as(spec.skName))) {
+        case (d, f) if f.name == spec.skName => d
+        case (d, f) if f.dataType == StringType &&
+            spec.attrCols.contains(f.name) =>
+          d.withColumn(f.name, lit(dr.label))
+        case (d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(keyed.columns.map(col): _*)
+    }
+    val dim = defaults.foldLeft(keyed)(_.unionByName(_))
+
+    dim.write.mode("overwrite").parquet(conf.tablePath(Layer.BSE, spec.name))
+    // the SK/NK map is just a projection; keep only real members
+    val skMap = dim
+      .filter(col(spec.skName) > 0)
+      .select((spec.skName +: spec.nkCols).map(col): _*)
+    skMap.write.mode("overwrite")
+      .parquet(conf.tablePath(Layer.LOD, spec.mapTableName))
+    spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
+  }
+
+  /** read LOD fact → per-FK broadcast left join on NK → missing → -1 →
+    * write BSE (reference bulkLoadFact, stageLoad.py:331-430).
+    */
+  def bulkLoadFact(
+      spark: SparkSession, conf: GraftConf, spec: FactSpec): DataFrame = {
+    val lod = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+    val resolved = spec.fks.foldLeft(lod) { (df, fk) =>
+      val skMap = spark.read
+        .parquet(conf.tablePath(Layer.LOD, s"sk_${fk.baseName}"))
+        .withColumnRenamed(fk.mapNkCol, fk.factNkCol)
+      df.join(broadcast(skMap), Seq(fk.factNkCol), "left")
+        .withColumn(fk.skName,
+          coalesce(col(fk.skName).cast(LongType), lit(-1L)))
+        .drop(fk.factNkCol)
+    }
+    resolved.write.mode("overwrite")
+      .parquet(conf.tablePath(Layer.BSE, spec.name))
+    spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
+  }
+}
