@@ -19,8 +19,12 @@ object FilterSpec {
   case class Eq(value: Any) extends FilterSpec {
     def toPredicate(c: Column): Column = c === lit(value)
   }
+  /** Null-KEEPING inequality: the reference's pandas `!=` keeps NaN rows
+    * (dfl_changeRow.py:65-72), unlike SQL three-valued logic which drops
+    * them — hence the explicit isNull disjunct.
+    */
   case class Ne(value: Any) extends FilterSpec {
-    def toPredicate(c: Column): Column = c =!= lit(value)
+    def toPredicate(c: Column): Column = c.isNull || c =!= lit(value)
   }
   case class Gt(value: Any) extends FilterSpec {
     def toPredicate(c: Column): Column = c > lit(value)
@@ -28,8 +32,9 @@ object FilterSpec {
   case class Lt(value: Any) extends FilterSpec {
     def toPredicate(c: Column): Column = c < lit(value)
   }
+  /** Null-keeping NOT IN, matching pandas `~isin` (dfl_changeRow.py:65-72). */
   case class NotIn(values: Seq[Any]) extends FilterSpec {
-    def toPredicate(c: Column): Column = !c.isin(values: _*)
+    def toPredicate(c: Column): Column = c.isNull || !c.isin(values: _*)
   }
 }
 
@@ -113,9 +118,12 @@ class DataFlow(
       val mode =
         if (appendOrReplace.equalsIgnoreCase("append")) "append"
         else "overwrite"
-      df.select(expected.map(col): _*)
-        .write.mode(mode)
-        .parquet(conf.tablePath(dataLayerID, targetTableName))
+      val ordered = df.select(expected.map(col): _*)
+      val path = conf.tablePath(dataLayerID, targetTableName)
+      if (mode == "append") ordered.write.mode("append").parquet(path)
+      // overwrite via staging + swap: safe when the dataset's lineage reads
+      // the same table (read → transform → write back)
+      else graft.io.ParquetUtil.safeOverwrite(spark, ordered, path)
       if (!keepDataflowOpen) close()
       this
     }(_ => None)

@@ -107,23 +107,26 @@ case class TableDef(
   * data on first write (auto-registration keeps ad-hoc dataflows cheap).
   */
 class Catalog extends Serializable {
+  // all access synchronized: pipeline stages run ops concurrently and each
+  // op's write() may auto-register tables (see graft.pipeline.Pipeline)
   private val tables =
     scala.collection.mutable.LinkedHashMap[(String, String), TableDef]()
 
-  def register(t: TableDef): TableDef = {
+  def register(t: TableDef): TableDef = tables.synchronized {
     tables((t.layer.id, t.name)) = t
     t
   }
 
   def lookup(layer: Layer, name: String): Option[TableDef] =
-    tables.get((layer.id, name))
+    tables.synchronized { tables.get((layer.id, name)) }
 
   def apply(layer: Layer, name: String): TableDef =
     lookup(layer, name).getOrElse(throw new IllegalArgumentException(
       s"Table '$name' not registered in layer ${layer.id}"))
 
-  def tablesIn(layer: Layer): Seq[TableDef] =
+  def tablesIn(layer: Layer): Seq[TableDef] = tables.synchronized {
     tables.collect { case ((l, _), t) if l == layer.id => t }.toSeq
+  }
 
   /** Derive a TableDef from an observed DataFrame schema. */
   def registerFromSchema(

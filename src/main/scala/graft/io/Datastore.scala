@@ -48,10 +48,11 @@ case class CsvDatastore(dir: String, delimiter: String = ",")
     val header = spark.read.option("header", "true").option("sep", delimiter)
       .csv(path).schema.fieldNames
     val schema = StructType(header.map(StructField(_, StringType)))
+    // no nullValue option: emptyValue="" + the na.fill below already give
+    // na_filter=False parity (a null option value is undefined behavior)
     val df = spark.read
       .option("header", "true")
       .option("sep", delimiter)
-      .option("nullValue", null)
       .option("emptyValue", "")
       .schema(schema)
       .csv(path)
@@ -84,8 +85,14 @@ case class JdbcDatastore(
       case Some(pc) =>
         val bounds = spark.read.jdbc(url,
           s"(SELECT min($pc) lo, max($pc) hi FROM $table) b", props).head()
-        spark.read.jdbc(url, table, pc,
-          bounds.getLong(0), bounds.getLong(1), numPartitions, props)
+        // min/max of INT/DECIMAL columns come back as non-Long Numbers, and
+        // an empty table yields NULLs — fall back to the unpartitioned read
+        (Option(bounds.getAs[Number](0)), Option(bounds.getAs[Number](1))) match {
+          case (Some(lo), Some(hi)) =>
+            spark.read.jdbc(url, table, pc,
+              lo.longValue, hi.longValue, numPartitions, props)
+          case _ => spark.read.jdbc(url, table, props)
+        }
       case None => spark.read.jdbc(url, table, props)
     }
   }

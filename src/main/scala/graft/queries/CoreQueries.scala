@@ -411,8 +411,9 @@ object CoreQueries {
     "q_filter_notin" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority
         |FROM orders
-        |WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |  AND o_orderstatus <> 'P'
+        |WHERE (o_orderpriority IS NULL
+        |       OR o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |  AND (o_orderstatus IS NULL OR o_orderstatus <> 'P')
         |ORDER BY o_orderkey""".stripMargin,
     "q_filter_where_not_in" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem

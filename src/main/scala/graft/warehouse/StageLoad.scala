@@ -94,17 +94,36 @@ object StageLoad {
     spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
   }
 
-  /** read LOD fact → per-FK broadcast left join on NK → missing → -1 →
-    * write BSE (reference bulkLoadFact, stageLoad.py:331-430).
+  /** Broadcast only when the SK/NK map's on-disk size is under the
+    * session's autoBroadcastJoinThreshold. A 500M-member dimension's map
+    * would OOM the driver if broadcast unconditionally; above the
+    * threshold we leave the join strategy to Catalyst/AQE (which still
+    * broadcasts runtime-small sides). Compressed Parquet bytes understate
+    * the in-memory size, so a 4× inflation factor is applied.
+    */
+  private def maybeBroadcast(
+      spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val threshold =
+      try spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        .replaceAll("(?i)b$", "").toLong
+      catch { case _: NumberFormatException => 10L * 1024 * 1024 }
+    val onDisk = graft.io.ParquetUtil.dirSizeBytes(spark, path)
+    if (threshold > 0 && onDisk >= 0 && onDisk * 4 <= threshold) broadcast(df)
+    else df
+  }
+
+  /** read LOD fact → per-FK left join on NK (broadcast when the map is
+    * small, see [[maybeBroadcast]]) → missing → -1 → write BSE
+    * (reference bulkLoadFact, stageLoad.py:331-430).
     */
   def bulkLoadFact(
       spark: SparkSession, conf: GraftConf, spec: FactSpec): DataFrame = {
     val lod = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
     val resolved = spec.fks.foldLeft(lod) { (df, fk) =>
-      val skMap = spark.read
-        .parquet(conf.tablePath(Layer.LOD, s"sk_${fk.baseName}"))
+      val mapPath = conf.tablePath(Layer.LOD, s"sk_${fk.baseName}")
+      val skMap = spark.read.parquet(mapPath)
         .withColumnRenamed(fk.mapNkCol, fk.factNkCol)
-      df.join(broadcast(skMap), Seq(fk.factNkCol), "left")
+      df.join(maybeBroadcast(spark, skMap, mapPath), Seq(fk.factNkCol), "left")
         .withColumn(fk.skName,
           coalesce(col(fk.skName).cast(LongType), lit(-1L)))
         .drop(fk.factNkCol)
