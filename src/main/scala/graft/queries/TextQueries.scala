@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft._
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` corpus (doc_id, text, lang,
+  * source, n_chars): token/char statistics, quality scoring, language ID,
+  * and document fingerprinting (md5 + SimHash). Every query is a pure
+  * row-local projection — single parquet scan, no shuffle besides the
+  * output ordering — and each has an exact DuckDB oracle.
+  */
+object TextQueries {
+  import Q._
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token / char / piece statistics + ratios
+    "q_text_stats" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_text_stats")
+      src(dfl, "documents")
+      dfl.addColumns("documents", Map(
+        "n_tokens" -> tokenCount(col("text")),
+        "n_pieces" -> pieceCount(col("text")),
+        "n_chars_calc" -> charCount(col("text")),
+        "avg_word_len" -> avgWordLen(col("text")),
+        "punct_ratio" -> punctRatio(col("text")),
+        "stopword_ratio" -> stopwordRatio(col("text"))))
+      dfl.getColumns("documents", Seq("doc_id", "n_tokens", "n_pieces",
+        "n_chars_calc", "avg_word_len", "punct_ratio", "stopword_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // composite quality score for corpus triage
+    "q_text_quality" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_text_quality")
+      src(dfl, "documents")
+      dfl.addColumns("documents",
+        Map("quality_score" -> qualityScore(col("text"))))
+      dfl.getColumns("documents", Seq("doc_id", "quality_score"))
+        .orderBy("doc_id")
+    },
+
+    // marker-word language-ID heuristic (argmax hits, alphabetical ties)
+    "q_text_langid" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_text_langid")
+      src(dfl, "documents")
+      dfl.addColumns("documents", Map(
+        "lang_pred" -> langId(col("text")),
+        "hits_en" -> langHits(col("text"),
+          LangMarkers.toMap.apply("en"))))
+      dfl.getColumns("documents", Seq("doc_id", "lang", "lang_pred", "hits_en"))
+        .orderBy("doc_id")
+    },
+
+    // canonical md5 fingerprint + 60-bit SimHash
+    "q_text_fingerprint" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_text_fingerprint")
+      src(dfl, "documents")
+      dfl.addColumns("documents", Map(
+        "fp" -> fingerprint(col("text")),
+        "simhash" -> simHash(col("text"))))
+      dfl.getColumns("documents", Seq("doc_id", "fp", "simhash"))
+        .orderBy("doc_id")
+    })
+
+  /** Shared DuckDB token CTE mirroring [[TextFunctions.tokens]]. */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, lang, text,
+      |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS w
+      |  FROM documents)""".stripMargin
+
+  private def hitsSql(markers: Seq[String]): String =
+    markers.map(m => s"'$m'").mkString(
+      "len(list_filter(w, t -> list_contains([", ", ", "], t)))")
+
+  /** DuckDB rendering of [[TextFunctions.tokenHash60]]: md5 hex → bigint
+    * via per-digit reduce (DuckDB has no base-16 conv).
+    */
+  private val tokenHashSql =
+    """list_reduce(list_transform(range(1, 16),
+      |  i -> CAST(instr('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+      |  (a, b) -> a * 16 + b)""".stripMargin
+
+  /** DuckDB rendering of [[TextFunctions.simHash]]: 60 per-bit vote terms. */
+  private val simHashSql: String =
+    (0 until SimHashBits).map { j =>
+      s"""CASE WHEN coalesce(list_sum(list_transform(hs,
+         |  h -> CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH $toksCte
+        |SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+        |    AS n_pieces,
+        |  length(text) AS n_chars_calc,
+        |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w)
+        |  END AS avg_word_len,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / length(text) END AS punct_ratio,
+        |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |    CAST(${hitsSql(EnglishStopwords)} AS DOUBLE) / len(w)
+        |  END AS stopword_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH $toksCte
+        |SELECT doc_id, round(
+        |  CAST(least(len(w), 100) AS DOUBLE) / 100 * 0.4
+        |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |        / length(text) END) * 0.3
+        |  + least((CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      CAST(${hitsSql(EnglishStopwords)} AS DOUBLE) / len(w) END) * 5,
+        |      1.0) * 0.3, 6) AS quality_score
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "q_text_langid" -> {
+      val hits = LangMarkers.map { case (l, m) => l -> hitsSql(m) }
+      val best = hits.map(h => s"h_${h._1}").mkString("greatest(", ", ", ")")
+      val cases = hits.map { case (l, _) =>
+        s"WHEN h_$l = $best THEN '$l'" }.mkString("\n    ")
+      s"""WITH $toksCte, h AS (
+        |  SELECT doc_id, lang, w,
+        |    ${hits.map { case (l, sql) => s"$sql AS h_$l" }.mkString(",\n    ")}
+        |  FROM toks)
+        |SELECT doc_id, lang,
+        |  CASE WHEN $best <= 0 THEN 'und'
+        |    $cases
+        |    ELSE 'und' END AS lang_pred,
+        |  h_en AS hits_en
+        |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "q_text_fingerprint" ->
+      s"""WITH $toksCte, th AS (
+        |  SELECT doc_id, text,
+        |    list_transform(w, t -> $tokenHashSql) AS hs
+        |  FROM toks)
+        |SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        |  $simHashSql AS simhash
+        |FROM th ORDER BY doc_id""".stripMargin)
+}

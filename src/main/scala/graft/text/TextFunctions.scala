@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis functions for large-scale corpus pipelines:
+  * tokenization, quality statistics, language identification, and document
+  * fingerprinting.
+  *
+  * This is an extension category beyond the reference's operator surface
+  * (the reference's only string op is regex replace,
+  * betl/dataflow/dfl_changeData.py:67-102) — the operations an LLM
+  * training-data pipeline needs over a `documents(text)` corpus.
+  *
+  * Everything here is pure `Column => Column` composition over Spark's
+  * built-in expressions: no UDFs, fully codegen'd, row-local (no shuffle),
+  * so each scales linearly with the corpus and pushes column pruning down
+  * to the Parquet scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a text column; empty/blank text → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish sub-word piece count: runs of letters, runs of digits, or a
+    * single other non-space char. A cheap, deterministic stand-in for a
+    * real tokenizer's piece count (the regex is RE2/Java compatible so
+    * oracles can reproduce it).
+    */
+  def pieceCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Ratio of punctuation chars (fixed class, engine-portable) to all
+    * chars; 0.0 for empty text.
+    */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      size(regexp_extract_all(c, lit("[.,!?;:]"), lit(0)))
+        .cast("double") / length(c))
+
+  /** Mean token length in chars; 0.0 for empty text. */
+  def avgWordLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, 0.0).otherwise(
+      aggregate(t, lit(0), (acc, w) => acc + length(w)).cast("double") / size(t))
+  }
+
+  /** Default English stopword list used by quality scoring. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Fraction of tokens that are stopwords; 0.0 for empty text. */
+  def stopwordRatio(
+      c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val t = tokens(c)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(t) === 0, 0.0).otherwise(
+      size(filter(t, w => array_contains(sw, w))).cast("double") / size(t))
+  }
+
+  /** Composite document quality score in [0,1] — the standard cheap
+    * pre-training heuristics (length band, low punctuation noise, natural
+    * stopword density). Deterministic double arithmetic; identical formula
+    * is mirrored in the DuckDB oracle.
+    *
+    *   0.4 * min(n_tokens, 100)/100
+    * + 0.3 * (1 - punct_ratio)
+    * + 0.3 * min(stopword_ratio * 5, 1)
+    */
+  def qualityScore(c: Column): Column =
+    round(
+      least(tokenCount(c), lit(100)).cast("double") / 100 * 0.4 +
+        (lit(1.0) - punctRatio(c)) * 0.3 +
+        least(stopwordRatio(c) * 5, lit(1.0)) * 0.3,
+      6)
+
+  /** Marker-word sets for the n-gram/stopword language-ID heuristic.
+    * Ordered map: ties break toward the alphabetically first language.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "is", "and", "of", "it"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "ne"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  /** Per-language marker-hit count over the token stream. */
+  def langHits(c: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(c), w => array_contains(m, w)))
+  }
+
+  /** Heuristic language ID: argmax of marker hits, alphabetical tie-break,
+    * `und` (undetermined) when nothing matches. The classic fastText-free
+    * fallback for corpus triage; one pass, no shuffle.
+    */
+  def langId(c: Column, markers: Seq[(String, Seq[String])] = LangMarkers)
+      : Column = {
+    val hits = markers.map { case (lang, m) => lang -> langHits(c, m) }
+    val best = greatest(hits.map(_._2): _*)
+    // first (alphabetical) language reaching the max wins
+    hits.foldLeft(when(best <= 0, "und")) { case (acc, (lang, h)) =>
+      acc.when(h === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
+    * trimmed text. Groups case/spacing variants of the same document —
+    * the exact-dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
+
+  /** Portable 60-bit token hash: first 15 hex chars of md5 as a bigint.
+    * 15 digits keep the value under 2^60, comfortably inside a signed
+    * long, and md5 makes the hash reproducible in any oracle engine
+    * (DuckDB mirrors it with a hex-digit list_reduce) — unlike xxhash64.
+    */
+  def tokenHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+  val SimHashBits = 60
+
+  /** 60-bit SimHash over whitespace tokens: per bit position, each token
+    * hash votes +1/-1, and the bit is set where the vote is positive.
+    * Near-identical documents land within a small Hamming distance
+    * (`bit_count(a ^ b)`). Row-local, no shuffle; banding the value (see
+    * [[graft.dedup.Dedup.simHashBands]]) gives the scalable near-dup
+    * join key at corpus scale.
+    *
+    * Bit positions are Scala-level constants, so the shifts stay literal
+    * and the whole expression compiles into whole-stage codegen.
+    */
+  def simHash(c: Column): Column = {
+    val hashes = transform(tokens(c), t => tokenHash60(t))
+    val bitCols = (0 until SimHashBits).map { j =>
+      val vote = aggregate(hashes, lit(0), (acc, h) =>
+        acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).cast("int"))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+}
