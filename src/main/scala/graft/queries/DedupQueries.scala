@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft._
+import graft.dedup.Dedup
+import graft.similarity.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries over the `documents` / `embeddings` corpus:
+  * exact fingerprint dedup, exact n-gram Jaccard pairs via inverted-index
+  * join, MinHash-LSH near-dup pairs, SimHash Hamming-ball pairs, and
+  * embedding-cosine near-dup via random-hyperplane LSH. No query contains
+  * a crossJoin — candidate generation is always an equi-join on a derived
+  * key. Every query has a DuckDB oracle: ground truth where blocking is
+  * recall-exact (exact / ngram / simhash), a bit-identical pipeline mirror
+  * for the probabilistic LSH paths (minhash / embedding).
+  */
+object DedupQueries {
+  import Q._
+
+  private val JaccardThreshold = 0.5
+  private val CosineThreshold = 0.4
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: canonical fingerprint group-by
+    "q_dedup_exact" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dedup_exact")
+      Dedup.exactDedup(src(dfl, "documents"), "text", "doc_id")
+        .orderBy("keep_id")
+    },
+
+    // exact n-gram Jaccard pairs, inverted-index blocked
+    "q_dedup_ngram" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dedup_ngram")
+      Dedup.jaccardPairs(src(dfl, "documents"), "text", "doc_id",
+        JaccardThreshold).orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash-LSH banding + exact Jaccard verify on candidates
+    "q_dedup_minhash" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dedup_minhash")
+      Dedup.minHashPairs(src(dfl, "documents"), "text", "doc_id",
+        JaccardThreshold).orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash Hamming ≤ 3 pairs (banding is recall-exact for d < 4)
+    "q_dedup_simhash" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dedup_simhash")
+      Dedup.simHashPairs(src(dfl, "documents"), "text", "doc_id",
+        maxHamming = 3).orderBy("doc_a", "doc_b")
+    },
+
+    // embedding-cosine near-dup via hyperplane LSH + exact verify
+    "q_dedup_embedding" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dedup_embedding")
+      val e = src(dfl, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val banded = e.select(col("vec_id"), col("embedding"),
+        posexplode(planeBandKeys(col("embedding"))).as(Seq("band", "key")))
+      val a = banded.select(col("band"), col("key"),
+        col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = banded.select(col("band"), col("key"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, Seq("band", "key"))
+        .where(col("vec_a") < col("vec_b"))
+        .dropDuplicates("vec_a", "vec_b")
+        .withColumn("cosine", cosine(col("ea"), col("eb")))
+        .where(col("cosine") >= CosineThreshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    })
+
+  import OracleSql._
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH $toksCte, ${shinglesCte(3)},
+        |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $toksCte, ${shinglesCte(3)},
+        |hh AS (SELECT doc_id, s,
+        |  list_transform(s, g -> ${tokenHash("g")}) AS hs FROM sh),
+        |sig AS (SELECT doc_id, s, $minHashSigExpr AS sg FROM hh),
+        |b0 AS (SELECT doc_id, s, sg, unnest(range(0, ${Dedup.NumBands}))
+        |  AS band FROM sig),
+        |bands AS (SELECT doc_id, s, band,
+        |  array_to_string(list_transform(
+        |    sg[band * ${Dedup.BandRows} + 1 : band * ${Dedup.BandRows} + ${Dedup.BandRows}],
+        |    v -> v::VARCHAR), ',') AS key FROM b0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(x.s, y.s)) AS inter,
+        |    len(x.s) AS na, len(y.s) AS nb
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |            JOIN sh y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM j
+        |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH $toksCte,
+        |hh AS (SELECT doc_id,
+        |  list_transform(w, t -> ${tokenHash("t")}) AS hs FROM toks),
+        |sv AS (SELECT doc_id, $simHashExpr AS h FROM hh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) AS INTEGER)
+        |    AS hamming
+        |FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |bits AS (SELECT vec_id, embedding,
+        |  ${planeBitsExpr("embedding")} AS sig FROM e),
+        |b0 AS (SELECT vec_id, embedding, sig,
+        |  unnest(range(0, $NumPlaneBands)) AS band FROM bits),
+        |bands AS (SELECT vec_id, embedding, band,
+        |  substr(sig, band * $PlaneBandBits + 1, $PlaneBandBits) AS key
+        |  FROM b0),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    a.embedding AS ea, b.embedding AS eb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, ${cosineExpr("ea", "eb")} AS cosine
+        |FROM cand
+        |WHERE ${cosineExpr("ea", "eb")} >= $CosineThreshold
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.similarity.VectorFunctions
+import graft.text.TextFunctions
+
+/** Shared DuckDB SQL fragments mirroring the engine's text/dedup/vector
+  * expressions. Constants (minhash permutations, hyperplanes) are rendered
+  * from the SAME Scala values the Spark side uses, so both engines compute
+  * bit-identical results.
+  */
+object OracleSql {
+
+  /** Mirror of [[TextFunctions.tokens]] over `documents`. */
+  val toksCte: String =
+    """toks AS (
+      |  SELECT doc_id, lang, text,
+      |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS w
+      |  FROM documents)""".stripMargin
+
+  /** Mirror of [[Dedup.shingles]] (word k-grams, distinct). */
+  def shinglesCte(k: Int): String = {
+    val gram = (0 until k).map(o => if (o == 0) "w[i]" else s"w[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= $k THEN
+       |      list_distinct(list_transform(range(1, len(w) - ${k - 2}),
+       |        i -> $gram))
+       |    ELSE [array_to_string(w, ' ')] END AS s
+       |  FROM toks)""".stripMargin
+  }
+
+  /** Mirror of [[TextFunctions.tokenHash60]]: md5 hex → bigint via
+    * per-digit reduce (DuckDB has no base-16 conv).
+    */
+  def tokenHash(v: String): String =
+    s"""list_reduce(list_transform(range(1, 16),
+       |  i -> CAST(instr('0123456789abcdef', substr(md5($v), i, 1)) - 1 AS BIGINT)),
+       |  (a, b) -> a * 16 + b)""".stripMargin
+
+  /** Mirror of [[TextFunctions.simHash]] over a column `hs` of token
+    * hashes: 60 per-bit vote terms.
+    */
+  val simHashExpr: String =
+    (0 until TextFunctions.SimHashBits).map { j =>
+      s"""CASE WHEN coalesce(list_sum(list_transform(hs,
+         |  h -> CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  /** Marker-hit count over token list `w`. */
+  def hitsExpr(markers: Seq[String]): String =
+    markers.map(m => s"'$m'").mkString(
+      "len(list_filter(w, t -> list_contains([", ", ", "], t)))")
+
+  /** Mirror of [[Dedup.minHashSignature]] over token-hash list `hs`: the
+    * 64 permuted minima. 31-bit modulus keeps every product in BIGINT;
+    * empty lists get the neutral all-p signature like the Spark fold.
+    */
+  val minHashSigExpr: String =
+    (0 until Dedup.NumHashes).map { i =>
+      s"""coalesce(list_min(list_transform(hs, x ->
+         |  (${Dedup.HashA(i)} * (x % ${Dedup.MinHashP}) + ${Dedup.HashB(i)})
+         |    % ${Dedup.MinHashP})), ${Dedup.MinHashP})""".stripMargin
+    }.mkString("[", ",\n", "]")
+
+  /** Mirror of [[VectorFunctions.dot]]: strict left-fold double dot of
+    * two FLOAT[] columns of the given dimension.
+    */
+  def dotExpr(a: String, b: String, dim: Int = VectorFunctions.Dim): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+       |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+
+  /** Mirror of [[VectorFunctions.cosine]]. */
+  def cosineExpr(a: String, b: String): String =
+    s"(${dotExpr(a, b)}) / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
+
+  /** Mirror of [[VectorFunctions.planeBits]]: the 16-char sign-bit
+    * signature of an embedding column.
+    */
+  def planeBitsExpr(v: String): String =
+    (0 until VectorFunctions.NumPlanes).map { p =>
+      val plane = VectorFunctions.planeSqlLiterals(p)
+        .mkString("([", ", ", "]::DOUBLE[])")
+      s"CASE WHEN (${dotExpr(v, plane)}) > 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ",\n", ")")
+}

@@ -61,40 +61,17 @@ object TextQueries {
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_text_fingerprint")
       src(dfl, "documents")
+      dfl.addColumns("documents",
+        Map("_hs" -> transform(tokens(col("text")), t => tokenHash60(t))))
       dfl.addColumns("documents", Map(
         "fp" -> fingerprint(col("text")),
-        "simhash" -> simHash(col("text"))))
+        "simhash" -> simHashFromHashes(col("_hs"))))
       dfl.getColumns("documents", Seq("doc_id", "fp", "simhash"))
         .orderBy("doc_id")
     })
 
-  /** Shared DuckDB token CTE mirroring [[TextFunctions.tokens]]. */
-  private val toksCte =
-    """toks AS (
-      |  SELECT doc_id, lang, text,
-      |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-      |         ELSE string_split_regex(trim(text), '\s+') END AS w
-      |  FROM documents)""".stripMargin
-
-  private def hitsSql(markers: Seq[String]): String =
-    markers.map(m => s"'$m'").mkString(
-      "len(list_filter(w, t -> list_contains([", ", ", "], t)))")
-
-  /** DuckDB rendering of [[TextFunctions.tokenHash60]]: md5 hex → bigint
-    * via per-digit reduce (DuckDB has no base-16 conv).
-    */
-  private val tokenHashSql =
-    """list_reduce(list_transform(range(1, 16),
-      |  i -> CAST(instr('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
-      |  (a, b) -> a * 16 + b)""".stripMargin
-
-  /** DuckDB rendering of [[TextFunctions.simHash]]: 60 per-bit vote terms. */
-  private val simHashSql: String =
-    (0 until SimHashBits).map { j =>
-      s"""CASE WHEN coalesce(list_sum(list_transform(hs,
-         |  h -> CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
-         |  THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
-    }.mkString("(", " + ", ")")
+  import OracleSql.{toksCte, simHashExpr, tokenHash}
+  import OracleSql.{hitsExpr => hitsSql}
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -144,10 +121,10 @@ object TextQueries {
     "q_text_fingerprint" ->
       s"""WITH $toksCte, th AS (
         |  SELECT doc_id, text,
-        |    list_transform(w, t -> $tokenHashSql) AS hs
+        |    list_transform(w, t -> ${tokenHash("t")}) AS hs
         |  FROM toks)
         |SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-        |  $simHashSql AS simhash
+        |  $simHashExpr AS simhash
         |FROM th ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,77 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over `array<float>` embedding columns — pure Column
+  * composition (codegen'd, no UDFs). Dot products run in double with a
+  * strict left-to-right fold so results are bit-identical to the DuckDB
+  * oracle's sequential list reduction.
+  */
+object VectorFunctions {
+
+  /** Left-fold double dot product: 0.0 + a1*b1 + a2*b2 + … */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ------------------------------------------------------------------
+  // random-hyperplane LSH
+  // ------------------------------------------------------------------
+
+  val NumPlanes = 16
+  val PlaneBandBits = 4
+  val NumPlaneBands: Int = NumPlanes / PlaneBandBits
+  val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes: components on a thousandths
+    * grid in [-1, 1] from SplitMix64 mixing, so the exact same literals
+    * can be embedded in oracle SQL (a 3-decimal literal parses to the
+    * identical double in any engine).
+    */
+  val Hyperplanes: IndexedSeq[IndexedSeq[Double]] = {
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+      z ^ (z >>> 27)
+    }
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        (math.floorMod(mix(p.toLong * Dim + d), 2001L) - 1000L) / 1000.0
+      }
+    }
+  }
+
+  /** Render a hyperplane's components as SQL literals (exactly what
+    * [[planeLit]] feeds Spark).
+    */
+  def planeSqlLiterals(p: Int): Seq[String] =
+    Hyperplanes(p).map(v => f"$v%.3f")
+
+  private def planeLit(p: Int): Column =
+    array(planeSqlLiterals(p).map(s => lit(s.toDouble)): _*)
+
+  /** One sign bit per hyperplane: '1' where dot(v, plane) > 0. */
+  def planeBits(v: Column): Column =
+    concat((0 until NumPlanes).map { p =>
+      when(dot(v, planeLit(p)) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** LSH band keys: the bit signature cut into [[NumPlaneBands]] chunks
+    * of [[PlaneBandBits]] bits. Candidates for a similarity join are the
+    * pairs sharing (band index, chunk) — an equi-join, never an
+    * all-pairs product. More bits per band → higher precision, lower
+    * recall; 4 bits suits a weak-similarity corpus, 8-16 bits a
+    * true near-dup corpus at scale.
+    */
+  def planeBandKeys(v: Column): Column = {
+    val bits = planeBits(v)
+    array((0 until NumPlaneBands).map { b =>
+      substring(bits, b * PlaneBandBits + 1, PlaneBandBits)
+    }: _*)
+  }
+}

@@ -137,13 +137,25 @@ object TextFunctions {
     * Bit positions are Scala-level constants, so the shifts stay literal
     * and the whole expression compiles into whole-stage codegen.
     */
-  def simHash(c: Column): Column = {
-    val hashes = transform(tokens(c), t => tokenHash60(t))
-    val bitCols = (0 until SimHashBits).map { j =>
-      val vote = aggregate(hashes, lit(0), (acc, h) =>
-        acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).cast("int"))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+  def simHash(c: Column): Column =
+    simHashFromHashes(transform(tokens(c), t => tokenHash60(t)))
+
+  /** SimHash from a PRE-HASHED token array (materialise the hash array
+    * with a `withColumn` first). Two row-local folds, each referencing its
+    * input exactly once so no optimizer collapse can duplicate upstream
+    * work: (1) accumulate the 60 per-bit votes in one pass over the
+    * hashes; (2) fold the vote array into the hash value.
+    */
+  def simHashFromHashes(hashesCol: Column): Column = {
+    val bitVotes = (h: Column) => array((0 until SimHashBits).map { j =>
+      (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).cast("int")
+    }: _*)
+    val votes = aggregate(hashesCol,
+      array_repeat(lit(0), SimHashBits),
+      (acc, h) => zip_with(acc, bitVotes(h), (a, b) => a + b))
+    val powers = array((0 until SimHashBits).map(j => lit(1L << j)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
   }
 }
