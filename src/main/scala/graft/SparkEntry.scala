@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ LifecycleQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs ++
+      StreamingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ LifecycleQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      MultimodalQueries.oracles ++ StreamingQueries.oracles
 }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming surface over the engine's tables — the natural
+  * extension the reference lacks entirely (SURVEY §2.9: no streaming,
+  * no watermarks, no state anywhere in betl). The same DataFrame operator
+  * set applies to a `readStream` source; this object adds the streaming
+  * lifecycle: source wiring, watermarked event-time windows, and
+  * run-to-completion draining for bounded backfills.
+  */
+object StreamFlow {
+
+  /** File-stream source over a parquet table path. The file source wants
+    * a DIRECTORY; a path to a single file is handled by streaming its
+    * parent with a glob filter on the file name. Schema must be
+    * supplied — streaming sources do not infer.
+    */
+  def readParquetStream(
+      spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val f = new java.io.File(path)
+    val reader = spark.readStream.schema(schema)
+    if (f.isFile)
+      reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    else reader.parquet(path)
+  }
+
+  /** Watermarked tumbling-window aggregation: event-time correctness with
+    * bounded state — at scale the watermark is what lets Spark evict
+    * window state instead of growing it forever.
+    */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      windowLength: String,
+      watermarkDelay: String,
+      groupCols: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength) +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Drain a bounded stream to completion into an in-memory table and
+    * return it: Trigger.AvailableNow processes everything currently in
+    * the source then stops — the streaming-backfill pattern. Complete
+    * output mode keeps the result deterministic (every window emitted,
+    * none dropped by the watermark cutoff).
+    */
+  def runToMemory(
+      agg: DataFrame, spark: SparkSession, name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
