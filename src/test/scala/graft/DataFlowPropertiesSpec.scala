@@ -1,0 +1,62 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties over the row operators (SURVEY §5: filter
+  * partition, union counts, dedupe idempotence). Driven programmatically
+  * (the scalatest-scalacheck bridge artifact is not in the offline
+  * cache).
+  */
+class DataFlowPropertiesSpec extends SparkSpec {
+
+  private val values = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d"))
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: filter(Eq) and filter(Ne) partition the rows") {
+    implicit val c: GraftConf = tmpConf()
+    check(Prop.forAll(values, Gen.oneOf("a", "b", "c", "d")) {
+      (vs, pivot) =>
+        vs.isEmpty || {
+          val dfl = flow("prop")
+          dfl.createDataset("t", Map("v" -> vs))
+          dfl.filter("t", Map("v" -> FilterSpec.Eq(pivot)),
+            targetDataset = Some("eq"))
+          dfl.filter("t", Map("v" -> FilterSpec.Ne(pivot)),
+            targetDataset = Some("ne"))
+          dfl.get("eq").count() + dfl.get("ne").count() == vs.size
+        }
+    })
+  }
+
+  test("property: union row count is the sum of the inputs") {
+    implicit val c: GraftConf = tmpConf()
+    check(Prop.forAll(values, values) { (l, r) =>
+      l.isEmpty || r.isEmpty || {
+        val dfl = flow("prop")
+        dfl.createDataset("l", Map("v" -> l))
+        dfl.createDataset("r", Map("v" -> r))
+        dfl.union(Seq("l", "r"), "u")
+        dfl.get("u").count() == l.size + r.size
+      }
+    })
+  }
+
+  test("property: dedupe is idempotent and bounded by distinct values") {
+    implicit val c: GraftConf = tmpConf()
+    check(Prop.forAll(values) { vs =>
+      vs.isEmpty || {
+        val dfl = flow("prop")
+        dfl.createDataset("t", Map("v" -> vs))
+        dfl.dedupe("t")
+        val once = dfl.get("t").count()
+        dfl.dedupe("t")
+        dfl.get("t").count() == once && once == vs.distinct.size
+      }
+    })
+  }
+}

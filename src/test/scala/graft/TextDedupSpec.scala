@@ -1,0 +1,170 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.VectorFunctions
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the LLM-pipeline extensions: text analysis, dedup, and
+  * vector similarity.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def textDf(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  // --- text functions ---
+
+  test("tokens splits on whitespace runs; blank text yields empty array") {
+    val df = textDf(1L -> "a  b\tc", 2L -> "   ", 3L -> "")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .orderBy("doc_id")
+    val got = df.collect().map(_.getSeq[String](1).toSeq)
+    assert(got(0) == Seq("a", "b", "c"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("pieceCount splits letter runs, digit runs, and symbols") {
+    val df = textDf(1L -> "abc12 de-f!")
+      .select(TextFunctions.pieceCount(col("text")).as("n"))
+    // abc | 12 | de | - | f | !
+    assert(df.head().getInt(0) == 6)
+  }
+
+  test("stopwordRatio and avgWordLen on a known sentence") {
+    val df = textDf(1L -> "the cat sat on the mat")
+      .select(
+        TextFunctions.stopwordRatio(col("text")).as("sr"),
+        TextFunctions.avgWordLen(col("text")).as("awl"))
+    val r = df.head()
+    assert(r.getDouble(0) == 3.0 / 6.0) // the, on, the
+    assert(r.getDouble(1) == 17.0 / 6.0)
+  }
+
+  test("langId picks the language with most marker hits, und when none") {
+    val df = textDf(
+      1L -> "der hund und die katze",
+      2L -> "the cat and a dog",
+      3L -> "xyzzy plugh")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .orderBy("doc_id")
+    assert(df.collect().map(_.getString(1)).toSeq ==
+      Seq("de", "en", "und"))
+  }
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val df = textDf(1L -> "Hello   World", 2L -> "hello world",
+      3L -> "different")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("simHash is equal for identical docs, close for near-identical") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base.replace("kappa", "lambda")
+    val far = "completely unrelated words about other topics entirely now"
+    val df = textDf(1L -> base, 2L -> base, 3L -> near, 4L -> far)
+      .select(col("doc_id"),
+        transform(TextFunctions.tokens(col("text")),
+          t => TextFunctions.tokenHash60(t)).as("hs"))
+      .select(col("doc_id"),
+        TextFunctions.simHashFromHashes(col("hs")).as("h"))
+      .orderBy("doc_id")
+    val hs = df.collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(0) == hs(1))
+    assert(ham(hs(0), hs(2)) < ham(hs(0), hs(3)))
+  }
+
+  // --- dedup ---
+
+  test("shinglesFromTokens emits k-grams; short docs collapse to one") {
+    val df = textDf(1L -> "a b c d", 2L -> "a b")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        Dedup.shinglesFromTokens(col("w"), 3).as("s"))
+      .orderBy("doc_id")
+    val got = df.collect().map(_.getSeq[String](1).toSeq)
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("exactDedup groups case/space variants and keeps the min id") {
+    val df = textDf(1L -> "Same Doc", 2L -> "same   doc", 3L -> "other")
+    val got = Dedup.exactDedup(df, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccardPairs finds exactly the overlapping pair above threshold") {
+    val df = textDf(
+      1L -> "one two three four five six",
+      2L -> "one two three four five seven",
+      3L -> "totally different words here again")
+    val got = Dedup.jaccardPairs(df, "text", "doc_id", 0.3)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    // |A|=|B|=4 shingles, 3 shared → 3/5
+    assert(got.head.getDouble(2) == 3.0 / 5.0)
+  }
+
+  test("minHashPairs agrees with exact jaccardPairs on a small corpus") {
+    // 13 shared tokens + 1 per-doc variant at the end → pairwise
+    // jaccard 11/13 ≈ 0.85, squarely inside the LSH recall zone
+    val docs = (0L until 8L).map(i =>
+      i -> ("shared prefix words alpha beta gamma delta epsilon zeta " +
+        s"eta theta iota kappa variant$i"))
+    val df = textDf(docs: _*)
+    val exact = Dedup.jaccardPairs(df, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashPairs(df, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("simHashPairs finds duplicate pairs, not unrelated ones") {
+    // exact duplicates guarantee Hamming 0; one changed token in a short
+    // doc can flip many margin bits, so the near-dup doc only must not
+    // pair with the unrelated doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = textDf(
+      1L -> base,
+      2L -> base,
+      3L -> ("entirely different content with other vocabulary only chi " +
+        "psi omega words padding filler tokens more noise stuff here"))
+    val got = Dedup.simHashPairs(df, "text", "doc_id", maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  // --- vectors ---
+
+  test("dot, norm, and cosine compute exact known values") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(
+        VectorFunctions.dot(col("a"), col("b")).as("d"),
+        VectorFunctions.norm(col("a")).as("na"),
+        VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val r = df.head()
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-15)
+  }
+
+  test("planeBandKeys yields 4 bands of 4 bits each") {
+    val v = Array.fill(VectorFunctions.Dim)(0.5f)
+    val df = Seq(Tuple1(v)).toDF("e")
+      .select(VectorFunctions.planeBandKeys(col("e")).as("k"))
+    val keys = df.head().getSeq[String](0)
+    assert(keys.length == VectorFunctions.NumPlaneBands)
+    assert(keys.forall(k => k.length == VectorFunctions.PlaneBandBits &&
+      k.forall(c => c == '0' || c == '1')))
+  }
+}

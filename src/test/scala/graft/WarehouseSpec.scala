@@ -1,0 +1,112 @@
+package graft
+
+import graft.catalog._
+import graft.pipeline.{Pipeline, PipelineOp, Stage}
+import graft.warehouse._
+import org.apache.spark.sql.functions._
+
+/** Catalog, surrogate keys, dimension/fact bulk loads, and pipeline
+  * ordering over tiny in-memory frames.
+  */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("catalog registers, looks up, and derives defs from schemas") {
+    val cat = new Catalog
+    cat.register(TableDef("dm_x", Layer.BSE, Seq(
+      ColumnDef("sk_x", role = ColumnRole.SurrogateKey),
+      ColumnDef("nk_x", role = ColumnRole.NaturalKey),
+      ColumnDef("attr"))))
+    val t = cat(Layer.BSE, "dm_x")
+    assert(t.surrogateKey.map(_.name).contains("sk_x"))
+    assert(t.naturalKeys.map(_.name) == Seq("nk_x"))
+    assert(t.tableType == TableType.Dimension)
+    assert(cat.lookup(Layer.BSE, "missing").isEmpty)
+    // role metadata survives a schema round trip
+    val derived = cat.registerFromSchema(Layer.EXT, "rt", t.structType)
+    assert(derived.surrogateKey.map(_.name).contains("sk_x"))
+  }
+
+  test("catalog survives concurrent registration (pipeline parallelism)") {
+    val cat = new Catalog
+    val threads = (0 until 8).map { i =>
+      new Thread(() => (0 until 50).foreach { j =>
+        cat.register(TableDef(s"t_${i}_$j", Layer.TRN,
+          Seq(ColumnDef("c"))))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(cat.tablesIn(Layer.TRN).size == 400)
+  }
+
+  test("surrogate keys are dense, 1-based, and NK-ordered") {
+    val df = Seq("c", "a", "b").toDF("nk")
+    val keyed = SurrogateKeys.assign(df, Seq("nk"), "sk")
+      .orderBy("sk").collect()
+    assert(keyed.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(keyed.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("bulkLoadDimension assigns SKs, appends default rows, emits map") {
+    implicit val c: GraftConf = tmpConf()
+    val dfl = flow("dim")
+    dfl.createDataset("src", Map(
+      "cust_id" -> Seq("20", "10", "10"),
+      "name" -> Seq("Bob", "Alice", "Alice")))
+    dfl.write("src", "dm_cust", Layer.LOD)
+    val dim = StageLoad.bulkLoadDimension(spark, c,
+      DimensionSpec("dm_cust", Seq("cust_id"), Seq("name")))
+    val rows = dim.orderBy("sk_cust").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(-2L, -1L, 1L, 2L))
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("UNRECOGNISED", "MISSING", "Alice", "Bob"))
+    val skMap = spark.read.parquet(c.tablePath(Layer.LOD, "sk_cust"))
+    assert(skMap.count() == 2) // default rows excluded from the map
+  }
+
+  test("bulkLoadFact resolves FKs via the map and defaults misses to -1") {
+    implicit val c: GraftConf = tmpConf()
+    val dfl = flow("fact")
+    dfl.createDataset("dim_src", Map(
+      "cust_id" -> Seq("10", "20"), "name" -> Seq("A", "B")))
+    dfl.write("dim_src", "dm_cust", Layer.LOD)
+    StageLoad.bulkLoadDimension(spark, c,
+      DimensionSpec("dm_cust", Seq("cust_id"), Seq("name")))
+    dfl.createDataset("fact_src", Map(
+      "cust_id" -> Seq("10", "99"), "amount" -> Seq("5", "7")))
+    dfl.write("fact_src", "ft_sales", Layer.LOD)
+    val fact = StageLoad.bulkLoadFact(spark, c,
+      FactSpec("ft_sales", Seq(FkMapping("cust_id", "dm_cust", "cust_id"))))
+    val got = fact.orderBy("amount").collect()
+      .map(r => (r.getAs[String]("amount"), r.getAs[Long]("sk_cust")))
+    assert(got.toSeq == Seq(("5", 1L), ("7", -1L)))
+  }
+
+  test("pipeline runs stages in order, dims before facts") {
+    implicit val c: GraftConf = tmpConf()
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ops = Seq(
+      PipelineOp("f", Stage.LoadFact, (_, _) => { order.add("fact"); () }),
+      PipelineOp("s", Stage.Summarise, (_, _) => { order.add("sum"); () }),
+      PipelineOp("e", Stage.Extract, (_, _) => { order.add("ext"); () }),
+      PipelineOp("d", Stage.LoadDim, (_, _) => { order.add("dim"); () }),
+      PipelineOp("t", Stage.Transform, (_, _) => { order.add("trn"); () }))
+    new Pipeline(c, ops).run(spark)
+    assert(order.toArray.toSeq == Seq("ext", "trn", "dim", "fact", "sum"))
+  }
+
+  test("dmDate covers the range with correct attributes") {
+    val dim = DmDate.build(spark, "2020-02-27", "2020-03-02")
+    assert(dim.count() == 5)
+    val leap = dim.filter(col("date_key") === 20200229).head()
+    assert(leap.getAs[Int]("cal_month") == 2)
+    assert(leap.getAs[Int]("day_of_year") == 60)
+  }
+
+  test("dmAudit is the 4x10 operation/score cartesian") {
+    val dim = DmAudit.build(spark)
+    assert(dim.count() == 40)
+    assert(dim.select("load_operation").distinct().count() == 4)
+    assert(dim.filter(col("nk_audit") === "BULK_10").count() == 1)
+  }
+}
