@@ -453,6 +453,22 @@ class DataFlow(
       put(dataset, df)
     }(r => Some(r.get(dataset)))
 
+  /** Collapse the audit columns into the audit-dimension natural key and
+    * drop them (reference collapseAuditNKs, betl/dataflow/dfl_audit.py:
+    * 19-37): `nk_audit = <latest_load_operation>_10` — the reference
+    * hard-codes DQ score 10 pending real data-quality scoring. Facts carry
+    * this NK into LOD, where bulkLoadFact resolves it against the
+    * `sk_audit` map emitted by [[graft.warehouse.DmAudit.load]].
+    */
+  def collapseAuditNK(dataset: String): DataFlow =
+    log.step("collapseAuditNK", dataset) {
+      val df = get(dataset)
+        .withColumn("nk_audit",
+          concat(col(Audit.LatestLoadOperation), lit("_10")))
+        .drop(Audit.all: _*)
+      put(dataset, df)
+    }(r => Some(r.get(dataset)))
+
   /** Collapse several NK columns into one `_`-separated string NK and drop
     * the sources (reference collapseNaturalKeys inside prepForLoad,
     * dfl_loadPrep.py:28-69). `concat_ws` is null-safe like the reference's

@@ -172,6 +172,65 @@ object LifecycleQueries {
       new Pipeline(c, ops, parallelism = 2).run(s)
       s.read.parquet(c.tablePath(Layer.SUM, "su_sales_by_segment"))
         .orderBy("segment")
+    },
+
+    // §2.7/§3.1 the DEFAULT pipeline: per-table extract fan-out with zero
+    // bespoke extract code, audit-NK collapse on the fact, dm_audit FK
+    // resolution, and default summarise prep
+    "q_pipeline_default" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_pipeline_default")
+      // events.parquet carries TIMESTAMP(NANOS): read as raw nanos so the
+      // default extract fan-out can copy every table
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val extracts = StageExtract.defaultExtractOps(s, c, Src)
+      val ops = extracts ++ Seq(
+        PipelineOp("transform_dm_customer", Stage.Transform, (sp, cf) => {
+          val dfl = new DataFlow(sp, "transform_dm_customer", cf)
+          dfl.read("customer", Layer.EXT)
+          dfl.dropColumns("customer",
+            colsToKeep = Seq("c_custkey", "c_name", "c_mktsegment"),
+            dropAuditCols = true)
+          dfl.prepForLoad("customer", "dm_customer")
+        }),
+        PipelineOp("transform_dm_audit", Stage.Transform,
+          (sp, cf) => DmAudit.load(sp, cf)),
+        PipelineOp("transform_ft_orders", Stage.Transform, (sp, cf) => {
+          val dfl = new DataFlow(sp, "transform_ft_orders", cf)
+          dfl.read("orders", Layer.EXT)
+          dfl.dropColumns("orders",
+            colsToKeep = Seq("o_orderkey", "o_custkey", "o_totalprice"))
+          dfl.collapseAuditNK("orders")
+          dfl.prepForLoad("orders", "ft_orders")
+        }),
+        PipelineOp("load_dm_customer", Stage.LoadDim, (sp, cf) =>
+          StageLoad.bulkLoadDimension(sp, cf, DimensionSpec(
+            "dm_customer", Seq("c_custkey"), Seq("c_name", "c_mktsegment")))),
+        PipelineOp("load_ft_orders", Stage.LoadFact, (sp, cf) =>
+          StageLoad.bulkLoadFact(sp, cf, FactSpec("ft_orders",
+            Seq(FkMapping("o_custkey", "dm_customer", "c_custkey"),
+              FkMapping("nk_audit", "dm_audit", "nk_audit"))))),
+        // prep runs in the stage BEFORE the summaries: ops within a stage
+        // are concurrent, and the truncate must precede the rewrite
+        PipelineOp("summarise_prep", Stage.LoadFact, (sp, cf) =>
+          StageSummarise.defaultSummarisePrep(sp, cf)),
+        PipelineOp("summarise_sales", Stage.Summarise, (sp, cf) => {
+          val dfl = new DataFlow(sp, "summarise_sales", cf)
+          dfl.read("ft_orders", Layer.BSE)
+          dfl.read("dm_customer", Layer.BSE)
+          dfl.join(("ft_orders", "dm_customer"), "sales",
+            joinCols = Seq("sk_customer"), broadcastRight = true)
+          val su = dfl.get("sales").groupBy(
+            col("c_mktsegment").as("segment"))
+            .agg(dsum(col("o_totalprice"), 2).as("total_sales"),
+              count(lit(1)).as("n_orders"),
+              min(col("sk_audit")).as("sk_audit_min"),
+              max(col("sk_audit")).as("sk_audit_max"))
+          dfl.createDataset("su_sales_by_segment", su)
+          dfl.write("su_sales_by_segment", "su_sales_by_segment", Layer.SUM)
+        }))
+      new Pipeline(c, ops, parallelism = 4).run(s)
+      s.read.parquet(c.tablePath(Layer.SUM, "su_sales_by_segment"))
+        .orderBy("segment")
     })
 
   private val mdmMappingSql =
@@ -238,6 +297,22 @@ object LifecycleQueries {
         |GROUP BY 1, 2
         |ORDER BY "count" DESC, n_name""".stripMargin,
     "q_truncate" -> "SELECT CAST(0 AS BIGINT) AS n_rows",
+    "q_pipeline_default" ->
+      """WITH audit AS (
+        |  SELECT op || '_' || CAST(sc AS VARCHAR) AS nk_audit
+        |  FROM (VALUES ('BULK'),('DELTA'),('NO LOAD'),('REFRESH')) o(op)
+        |  CROSS JOIN generate_series(1, 10) t(sc)),
+        |ska AS (SELECT nk_audit,
+        |  row_number() OVER (ORDER BY nk_audit) AS sk FROM audit)
+        |SELECT c_mktsegment AS segment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS total_sales,
+        |  COUNT(*) AS n_orders,
+        |  (SELECT sk FROM ska WHERE nk_audit = 'BULK_10') AS sk_audit_min,
+        |  (SELECT sk FROM ska WHERE nk_audit = 'BULK_10') AS sk_audit_max
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY segment""".stripMargin,
     "q_pipeline_e2e" ->
       """SELECT c_mktsegment AS segment,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)

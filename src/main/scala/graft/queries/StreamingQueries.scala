@@ -45,6 +45,21 @@ object StreamingQueries {
             .as("window_start"),
           col("event_type"), col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // batch JSON extraction over the events props column
+    "q_events_json" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = s.read.schema(EventsSchema)
+        .parquet(s"$dir/events.parquet")
+      events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("k_total"),
+          max(col("k")).as("k_max"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -55,5 +70,10 @@ object StreamingQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY window_start, event_type""".stripMargin)
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  SUM(CAST(props->>'k' AS BIGINT)) AS k_total,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

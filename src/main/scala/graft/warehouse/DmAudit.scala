@@ -25,9 +25,16 @@ object DmAudit {
       .select("nk_audit", "load_operation", "dq_score")
   }
 
+  /** Write dm_audit to BSE with a deterministic surrogate key, and emit
+    * the `sk_audit` SK/NK map to LOD so fact loads can resolve their
+    * audit FK exactly like any other dimension FK
+    * (reference stageLoad.py:331-360).
+    */
   def load(spark: SparkSession, conf: GraftConf): DataFrame = {
-    val dim = build(spark)
+    val dim = SurrogateKeys.assign(build(spark), Seq("nk_audit"), "sk_audit")
     dim.write.mode("overwrite").parquet(conf.tablePath(Layer.BSE, "dm_audit"))
+    dim.select("sk_audit", "nk_audit").write.mode("overwrite")
+      .parquet(conf.tablePath(Layer.LOD, "sk_audit"))
     dim
   }
 }

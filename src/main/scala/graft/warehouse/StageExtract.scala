@@ -1,0 +1,35 @@
+package graft.warehouse
+
+import graft.{DataFlow, GraftConf}
+import graft.catalog.Layer
+import graft.pipeline.{PipelineOp, Stage}
+
+/** Default extract stage: one op per source-system table, each doing
+  * source → audit stamp → EXT, with no bespoke code (reference
+  * bulkExtract fan-out, betl/defaultdataflows/stageExtract.py:13-39,
+  * wired per-table at betl/PipelineClass.py:80-99).
+  *
+  * Table discovery comes from [[graft.io.Datastore.tableNames]]; the ops
+  * are independent so the pipeline runs them concurrently, and each one
+  * is itself a distributed read→write job.
+  */
+object StageExtract {
+
+  def bulkExtract(
+      spark: org.apache.spark.sql.SparkSession, conf: GraftConf,
+      srcSysID: String, table: String,
+      bulkOrDelta: String = "BULK"): Unit = {
+    val dfl = new DataFlow(spark, s"bulkExtract_$table", conf)
+    dfl.getDataFromSrc(table, srcSysID, bulkOrDelta = bulkOrDelta)
+    dfl.write(table, table, Layer.EXT, keepDataflowOpen = false)
+  }
+
+  /** One default extract op per table the datastore can enumerate. */
+  def defaultExtractOps(
+      spark: org.apache.spark.sql.SparkSession, conf: GraftConf,
+      srcSysID: String): Seq[PipelineOp] =
+    conf.srcSystem(srcSysID).tableNames(spark).map { t =>
+      PipelineOp(s"extract_$t", Stage.Extract,
+        (sp, cf) => bulkExtract(sp, cf, srcSysID, t))
+    }
+}

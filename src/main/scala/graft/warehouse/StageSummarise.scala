@@ -1,0 +1,34 @@
+package graft.warehouse
+
+import graft.GraftConf
+import graft.catalog.Layer
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Default summarise prep (reference defaultSummarisePrep,
+  * betl/defaultdataflows/stageSummarise.py:26-59): truncate every SUM
+  * table before the bespoke summary dataflows repopulate them. The
+  * reference also drops indexes — a Parquet no-op (SURVEY §2.7).
+  */
+object StageSummarise {
+
+  /** SUM tables currently present in the warehouse (filesystem listing —
+    * the physical truth, independent of catalog registration).
+    */
+  def summaryTables(spark: SparkSession, conf: GraftConf): Seq[String] = {
+    val root = new Path(s"${conf.warehousePath}/${Layer.SUM.id}")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Truncate all SUM tables, preserving their schemas. */
+  def defaultSummarisePrep(spark: SparkSession, conf: GraftConf): Unit =
+    summaryTables(spark, conf).foreach { t =>
+      val path = conf.tablePath(Layer.SUM, t)
+      val schema = spark.read.parquet(path).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .write.mode("overwrite").parquet(path)
+    }
+}
