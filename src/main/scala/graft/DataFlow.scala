@@ -104,8 +104,13 @@ class DataFlow(
     log.step("write", s"$dataLayerID/$targetTableName") {
       val df = get(dataset)
       val tdef = conf.catalog.lookup(dataLayerID, targetTableName)
-        .getOrElse(conf.catalog.registerFromSchema(
-          dataLayerID, targetTableName, df.schema))
+        .getOrElse {
+          if (conf.strictSchema) throw new IllegalArgumentException(
+            s"write($targetTableName → $dataLayerID): table not declared " +
+              "in the catalog (strictSchema mode)")
+          conf.catalog.registerFromSchema(
+            dataLayerID, targetTableName, df.schema)
+        }
       val expected = tdef.columnNames
       val actual = df.columns.toSeq
       val unknown = actual.filterNot(expected.contains)
@@ -124,6 +129,11 @@ class DataFlow(
       // overwrite via staging + swap: safe when the dataset's lineage reads
       // the same table (read → transform → write back)
       else graft.io.ParquetUtil.safeOverwrite(spark, ordered, path)
+      // TRG parity: BSE/SUM additionally land in the target datastore
+      // (reference dfl_io.py:81-94 — always DB-writes those layers)
+      if (dataLayerID.db == "TRG")
+        conf.trgSink.foreach(
+          _.write(spark, spark.read.parquet(path), targetTableName, mode))
       if (!keepDataflowOpen) close()
       this
     }(_ => None)

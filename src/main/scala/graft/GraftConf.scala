@@ -26,6 +26,12 @@ object Audit {
   * @param debugCounts    eager per-step row counting for step logs — the
   *                       reference is always-eager; we only pay for counts
   *                       when this flag is on
+  * @param trgSink        optional TRG datastore: BSE/SUM writes are pushed
+  *                       here in addition to the Parquet layer (reference
+  *                       always DB-writes BSE/SUM, dfl_io.py:81-94)
+  * @param strictSchema   when true, writes to tables absent from the
+  *                       catalog fail instead of auto-registering —
+  *                       declarative-schema mode
   */
 case class GraftConf(
     warehousePath: String,
@@ -34,7 +40,9 @@ case class GraftConf(
     debugCounts: Boolean = false,
     earliestDateInData: String = "1992-01-01",
     latestDateInData: String = "2000-12-31",
-    catalog: Catalog = new Catalog) {
+    catalog: Catalog = new Catalog,
+    trgSink: Option[Datastore] = None,
+    strictSchema: Boolean = false) {
 
   def tablePath(layer: graft.catalog.Layer, table: String): String =
     s"$warehousePath/${layer.id}/$table"

@@ -15,6 +15,14 @@ trait Datastore extends Serializable {
   def read(spark: SparkSession, table: String): DataFrame
   /** List of table names, when enumerable (for default-extract DAG fan-out). */
   def tableNames(spark: SparkSession): Seq[String] = Seq.empty
+  /** Write a table to this datastore (`mode` ∈ overwrite/append) — the
+    * sink half of the reference's Datastore contract (its BSE/SUM layers
+    * always land in the TRG database, betl/io/dbIO.py:24-44).
+    */
+  def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "overwrite"): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} is read-only")
 }
 
 /** Directory of Parquet files: `<dir>/<table>.parquet`. Matches the driver
@@ -23,6 +31,10 @@ trait Datastore extends Serializable {
 case class ParquetDatastore(dir: String) extends Datastore {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
+
+  override def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(s"$dir/$table.parquet")
 
   override def tableNames(spark: SparkSession): Seq[String] = {
     val d = new java.io.File(dir)
@@ -65,6 +77,12 @@ case class CsvDatastore(dir: String, delimiter: String = ",")
     Option(d.list()).getOrElse(Array.empty[String]).toSeq
       .filter(_.endsWith(".csv")).map(_.stripSuffix(".csv")).sorted
   }
+
+  override def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "overwrite"): Unit =
+    df.coalesce(1).write.mode(mode)
+      .option("header", "true").option("sep", delimiter)
+      .csv(s"$dir/$table.csv")
 }
 
 /** Generic JDBC datastore covering the reference's Postgres/SQLite
@@ -95,5 +113,16 @@ case class JdbcDatastore(
         }
       case None => spark.read.jdbc(url, table, props)
     }
+  }
+
+  /** Batched JDBC insert — the Spark rendering of the reference's
+    * Postgres `COPY FROM STDIN` bulk path (betl/io/dbIO.py:24-44);
+    * executors write partitions in parallel connections.
+    */
+  override def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "overwrite"): Unit = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    df.write.mode(mode).jdbc(url, table, props)
   }
 }

@@ -231,6 +231,64 @@ object LifecycleQueries {
       new Pipeline(c, ops, parallelism = 4).run(s)
       s.read.parquet(c.tablePath(Layer.SUM, "su_sales_by_segment"))
         .orderBy("segment")
+    },
+
+    // §3 declarative mode: catalog from a checked-in schema file, strict
+    // write validation, file-driven default dimension rows, extract via
+    // the default fan-out limited to the declared EXT tables
+    "q_pipeline_declarative" -> { (s, dir) =>
+      val base = GraftConfIO.fromFile("/root/repo/conf/declarative_pipeline.json")
+      implicit val c: GraftConf = base.copy(
+        warehousePath = conf(dir, "q_pipeline_declarative").warehousePath,
+        srcSystems = Map(Src -> graft.io.ParquetDatastore(dir)))
+      val extTables = c.catalog.tablesIn(Layer.EXT).map(_.name)
+      val ops = extTables.map { t =>
+        PipelineOp(s"extract_$t", Stage.Extract,
+          (sp, cf) => StageExtract.bulkExtract(sp, cf, Src, t))
+      } ++ Seq(
+        PipelineOp("transform_dm_customer", Stage.Transform, (sp, cf) => {
+          val dfl = new DataFlow(sp, "transform_dm_customer", cf)
+          dfl.read("customer", Layer.EXT)
+          dfl.dropColumns("customer",
+            colsToKeep = Seq("c_custkey", "c_name", "c_mktsegment"),
+            dropAuditCols = true)
+          dfl.prepForLoad("customer", "dm_customer")
+        }),
+        PipelineOp("transform_ft_orders", Stage.Transform, (sp, cf) => {
+          val dfl = new DataFlow(sp, "transform_ft_orders", cf)
+          dfl.read("orders", Layer.EXT)
+          dfl.dropColumns("orders",
+            colsToKeep = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+            dropAuditCols = true)
+          dfl.prepForLoad("orders", "ft_orders")
+        }),
+        PipelineOp("load_dm_customer", Stage.LoadDim, (sp, cf) =>
+          StageLoad.bulkLoadDimension(sp, cf, DimensionSpec(
+            "dm_customer", Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+            defaultRows = DefaultRow.fromJsonFile(
+              "/root/repo/conf/default_rows_dm_customer.json")))),
+        PipelineOp("load_ft_orders", Stage.LoadFact, (sp, cf) =>
+          StageLoad.bulkLoadFact(sp, cf, FactSpec("ft_orders",
+            Seq(FkMapping("o_custkey", "dm_customer", "c_custkey"))))),
+        PipelineOp("summarise_sales", Stage.Summarise, (sp, cf) => {
+          val dfl = new DataFlow(sp, "summarise_sales", cf)
+          dfl.read("ft_orders", Layer.BSE)
+          dfl.read("dm_customer", Layer.BSE)
+          dfl.join(("ft_orders", "dm_customer"), "sales",
+            joinCols = Seq("sk_customer"), broadcastRight = true)
+          val su = dfl.get("sales").groupBy(
+            col("c_mktsegment").as("segment"))
+            .agg(dsum(col("o_totalprice"), 2).as("total_sales"),
+              count(lit(1)).as("n_orders"))
+          dfl.createDataset("su_sales_by_segment", su)
+          dfl.write("su_sales_by_segment", "su_sales_by_segment", Layer.SUM)
+        }))
+      new Pipeline(c, ops, parallelism = 2).run(s)
+      // output the dimension: shows SK assignment + the file-driven
+      // default rows (the summary write above already exercised strict
+      // SUM validation)
+      s.read.parquet(c.tablePath(Layer.BSE, "dm_customer"))
+        .orderBy("sk_customer")
     })
 
   private val mdmMappingSql =
@@ -313,6 +371,15 @@ object LifecycleQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY segment""".stripMargin,
+    "q_pipeline_declarative" ->
+      """SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+        |      AS sk_customer, c_custkey, c_name, c_mktsegment
+        |  FROM customer
+        |  UNION ALL SELECT -1, NULL, '(missing customer)', 'MISSING'
+        |  UNION ALL SELECT -2, NULL, 'UNRECOGNISED', 'UNRECOGNISED'
+        |  UNION ALL SELECT -3, NULL, 'NOT APPLICABLE', 'N/A')
+        |ORDER BY sk_customer""".stripMargin,
     "q_pipeline_e2e" ->
       """SELECT c_mktsegment AS segment,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)

@@ -7,16 +7,38 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
 
 /** A default row appended to every dimension with a negative surrogate key
-  * (reference: per-dimension GSheet-synced txt files,
+  * (reference: per-dimension default-row files synced from a sheet,
   * betl/defaultdataflows/stageLoad.py:76-93,233-268; conventionally
-  * -1 = MISSING, -2 = UNRECOGNISED). String attributes get the label;
-  * NK and non-string attributes stay null.
+  * -1 = MISSING, -2 = UNRECOGNISED). Per-column `values` override
+  * specific columns (cast from string to the column's type); otherwise
+  * string attributes get the label and everything else stays null.
   */
-case class DefaultRow(sk: Long, label: String)
+case class DefaultRow(
+    sk: Long, label: String, values: Map[String, String] = Map.empty)
 
 object DefaultRow {
   val standard: Seq[DefaultRow] =
     Seq(DefaultRow(-1L, "MISSING"), DefaultRow(-2L, "UNRECOGNISED"))
+
+  /** File-driven default rows (the reference's per-dimension txt files):
+    * a JSON array of `{"sk": -1, "label": "MISSING",
+    * "values": {"col": "literal"}}` objects.
+    */
+  def fromJsonFile(path: String): Seq[DefaultRow] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8"))
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map { n =>
+      DefaultRow(
+        sk = n.get("sk").asLong(),
+        label = n.get("label").asText(),
+        values = Option(n.get("values")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty))
+    }.toSeq
+  }
 }
 
 /** Declarative description of a dimension bulk load. `skName` and the
@@ -70,11 +92,14 @@ object StageLoad {
       .dropDuplicates(spec.nkCols)
     val keyed = SurrogateKeys.assign(deduped, spec.nkCols, spec.skName)
 
-    // default rows: negative SKs, label in string attrs, null elsewhere
+    // default rows: negative SKs; explicit per-column values win, then
+    // label in string attrs, null elsewhere
     val defaults = spec.defaultRows.map { dr =>
       keyed.schema.fields.foldLeft(
         spark.range(1).toDF("_one").select(lit(dr.sk).as(spec.skName))) {
         case (d, f) if f.name == spec.skName => d
+        case (d, f) if dr.values.contains(f.name) =>
+          d.withColumn(f.name, lit(dr.values(f.name)).cast(f.dataType))
         case (d, f) if f.dataType == StringType &&
             spec.attrCols.contains(f.name) =>
           d.withColumn(f.name, lit(dr.label))
