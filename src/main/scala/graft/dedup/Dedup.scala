@@ -153,6 +153,29 @@ object Dedup {
           v => v.cast("string")), ",")
     }: _*)
 
+  /** Per-document signature band keys as a primitive-loop kernel: the
+    * 64-permutation minima over md5-hashed shingles, sliced into band-key
+    * strings. Values are bit-identical to [[minHashSignature]] +
+    * [[bandKeys]]; the imperative form exists because higher-order
+    * expressions stay interpreted (boxed, allocating) and this is the
+    * hottest loop in the corpus — 64 × |shingles| ops per document.
+    */
+  private[graft] def signatureBandKeys(shingles: Seq[String]): Seq[String] = {
+    val sig = Array.fill(NumHashes)(MinHashP)
+    shingles.foreach { g =>
+      val h31 = TextFunctions.md5Hash60(g) % MinHashP
+      var i = 0
+      while (i < NumHashes) {
+        val v = (HashA(i) * h31 + HashB(i)) % MinHashP
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    (0 until NumBands).map { b =>
+      sig.slice(b * BandRows, (b + 1) * BandRows).mkString(",")
+    }
+  }
+
   /** MinHash-LSH near-dup pairs: signature → band buckets → equi-join on
     * (band index, band key) → distinct candidate pairs → EXACT Jaccard
     * verification on candidates only. With 16 bands × 4 rows, a
@@ -165,12 +188,20 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     val sh = shingled(df, textCol, idCol, k)
-    val banded = sh
-      // hash array, signature, and band keys each materialised as their
-      // own projection so downstream multi-references stay attribute refs
-      .withColumn("hs", transform(col("s"), g => TextFunctions.tokenHash60(g)))
-      .withColumn("sig", minHashSignature(col("hs")))
-      .withColumn("bands", bandKeys(col("sig")))
+    // signature kernel runs batched per partition (narrow, no shuffle)
+    val inSchema = sh.schema
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields :+
+      org.apache.spark.sql.types.StructField("bands",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val withBands = sh.mapPartitions { rows =>
+      rows.map { r =>
+        val s = r.getSeq[String](inSchema.fieldIndex("s"))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ signatureBandKeys(s))
+      }
+    }(enc)
+    val banded = withBands
       .select(col("doc"), col("s"), posexplode(col("bands")).as(Seq("band", "key")))
       // both sides of the candidate self-join read this: persist the
       // signatures instead of re-hashing the corpus twice
@@ -220,9 +251,8 @@ object Dedup {
       s"banding guarantees recall only for distance < $SimHashBands")
     val hashed = df
       .select(col(idCol).as("doc"),
-        transform(TextFunctions.tokens(col(textCol)),
-          t => TextFunctions.tokenHash60(t)).as("hs"))
-      .select(col("doc"), TextFunctions.simHashFromHashes(col("hs")).as("h"))
+        TextFunctions.simHashUdf(
+          TextFunctions.tokens(col(textCol))).as("h"))
     val banded = hashed.select(col("doc"), col("h"),
       posexplode(simHashBands(col("h"))).as(Seq("band", "key")))
       .cache() // both self-join sides read this; hash the corpus once

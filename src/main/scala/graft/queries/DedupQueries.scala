@@ -69,7 +69,8 @@ object DedupQueries {
       a.join(b, Seq("band", "key"))
         .where(col("vec_a") < col("vec_b"))
         .dropDuplicates("vec_a", "vec_b")
-        .withColumn("cosine", cosine(col("ea"), col("eb")))
+        // kernel, not Column expression: candidate pairs are the hot set
+        .withColumn("cosine", cosineKernel(col("ea"), col("eb")))
         .where(col("cosine") >= CosineThreshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

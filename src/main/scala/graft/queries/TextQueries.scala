@@ -61,11 +61,9 @@ object TextQueries {
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_text_fingerprint")
       src(dfl, "documents")
-      dfl.addColumns("documents",
-        Map("_hs" -> transform(tokens(col("text")), t => tokenHash60(t))))
       dfl.addColumns("documents", Map(
         "fp" -> fingerprint(col("text")),
-        "simhash" -> simHashFromHashes(col("_hs"))))
+        "simhash" -> simHashUdf(tokens(col("text")))))
       dfl.getColumns("documents", Seq("doc_id", "fp", "simhash"))
         .orderBy("doc_id")
     })

@@ -19,6 +19,24 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Primitive-loop cosine kernel, bit-identical to [[cosine]] (same
+    * left-to-right double accumulation). Use on HOT pair sets — e.g. the
+    * candidate pairs of an LSH similarity join, where the interpreted
+    * higher-order expression's boxing dominates the query.
+    */
+  val cosineKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float], b: Seq[Float]) =>
+      var dotAcc = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dotAcc += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dotAcc / (math.sqrt(na) * math.sqrt(nb))
+    }
+
   // ------------------------------------------------------------------
   // random-hyperplane LSH
   // ------------------------------------------------------------------

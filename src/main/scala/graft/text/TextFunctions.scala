@@ -117,6 +117,44 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
 
+  /** JVM mirror of [[tokenHash60]]: value of the first 15 hex chars of
+    * md5 = top 60 bits of the digest's first 8 bytes. Bit-identical to
+    * the Column rendering; used by the hot-loop kernels.
+    */
+  private[graft] def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Primitive-loop SimHash kernel over whitespace tokens — bit-identical
+    * to [[simHashFromHashes]] over [[tokenHash60]] hashes, ~100× cheaper
+    * than the interpreted higher-order vote expression (60 × |tokens|
+    * boxed ops per document).
+    */
+  private[graft] def simHashKernel(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](SimHashBits)
+    tokens.foreach { t =>
+      val h = md5Hash60(t)
+      var j = 0
+      while (j < SimHashBits) {
+        votes(j) += ((h >>> j) & 1L).toInt * 2 - 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < SimHashBits) { if (votes(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
+  /** [[simHashKernel]] as a UDF over a token array column. */
+  val simHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((ws: Seq[String]) => simHashKernel(ws))
+
   /** Portable 60-bit token hash: first 15 hex chars of md5 as a bigint.
     * 15 digits keep the value under 2^60, comfortably inside a signed
     * long, and md5 makes the hash reproducible in any oracle engine

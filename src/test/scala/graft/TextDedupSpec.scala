@@ -143,6 +143,47 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("signature kernel matches the Column expression rendering") {
+    val df = textDf(
+      1L -> "one two three four five six seven eight",
+      2L -> "alpha beta gamma delta epsilon zeta")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("w"), 3).as("s"))
+      .withColumn("hs",
+        transform(col("s"), g => TextFunctions.tokenHash60(g)))
+      .withColumn("bands", Dedup.bandKeys(Dedup.minHashSignature(col("hs"))))
+    val rows = df.orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val viaColumns = r.getSeq[String](r.fieldIndex("bands")).toSeq
+      val viaKernel = Dedup.signatureBandKeys(
+        r.getSeq[String](r.fieldIndex("s")).toSeq)
+      assert(viaKernel == viaColumns)
+    }
+  }
+
+  test("md5Hash60 kernel matches the tokenHash60 expression") {
+    val words = Seq("alpha", "beta", "gamma delta", "", "ünïcödé")
+    val viaExpr = words.toDF("w")
+      .select(TextFunctions.tokenHash60(col("w")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(words.map(TextFunctions.md5Hash60) == viaExpr)
+  }
+
+  test("simHash kernel matches the Column expression rendering") {
+    val texts = Seq("one two three four five", "alpha beta gamma",
+      "x", "")
+    val viaExpr = texts.toDF("t")
+      .withColumn("hs",
+        transform(TextFunctions.tokens(col("t")),
+          w => TextFunctions.tokenHash60(w)))
+      .select(TextFunctions.simHashFromHashes(col("hs")))
+      .collect().map(_.getLong(0)).toSeq
+    val viaKernel = texts.map(t =>
+      TextFunctions.simHashKernel(
+        t.trim.split("\\s+").toSeq.filter(_.nonEmpty)))
+    assert(viaKernel == viaExpr)
+  }
+
   // --- vectors ---
 
   test("dot, norm, and cosine compute exact known values") {
@@ -156,6 +197,21 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getDouble(0) == 2.0)
     assert(r.getDouble(1) == 3.0)
     assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-15)
+  }
+
+  test("cosineKernel is bit-identical to the Column cosine") {
+    val vecs = (0 until 5).map(i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 16 + j) * 0.3).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.toDF("id_a", "va").crossJoin(df.toDF("id_b", "vb"))
+      .where(col("id_a") < col("id_b"))
+    val exprVals = pairs.select(
+      VectorFunctions.cosine(col("va"), col("vb")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    val kernelVals = pairs.select(
+      VectorFunctions.cosineKernel(col("va"), col("vb")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(exprVals == kernelVals) // exact, not approximate
   }
 
   test("planeBandKeys yields 4 bands of 4 bits each") {
