@@ -374,6 +374,45 @@ object CoreQueries {
         .orderBy("n_nationkey")
     },
 
+    // §2.5 extension: window functions (ranking + running frame) — the
+    // reference has none; bespoke summarise code gets them free via Spark
+    "q_window_agg" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_window_agg")
+      src(dfl, "orders")
+      import org.apache.spark.sql.expressions.Window
+      val rankW = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val runW = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dfl.get("orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .withColumn("price_rank",
+          row_number().over(rankW).cast("bigint"))
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(DecimalType(28, 2))).over(runW)
+            .cast("double"))
+        .where(col("price_rank") <= 5)
+        .orderBy("o_orderpriority", "price_rank")
+    },
+
+    // §2.5 extension: set operations (intersect / except)
+    "q_set_ops" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_set_ops")
+      src(dfl, "customer")
+      src(dfl, "orders")
+      val building = dfl.get("customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val urgent = dfl.get("orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(urgent).withColumn("set_op", lit("both"))
+        .unionByName(
+          building.except(urgent).withColumn("set_op", lit("building_only")))
+        .orderBy("set_op", "c_custkey")
+    },
+
     // §2.6 NK collapse: concat_ws over composite natural key
     "q_nk_collapse" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -518,6 +557,32 @@ object CoreQueries {
       """SELECT * FROM (VALUES ('BULK','1'), ('DELTA','2'),
         |  ('NO LOAD','3'), ('REFRESH','4')) AS t(op_code, op_rank)
         |ORDER BY op_rank""".stripMargin,
+    "q_window_agg" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+        |  price_rank, running_total
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS running_total
+        |  FROM orders)
+        |WHERE price_rank <= 5
+        |ORDER BY o_orderpriority, price_rank""".stripMargin,
+    "q_set_ops" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, 'both' AS set_op FROM (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |  UNION ALL
+        |  SELECT c_custkey, 'building_only' AS set_op FROM (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+        |ORDER BY set_op, c_custkey""".stripMargin,
     "q_nk_collapse" ->
       """SELECT l_quantity,
         |  CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)

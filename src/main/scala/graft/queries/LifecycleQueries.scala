@@ -91,6 +91,25 @@ object LifecycleQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // §2.3 delta-extract classification (the reference's dormant design):
+    // INSERT/UPDATE/DELETE/UNCHANGED via one null-safe full-outer NK join
+    "q_delta_classify" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_delta_classify")
+      val cust = src(dfl, "customer")
+      // simulate a previous staged copy: some rows missing (→ INSERT),
+      // some with drifted attributes (→ UPDATE); and a current extract
+      // with some rows gone (→ DELETE)
+      val previous = cust.filter(col("c_custkey") % 11 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") * 2)
+            .otherwise(col("c_acctbal")))
+      val current = cust.filter(col("c_custkey") % 13 =!= 1)
+      DeltaLoad.classify(current, previous, Seq("c_custkey"))
+        .select("c_custkey", "c_acctbal", DeltaLoad.OpCol)
+        .orderBy("c_custkey")
+    },
+
     // §2.7 mapMasterData: outer join + indicator + auto-populate
     "q_mdm" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -355,6 +374,26 @@ object LifecycleQueries {
         |GROUP BY 1, 2
         |ORDER BY "count" DESC, n_name""".stripMargin,
     "q_truncate" -> "SELECT CAST(0 AS BIGINT) AS n_rows",
+    "q_delta_classify" ->
+      """WITH prev AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 11 <> 3),
+        |cur AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment FROM customer WHERE c_custkey % 13 <> 1)
+        |SELECT COALESCE(cur.c_custkey, prev.c_custkey) AS c_custkey,
+        |  COALESCE(cur.c_acctbal, prev.c_acctbal) AS c_acctbal,
+        |  CASE WHEN prev.c_custkey IS NULL THEN 'INSERT'
+        |       WHEN cur.c_custkey IS NULL THEN 'DELETE'
+        |       WHEN cur.c_name IS DISTINCT FROM prev.c_name
+        |         OR cur.c_nationkey IS DISTINCT FROM prev.c_nationkey
+        |         OR cur.c_acctbal IS DISTINCT FROM prev.c_acctbal
+        |         OR cur.c_mktsegment IS DISTINCT FROM prev.c_mktsegment
+        |         THEN 'UPDATE'
+        |       ELSE 'UNCHANGED' END AS delta_op
+        |FROM cur FULL OUTER JOIN prev ON cur.c_custkey = prev.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_pipeline_default" ->
       """WITH audit AS (
         |  SELECT op || '_' || CAST(sc AS VARCHAR) AS nk_audit

@@ -95,6 +95,25 @@ class WarehouseSpec extends SparkSpec {
     assert(order.toArray.toSeq == Seq("ext", "trn", "dim", "fact", "sum"))
   }
 
+  test("deltaLoad classifies insert/update/delete/unchanged and applies") {
+    import graft.warehouse.DeltaLoad
+    val previous = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("nk", "name", "amount")
+    val current = Seq((1L, "a", 10.0), (2L, "b", 25.0), (4L, "d", 40.0))
+      .toDF("nk", "name", "amount")
+    val classified = DeltaLoad.classify(current, previous, Seq("nk"))
+      .orderBy("nk").collect()
+    assert(classified.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((1L, "UNCHANGED"), (2L, "UPDATE"), (3L, "DELETE"), (4L, "INSERT")))
+    // DELETE rows carry the previous values; others the current ones
+    assert(classified.map(_.getDouble(2)).toSeq ==
+      Seq(10.0, 25.0, 30.0, 40.0))
+    val applied = DeltaLoad.applyDelta(
+      DeltaLoad.classify(current, previous, Seq("nk")))
+    assert(applied.orderBy("nk").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L))
+  }
+
   test("dmDate covers the range with correct attributes") {
     val dim = DmDate.build(spark, "2020-02-27", "2020-03-02")
     assert(dim.count() == 5)
