@@ -69,8 +69,9 @@ object DedupQueries {
       a.join(b, Seq("band", "key"))
         .where(col("vec_a") < col("vec_b"))
         .dropDuplicates("vec_a", "vec_b")
-        // kernel, not Column expression: candidate pairs are the hot set
-        .withColumn("cosine", cosineKernel(col("ea"), col("eb")))
+        // native codegen'd expression: candidate pairs are the hot set
+        .withColumn("cosine",
+          graft.functions.GraftFunctions.cosineSim(s, col("ea"), col("eb")))
         .where(col("cosine") >= CosineThreshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

@@ -39,7 +39,7 @@ object SimilarityQueries {
     val qLit = array(qRows.map { r =>
       struct(
         lit(r.getLong(0)).as("qid"),
-        array(r.getSeq[Float](1).map(f => lit(f.toDouble)): _*).as("qv"))
+        array(r.getSeq[Float](1).map(f => lit(f)): _*).as("qv"))
     }: _*)
     val rank = row_number().over(
       Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id")))
@@ -47,7 +47,10 @@ object SimilarityQueries {
       .select(col("q.qid").as("qid"), col("vec_id"), col("embedding"),
         col("q.qv").as("qv"))
       .where(col("qid") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("qv"), col("embedding")))
+      // native codegen'd Catalyst expression — bit-identical to the
+      // Column fold, no UDF SerDe, stays inside whole-stage codegen
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineSim(s, col("qv"), col("embedding")))
       .withColumn("rank", rank.cast("bigint"))
       .where(col("rank") <= TopK)
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"),
@@ -70,7 +73,8 @@ object SimilarityQueries {
     qb.join(banded, Seq("band", "key"))
       .where(col("qid") =!= col("vec_id"))
       .dropDuplicates("qid", "vec_id")
-      .withColumn("cosine", cosine(col("qv"), col("embedding")))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineSim(s, col("qv"), col("embedding")))
       .withColumn("rank", rank.cast("bigint"))
       .where(col("rank") <= TopK)
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"),

@@ -214,6 +214,30 @@ class TextDedupSpec extends SparkSpec {
     assert(exprVals == kernelVals) // exact, not approximate
   }
 
+  test("native cosine_sim expression matches Column cosine bit-exactly") {
+    val vecs = (0 until 6).map(i =>
+      (i.toLong, Array.tabulate(32)(j => (math.cos(i * 32 + j) * 0.4).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.toDF("id_a", "va").crossJoin(df.toDF("id_b", "vb"))
+      .where(col("id_a") < col("id_b"))
+    val exprVals = pairs.select(
+      VectorFunctions.cosine(col("va"), col("vb")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    val nativeVals = pairs.select(
+      graft.functions.GraftFunctions.cosineSim(spark, col("va"), col("vb"))
+        .as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(nativeVals == exprVals)
+    // and through SQL after registration
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("vec_test")
+    val viaSql = spark.sql(
+      """SELECT cosine_sim(a.v, b.v) FROM vec_test a JOIN vec_test b
+        |ON a.id < b.id ORDER BY a.id, b.id""".stripMargin)
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaSql.size == exprVals.size)
+  }
+
   test("planeBandKeys yields 4 bands of 4 bits each") {
     val v = Array.fill(VectorFunctions.Dim)(0.5f)
     val df = Seq(Tuple1(v)).toDF("e")
