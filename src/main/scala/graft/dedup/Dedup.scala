@@ -86,6 +86,45 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** [[jaccardPairs]] with PPJoin-style prefix filtering: shingles are
+    * globally ordered by (document frequency, shingle), and each document
+    * indexes only its first `|S| - ceil(t·|S|) + 1` shingles. Any pair
+    * with jaccard ≥ t must collide on these prefixes (the prefix-filter
+    * principle), so candidate generation stays EXACT while the inverted
+    * index shrinks to the rarest shingles — the standard fix for the
+    * head-of-vocabulary fanout that makes the plain inverted-index join
+    * explode on corpora with small vocabularies. Verification computes
+    * the full-set intersection on candidates only.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled(df, textCol, idCol, k)
+      .withColumn("n", size(col("s")))
+      .cache() // read by the index build and twice by the verify joins
+    val inv = sh.select(col("doc"), col("n"), explode(col("s")).as("g"))
+    val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val prefix = inv.join(dfreq, Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc").orderBy("df", "g")))
+      .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+    val cand = prefix.select(col("g"), col("doc").as("doc_a"))
+      .join(prefix.select(col("g"), col("doc").as("doc_b")), Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("s").as("sa"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("s").as("sb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   // ------------------------------------------------------------------
   // MinHash-LSH
   // ------------------------------------------------------------------

@@ -38,6 +38,15 @@ object DedupQueries {
         JaccardThreshold).orderBy("doc_a", "doc_b")
     },
 
+    // PPJoin-style prefix-filtered exact Jaccard (same ground truth as
+    // q_dedup_ngram, far fewer candidate pairs at scale)
+    "q_dedup_ngram_prefix" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dedup_ngram_prefix")
+      Dedup.jaccardPairsPrefix(src(dfl, "documents"), "text", "doc_id",
+        JaccardThreshold).orderBy("doc_a", "doc_b")
+    },
+
     // MinHash-LSH banding + exact Jaccard verify on candidates
     "q_dedup_minhash" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -60,15 +69,23 @@ object DedupQueries {
       val dfl = DataFlow(s, "q_dedup_embedding")
       val e = src(dfl, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val banded = e.select(col("vec_id"), col("embedding"),
+      // candidate generation carries ONLY ids: the band join and the
+      // pair-dedup shuffle stay at 16 bytes/row; embeddings re-attach
+      // afterwards via two id joins (broadcast-able at dim-table scale)
+      val banded = e.select(col("vec_id"),
         posexplode(planeBandKeys(col("embedding"))).as(Seq("band", "key")))
-      val a = banded.select(col("band"), col("key"),
-        col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = banded.select(col("band"), col("key"),
-        col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(b, Seq("band", "key"))
+        .cache()
+      val cand = banded.select(col("band"), col("key"),
+        col("vec_id").as("vec_a"))
+        .join(banded.select(col("band"), col("key"),
+          col("vec_id").as("vec_b")), Seq("band", "key"))
         .where(col("vec_a") < col("vec_b"))
-        .dropDuplicates("vec_a", "vec_b")
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb")), Seq("vec_b"))
         // native codegen'd expression: candidate pairs are the hot set
         .withColumn("cosine",
           graft.functions.GraftFunctions.cosineSim(s, col("ea"), col("eb")))
@@ -85,6 +102,20 @@ object DedupQueries {
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q_dedup_ngram" ->
+      s"""WITH $toksCte, ${shinglesCte(3)},
+        |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // ground truth is identical to the plain inverted-index rendering
+    "q_dedup_ngram_prefix" ->
       s"""WITH $toksCte, ${shinglesCte(3)},
         |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
         |p AS (

@@ -112,6 +112,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got.head.getDouble(2) == 3.0 / 5.0)
   }
 
+  test("prefix-filtered jaccardPairs equals the plain inverted-index join") {
+    val docs = (0L until 10L).map(i =>
+      i -> ("common words shared by every doc here plus alpha beta gamma " +
+        s"delta epsilon zeta unique$i tail$i"))
+    val df = textDf(docs: _*)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("doc_a", "doc_b", "jaccard").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    val plain = pairs(Dedup.jaccardPairs(df, "text", "doc_id", 0.5))
+    val prefix = pairs(Dedup.jaccardPairsPrefix(df, "text", "doc_id", 0.5))
+    assert(prefix == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("minHashPairs agrees with exact jaccardPairs on a small corpus") {
     // 13 shared tokens + 1 per-doc variant at the end → pairwise
     // jaccard 11/13 ≈ 0.85, squarely inside the LSH recall zone
