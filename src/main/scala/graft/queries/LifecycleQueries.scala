@@ -128,6 +128,42 @@ object LifecycleQueries {
       dfl.get("nation_r_writeback").orderBy(desc("count"), asc("n_name"))
     },
 
+    // §2.7 MDM alert path: rows with no mapping row (dfl_mdm.py:196-204)
+    "q_mdm_unmapped" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_mdm_unmapped")
+      mdmData(dfl)
+      dfl.get("nation_r_unmapped")
+        .select("n_nationkey", "n_name", "region_name")
+        .orderBy("n_nationkey")
+    },
+
+    // §2.1 CSV source: stringly ingestion contract (dtype=str,
+    // na_filter=False parity) through a real CsvDatastore round trip
+    "q_csv_source" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_csv_source")
+      val csv = graft.io.CsvDatastore(s"${c.warehousePath}/csv_src")
+      val dfl = DataFlow(s, "q_csv_source")
+      src(dfl, "nation")
+      csv.write(s, dfl.get("nation"), "nation")
+      val c2 = c.copy(srcSystems = Map("CSV" -> csv))
+      val dfl2 = new DataFlow(s, "q_csv_source_read", c2)
+      dfl2.getDataFromSrc("nation", "CSV")
+      dfl2.dropColumns("nation", dropAuditCols = true)
+      // every CSV column arrives as string; numeric cleanup is explicit
+      dfl2.toNumeric("nation", Seq("n_nationkey"), Seq("key_num"))
+      dfl2.getColumns("nation", Seq("key_num", "n_name", "n_regionkey"))
+        .orderBy("key_num")
+    },
+
+    // §2.5 dev-mode row cap applied at the source (limitdata)
+    "q_limitdata" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir).copy(dataLimitRows = Some(50))
+      val dfl = DataFlow(s, "q_limitdata")
+      dfl.getDataFromSrc("orders", Src)
+      dfl.get("orders").agg(count(lit(1)).as("n_rows"))
+    },
+
     // §2.1 truncate: schema-preserving empty overwrite
     "q_truncate" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir, "q_truncate")
@@ -374,6 +410,16 @@ object LifecycleQueries {
         |GROUP BY 1, 2
         |ORDER BY "count" DESC, n_name""".stripMargin,
     "q_truncate" -> "SELECT CAST(0 AS BIGINT) AS n_rows",
+    "q_mdm_unmapped" ->
+      """SELECT n_nationkey, n.n_name AS n_name, r.r_name AS region_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE n.n_name NOT IN ('NATION_3', 'NATION_7', 'NATION_99')
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_csv_source" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS key_num, n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY key_num""".stripMargin,
+    "q_limitdata" -> "SELECT CAST(50 AS BIGINT) AS n_rows",
     "q_delta_classify" ->
       """WITH prev AS (
         |  SELECT c_custkey, c_name, c_nationkey,
