@@ -47,6 +47,54 @@ object StreamingQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // stateful streaming: per-user sessionization via
+    // flatMapGroupsWithState (30-minute inactivity gap). AvailableNow
+    // drains the bounded source in one batch, so every session closes
+    // deterministically; per-group events are sorted by event time inside
+    // the state function (iterator order is not guaranteed).
+    "q_stream_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val gapMicros = 30L * 60 * 1000 * 1000
+      val events = StreamFlow.readParquetStream(
+        s, s"$dir/events.parquet", EventsSchema)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .as[(Long, Long)]
+      val sessions = events.groupByKey(_._1)
+        .flatMapGroupsWithState[Array[Long], (Long, Int, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          case (uid, evs, _) =>
+            val ts = evs.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Int, Long, Long, Long)]
+            var sessionIdx = 0
+            var start = 0
+            for (i <- ts.indices) {
+              if (i == 0 || ts(i) - ts(i - 1) > gapMicros) {
+                if (i > 0) out += ((uid, sessionIdx, (i - start).toLong,
+                  ts(start), ts(i - 1)))
+                sessionIdx += 1
+                start = i
+              }
+            }
+            if (ts.nonEmpty) out += ((uid, sessionIdx, (ts.length - start).toLong,
+              ts(start), ts.last))
+            out.iterator
+        }
+      val drained = StreamFlow.runToMemory(
+        sessions.toDF("user_id", "session_idx", "n_events", "start_us", "end_us"),
+        s, "q_stream_sessionize", outputMode = "append")
+      drained.select(
+        col("user_id"), col("session_idx").cast("bigint").as("session_idx"),
+        col("n_events"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"))
+        .orderBy("user_id", "session_idx")
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -71,6 +119,27 @@ object StreamingQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM o)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  SUM(CAST(props->>'k' AS BIGINT)) AS k_total,

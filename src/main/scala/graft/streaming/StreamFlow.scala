@@ -47,15 +47,17 @@ object StreamFlow {
   /** Drain a bounded stream to completion into an in-memory table and
     * return it: Trigger.AvailableNow processes everything currently in
     * the source then stops — the streaming-backfill pattern. Complete
-    * output mode keeps the result deterministic (every window emitted,
-    * none dropped by the watermark cutoff).
+    * output mode (the default) keeps windowed aggregations deterministic
+    * (every window emitted, none dropped by the watermark cutoff);
+    * stateful flatMapGroupsWithState pipelines use append.
     */
   def runToMemory(
-      agg: DataFrame, spark: SparkSession, name: String): DataFrame = {
+      agg: DataFrame, spark: SparkSession, name: String,
+      outputMode: String = "complete"): DataFrame = {
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
