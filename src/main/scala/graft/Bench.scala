@@ -24,6 +24,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // queries cache intermediates (LSH bands, signatures); drop them so
+      // later queries aren't timed under someone else's pinned storage
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

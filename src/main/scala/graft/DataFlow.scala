@@ -130,10 +130,13 @@ class DataFlow(
       // the same table (read → transform → write back)
       else graft.io.ParquetUtil.safeOverwrite(spark, ordered, path)
       // TRG parity: BSE/SUM additionally land in the target datastore
-      // (reference dfl_io.py:81-94 — always DB-writes those layers)
+      // (reference dfl_io.py:81-94 — always DB-writes those layers).
+      // Append pushes only the just-written batch — re-reading the table
+      // would duplicate previously-synced rows in the sink.
       if (dataLayerID.db == "TRG")
-        conf.trgSink.foreach(
-          _.write(spark, spark.read.parquet(path), targetTableName, mode))
+        conf.trgSink.foreach(_.write(spark,
+          if (mode == "append") ordered else spark.read.parquet(path),
+          targetTableName, mode))
       if (!keepDataflowOpen) close()
       this
     }(_ => None)

@@ -142,17 +142,13 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = NumHashes / BandRows
 
-  /** Deterministic permutation constants (SplitMix64-style mixing of the
-    * index; public-domain constants). Values in [1, p-1] so a_i never
-    * degenerates. Shared verbatim with the DuckDB oracle SQL so both
-    * engines compute identical signatures.
+  /** Deterministic permutation constants ([[graft.util.SplitMix]] mixing
+    * of the index). Values in [1, p-1] so a_i never degenerates. Shared
+    * verbatim with the DuckDB oracle SQL so both engines compute
+    * identical signatures.
     */
-  private def mix(i: Long): Long = {
-    var z = i * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 27)
-    math.floorMod(z, MinHashP - 1) + 1
-  }
+  private def mix(i: Long): Long =
+    math.floorMod(graft.util.SplitMix.mix(i), MinHashP - 1) + 1
   val HashA: IndexedSeq[Long] = (0 until NumHashes).map(i => mix(2L * i))
   val HashB: IndexedSeq[Long] = (0 until NumHashes).map(i => mix(2L * i + 1))
 

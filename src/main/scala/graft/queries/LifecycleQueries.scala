@@ -429,7 +429,8 @@ object LifecycleQueries {
         |cur AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
         |    c_mktsegment FROM customer WHERE c_custkey % 13 <> 1)
         |SELECT COALESCE(cur.c_custkey, prev.c_custkey) AS c_custkey,
-        |  COALESCE(cur.c_acctbal, prev.c_acctbal) AS c_acctbal,
+        |  CASE WHEN cur.c_custkey IS NOT NULL THEN cur.c_acctbal
+        |       ELSE prev.c_acctbal END AS c_acctbal,
         |  CASE WHEN prev.c_custkey IS NULL THEN 'INSERT'
         |       WHEN cur.c_custkey IS NULL THEN 'DELETE'
         |       WHEN cur.c_name IS DISTINCT FROM prev.c_name

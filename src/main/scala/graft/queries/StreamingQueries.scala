@@ -61,10 +61,20 @@ object StreamingQueries {
         s, s"$dir/events.parquet", EventsSchema)
         .select(col("user_id"), expr("ts div 1000").as("ts_us"))
         .as[(Long, Long)]
+      // BOUNDED-BACKFILL sessionization: correct when the whole source
+      // drains in ONE AvailableNow batch (our sources are single-file).
+      // Incremental multi-batch sessionization needs event-time timeouts
+      // to flush open sessions; rather than emit silently wrong splits,
+      // the state records that a batch ran and a second batch fails fast.
       val sessions = events.groupByKey(_._1)
-        .flatMapGroupsWithState[Array[Long], (Long, Int, Long, Long, Long)](
+        .flatMapGroupsWithState[Boolean, (Long, Int, Long, Long, Long)](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          case (uid, evs, _) =>
+          case (uid, evs, state) =>
+            if (state.exists)
+              throw new IllegalStateException(
+                "sessionize backfill expects a single AvailableNow batch " +
+                  s"per key; got a second batch for user $uid")
+            state.update(true)
             val ts = evs.map(_._2).toArray.sorted
             val out = scala.collection.mutable.ArrayBuffer
               .empty[(Long, Int, Long, Long, Long)]

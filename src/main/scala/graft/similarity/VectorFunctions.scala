@@ -47,22 +47,17 @@ object VectorFunctions {
   val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes: components on a thousandths
-    * grid in [-1, 1] from SplitMix64 mixing, so the exact same literals
-    * can be embedded in oracle SQL (a 3-decimal literal parses to the
-    * identical double in any engine).
+    * grid in [-1, 1] from [[graft.util.SplitMix]] mixing, so the exact
+    * same literals can be embedded in oracle SQL (a 3-decimal literal
+    * parses to the identical double in any engine).
     */
-  val Hyperplanes: IndexedSeq[IndexedSeq[Double]] = {
-    def mix(i: Long): Long = {
-      var z = i * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-      z ^ (z >>> 27)
-    }
+  val Hyperplanes: IndexedSeq[IndexedSeq[Double]] =
     (0 until NumPlanes).map { p =>
       (0 until Dim).map { d =>
-        (math.floorMod(mix(p.toLong * Dim + d), 2001L) - 1000L) / 1000.0
+        (math.floorMod(graft.util.SplitMix.mix(p.toLong * Dim + d), 2001L)
+          - 1000L) / 1000.0
       }
     }
-  }
 
   /** Render a hyperplane's components as SQL literals (exactly what
     * [[planeLit]] feeds Spark).

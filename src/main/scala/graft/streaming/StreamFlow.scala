@@ -21,10 +21,11 @@ object StreamFlow {
     */
   def readParquetStream(
       spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val f = new java.io.File(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val reader = spark.readStream.schema(schema)
-    if (f.isFile)
-      reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+    if (fs.exists(p) && fs.getFileStatus(p).isFile)
+      reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString)
     else reader.parquet(path)
   }
 

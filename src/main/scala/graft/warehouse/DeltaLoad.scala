@@ -45,8 +45,13 @@ object DeltaLoad {
         .when(col("_cur_present").isNull, "DELETE")
         .when(changed, "UPDATE")
         .otherwise("UNCHANGED"))
+    // current values whenever the current side has the row (a per-column
+    // coalesce would silently resurrect the previous value for an UPDATE
+    // that legitimately sets an attribute to NULL); previous values only
+    // for DELETEs
     val out = attrCols.foldLeft(classified)((d, c) =>
-      d.withColumn(c, coalesce(col(s"_cur_$c"), col(s"_prev_$c"))))
+      d.withColumn(c, when(col("_cur_present").isNotNull, col(s"_cur_$c"))
+        .otherwise(col(s"_prev_$c"))))
     out.select((nkCols ++ attrCols :+ OpCol).map(col): _*)
   }
 

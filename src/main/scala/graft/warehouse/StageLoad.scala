@@ -94,6 +94,12 @@ object StageLoad {
 
     // default rows: negative SKs; explicit per-column values win, then
     // label in string attrs, null elsewhere
+    spec.defaultRows.foreach { dr =>
+      val unknown = dr.values.keySet -- keyed.columns.toSet
+      require(unknown.isEmpty,
+        s"default row sk=${dr.sk}: values reference unknown column(s) " +
+          s"${unknown.mkString(", ")} (have: ${keyed.columns.mkString(", ")})")
+    }
     val defaults = spec.defaultRows.map { dr =>
       keyed.schema.fields.foldLeft(
         spark.range(1).toDF("_one").select(lit(dr.sk).as(spec.skName))) {
