@@ -16,6 +16,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees a query's shuffle files only after its RDDs
+      // are garbage-collected; the default 30min periodic GC lets dozens
+      // of queries' shuffle data pile up and drag late queries down
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -24,10 +28,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      // queries cache intermediates (LSH bands, signatures); drop them so
-      // later queries aren't timed under someone else's pinned storage
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // between queries: drop cached intermediates (LSH bands,
+      // signatures) and nudge the ContextCleaner so the next query isn't
+      // timed under this one's pinned storage / shuffle files
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      System.gc()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
