@@ -63,6 +63,23 @@ object DedupQueries {
         maxHamming = 3).orderBy("doc_a", "doc_b")
     },
 
+    // the composed corpus-cleaning pass a training-data pipeline runs:
+    // near-dup removal (keep the lowest doc_id of each 0.9-jaccard pair)
+    // then quality filtering
+    "q_corpus_clean" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_corpus_clean")
+      val docs = src(dfl, "documents")
+      val dupLosers = Dedup.jaccardPairs(docs, "text", "doc_id", 0.9)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(dupLosers, Seq("doc_id"), "left_anti")
+        .withColumn("quality_score",
+          graft.text.TextFunctions.qualityScore(col("text")))
+        .where(col("quality_score") >= 0.5)
+        .select("doc_id", "lang", "quality_score")
+        .orderBy("doc_id")
+    },
+
     // embedding-cosine near-dup via hyperplane LSH + exact verify
     "q_dedup_embedding" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -114,6 +131,32 @@ object DedupQueries {
         |FROM p
         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_corpus_clean" -> {
+      val quality =
+        s"""round(
+           |  CAST(least(len(w), 100) AS DOUBLE) / 100 * 0.4
+           |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           |        / length(text) END) * 0.3
+           |  + least((CASE WHEN len(w) = 0 THEN 0.0 ELSE
+           |      CAST(${hitsExpr(graft.text.TextFunctions.EnglishStopwords)}
+           |        AS DOUBLE) / len(w) END) * 5, 1.0) * 0.3, 6)""".stripMargin
+      s"""WITH $toksCte, ${shinglesCte(3)},
+        |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |losers AS (
+        |  SELECT DISTINCT doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      any_value(a.n) AS na, any_value(b.n) AS nb,
+        |      count(*) AS inter
+        |    FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9),
+        |q AS (SELECT doc_id, lang, $quality AS quality_score FROM toks)
+        |SELECT doc_id, lang, quality_score FROM q
+        |WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+        |  AND quality_score >= 0.5
+        |ORDER BY doc_id""".stripMargin
+    },
     // ground truth is identical to the plain inverted-index rendering
     "q_dedup_ngram_prefix" ->
       s"""WITH $toksCte, ${shinglesCte(3)},

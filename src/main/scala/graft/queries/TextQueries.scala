@@ -63,8 +63,9 @@ object TextQueries {
       src(dfl, "documents")
       dfl.addColumns("documents", Map(
         "fp" -> fingerprint(col("text")),
-        "simhash" -> simHashUdf(tokens(col("text")))))
-      dfl.getColumns("documents", Seq("doc_id", "fp", "simhash"))
+        "simhash" -> simHashUdf(tokens(col("text"))),
+        "rollhash" -> rollingHash(col("text"))))
+      dfl.getColumns("documents", Seq("doc_id", "fp", "simhash", "rollhash"))
         .orderBy("doc_id")
     })
 
@@ -123,6 +124,12 @@ object TextQueries {
         |  FROM toks)
         |SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-        |  $simHashExpr AS simhash
+        |  $simHashExpr AS simhash,
+        |  CASE WHEN len(hs) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(hs, x -> x % ${RollingHashP})),
+        |      (h, x) -> (h * ${RollingHashBase} + x)
+        |        % ${RollingHashP})
+        |  END AS rollhash
         |FROM th ORDER BY doc_id""".stripMargin)
 }

@@ -163,6 +163,21 @@ object TextFunctions {
   def tokenHash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
 
+  /** Polynomial rolling-hash document fingerprint over the token stream:
+    * h ← (h·B + tokenHash(t) mod p) mod p, p = 2^31−1, B prime. Order-
+    * sensitive (unlike the shingle-set hashes) — reorderings of the same
+    * words fingerprint differently. All arithmetic stays in 64-bit longs,
+    * mirrored exactly by the DuckDB oracle's list_reduce.
+    */
+  val RollingHashBase = 1000003L
+  val RollingHashP: Long = (1L << 31) - 1
+
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t => tokenHash60(t) % lit(RollingHashP)),
+      lit(0L),
+      (h, x) => (h * lit(RollingHashBase) + x) % lit(RollingHashP))
+
   val SimHashBits = 60
 
   /** 60-bit SimHash over whitespace tokens: per bit position, each token
