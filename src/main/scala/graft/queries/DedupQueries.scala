@@ -70,7 +70,8 @@ object DedupQueries {
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_corpus_clean")
       val docs = src(dfl, "documents")
-      val dupLosers = Dedup.jaccardPairs(docs, "text", "doc_id", 0.9)
+      // prefix-filtered variant: exact same pairs, far fewer candidates
+      val dupLosers = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", 0.9)
         .select(col("doc_b").as("doc_id")).distinct()
       docs.join(dupLosers, Seq("doc_id"), "left_anti")
         .withColumn("quality_score",
