@@ -82,9 +82,87 @@ object SimilarityQueries {
       .orderBy("qid", "rank")
   }
 
+  private val NProbe = 3
+
+  /** Driver-side cosine mirroring the SQL fold exactly: three separate
+    * accumulators, strict left-to-right adds.
+    */
+  private def cosineLocal(a: Seq[Float], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF-style ANN: the coarse quantizer is the corpus's cluster label —
+    * per-cluster centroids are computed distributed (decimal-exact sums so
+    * the reduction order cannot perturb them), each query probes its
+    * [[NProbe]] nearest centroids, and only those clusters' vectors pay
+    * the exact cosine + top-k. At 100 TB this is the classic IVF shape:
+    * centroid table tiny and broadcast, per-query work bounded by the
+    * probed partitions instead of the corpus.
+    */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    implicit val c: GraftConf = conf(dir)
+    val dfl = DataFlow(s, "q_ann_ivf")
+    val emb = src(dfl, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // distributed centroid computation; decimal sums are order-insensitive
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+        .cast("double") / count(lit(1))).as("c"))
+    val centroids: Map[Int, Array[Double]] = cent.collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    // probe assignment for the (tiny) query set happens driver-side with
+    // the same arithmetic the oracle uses
+    val qRows = emb.filter(col("vec_id") < NumQueries)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+    val probeRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      centroids.toSeq
+        .map { case (l, cv) => (l, cosineLocal(qv, cv)) }
+        .sortBy { case (l, cc) => (-cc, l) }
+        .take(NProbe)
+        .map { case (l, _) => org.apache.spark.sql.Row(qid, qv, l) }
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val probes = s.createDataFrame(
+      s.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
+    val rank = row_number().over(
+      Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id")))
+    emb.join(broadcast(probes), Seq("label"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineSim(s, col("qv"), col("embedding")))
+      .withColumn("rank", rank.cast("bigint"))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> (annBrute _),
-    "q_ann_lsh" -> (annLsh _))
+    "q_ann_lsh" -> (annLsh _),
+    "q_ann_ivf" -> (annIvf _))
 
   import OracleSql._
 
@@ -96,6 +174,33 @@ object SimilarityQueries {
         |  FROM q JOIN embeddings ON vec_id <> qid),
         |r AS (SELECT qid, vec_id, cosine, row_number() OVER
         |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM p)
+        |SELECT qid, vec_id AS neighbor, cosine, rank
+        |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |cd AS (
+        |  SELECT label, d,
+        |    CAST(SUM(CAST(embedding[d] AS DECIMAL(38,15))) AS DOUBLE)
+        |      / count(*) AS c
+        |  FROM e, range(1, ${graft.similarity.VectorFunctions.Dim + 1}) t(d)
+        |  GROUP BY label, d),
+        |cent AS (SELECT label, list(c ORDER BY d) AS cv FROM cd
+        |  GROUP BY label),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM e
+        |  WHERE vec_id < $NumQueries),
+        |a AS (SELECT qid, qv, label, ${cosineExpr("qv", "cv")} AS cc
+        |  FROM q CROSS JOIN cent),
+        |p AS (SELECT qid, qv, label FROM (
+        |    SELECT qid, qv, label,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, label)
+        |        AS rn
+        |    FROM a) WHERE rn <= $NProbe),
+        |cand AS (SELECT p.qid, p.qv, e.vec_id, e.embedding
+        |  FROM p JOIN e ON e.label = p.label WHERE e.vec_id <> p.qid),
+        |sc AS (SELECT qid, vec_id, ${cosineExpr("qv", "embedding")} AS cosine
+        |  FROM cand),
+        |r AS (SELECT qid, vec_id, cosine, row_number() OVER
+        |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM sc)
         |SELECT qid, vec_id AS neighbor, cosine, rank
         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
     "q_ann_lsh" ->
