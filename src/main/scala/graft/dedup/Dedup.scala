@@ -223,33 +223,40 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     val sh = shingled(df, textCol, idCol, k)
-    // signature kernel runs batched per partition (narrow, no shuffle)
+    // signature kernel runs batched per partition (narrow, no shuffle);
+    // its output carries ONLY (doc, bands) — shingle arrays never enter
+    // the candidate join; the verify re-attaches them by id afterwards
     val inSchema = sh.schema
-    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields :+
+    val di = inSchema.fieldIndex("doc")
+    val si = inSchema.fieldIndex("s")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema("doc"),
       org.apache.spark.sql.types.StructField("bands",
         org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType)))
+          org.apache.spark.sql.types.StringType))))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val withBands = sh.mapPartitions { rows =>
       rows.map { r =>
-        val s = r.getSeq[String](inSchema.fieldIndex("s"))
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ signatureBandKeys(s))
+        org.apache.spark.sql.Row(
+          r.get(di), signatureBandKeys(r.getSeq[String](si)))
       }
     }(enc)
+    // candidate generation carries ONLY ids: the 16-band self-join and
+    // the pair-dedup shuffle move (band, key, doc) rows — never shingle
+    // payloads. Caching this id-only frame (not the shingles) is what
+    // keeps the corpus from being signature-hashed twice.
     val banded = withBands
-      .select(col("doc"), col("s"), posexplode(col("bands")).as(Seq("band", "key")))
-      // both sides of the candidate self-join read this: persist the
-      // signatures instead of re-hashing the corpus twice
+      .select(col("doc"), posexplode(col("bands")).as(Seq("band", "key")))
       .cache()
-    val a = banded.select(col("band"), col("key"),
-      col("doc").as("doc_a"), col("s").as("sa"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc").as("doc_b"), col("s").as("sb"))
+    val a = banded.select(col("band"), col("key"), col("doc").as("doc_a"))
+    val b = banded.select(col("band"), col("key"), col("doc").as("doc_b"))
     val cands = a.join(b, Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sa", "sb")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     cands
+      .join(sh.select(col("doc").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("inter").cast("double")
         / (size(col("sa")) + size(col("sb")) - col("inter")))

@@ -62,17 +62,26 @@ object SimilarityQueries {
     implicit val c: GraftConf = conf(dir)
     val dfl = DataFlow(s, "q_ann_lsh")
     val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
-    val banded = emb.select(col("vec_id"), col("embedding"),
+    // the query side is banded separately (NumQueries rows — trivial to
+    // re-hash), so the corpus side streams through the band join exactly
+    // ONCE, uncached; nothing corpus-sized is ever pinned. Candidates are
+    // id-only through the join + distinct shuffles; both vectors
+    // re-attach by id afterwards (the query-side attach broadcasts).
+    val qb = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"),
+        posexplode(planeBandKeys(col("embedding"))).as(Seq("band", "key")))
+    val cb = emb.select(col("vec_id"),
       posexplode(planeBandKeys(col("embedding"))).as(Seq("band", "key")))
-      .cache() // probed by both the query side and the corpus side
-    val qb = banded.where(col("vec_id") < NumQueries)
-      .select(col("band"), col("key"),
-        col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cand = qb.join(cb, Seq("band", "key"))
+      .where(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
     val rank = row_number().over(
       Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id")))
-    qb.join(banded, Seq("band", "key"))
-      .where(col("qid") =!= col("vec_id"))
-      .dropDuplicates("qid", "vec_id")
+    cand
+      .join(broadcast(emb.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))),
+        Seq("qid"))
+      .join(emb, Seq("vec_id"))
       .withColumn("cosine",
         graft.functions.GraftFunctions.cosineSim(s, col("qv"), col("embedding")))
       .withColumn("rank", rank.cast("bigint"))

@@ -152,7 +152,7 @@ object StreamingQueries {
         |ORDER BY user_id, session_idx""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n_events,
-        |  SUM(CAST(props->>'k' AS BIGINT)) AS k_total,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_total,
         |  MAX(CAST(props->>'k' AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
