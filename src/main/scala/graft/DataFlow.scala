@@ -123,7 +123,30 @@ class DataFlow(
       val mode =
         if (appendOrReplace.equalsIgnoreCase("append")) "append"
         else "overwrite"
-      val ordered = df.select(expected.map(col): _*)
+      val orderedNarrow = df.select(expected.map(col): _*)
+      // Layer-table fan-out: a substantial frame arriving on a handful of
+      // partitions (single-file upstream table, broadcast-join chain that
+      // never shuffled) would land as one near-unsplittable parquet file
+      // and serialise every downstream stage that reads this table — on a
+      // cluster, one task. Scale such writes out to the session's shuffle
+      // width; frames that are already wide (the 100 TB case: thousands of
+      // scan partitions) or tiny (dims, lookup tables) are left alone.
+      // (Detection must not touch .rdd/.toRdd: under AQE, resolving final
+      // partitioning executes the upstream stages — the whole chain would
+      // run twice. A compiled-plan shuffle means the frame is already at
+      // shuffle width; otherwise width ≈ the scans' file splits.)
+      val planBytes = BigInt(
+        orderedNarrow.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      val targetParts = spark.sessionState.conf.numShufflePartitions
+      lazy val hasShuffle = orderedNarrow.queryExecution.sparkPlan.find(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+        .isDefined
+      lazy val fewInputs =
+        orderedNarrow.inputFiles.length < math.max(4, targetParts / 4)
+      val ordered =
+        if (planBytes > 8L * 1024 * 1024 && !hasShuffle && fewInputs)
+          orderedNarrow.repartition(targetParts)
+        else orderedNarrow
       val path = conf.tablePath(dataLayerID, targetTableName)
       if (mode == "append") ordered.write.mode("append").parquet(path)
       // overwrite via staging + swap: safe when the dataset's lineage reads
