@@ -91,6 +91,66 @@ object LifecycleQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // §2.7 deltaLoadDimension (the reference's declared-but-raising
+    // surface): SK-preserving delta application, run TWICE — the second,
+    // identical delta must keep every SK and audit stamp (idempotence
+    // proves SKs are preserved, not re-derived from scratch)
+    "q_delta_load_dimension" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_delta_load_dimension")
+      val dfl = DataFlow(s, "q_delta_load_dimension")
+      val base = src(dfl, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      // bulk state: some rows absent (future INSERTs), some attributes
+      // drifted (future UPDATEs)
+      val previous = base.filter(col("c_custkey") % 11 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") * 2)
+            .otherwise(col("c_acctbal")))
+      // fresh extract: true attribute values; some rows gone (DELETEs)
+      val current = base.filter(col("c_custkey") % 7 =!= 2)
+      val spec = DimensionSpec(
+        "dm_customer", Seq("c_custkey"), Seq("c_name", "c_acctbal"))
+      dfl.createDataset("prev", previous)
+      dfl.prepForLoad("prev", "dm_customer")
+      StageLoad.bulkLoadDimension(s, c, spec)
+      dfl.createDataset("cur", current)
+      dfl.prepForLoad("cur", "dm_customer")
+      StageLoad.deltaLoadDimension(s, c, spec, Some("2024-06-01 00:00:00"))
+      val dim = StageLoad.deltaLoadDimension(
+        s, c, spec, Some("2024-07-01 00:00:00"))
+      dim.select(col("sk_customer"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"),
+        date_format(col(StageLoad.AuditDeltaDate), "yyyy-MM-dd HH:mm:ss")
+          .as("delta_date"),
+        col(StageLoad.AuditLoadOp).as("load_op"))
+        .orderBy("sk_customer")
+    },
+
+    // §2.7 deltaLoadFact: insert-only delta appended to BSE with the
+    // same NK→SK resolution as the bulk path
+    "q_delta_load_fact" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_delta_load_fact")
+      val dfl = DataFlow(s, "q_delta_load_fact")
+      src(dfl, "supplier")
+      dfl.dropColumns("supplier", colsToKeep = Seq("s_suppkey", "s_name"),
+        dropAuditCols = true)
+      dfl.prepForLoad("supplier", "dm_supplier")
+      StageLoad.bulkLoadDimension(s, c, DimensionSpec(
+        "dm_supplier", Seq("s_suppkey"), Seq("s_name")))
+      val li = src(dfl, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+      dfl.createDataset("li_bulk", li.filter(col("l_orderkey") % 2 === 0))
+      dfl.prepForLoad("li_bulk", "ft_lineitem")
+      val spec = FactSpec("ft_lineitem",
+        Seq(FkMapping("l_suppkey", "dm_supplier", "s_suppkey")))
+      StageLoad.bulkLoadFact(s, c, spec)
+      dfl.createDataset("li_delta", li.filter(col("l_orderkey") % 2 === 1))
+      dfl.prepForLoad("li_delta", "ft_lineitem")
+      StageLoad.deltaLoadFact(s, c, spec)
+        .select("l_orderkey", "l_linenumber", "sk_supplier", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // §2.3 delta-extract classification (the reference's dormant design):
     // INSERT/UPDATE/DELETE/UNCHANGED via one null-safe full-outer NK join
     "q_delta_classify" -> { (s, dir) =>
@@ -390,6 +450,54 @@ object LifecycleQueries {
         |LEFT JOIN (SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT)
         |    AS sk_part, p_partkey FROM part WHERE p_size > 10) pm
         |  ON l_partkey = pm.p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_delta_load_dimension" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |prev AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM base WHERE c_custkey % 11 <> 3),
+        |cur AS (SELECT * FROM base WHERE c_custkey % 7 <> 2),
+        |bulk AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+        |      AS sk_customer,
+        |    c_custkey, c_name, c_acctbal FROM prev),
+        |kept AS (
+        |  SELECT b.sk_customer, b.c_custkey, c.c_name, c.c_acctbal,
+        |    CASE WHEN b.c_name <> c.c_name OR b.c_acctbal <> c.c_acctbal
+        |      THEN '2024-06-01 00:00:00' END AS delta_date,
+        |    CASE WHEN b.c_name <> c.c_name OR b.c_acctbal <> c.c_acctbal
+        |      THEN 'DELTA_UPDATE' END AS load_op
+        |  FROM bulk b JOIN cur c ON b.c_custkey = c.c_custkey),
+        |ins AS (
+        |  SELECT (SELECT max(sk_customer) FROM bulk)
+        |      + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+        |      AS sk_customer,
+        |    c_custkey, c_name, c_acctbal,
+        |    '2024-06-01 00:00:00' AS delta_date,
+        |    'DELTA_INSERT' AS load_op
+        |  FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM prev)),
+        |defs AS (SELECT * FROM (VALUES
+        |  (CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), 'MISSING',
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR)),
+        |  (CAST(-2 AS BIGINT), CAST(NULL AS BIGINT), 'UNRECOGNISED',
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR)))
+        |  AS t(sk_customer, c_custkey, c_name, c_acctbal, delta_date,
+        |       load_op))
+        |SELECT * FROM kept
+        |UNION ALL SELECT * FROM ins
+        |UNION ALL SELECT * FROM defs
+        |ORDER BY sk_customer""".stripMargin,
+    "q_delta_load_fact" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  COALESCE(sm.sk_supplier, -1) AS sk_supplier, l_quantity
+        |FROM lineitem
+        |LEFT JOIN (SELECT
+        |    CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT)
+        |      AS sk_supplier, s_suppkey FROM supplier) sm
+        |  ON l_suppkey = sm.s_suppkey
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_mdm" ->
       s"""SELECT n_nationkey, n.n_name AS n_name,

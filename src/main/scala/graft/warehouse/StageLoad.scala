@@ -143,14 +143,13 @@ object StageLoad {
     else df
   }
 
-  /** read LOD fact → per-FK left join on NK (broadcast when the map is
-    * small, see [[maybeBroadcast]]) → missing → -1 → write BSE
-    * (reference bulkLoadFact, stageLoad.py:331-430).
+  /** NK→SK resolution: per-FK left join against the (small) SK/NK maps
+    * with -1 defaulting — shared by bulk and delta fact loads.
     */
-  def bulkLoadFact(
-      spark: SparkSession, conf: GraftConf, spec: FactSpec): DataFrame = {
-    val lod = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
-    val resolved = spec.fks.foldLeft(lod) { (df, fk) =>
+  private def resolveFks(
+      spark: SparkSession, conf: GraftConf,
+      fact: DataFrame, fks: Seq[FkMapping]): DataFrame =
+    fks.foldLeft(fact) { (df, fk) =>
       val mapPath = conf.tablePath(Layer.LOD, s"sk_${fk.baseName}")
       val skMap = spark.read.parquet(mapPath)
         .withColumnRenamed(fk.mapNkCol, fk.factNkCol)
@@ -159,8 +158,125 @@ object StageLoad {
           coalesce(col(fk.skName).cast(LongType), lit(-1L)))
         .drop(fk.factNkCol)
     }
+
+  /** read LOD fact → per-FK left join on NK (broadcast when the map is
+    * small, see [[maybeBroadcast]]) → missing → -1 → write BSE
+    * (reference bulkLoadFact, stageLoad.py:331-430).
+    */
+  def bulkLoadFact(
+      spark: SparkSession, conf: GraftConf, spec: FactSpec): DataFrame = {
+    val lod = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+    val resolved = resolveFks(spark, conf, lod, spec.fks)
     resolved.write.mode("overwrite")
       .parquet(conf.tablePath(Layer.BSE, spec.name))
     spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
+  }
+
+  val AuditDeltaDate = "audit_latest_delta_load_date"
+  val AuditLoadOp = "audit_latest_load_operation"
+
+  /** Delta dimension load — the surface the reference declares but leaves
+    * raising (`deltaLoadDimension`, stageLoad.py:433-438; delta audit
+    * columns ConfClass.py:33-46). Classifies the fresh LOD extract against
+    * the current BSE members ([[DeltaLoad.classify]]: one null-safe
+    * full-outer NK join), then:
+    *
+    *  - UNCHANGED / UPDATE members KEEP their surrogate keys (the whole
+    *    point of a delta load); UPDATEs take the new attribute values and
+    *    are stamped with `deltaLoadDate` + `DELTA_UPDATE`;
+    *  - INSERTs get fresh SKs above the current high-water mark
+    *    (deterministic NK-rank among the inserts, [[SurrogateKeys]]);
+    *  - DELETEs drop out of the dimension (their SKs are never reused);
+    *  - default rows (negative SKs) pass through untouched.
+    *
+    * The rewritten dimension and refreshed SK/NK map land via
+    * staging-swap ([[graft.io.ParquetUtil.safeOverwrite]]) because their
+    * lineage reads the same paths. Scale: one NK-shuffle classify, one
+    * tiny high-water-mark agg, SK assignment only over the (small) insert
+    * slice — the full dimension is never re-keyed.
+    */
+  def deltaLoadDimension(
+      spark: SparkSession, conf: GraftConf, spec: DimensionSpec,
+      deltaLoadDate: Option[String] = None): DataFrame = {
+    import DeltaLoad.OpCol
+    val bsePath = conf.tablePath(Layer.BSE, spec.name)
+    val dim = spark.read.parquet(bsePath)
+    val hasAudit = dim.columns.contains(AuditDeltaDate)
+    val members = dim.filter(col(spec.skName) > 0)
+    val defaults = {
+      val d = dim.filter(col(spec.skName) <= 0)
+      if (hasAudit) d
+      else d.withColumn(AuditDeltaDate, lit(null).cast("timestamp"))
+        .withColumn(AuditLoadOp, lit(null).cast("string"))
+    }
+    val delta = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+      .select((spec.nkCols ++ spec.attrCols).map(col): _*)
+      .dropDuplicates(spec.nkCols)
+    val classified = DeltaLoad.classify(
+      delta, members.select((spec.nkCols ++ spec.attrCols).map(col): _*),
+      spec.nkCols)
+    val stamp = to_timestamp(lit(deltaLoadDate.orNull))
+    // SK high-water mark: one tiny agg job (the Spark rendering of the
+    // reference's DB sequence state)
+    val maxSk = Option(members.agg(max(col(spec.skName))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val oldState = {
+      val base = members.select(
+        (spec.nkCols.map(col) :+ col(spec.skName)) ++ (
+          if (hasAudit) Seq(col(AuditDeltaDate).as("_old_date"),
+            col(AuditLoadOp).as("_old_op"))
+          else Seq(lit(null).cast("timestamp").as("_old_date"),
+            lit(null).cast("string").as("_old_op"))): _*)
+      base
+    }
+    val existing = classified
+      .where(col(OpCol).isin("UPDATE", "UNCHANGED"))
+      .join(oldState, spec.nkCols)
+      .withColumn(AuditDeltaDate,
+        when(col(OpCol) === "UPDATE", stamp).otherwise(col("_old_date")))
+      .withColumn(AuditLoadOp,
+        when(col(OpCol) === "UPDATE", lit("DELTA_UPDATE"))
+          .otherwise(col("_old_op")))
+    val inserts = SurrogateKeys.assign(
+      classified.where(col(OpCol) === "INSERT"), spec.nkCols, spec.skName)
+      .withColumn(spec.skName, col(spec.skName) + maxSk)
+      .withColumn(AuditDeltaDate, stamp)
+      .withColumn(AuditLoadOp, lit("DELTA_INSERT"))
+    val outCols = ((spec.skName +: spec.nkCols) ++ spec.attrCols ++
+      Seq(AuditDeltaDate, AuditLoadOp)).map(col)
+    val newDim = existing.select(outCols: _*)
+      .unionByName(inserts.select(outCols: _*))
+      .unionByName(defaults.select(outCols: _*))
+    graft.io.ParquetUtil.safeOverwrite(spark, newDim, bsePath)
+    val reread = spark.read.parquet(bsePath)
+    val skMap = reread.filter(col(spec.skName) > 0)
+      .select((spec.skName +: spec.nkCols).map(col): _*)
+    graft.io.ParquetUtil.safeOverwrite(
+      spark, skMap, conf.tablePath(Layer.LOD, spec.mapTableName))
+    reread
+  }
+
+  /** Delta fact load — the reference's declared-but-raising
+    * `deltaLoadFact` (stageLoad.py:433-438). Fact deltas are insert-only:
+    * resolve the delta rows' FKs against the current SK/NK maps (same
+    * size-gated broadcast chain as [[bulkLoadFact]]) and APPEND to BSE.
+    * If the fact carries the delta audit columns they are restamped on
+    * the appended batch; no new columns are introduced (appending a
+    * divergent schema would corrupt the table for plain parquet readers).
+    */
+  def deltaLoadFact(
+      spark: SparkSession, conf: GraftConf, spec: FactSpec,
+      deltaLoadDate: Option[String] = None): DataFrame = {
+    val delta = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+    val resolved0 = resolveFks(spark, conf, delta, spec.fks)
+    val resolved =
+      if (resolved0.columns.contains(AuditDeltaDate))
+        resolved0
+          .withColumn(AuditDeltaDate, to_timestamp(lit(deltaLoadDate.orNull)))
+          .withColumn(AuditLoadOp, lit("DELTA_INSERT"))
+      else resolved0
+    val bsePath = conf.tablePath(Layer.BSE, spec.name)
+    resolved.write.mode("append").parquet(bsePath)
+    spark.read.parquet(bsePath)
   }
 }
