@@ -12,6 +12,15 @@ import org.apache.spark.sql.types._
   * mode emits every window; the value sum takes the decimal detour so it
   * is order-insensitive; window starts render as UTC strings.
   */
+/** Open-session state for incremental sessionization. `nextIdx` is the
+  * 1-based index of the current open session; `open=false` after a
+  * timeout flush — the counter must survive the flush, so state is kept
+  * (a production pipeline with unbounded keys would instead remove state
+  * and persist the counter in the session sink).
+  */
+case class SessionState(
+    nextIdx: Int, startUs: Long, endUs: Long, n: Long, open: Boolean)
+
 object StreamingQueries {
   import Q._
 
@@ -26,6 +35,80 @@ object StreamingQueries {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Incremental per-user sessionization of a bounded (user_id, ts_us)
+    * frame: split into `nSplits` time-ordered files
+    * ([[StreamFlow.writeTimeSplits]]), drain one file per micro-batch,
+    * close sessions by inactivity gap or event-time timeout, and complete
+    * sessions still open at end-of-source from the state store. Returns
+    * (user_id, session_idx, n_events, start_us, end_us) — identical for
+    * every nSplits (asserted by spec).
+    */
+  def sessionize(
+      s: SparkSession, batch: DataFrame, splitDir: String, nSplits: Int,
+      name: String, gapMinutes: Int = 30): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000 * 1000
+    val gapMs = gapMinutes * 60L * 1000
+    StreamFlow.writeTimeSplits(batch, "ts_us", nSplits, splitDir)
+    val splitSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType)))
+    val events = s.readStream.schema(splitSchema)
+      .option("maxFilesPerTrigger", "1").parquet(splitDir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val sessions = events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Int, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state) if state.hasTimedOut =>
+          // watermark passed the open session's gap: emit it; the index
+          // counter must survive the flush or a later event for this
+          // user would reuse the session index
+          val st = state.get
+          state.update(st.copy(nextIdx = st.nextIdx + 1, open = false))
+          Iterator.single((uid, st.nextIdx, st.n, st.startUs, st.endUs))
+        case (uid, evs, state) =>
+          val ts = evs.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long, Long, Long)]
+          var st = state.getOption
+            .getOrElse(SessionState(1, 0L, 0L, 0L, open = false))
+          ts.foreach { t =>
+            if (!st.open)
+              st = SessionState(st.nextIdx, t, t, 1L, open = true)
+            else if (t > st.endUs + gapUs) {
+              out += ((uid, st.nextIdx, st.n, st.startUs, st.endUs))
+              st = SessionState(st.nextIdx + 1, t, t, 1L, open = true)
+            } else st = st.copy(
+              startUs = math.min(st.startUs, t),
+              endUs = math.max(st.endUs, t), n = st.n + 1)
+          }
+          state.update(st)
+          if (st.open) state.setTimeoutTimestamp(math.max(
+            st.endUs / 1000 + gapMs + 1,
+            state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sess_ckpt").toString
+    val drained = StreamFlow.runToMemory(
+      sessions.toDF("user_id", "session_idx", "n_events", "start_us", "end_us"),
+      s, name, outputMode = "append",
+      checkpointLocation = Some(ckpt))
+    // bounded-drain completion: sessions still open when the source ran
+    // dry live in the state store; Spark 4's state data source reads them
+    val open = s.read.format("statestore").load(ckpt)
+      .select(col("key.value").as("user_id"),
+        col("value.groupState.nextIdx").cast("int").as("session_idx"),
+        col("value.groupState.n").as("n_events"),
+        col("value.groupState.startUs").as("start_us"),
+        col("value.groupState.endUs").as("end_us"),
+        col("value.groupState.open").as("open"))
+      .where(col("open")).drop("open")
+    drained.unionByName(open)
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_events" -> { (s, dir) =>
@@ -48,54 +131,23 @@ object StreamingQueries {
     },
 
     // stateful streaming: per-user sessionization via
-    // flatMapGroupsWithState (30-minute inactivity gap). AvailableNow
-    // drains the bounded source in one batch, so every session closes
-    // deterministically; per-group events are sorted by event time inside
+    // flatMapGroupsWithState (30-minute inactivity gap), INCREMENTAL:
+    // the bounded source is split into three time-ordered files and
+    // drained with maxFilesPerTrigger=1, so sessions genuinely span
+    // micro-batches. Event-time timeouts flush a session once the
+    // watermark passes its gap; sessions still open when the source runs
+    // dry are completed from the state store (Spark 4's `statestore`
+    // data source) — the bounded-drain analogue of "read open sessions
+    // on the next run". Per-batch events are sorted by event time inside
     // the state function (iterator order is not guaranteed).
     "q_stream_sessionize" -> { (s, dir) =>
-      import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val gapMicros = 30L * 60 * 1000 * 1000
-      val events = StreamFlow.readParquetStream(
-        s, s"$dir/events.parquet", EventsSchema)
+      val batch = s.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
         .select(col("user_id"), expr("ts div 1000").as("ts_us"))
-        .as[(Long, Long)]
-      // BOUNDED-BACKFILL sessionization: correct when the whole source
-      // drains in ONE AvailableNow batch (our sources are single-file).
-      // Incremental multi-batch sessionization needs event-time timeouts
-      // to flush open sessions; rather than emit silently wrong splits,
-      // the state records that a batch ran and a second batch fails fast.
-      val sessions = events.groupByKey(_._1)
-        .flatMapGroupsWithState[Boolean, (Long, Int, Long, Long, Long)](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          case (uid, evs, state) =>
-            if (state.exists)
-              throw new IllegalStateException(
-                "sessionize backfill expects a single AvailableNow batch " +
-                  s"per key; got a second batch for user $uid")
-            state.update(true)
-            val ts = evs.map(_._2).toArray.sorted
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Int, Long, Long, Long)]
-            var sessionIdx = 0
-            var start = 0
-            for (i <- ts.indices) {
-              if (i == 0 || ts(i) - ts(i - 1) > gapMicros) {
-                if (i > 0) out += ((uid, sessionIdx, (i - start).toLong,
-                  ts(start), ts(i - 1)))
-                sessionIdx += 1
-                start = i
-              }
-            }
-            if (ts.nonEmpty) out += ((uid, sessionIdx, (ts.length - start).toLong,
-              ts(start), ts.last))
-            out.iterator
-        }
-      val drained = StreamFlow.runToMemory(
-        sessions.toDF("user_id", "session_idx", "n_events", "start_us", "end_us"),
-        s, "q_stream_sessionize", outputMode = "append")
-      drained.select(
+      val splitDir = "/root/repo/target/stream_split/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      sessionize(s, batch, splitDir, nSplits = 3,
+        name = "q_stream_sessionize").select(
         col("user_id"), col("session_idx").cast("bigint").as("session_idx"),
         col("n_events"),
         date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")

@@ -29,6 +29,39 @@ object StreamFlow {
     else reader.parquet(path)
   }
 
+  /** Materialise a bounded frame as `n` single-file parquet splits in
+    * ascending ranges of a (numeric) event-time column, so a file-stream
+    * drain with `maxFilesPerTrigger=1` processes them as `n` successive
+    * micro-batches — the harness that makes incremental state on bounded
+    * data honest (each batch sees only its slice of the timeline).
+    */
+  def writeTimeSplits(
+      df: DataFrame, tsCol: String, n: Int, dir: String): Unit = {
+    val spark = df.sparkSession
+    val out = new org.apache.hadoop.fs.Path(dir)
+    val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(out)) fs.delete(out, true)
+    fs.mkdirs(out)
+    val bounds = df.agg(min(col(tsCol)), max(col(tsCol))).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = math.max(1L, (hi - lo) / n + 1)
+    (0 until n).foreach { i =>
+      val slice = df.where(
+        col(tsCol) >= lo + i * step &&
+          (if (i == n - 1) lit(true) else col(tsCol) < lo + (i + 1) * step))
+      val tmp = new org.apache.hadoop.fs.Path(dir + s"__tmp$i")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"writeTimeSplits: no part file under $tmp"))
+      // zero-padded names keep lexicographic = chronological order for
+      // the file source's tie-break on equal modification times
+      fs.rename(part, new org.apache.hadoop.fs.Path(out, f"split-$i%03d.parquet"))
+      fs.delete(tmp, true)
+    }
+  }
+
   /** Watermarked tumbling-window aggregation: event-time correctness with
     * bounded state — at scale the watermark is what lets Spark evict
     * window state instead of growing it forever.
@@ -54,12 +87,15 @@ object StreamFlow {
     */
   def runToMemory(
       agg: DataFrame, spark: SparkSession, name: String,
-      outputMode: String = "complete"): DataFrame = {
-    val q = agg.writeStream
+      outputMode: String = "complete",
+      checkpointLocation: Option[String] = None): DataFrame = {
+    val writer = agg.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
+    val q = checkpointLocation
+      .map(writer.option("checkpointLocation", _)).getOrElse(writer)
       .start()
     q.awaitTermination()
     spark.table(name)

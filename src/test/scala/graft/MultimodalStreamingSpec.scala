@@ -95,4 +95,34 @@ class MultimodalStreamingSpec extends SparkSpec {
       r.getDouble(3))).toSeq ==
       Seq(("00:00", "click", 2L, 3.0), ("01:00", "view", 1L, 5.0)))
   }
+
+  test("incremental sessionize is split-count invariant") {
+    import graft.queries.StreamingQueries
+    val min = 60L * 1000 * 1000
+    // epoch-0 timestamps collide with the initial watermark and are
+    // dropped as late — base the timeline in 2024 like real data
+    val t0 = 1704067200L * 1000 * 1000
+    // u1: two sessions ([0,10], [60,75]) split across batch boundaries
+    // when nSplits>1; u2: singleton sessions far apart
+    val events = Seq(
+      (1L, t0), (1L, t0 + 10 * min), (1L, t0 + 60 * min),
+      (1L, t0 + 75 * min), (2L, t0 + 5 * min), (2L, t0 + 200 * min))
+      .toDF("user_id", "ts_us")
+    val expected = Seq(
+      (1L, 1, 2L, t0, t0 + 10 * min),
+      (1L, 2, 2L, t0 + 60 * min, t0 + 75 * min),
+      (2L, 1, 1L, t0 + 5 * min, t0 + 5 * min),
+      (2L, 2, 1L, t0 + 200 * min, t0 + 200 * min))
+    Seq(1, 4).foreach { n =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"sess-split-$n").toString
+      val got = StreamingQueries.sessionize(
+        spark, events, s"$dir/splits", n, s"spec_sess_$n")
+        .orderBy("user_id", "session_idx")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got == expected, s"nSplits=$n")
+    }
+  }
 }
