@@ -39,6 +39,7 @@ object GraftConfIO {
           .map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty),
         Option(n.get("partitionColumn")).map(_.asText()))
+      case "excel" => graft.io.ExcelDatastore(n.get("path").asText())
       case t => throw new IllegalArgumentException(
         s"Unknown datastore type '$t'")
     }

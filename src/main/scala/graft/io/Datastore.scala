@@ -5,10 +5,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** A connectable source/sink system — the Spark equivalent of the
   * reference's Datastore hierarchy (betl/io/DatastoreClass.py:1-11 with
-  * Postgres/SQLite/CSV/GSheet/Excel subclasses). v0 keeps the two that
-  * carry the data semantics — files (CSV) and columnar (Parquet) — plus a
-  * generic JDBC connector covering the Postgres/SQLite cases. GSheet/Excel
-  * are external-service plumbing, de-scoped per SURVEY §7.1.
+  * Postgres/SQLite/CSV/GSheet/Excel subclasses): files (CSV), columnar
+  * (Parquet), a generic JDBC connector covering the Postgres/SQLite
+  * cases, and a workbook connector ([[ExcelDatastore]]) covering the
+  * Excel half of the spreadsheet plumbing. GSheet remains de-scoped
+  * (external service; its mapping/schema semantics ride the same
+  * stringly contract as Excel/CSV).
   */
 trait Datastore extends Serializable {
   /** Read one table from this datastore. */
@@ -83,6 +85,50 @@ case class CsvDatastore(dir: String, delimiter: String = ",")
     df.coalesce(1).write.mode(mode)
       .option("header", "true").option("sep", delimiter)
       .csv(s"$dir/$table.csv")
+}
+
+/** Workbook-backed datastore: one xlsx file, worksheets as tables — the
+  * reference's Excel connector (betl/io/_excel.py:5-44,
+  * excelIO.py:4-35). Same stringly contract as [[CsvDatastore]]: the
+  * first row names the columns, every cell reads as a string, empty
+  * cells are `''`. Control-plane sized by design (the reference keeps
+  * MDM mappings and schema descriptions in workbooks): reads and writes
+  * materialise driver-side through the dependency-free [[Xlsx]] codec.
+  */
+case class ExcelDatastore(path: String) extends Datastore {
+  import org.apache.spark.sql.Row
+
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val rows = Xlsx.readSheets(path).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"$path: no worksheet named '$table'"))
+    require(rows.nonEmpty, s"$path!$table: missing header row")
+    val header = rows.head
+    val schema = StructType(header.map(StructField(_, StringType)))
+    val data = rows.tail.map(r =>
+      Row.fromSeq(header.indices.map(i => r.lift(i).getOrElse(""))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toSeq, 1), schema)
+  }
+
+  override def tableNames(spark: SparkSession): Seq[String] =
+    if (new java.io.File(path).exists()) Xlsx.readSheets(path).keys.toSeq
+    else Seq.empty
+
+  override def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "overwrite"): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.collect().toSeq.map(_.toSeq.map(v =>
+      Option(v).map(_.toString).getOrElse("")))
+    val existing =
+      if (new java.io.File(path).exists()) Xlsx.readSheets(path)
+      else scala.collection.immutable.ListMap.empty[String, Seq[Seq[String]]]
+    val sheet =
+      if (mode.equalsIgnoreCase("append") && existing.contains(table))
+        existing(table) ++ rows
+      else header +: rows
+    Xlsx.writeSheets(path, existing.updated(table, sheet))
+  }
 }
 
 /** Generic JDBC datastore covering the reference's Postgres/SQLite

@@ -48,6 +48,49 @@ class Pipeline(
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline")
 
+  /** Scheduler-export hook — the op graph the reference binds to Airflow
+    * PythonOperators (betl/PipelineClass.py:456-514), as scheduler-neutral
+    * JSON: every op is a node `(name, stage)`, and edges encode the stage
+    * barriers (each op depends on every op of the previous non-empty,
+    * non-skipped stage — the same upstream wiring the reference builds
+    * between its per-stage operator groups). Any scheduler rehydrates
+    * this into its own DAG; in-process `run` executes the identical
+    * graph.
+    */
+  def dagJson: String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val nodes = root.putArray("nodes")
+    val active = Stage.all.filterNot(skipStages.contains)
+      .map(st => st -> ops.filter(_.stage == st))
+      .filter(_._2.nonEmpty)
+    active.foreach { case (st, stageOps) =>
+      stageOps.foreach { op =>
+        val n = nodes.addObject()
+        n.put("name", op.name)
+        n.put("stage", st.name)
+      }
+    }
+    val edges = root.putArray("edges")
+    active.sliding(2).foreach {
+      case Seq((_, upstream), (_, downstream)) =>
+        for (u <- upstream; d <- downstream) {
+          val e = edges.addObject()
+          e.put("upstream", u.name)
+          e.put("downstream", d.name)
+        }
+      case _ => ()
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Write [[dagJson]] to a file. */
+  def exportDag(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, dagJson.getBytes("UTF-8"))
+  }
+
   def run(spark: SparkSession): Unit = {
     Stage.all.filterNot(skipStages.contains).foreach { stage =>
       val stageOps = ops.filter(_.stage == stage)

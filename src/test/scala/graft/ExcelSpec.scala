@@ -1,0 +1,83 @@
+package graft
+
+import graft.io.{ExcelDatastore, Xlsx}
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import scala.collection.immutable.ListMap
+
+class ExcelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpXlsx(): String =
+    java.nio.file.Files.createTempDirectory("xlsx").toString + "/wb.xlsx"
+
+  test("column ref codec round-trips") {
+    assert(Xlsx.colName(0) == "A" && Xlsx.colName(25) == "Z" &&
+      Xlsx.colName(26) == "AA" && Xlsx.colName(54) == "BC")
+    Seq("A1" -> 0, "Z9" -> 25, "AA3" -> 26, "BC12" -> 54).foreach {
+      case (ref, i) => assert(Xlsx.colIndex(ref) == i, ref)
+    }
+  }
+
+  test("datastore round-trips worksheets with the stringly contract") {
+    val path = tmpXlsx()
+    val ds = ExcelDatastore(path)
+    val mapping = Seq(("NATION_3", "EU-OVERRIDE"), ("NATION_7", ""))
+      .toDF("n_name", "region_name")
+    val descs = Seq(("dm_customer", "c_custkey", "NK"))
+      .toDF("table_name", "column_name", "role")
+    ds.write(spark, mapping, "mdm_mapping")
+    ds.write(spark, descs, "schema_descs")
+    assert(ds.tableNames(spark) == Seq("mdm_mapping", "schema_descs"))
+    val back = ds.read(spark, "mdm_mapping").orderBy("n_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(back == Seq(("NATION_3", "EU-OVERRIDE"), ("NATION_7", "")))
+    assert(ds.read(spark, "mdm_mapping").schema.fields
+      .forall(_.dataType.typeName == "string"))
+    // special characters survive the XML escaping
+    val odd = Seq(("a<b&c\"d", "x")).toDF("k", "v")
+    ds.write(spark, odd, "odd")
+    assert(ds.read(spark, "odd").head().getString(0) == "a<b&c\"d")
+  }
+
+  test("append mode extends an existing worksheet") {
+    val path = tmpXlsx()
+    val ds = ExcelDatastore(path)
+    ds.write(spark, Seq(("a", "1")).toDF("k", "v"), "t")
+    ds.write(spark, Seq(("b", "2")).toDF("k", "v"), "t", mode = "append")
+    val got = ds.read(spark, "t").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a", "1"), ("b", "2")))
+  }
+
+  test("reader handles shared strings, numeric cells and column gaps") {
+    // a foreign-generated workbook shape: sharedStrings part, raw numeric
+    // <v> cells, and a skipped column (B2 absent)
+    val path = tmpXlsx()
+    val parts = Seq(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""",
+      "_rels/.rels" ->
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""",
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""",
+      "xl/sharedStrings.xml" ->
+        """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>name</t></si><si><t>qty</t></si><si><r><t>wid</t></r><r><t>get</t></r></si></sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row><row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>42</v></c></row></sheetData></worksheet>""")
+    val out = new ZipOutputStream(new FileOutputStream(path))
+    parts.foreach { case (n, c) =>
+      out.putNextEntry(new ZipEntry(n))
+      out.write(c.getBytes("UTF-8"))
+      out.closeEntry()
+    }
+    out.close()
+    val got = ExcelDatastore(path).read(spark, "data").head()
+    // A2 = shared string with runs, B2 = gap -> '', C2 = raw numeric
+    assert((got.getString(0), got.getString(1), got.getString(2)) ==
+      ("widget", "", "42"))
+  }
+}

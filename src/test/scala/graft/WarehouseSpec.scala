@@ -95,6 +95,30 @@ class WarehouseSpec extends SparkSpec {
     assert(order.toArray.toSeq == Seq("ext", "trn", "dim", "fact", "sum"))
   }
 
+  test("dag export emits stage-barrier edges with dims upstream of facts") {
+    implicit val c: GraftConf = tmpConf()
+    val ops = Seq(
+      PipelineOp("ext_a", Stage.Extract, (_, _) => ()),
+      PipelineOp("ext_b", Stage.Extract, (_, _) => ()),
+      PipelineOp("load_dim_cust", Stage.LoadDim, (_, _) => ()),
+      PipelineOp("load_ft_sales", Stage.LoadFact, (_, _) => ()))
+    val json = new Pipeline(c, ops).dagJson
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    val nodes = root.get("nodes").elements().asScala
+      .map(n => (n.get("name").asText(), n.get("stage").asText())).toSeq
+    assert(nodes.contains(("load_dim_cust", "LOAD_DIM")))
+    val edges = root.get("edges").elements().asScala
+      .map(e => (e.get("upstream").asText(), e.get("downstream").asText()))
+      .toSeq
+    // the empty Transform stage collapses: extracts feed the dim load
+    assert(edges.contains(("ext_a", "load_dim_cust")))
+    assert(edges.contains(("ext_b", "load_dim_cust")))
+    // dims strictly upstream of facts
+    assert(edges.contains(("load_dim_cust", "load_ft_sales")))
+    assert(!edges.contains(("load_ft_sales", "load_dim_cust")))
+  }
+
   test("deltaLoad classifies insert/update/delete/unchanged and applies") {
     import graft.warehouse.DeltaLoad
     val previous = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
