@@ -14,9 +14,22 @@ import org.apache.spark.sql.types.{StringType, TimestampType}
   */
 object Admin {
 
+  /** Source-table-name normalisation (reference cleanTableName,
+    * admin.py:797-804): spaces → underscores, parens and dashes stripped,
+    * lowercased — spreadsheet/worksheet titles become valid table names.
+    */
+  def cleanTableName(src: String): String = src
+    .replace(" ", "_")
+    .replace("(", "")
+    .replace(")", "")
+    .replace("-", "")
+    .toLowerCase
+
   /** Introspect every table of a source system and register an EXT
     * TableDef for each: the source's own columns (as typed by its reader)
-    * plus the four audit columns every extract appends. Returns the defs.
+    * plus the four audit columns every extract appends. Registered names
+    * are [[cleanTableName]]-normalised (the reference does the same for
+    * spreadsheet-titled sources). Returns the defs.
     */
   def readSrc(
       spark: SparkSession, conf: GraftConf, srcSysID: String): Seq[TableDef] = {
@@ -30,7 +43,8 @@ object Admin {
         ColumnDef(Audit.BulkLoadDate, TimestampType),
         ColumnDef(Audit.LatestDeltaLoadDate, TimestampType),
         ColumnDef(Audit.LatestLoadOperation, StringType))
-      conf.catalog.register(TableDef(t, Layer.EXT, srcCols ++ auditCols))
+      conf.catalog.register(
+        TableDef(cleanTableName(t), Layer.EXT, srcCols ++ auditCols))
     }
   }
 
@@ -63,5 +77,56 @@ object Admin {
     val p = new Path(conf.warehousePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Project scaffolding (the non-interactive core of the reference's
+    * setup wizard, admin.py:495-603 + setup/fileSetup.py:78-257): create
+    * the warehouse layer directories plus conf/, reports/ and logs/, a
+    * starter declarative config (`conf/appConfig.json`, the shape
+    * [[GraftConfIO]] reads) and a `.gitignore` covering the generated
+    * dirs. Existing files are left untouched — safe to re-run.
+    */
+  def scaffold(appDir: String, dwhId: String = "DWH"): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(appDir)
+    val warehouse = root.resolve("warehouse")
+    (Layer.all.map(l => warehouse.resolve(l.id)) ++
+      Seq("conf", "reports", "logs").map(root.resolve(_)))
+      .foreach(Files.createDirectories(_))
+    val confFile = root.resolve("conf/appConfig.json")
+    if (!Files.exists(confFile)) {
+      val json =
+        s"""{
+           |  "dwhId": "${dwhId.toLowerCase}",
+           |  "warehousePath": "$appDir/warehouse",
+           |  "srcSystems": {
+           |    "SRC": {"type": "csv", "dir": "$appDir/src_data"}
+           |  }
+           |}
+           |""".stripMargin
+      Files.write(confFile, json.getBytes("UTF-8"))
+    }
+    val gitignore = root.resolve(".gitignore")
+    if (!Files.exists(gitignore))
+      Files.write(gitignore,
+        "warehouse/\nreports/\nlogs/\n".getBytes("UTF-8"))
+  }
+}
+
+/** Append-only alert report file — the reference's logAlert
+  * (betl/logger/alerts.py:4-12): one `_alerts.txt` per warehouse,
+  * conditions separated by blank lines. The MDM unmapped-rows alert
+  * (dfl_mdm.py:196-204) is the canonical producer.
+  */
+object Alerts {
+  def path(conf: GraftConf): java.nio.file.Path =
+    java.nio.file.Paths.get(s"${conf.warehousePath}/reports/_alerts.txt")
+
+  def log(conf: GraftConf, alert: String): Unit = {
+    val p = path(conf)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, (alert + "\n\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 }

@@ -70,4 +70,24 @@ object MasterData {
 
     MdmResult(mapped, writeBack, unmapped)
   }
+
+  /** The reference's unmapped-rows alert (dfl_mdm.py:196-204): when the
+    * mapping pass left rows unmapped, append one alert block to the
+    * warehouse's `_alerts.txt` ([[graft.Alerts]]) naming the dataset and
+    * count. Opt-in: counting is an action, so callers invoke this at the
+    * step where the reference would raise its alert.
+    */
+  def alertUnmapped(
+      conf: graft.GraftConf, result: MdmResult, dataset: String,
+      sampleRows: Int = 10): Long = {
+    val n = result.unmapped.count()
+    if (n > 0) {
+      val sample = result.unmapped.limit(sampleRows).collect()
+        .map(_.toSeq.mkString(", ")).mkString("\n")
+      graft.Alerts.log(conf,
+        s"ALERT: $n unmapped master-data row(s) in '$dataset'.\n" +
+          s"Add mappings for:\n$sample")
+    }
+    n
+  }
 }

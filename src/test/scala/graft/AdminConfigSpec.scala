@@ -69,6 +69,45 @@ class AdminConfigSpec extends SparkSpec {
     assert(CatalogIO.fromJsonFile(f).lookup(Layer.EXT, "orders").isDefined)
   }
 
+  test("cleanTableName normalises spreadsheet-style titles") {
+    assert(Admin.cleanTableName("My Table (v2) - FINAL") == "my_table_v2__final")
+    assert(Admin.cleanTableName("orders") == "orders")
+  }
+
+  test("scaffold creates layers, conf skeleton and gitignore; re-run safe") {
+    val dir = java.nio.file.Files.createTempDirectory("scaffold").toString
+    Admin.scaffold(dir, "TESTWH")
+    Layer.all.foreach(l =>
+      assert(new java.io.File(s"$dir/warehouse/${l.id}").isDirectory, l.id))
+    val confFile = new java.io.File(s"$dir/conf/appConfig.json")
+    assert(confFile.isFile)
+    val json = new String(java.nio.file.Files.readAllBytes(confFile.toPath))
+    assert(json.contains("\"testwh\"") && json.contains("srcSystems"))
+    // re-run leaves existing files alone
+    java.nio.file.Files.write(confFile.toPath, "CUSTOM".getBytes)
+    Admin.scaffold(dir, "TESTWH")
+    assert(new String(java.nio.file.Files.readAllBytes(confFile.toPath))
+      == "CUSTOM")
+  }
+
+  test("MDM unmapped rows append an alert block to _alerts.txt") {
+    implicit val c: GraftConf = tmpConf()
+    val data = Seq(("NATION_1", "x"), ("NATION_2", "y"))
+      .toDF("n_name", "other")
+    val mdm = Seq(("NATION_1", "EU")).toDF("n_name", "region_name")
+    val res = graft.mdm.MasterData.mapMasterData(
+      data, mdm, Seq("n_name"), Seq("region_name"))
+    val n = graft.mdm.MasterData.alertUnmapped(c, res, "nations")
+    assert(n == 1)
+    val alerts = new String(java.nio.file.Files.readAllBytes(Alerts.path(c)))
+    assert(alerts.contains("1 unmapped") && alerts.contains("nations")
+      && alerts.contains("NATION_2"))
+    // no unmapped rows -> no new alert
+    val clean = graft.mdm.MasterData.mapMasterData(
+      data.limit(1), mdm, Seq("n_name"), Seq("region_name"))
+    assert(graft.mdm.MasterData.alertUnmapped(c, clean, "nations") == 0L)
+  }
+
   test("Admin.rebuild drops layer dirs; reset wipes the warehouse") {
     implicit val c: GraftConf = tmpConf()
     val dfl = flow("adm")
