@@ -74,6 +74,8 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     val sh = shingled(df, textCol, idCol, k).withColumn("n", size(col("s")))
+      .cache() // both sides of the inverted-index self-join read this:
+    // shingle the corpus once, not twice
     val inv = sh.select(col("doc"), col("n"), explode(col("s")).as("g"))
     val a = inv.select(col("g"), col("doc").as("doc_a"), col("n").as("na"))
     val b = inv.select(col("g"), col("doc").as("doc_b"), col("n").as("nb"))
@@ -109,6 +111,9 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc").orderBy("df", "g")))
       .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+    // (no cache here: the two self-join sides are identical subtrees and
+    // ReuseExchange already computes the window shuffle once — measured
+    // faster than materialising the exploded prefix index)
     val cand = prefix.select(col("g"), col("doc").as("doc_a"))
       .join(prefix.select(col("g"), col("doc").as("doc_b")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
