@@ -51,8 +51,13 @@ case class ParquetDatastore(dir: String) extends Datastore {
   * STRING and empty cells stay empty strings, not nulls
   * (betl/io/fileIO.py:26-36 — `dtype=str`, `na_filter=False`). Schema
   * inference is therefore OFF; the header row names the columns.
+  *
+  * `singleFile=true` (default) coalesces writes to one part file — the
+  * reference's one-csv-per-table fixture shape. Set false for bulk
+  * sinks: partitions then write in parallel, one part file each.
   */
-case class CsvDatastore(dir: String, delimiter: String = ",")
+case class CsvDatastore(dir: String, delimiter: String = ",",
+    singleFile: Boolean = true)
     extends Datastore {
 
   def read(spark: SparkSession, table: String): DataFrame = {
@@ -82,7 +87,7 @@ case class CsvDatastore(dir: String, delimiter: String = ",")
 
   override def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "overwrite"): Unit =
-    df.coalesce(1).write.mode(mode)
+    (if (singleFile) df.coalesce(1) else df).write.mode(mode)
       .option("header", "true").option("sep", delimiter)
       .csv(s"$dir/$table.csv")
 }
