@@ -420,7 +420,8 @@ class DataFlow(
       how: String = "inner",
       keepCols: Seq[String] = Seq.empty,
       cartesianJoin: Boolean = false,
-      broadcastRight: Boolean = false): DataFlow =
+      broadcastRight: Boolean = false,
+      saltFactor: Int = 0): DataFlow =
     log.step("join", s"${datasets._1} ⋈ ${datasets._2} ($how)") {
       val l = get(datasets._1)
       val r0 = get(datasets._2)
@@ -431,6 +432,10 @@ class DataFlow(
       }
       val joined =
         if (cartesianJoin) l.crossJoin(r)
+        // skewed probe keys: salt instead of broadcast (see SkewJoin)
+        else if (saltFactor > 1)
+          graft.operators.SkewJoin.saltedJoin(l, r, joinCols, sparkHow,
+            saltFactor)
         else l.join(r, joinCols, sparkHow)
       val projected =
         if (keepCols.nonEmpty) joined.select(keepCols.map(col): _*)

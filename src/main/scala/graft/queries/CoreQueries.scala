@@ -203,6 +203,23 @@ object CoreQueries {
         .orderBy("c_mktsegment")
     },
 
+    // §2.3 salted skew-join: identical result to the plain inner join,
+    // with the hot-key fanout spread across (key, salt) buckets — the
+    // manual skew recipe for build sides too big to broadcast
+    "q_join_salted" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_join_salted")
+      src(dfl, "lineitem")
+      src(dfl, "supplier")
+      dfl.renameColumns("lineitem", Map("l_suppkey" -> "s_suppkey"))
+      dfl.join(("lineitem", "supplier"), "ls",
+        joinCols = Seq("s_suppkey"), how = "inner", saltFactor = 8)
+      dfl.get("ls").groupBy("s_name")
+        .agg(dsum(col("l_quantity"), 2).as("total_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_name")
+    },
+
     // §2.3 join: left outer with null-producing side
     "q_join_left" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -493,6 +510,13 @@ object CoreQueries {
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // ground truth is the PLAIN join: salting must not change the result
+    "q_join_salted" ->
+      """SELECT s_name,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "q_join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_urgent,
         |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(28,2))) AS DOUBLE)

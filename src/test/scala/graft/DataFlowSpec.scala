@@ -290,4 +290,25 @@ class DataFlowSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("ex", 2L), ("why", 1L)))
   }
+
+  test("saltedJoin equals the plain join on skewed keys; rejects outer") {
+    import graft.operators.SkewJoin
+    import spark.implicits._
+    // 1000 rows on one hot key + a tail, incl. an unmatched probe key
+    val probe = ((1 to 1000).map(i => ("hot", i)) ++
+      Seq(("warm", 1), ("cold", 2), ("nokey", 3)))
+      .toDF("k", "v")
+    val build = Seq(("hot", 10), ("warm", 20), ("cold", 30), ("unused", 40))
+      .toDF("k", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "v").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.get(2))).toSeq
+    assert(canon(SkewJoin.saltedJoin(probe, build, Seq("k"), "inner", 8))
+      == canon(probe.join(build, Seq("k"), "inner")))
+    assert(canon(SkewJoin.saltedJoin(probe, build, Seq("k"), "left", 8))
+      == canon(probe.join(build, Seq("k"), "left")))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(probe, build, Seq("k"), "full_outer", 8)
+    }
+  }
 }
