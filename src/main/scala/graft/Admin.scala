@@ -99,6 +99,7 @@ object Admin {
         s"""{
            |  "dwhId": "${dwhId.toLowerCase}",
            |  "warehousePath": "$appDir/warehouse",
+           |  "reportsPath": "$appDir/reports",
            |  "srcSystems": {
            |    "SRC": {"type": "csv", "dir": "$appDir/src_data"}
            |  }
@@ -120,7 +121,7 @@ object Admin {
   */
 object Alerts {
   def path(conf: GraftConf): java.nio.file.Path =
-    java.nio.file.Paths.get(s"${conf.warehousePath}/reports/_alerts.txt")
+    java.nio.file.Paths.get(s"${conf.resolvedReportsPath}/_alerts.txt")
 
   def log(conf: GraftConf, alert: String): Unit = {
     val p = path(conf)

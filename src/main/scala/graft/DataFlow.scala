@@ -134,17 +134,27 @@ class DataFlow(
       // (Detection must not touch .rdd/.toRdd: under AQE, resolving final
       // partitioning executes the upstream stages — the whole chain would
       // run twice. A compiled-plan shuffle means the frame is already at
-      // shuffle width; otherwise width ≈ the scans' file splits.)
-      val planBytes = BigInt(
-        orderedNarrow.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      // shuffle width; otherwise width ≈ the scans' file splits. Size
+      // comes from the actual input files, NOT plan stats: without CBO a
+      // join's stats are the PRODUCT of its children, which would flag
+      // every broadcast-joined pair of tiny dims as "substantial".)
       val targetParts = spark.sessionState.conf.numShufflePartitions
       lazy val hasShuffle = orderedNarrow.queryExecution.sparkPlan.find(
         _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
         .isDefined
-      lazy val fewInputs =
-        orderedNarrow.inputFiles.length < math.max(4, targetParts / 4)
+      lazy val inputFiles = orderedNarrow.inputFiles
+      lazy val fewInputs = inputFiles.length < math.max(4, targetParts / 4)
+      lazy val inputBytes: Long = {
+        val hconf = spark.sessionState.newHadoopConf()
+        inputFiles.map { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(hconf).getFileStatus(p).getLen
+          } catch { case _: java.io.IOException => 0L }
+        }.sum
+      }
       val ordered =
-        if (planBytes > 8L * 1024 * 1024 && !hasShuffle && fewInputs)
+        if (!hasShuffle && fewInputs && inputBytes > 8L * 1024 * 1024)
           orderedNarrow.repartition(targetParts)
         else orderedNarrow
       val path = conf.tablePath(dataLayerID, targetTableName)

@@ -32,6 +32,11 @@ object Audit {
   * @param strictSchema   when true, writes to tables absent from the
   *                       catalog fail instead of auto-registering —
   *                       declarative-schema mode
+  * @param reportsPath    where report/alert files land (reference
+  *                       REPORTS_PATH, ConfClass.py:147). Defaults to a
+  *                       `reports` SIBLING of the warehouse so
+  *                       `Admin.reset` (which wipes the warehouse) never
+  *                       deletes the append-only alert history
   */
 case class GraftConf(
     warehousePath: String,
@@ -42,10 +47,18 @@ case class GraftConf(
     latestDateInData: String = "2000-12-31",
     catalog: Catalog = new Catalog,
     trgSink: Option[Datastore] = None,
-    strictSchema: Boolean = false) {
+    strictSchema: Boolean = false,
+    reportsPath: Option[String] = None) {
 
   def tablePath(layer: graft.catalog.Layer, table: String): String =
     s"$warehousePath/${layer.id}/$table"
+
+  def resolvedReportsPath: String =
+    reportsPath.getOrElse(
+      new java.io.File(warehousePath).getParent match {
+        case null   => s"$warehousePath-reports"
+        case parent => s"$parent/reports"
+      })
 
   def srcSystem(id: String): Datastore =
     srcSystems.getOrElse(id, throw new IllegalArgumentException(

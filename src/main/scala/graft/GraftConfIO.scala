@@ -70,6 +70,7 @@ object GraftConfIO {
         .map(_.asText()).getOrElse("2000-12-31"),
       catalog = catalog,
       trgSink = Option(root.get("trgSink")).map(datastore),
-      strictSchema = Option(root.get("strictSchema")).exists(_.asBoolean()))
+      strictSchema = Option(root.get("strictSchema")).exists(_.asBoolean()),
+      reportsPath = Option(root.get("reportsPath")).map(_.asText()))
   }
 }

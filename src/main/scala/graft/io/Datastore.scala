@@ -129,9 +129,15 @@ case class ExcelDatastore(path: String) extends Datastore {
       if (new java.io.File(path).exists()) Xlsx.readSheets(path)
       else scala.collection.immutable.ListMap.empty[String, Seq[Seq[String]]]
     val sheet =
-      if (mode.equalsIgnoreCase("append") && existing.contains(table))
+      if (mode.equalsIgnoreCase("append") && existing.contains(table)) {
+        // appended rows are positional: the frame's columns must match
+        // the sheet's header or values would land under the wrong names
+        val sheetHeader = existing(table).headOption.getOrElse(Seq.empty)
+        require(sheetHeader == header,
+          s"$path!$table append: frame columns ${header.mkString("[", ",", "]")} " +
+            s"do not match sheet header ${sheetHeader.mkString("[", ",", "]")}")
         existing(table) ++ rows
-      else header +: rows
+      } else header +: rows
     Xlsx.writeSheets(path, existing.updated(table, sheet))
   }
 }

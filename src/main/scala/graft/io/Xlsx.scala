@@ -46,14 +46,48 @@ object Xlsx {
     } finally zin.close()
   }
 
+  /** Decode OOXML `_xHHHH_` character escapes (ECMA-376 §22.4.2.4 — how
+    * spreadsheet strings carry XML-illegal characters). Single
+    * left-to-right pass, so `_x005F_x0041_` decodes to the literal
+    * `_x0041_` rather than re-decoding.
+    */
+  private[graft] def decodeEscapes(s: String): String =
+    if (!s.contains("_x")) s
+    else {
+      val m = java.util.regex.Pattern
+        .compile("_x([0-9A-Fa-f]{4})_").matcher(s)
+      val sb = new java.lang.StringBuilder
+      var last = 0
+      while (m.find()) {
+        sb.append(s, last, m.start())
+        sb.append(Integer.parseInt(m.group(1), 16).toChar)
+        last = m.end()
+      }
+      sb.append(s, last, s.length).toString
+    }
+
+  /** Inverse of [[decodeEscapes]]: escape XML-illegal control characters
+    * as `_xHHHH_`, first protecting literal text that would itself parse
+    * as an escape.
+    */
+  private[graft] def encodeEscapes(s: String): String = {
+    val protectedLiterals =
+      s.replaceAll("_x([0-9A-Fa-f]{4}_)", "_x005F_x$1")
+    protectedLiterals.flatMap {
+      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
+        f"_x${c.toInt}%04X_"
+      case c => c.toString
+    }
+  }
+
   private def cellText(c: scala.xml.Node, shared: IndexedSeq[String]): String =
-    (c \ "@t").text match {
+    decodeEscapes((c \ "@t").text match {
       case "s" => // shared-string index
         (c \ "v").text.toIntOption.map(shared.lift(_).getOrElse(""))
           .getOrElse("")
       case "inlineStr" => (c \ "is" \\ "t").map(_.text).mkString
       case _ => (c \ "v").text // "str" formula results and raw numerics
-    }
+    })
 
   /** Read every worksheet: sheet name → rows of cells (ragged rows are
     * preserved; callers pad against the header).
@@ -84,8 +118,14 @@ object Xlsx {
     ListMap(sheets.flatMap { case (name, part) =>
       parse(part).map { sheet =>
         val rows = (sheet \ "sheetData" \ "row").map { r =>
+          // the r= cell reference is optional in ECMA-376: cells without
+          // one occupy the column after their predecessor
+          var next = 0
           val cells = (r \ "c").map { c =>
-            (colIndex((c \ "@r").text), cellText(c, shared))
+            val ref = (c \ "@r").text
+            val i = if (ref.isEmpty) next else colIndex(ref)
+            next = i + 1
+            (i, cellText(c, shared))
           }
           if (cells.isEmpty) Seq.empty[String]
           else {
@@ -115,7 +155,7 @@ object Xlsx {
     def sheetXml(rows: Seq[Seq[String]]): String = {
       val body = rows.zipWithIndex.map { case (cells, ri) =>
         val cs = cells.zipWithIndex.map { case (v, ci) =>
-          s"""<c r="${colName(ci)}${ri + 1}" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>"""
+          s"""<c r="${colName(ci)}${ri + 1}" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(encodeEscapes(v))}</t></is></c>"""
         }.mkString
         s"""<row r="${ri + 1}">$cs</row>"""
       }.mkString

@@ -144,8 +144,10 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batch = s.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
         .select(col("user_id"), expr("ts div 1000").as("ts_us"))
-      val splitDir = "/root/repo/target/stream_split/" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+      // fresh staging dir per run: no cross-session/checkout races on a
+      // shared path, and writeTimeSplits' delete can't hit live readers
+      val splitDir = java.nio.file.Files
+        .createTempDirectory("graft_sess_split").toString + "/splits"
       sessionize(s, batch, splitDir, nSplits = 3,
         name = "q_stream_sessionize").select(
         col("user_id"), col("session_idx").cast("bigint").as("session_idx"),

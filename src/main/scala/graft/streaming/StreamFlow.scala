@@ -34,6 +34,8 @@ object StreamFlow {
     * drain with `maxFilesPerTrigger=1` processes them as `n` successive
     * micro-batches — the harness that makes incremental state on bounded
     * data honest (each batch sees only its slice of the timeline).
+    * Rows with a null `tsCol` have no place on the timeline and are
+    * dropped, as an event-time watermark would drop them anyway.
     */
   def writeTimeSplits(
       df: DataFrame, tsCol: String, n: Int, dir: String): Unit = {
@@ -43,6 +45,20 @@ object StreamFlow {
     if (fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
     val bounds = df.agg(min(col(tsCol)), max(col(tsCol))).collect()(0)
+    // empty input (or all-null event times): land a single empty split so
+    // the drain still runs one batch and initialises its state stores
+    if (bounds.isNullAt(0)) {
+      val tmp = new org.apache.hadoop.fs.Path(dir + "__tmp0")
+      df.where(lit(false)).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"writeTimeSplits: no part file under $tmp"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(out, "split-000.parquet"))
+      fs.delete(tmp, true)
+      return
+    }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val step = math.max(1L, (hi - lo) / n + 1)
     (0 until n).foreach { i =>

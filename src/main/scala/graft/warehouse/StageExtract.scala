@@ -15,12 +15,19 @@ import graft.pipeline.{PipelineOp, Stage}
   */
 object StageExtract {
 
+  /** Extract one table: read under its RAW source name, land in EXT
+    * under the [[graft.Admin.cleanTableName]]-normalised name — the same
+    * normalisation `readSrc` uses when registering EXT defs, so
+    * registration and extraction always agree.
+    */
   def bulkExtract(
       spark: org.apache.spark.sql.SparkSession, conf: GraftConf,
-      srcSysID: String, table: String,
+      srcSysID: String, srcTable: String,
       bulkOrDelta: String = "BULK"): Unit = {
+    val table = graft.Admin.cleanTableName(srcTable)
     val dfl = new DataFlow(spark, s"bulkExtract_$table", conf)
-    dfl.getDataFromSrc(table, srcSysID, bulkOrDelta = bulkOrDelta)
+    dfl.getDataFromSrc(table, srcSysID, srcTableName = Some(srcTable),
+      bulkOrDelta = bulkOrDelta)
     dfl.write(table, table, Layer.EXT, keepDataflowOpen = false)
   }
 
@@ -29,7 +36,7 @@ object StageExtract {
       spark: org.apache.spark.sql.SparkSession, conf: GraftConf,
       srcSysID: String): Seq[PipelineOp] =
     conf.srcSystem(srcSysID).tableNames(spark).map { t =>
-      PipelineOp(s"extract_$t", Stage.Extract,
+      PipelineOp(s"extract_${graft.Admin.cleanTableName(t)}", Stage.Extract,
         (sp, cf) => bulkExtract(sp, cf, srcSysID, t))
     }
 }

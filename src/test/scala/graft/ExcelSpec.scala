@@ -35,10 +35,24 @@ class ExcelSpec extends SparkSpec {
     assert(back == Seq(("NATION_3", "EU-OVERRIDE"), ("NATION_7", "")))
     assert(ds.read(spark, "mdm_mapping").schema.fields
       .forall(_.dataType.typeName == "string"))
-    // special characters survive the XML escaping
-    val odd = Seq(("a<b&c\"d", "x")).toDF("k", "v")
+    // special characters survive the XML escaping, including XML-illegal
+    // control chars (OOXML _xHHHH_ escapes) and literal escape-shaped text
+    val odd = Seq(("a<b&c\"d", "x"), ("ctlchr", "y"),
+      ("_x0041_literal", "z")).toDF("k", "v")
     ds.write(spark, odd, "odd")
-    assert(ds.read(spark, "odd").head().getString(0) == "a<b&c\"d")
+    val oddBack = ds.read(spark, "odd").orderBy("v").collect()
+      .map(_.getString(0)).toSeq
+    assert(oddBack == Seq("a<b&c\"d", "ctlchr", "_x0041_literal"))
+  }
+
+  test("append with mismatched columns raises instead of corrupting") {
+    val path = tmpXlsx()
+    val ds = ExcelDatastore(path)
+    ds.write(spark, Seq(("a", "1")).toDF("k", "v"), "t")
+    val ex = intercept[IllegalArgumentException] {
+      ds.write(spark, Seq(("2", "b")).toDF("v", "k"), "t", mode = "append")
+    }
+    assert(ex.getMessage.contains("do not match sheet header"))
   }
 
   test("append mode extends an existing worksheet") {
@@ -67,7 +81,7 @@ class ExcelSpec extends SparkSpec {
       "xl/sharedStrings.xml" ->
         """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>name</t></si><si><t>qty</t></si><si><r><t>wid</t></r><r><t>get</t></r></si></sst>""",
       "xl/worksheets/sheet1.xml" ->
-        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row><row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>42</v></c></row></sheetData></worksheet>""")
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c t="s"><v>0</v></c><c t="s"><v>1</v></c><c t="s"><v>2</v></c></row><row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>42</v></c></row></sheetData></worksheet>""")
     val out = new ZipOutputStream(new FileOutputStream(path))
     parts.foreach { case (n, c) =>
       out.putNextEntry(new ZipEntry(n))
