@@ -59,4 +59,25 @@ class DataFlowPropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  test("property: saltedJoin equals the plain join for any salt factor") {
+    import spark.implicits._
+    check(Prop.forAll(
+      Gen.listOfN(25, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 9))),
+      Gen.listOfN(6, Gen.zip(Gen.oneOf("a", "b", "d"), Gen.choose(0, 9))),
+      Gen.choose(2, 6),
+      Gen.oneOf("inner", "left")) { (pl, bl, saltFactor, how) =>
+      pl.isEmpty || bl.isEmpty || {
+        val probe = pl.toDF("k", "v")
+        val build = bl.toDF("k", "w")
+        def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getString(0), r.getInt(1), Option(r.get(2))))
+          .sortBy(t => (t._1, t._2, t._3.map(_.toString).getOrElse("")))
+          .toSeq
+        canon(graft.operators.SkewJoin.saltedJoin(
+          probe, build, Seq("k"), how, saltFactor)) ==
+          canon(probe.join(build, Seq("k"), how))
+      }
+    })
+  }
 }
