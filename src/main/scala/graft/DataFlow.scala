@@ -94,13 +94,19 @@ class DataFlow(
     * the layer (reference write, betl/dataflow/dfl_io.py:61-212). Unknown or
     * missing columns raise with an explicit report (dfl_io.py:134-160);
     * column order in the output follows the catalog definition.
+    *
+    * `partitionBy` lays the table out hive-style on the given columns —
+    * at 100 TB a date-partitioned fact is what turns "scan everything"
+    * into partition-pruned reads (the reference's Postgres heap tables
+    * have no analogue; this is a Spark-first extension).
     */
   def write(
       dataset: String,
       targetTableName: String,
       dataLayerID: Layer,
       appendOrReplace: String = "replace",
-      keepDataflowOpen: Boolean = true): DataFlow =
+      keepDataflowOpen: Boolean = true,
+      partitionBy: Seq[String] = Seq.empty): DataFlow =
     log.step("write", s"$dataLayerID/$targetTableName") {
       val df = get(dataset)
       val tdef = conf.catalog.lookup(dataLayerID, targetTableName)
@@ -155,13 +161,22 @@ class DataFlow(
       }
       val ordered =
         if (!hasShuffle && fewInputs && inputBytes > 8L * 1024 * 1024)
-          orderedNarrow.repartition(targetParts)
+          // group rows by partition value when laying out hive-style, so
+          // each task writes one file per partition dir instead of every
+          // task writing a sliver into every partition
+          (if (partitionBy.nonEmpty)
+            orderedNarrow.repartition(targetParts, partitionBy.map(col): _*)
+          else orderedNarrow.repartition(targetParts))
         else orderedNarrow
       val path = conf.tablePath(dataLayerID, targetTableName)
-      if (mode == "append") ordered.write.mode("append").parquet(path)
+      if (mode == "append") {
+        val w = ordered.write.mode("append")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(path)
+      }
       // overwrite via staging + swap: safe when the dataset's lineage reads
       // the same table (read → transform → write back)
-      else graft.io.ParquetUtil.safeOverwrite(spark, ordered, path)
+      else graft.io.ParquetUtil.safeOverwrite(spark, ordered, path, partitionBy)
       // TRG parity: BSE/SUM additionally land in the target datastore
       // (reference dfl_io.py:81-94 — always DB-writes those layers).
       // Append pushes only the just-written batch — re-reading the table

@@ -26,11 +26,14 @@ object ParquetUtil {
     * atomic on HDFS/local FS; on object stores it degrades to copy —
     * acceptable for a layer-boundary write.
     */
-  def safeOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def safeOverwrite(spark: SparkSession, df: DataFrame, path: String,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
     val target = new Path(path)
     val staging = new Path(path + "__staging")
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    df.write.mode("overwrite").parquet(staging.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staging.toString)
     if (fs.exists(target)) fs.delete(target, true)
     if (!fs.rename(staging, target))
       throw new java.io.IOException(
