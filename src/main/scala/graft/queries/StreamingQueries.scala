@@ -159,6 +159,27 @@ object StreamingQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // stateful streaming dedup: dropDuplicates on the event id under a
+    // watermark (the watermark is what BOUNDS the dedup state at scale —
+    // ids older than it are evicted instead of kept forever). The source
+    // is doubled (union with itself) so the dedup provably removes
+    // duplicates; ground truth is the plain batch aggregate.
+    "q_stream_dedup" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = StreamFlow.readParquetStream(
+        s, s"$dir/events.parquet", EventsSchema)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val doubled = events.unionByName(events)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+      val agg = doubled.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value"), 2).as("total_value"))
+      StreamFlow.runToMemory(agg, s, "q_stream_dedup")
+        .select(col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("event_type")
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -204,6 +225,11 @@ object StreamingQueries {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_total,
