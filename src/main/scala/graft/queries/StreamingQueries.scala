@@ -180,6 +180,29 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // stream-static enrichment join: the streaming fact side joins a
+    // static dimension per micro-batch (broadcast by Catalyst when
+    // small) — the canonical streaming-enrichment pattern. The join key
+    // maps event users onto customer keys; ground truth is the same
+    // join in batch.
+    "q_stream_enrich" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val customers = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val nCust = customers.count()
+      val events = StreamFlow.readParquetStream(
+        s, s"$dir/events.parquet", EventsSchema)
+        .withColumn("c_custkey", pmod(col("user_id"), lit(nCust)) + 1)
+      val enriched = events.join(customers, Seq("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value"), 2).as("total_value"))
+      StreamFlow.runToMemory(enriched, s, "q_stream_enrich")
+        .select(col("c_mktsegment"), col("event_type"), col("n_events"),
+          col("total_value"))
+        .orderBy("c_mktsegment", "event_type")
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -230,6 +253,14 @@ object StreamingQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |JOIN customer
+        |  ON c_custkey = user_id % (SELECT count(*) FROM customer) + 1
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_total,
