@@ -65,6 +65,24 @@ class ExcelSpec extends SparkSpec {
     assert(got == Seq(("a", "1"), ("b", "2")))
   }
 
+  test("property: sheet values round-trip for arbitrary strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val cell = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('<', '&', '>', '"', '\'', ' ', '\t', '_', 'x'),
+      1 -> Gen.choose(0.toChar, 0x1f.toChar))).map(_.mkString)
+    val prop = Prop.forAll(Gen.listOfN(4, Gen.listOfN(3, cell))) { rows =>
+      val path = tmpXlsx()
+      // \r\n normalisation is XML's, not ours: exclude bare \r
+      val cleaned = rows.map(_.map(_.replace('\r', ' ')))
+      Xlsx.writeSheets(path, ListMap("s" -> cleaned))
+      Xlsx.readSheets(path)("s").map(_.toList) == cleaned.map(_.toList)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("reader handles shared strings, numeric cells and column gaps") {
     // a foreign-generated workbook shape: sharedStrings part, raw numeric
     // <v> cells, and a skipped column (B2 absent)
