@@ -25,6 +25,19 @@ object Admin {
     .replace("-", "")
     .toLowerCase
 
+  /** Fail fast when two source tables normalise to the same cleaned name
+    * (e.g. "My-Table" and "my_table") — a silent collision would let one
+    * table's EXT registration and extract target overwrite the other's.
+    */
+  def requireNoCleanNameCollisions(names: Seq[String]): Unit = {
+    val collided = names.groupBy(cleanTableName).filter(_._2.sizeIs > 1)
+    require(collided.isEmpty,
+      "source table names collide after cleanTableName normalisation: " +
+        collided.toSeq.sortBy(_._1).map { case (c, origs) =>
+          origs.sorted.mkString("[", ", ", "]") + s" -> $c"
+        }.mkString("; "))
+  }
+
   /** Introspect every table of a source system and register an EXT
     * TableDef for each: the source's own columns (as typed by its reader)
     * plus the four audit columns every extract appends. Registered names
@@ -34,7 +47,9 @@ object Admin {
   def readSrc(
       spark: SparkSession, conf: GraftConf, srcSysID: String): Seq[TableDef] = {
     val ds = conf.srcSystem(srcSysID)
-    ds.tableNames(spark).map { t =>
+    val names = ds.tableNames(spark)
+    requireNoCleanNameCollisions(names)
+    names.map { t =>
       val srcCols = ds.read(spark, t).schema.fields.toSeq.map { f =>
         ColumnDef(f.name, f.dataType, nullable = f.nullable)
       }
@@ -95,17 +110,18 @@ object Admin {
       .foreach(Files.createDirectories(_))
     val confFile = root.resolve("conf/appConfig.json")
     if (!Files.exists(confFile)) {
-      val json =
-        s"""{
-           |  "dwhId": "${dwhId.toLowerCase}",
-           |  "warehousePath": "$appDir/warehouse",
-           |  "reportsPath": "$appDir/reports",
-           |  "srcSystems": {
-           |    "SRC": {"type": "csv", "dir": "$appDir/src_data"}
-           |  }
-           |}
-           |""".stripMargin
-      Files.write(confFile, json.getBytes("UTF-8"))
+      // built with Jackson (not string interpolation) so appDir values
+      // containing quotes/backslashes (Windows paths) stay valid JSON
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val cfg = om.createObjectNode()
+      cfg.put("dwhId", dwhId.toLowerCase)
+      cfg.put("warehousePath", s"$appDir/warehouse")
+      cfg.put("reportsPath", s"$appDir/reports")
+      val srcNode = cfg.putObject("srcSystems").putObject("SRC")
+      srcNode.put("type", "csv")
+      srcNode.put("dir", s"$appDir/src_data")
+      Files.write(confFile,
+        om.writerWithDefaultPrettyPrinter().writeValueAsBytes(cfg))
     }
     val gitignore = root.resolve(".gitignore")
     if (!Files.exists(gitignore))

@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialise the OUTPUT-sized pair result (localCheckpoint: computed
+    * once, block-manager backed, lineage truncated), then release the
+    * corpus-sized cached intermediates. Without this, a long-lived
+    * session pins corpus blocks until the GC-driven ContextCleaner
+    * happens to reclaim them; the caches are local to each pair
+    * generator, so the terminal action can run here.
+    */
+  private[graft] def releasing(caches: DataFrame*)(
+      result: DataFrame): DataFrame =
+    try result.localCheckpoint()
+    finally caches.foreach(_.unpersist(false))
+
   // ------------------------------------------------------------------
   // shingling
   // ------------------------------------------------------------------
@@ -79,13 +91,15 @@ object Dedup {
     val inv = sh.select(col("doc"), col("n"), explode(col("s")).as("g"))
     val a = inv.select(col("g"), col("doc").as("doc_a"), col("n").as("na"))
     val b = inv.select(col("g"), col("doc").as("doc_b"), col("n").as("nb"))
-    a.join(b, Seq("g")).where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    releasing(sh) {
+      a.join(b, Seq("g")).where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   /** [[jaccardPairs]] with PPJoin-style prefix filtering: shingles are
@@ -118,16 +132,18 @@ object Dedup {
       .join(prefix.select(col("g"), col("doc").as("doc_b")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    cand
-      .join(sh.select(col("doc").as("doc_a"), col("s").as("sa"),
-        col("n").as("na")), Seq("doc_a"))
-      .join(sh.select(col("doc").as("doc_b"), col("s").as("sb"),
-        col("n").as("nb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard", col("inter").cast("double")
-        / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    releasing(sh) {
+      cand
+        .join(sh.select(col("doc").as("doc_a"), col("s").as("sa"),
+          col("n").as("na")), Seq("doc_a"))
+        .join(sh.select(col("doc").as("doc_b"), col("s").as("sb"),
+          col("n").as("nb")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard", col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   // ------------------------------------------------------------------
@@ -259,14 +275,16 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    cands
-      .join(sh.select(col("doc").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard", col("inter").cast("double")
-        / (size(col("sa")) + size(col("sb")) - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    releasing(banded) {
+      cands
+        .join(sh.select(col("doc").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+        .join(sh.select(col("doc").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard", col("inter").cast("double")
+          / (size(col("sa")) + size(col("sb")) - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   // ------------------------------------------------------------------
@@ -307,11 +325,13 @@ object Dedup {
       col("doc").as("doc_a"), col("h").as("ha"))
     val b = banded.select(col("band"), col("key"),
       col("doc").as("doc_b"), col("h").as("hb"))
-    a.join(b, Seq("band", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .where(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+    releasing(banded) {
+      a.join(b, Seq("band", "key"))
+        .where(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .where(col("hamming") <= maxHamming)
+        .select("doc_a", "doc_b", "hamming")
+    }
   }
 }

@@ -71,8 +71,12 @@ object Xlsx {
     * as an escape.
     */
   private[graft] def encodeEscapes(s: String): String = {
+    // lookahead (not capture) so the trailing underscore is NOT consumed:
+    // in overlapping literals like "_x0041_x0042_" the shared underscore
+    // starts the second escape too, and a consuming match would leave it
+    // unprotected (decode would corrupt it to "_x0041B")
     val protectedLiterals =
-      s.replaceAll("_x([0-9A-Fa-f]{4}_)", "_x005F_x$1")
+      s.replaceAll("_(?=x[0-9A-Fa-f]{4}_)", "_x005F_")
     protectedLiterals.flatMap {
       case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
         f"_x${c.toInt}%04X_"

@@ -99,17 +99,18 @@ object DedupQueries {
           col("vec_id").as("vec_b")), Seq("band", "key"))
         .where(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
-      cand
-        .join(e.select(col("vec_id").as("vec_a"),
-          col("embedding").as("ea")), Seq("vec_a"))
-        .join(e.select(col("vec_id").as("vec_b"),
-          col("embedding").as("eb")), Seq("vec_b"))
-        // native codegen'd expression: candidate pairs are the hot set
-        .withColumn("cosine",
-          graft.functions.GraftFunctions.cosineSim(s, col("ea"), col("eb")))
-        .where(col("cosine") >= CosineThreshold)
-        .select("vec_a", "vec_b", "cosine")
-        .orderBy("vec_a", "vec_b")
+      Dedup.releasing(banded) {
+        cand
+          .join(e.select(col("vec_id").as("vec_a"),
+            col("embedding").as("ea")), Seq("vec_a"))
+          .join(e.select(col("vec_id").as("vec_b"),
+            col("embedding").as("eb")), Seq("vec_b"))
+          // native codegen'd expression: candidate pairs are the hot set
+          .withColumn("cosine",
+            graft.functions.GraftFunctions.cosineSim(s, col("ea"), col("eb")))
+          .where(col("cosine") >= CosineThreshold)
+          .select("vec_a", "vec_b", "cosine")
+      }.orderBy("vec_a", "vec_b")
     })
 
   import OracleSql._

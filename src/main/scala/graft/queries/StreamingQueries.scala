@@ -159,11 +159,15 @@ object StreamingQueries {
         .orderBy("user_id", "session_idx")
     },
 
-    // stateful streaming dedup: dropDuplicates on the event id under a
-    // watermark (the watermark is what BOUNDS the dedup state at scale —
-    // ids older than it are evicted instead of kept forever). The source
-    // is doubled (union with itself) so the dedup provably removes
-    // duplicates; ground truth is the plain batch aggregate.
+    // stateful streaming dedup: dropDuplicatesWithinWatermark on the
+    // event id — unlike plain dropDuplicates(id) (whose id-keyed state is
+    // NEVER evicted unless the event-time column is part of the key),
+    // the within-watermark variant expires each id's state once the
+    // watermark passes it, which is what actually bounds dedup state on
+    // an unbounded stream. The source is doubled (union with itself, so
+    // every duplicate arrives well inside the watermark delay) and the
+    // dedup provably removes duplicates; ground truth is the plain batch
+    // aggregate.
     "q_stream_dedup" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = StreamFlow.readParquetStream(
@@ -171,7 +175,7 @@ object StreamingQueries {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val doubled = events.unionByName(events)
         .withWatermark("ts", "10 minutes")
-        .dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark("event_id")
       val agg = doubled.groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value"), 2).as("total_value"))

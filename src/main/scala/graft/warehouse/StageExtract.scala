@@ -34,9 +34,12 @@ object StageExtract {
   /** One default extract op per table the datastore can enumerate. */
   def defaultExtractOps(
       spark: org.apache.spark.sql.SparkSession, conf: GraftConf,
-      srcSysID: String): Seq[PipelineOp] =
-    conf.srcSystem(srcSysID).tableNames(spark).map { t =>
+      srcSysID: String): Seq[PipelineOp] = {
+    val names = conf.srcSystem(srcSysID).tableNames(spark)
+    graft.Admin.requireNoCleanNameCollisions(names)
+    names.map { t =>
       PipelineOp(s"extract_${graft.Admin.cleanTableName(t)}", Stage.Extract,
         (sp, cf) => bulkExtract(sp, cf, srcSysID, t))
     }
+  }
 }

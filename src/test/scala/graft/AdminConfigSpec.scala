@@ -74,6 +74,27 @@ class AdminConfigSpec extends SparkSpec {
     assert(Admin.cleanTableName("orders") == "orders")
   }
 
+  test("cleanTableName collisions fail fast instead of silently merging") {
+    Admin.requireNoCleanNameCollisions(Seq("orders", "customer"))
+    val ex = intercept[IllegalArgumentException] {
+      Admin.requireNoCleanNameCollisions(Seq("My Table", "my_table", "other"))
+    }
+    assert(ex.getMessage.contains("My Table")
+      && ex.getMessage.contains("my_table"))
+  }
+
+  test("scaffold config stays valid JSON for quote/backslash paths") {
+    val base = java.nio.file.Files.createTempDirectory("scaffoldq")
+    val dir = base.resolve("""we"ird\path""").toString
+    Admin.scaffold(dir, "TESTWH")
+    val json = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/conf/appConfig.json"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(node.get("warehousePath").asText == s"$dir/warehouse")
+    assert(node.get("srcSystems").get("SRC").get("dir").asText
+      == s"$dir/src_data")
+  }
+
   test("scaffold creates layers, conf skeleton and gitignore; re-run safe") {
     val dir = java.nio.file.Files.createTempDirectory("scaffold").toString
     Admin.scaffold(dir, "TESTWH")

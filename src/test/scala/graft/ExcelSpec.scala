@@ -65,6 +65,20 @@ class ExcelSpec extends SparkSpec {
     assert(got == Seq(("a", "1"), ("b", "2")))
   }
 
+  test("overlapping escape-shaped literals survive the write/read cycle") {
+    // "_x0041_x0042_" has a SHARED underscore between two escape shapes;
+    // a consuming protection regex only guards the first and the decoder
+    // then corrupts the cell to "_x0041B"
+    val tricky = Seq("_x0041_x0042_", "_x0041_", "_x005F_x0041_",
+      "_x0041_x0042_x0043_", "__x0041_x0042_")
+    tricky.foreach { s =>
+      assert(Xlsx.decodeEscapes(Xlsx.encodeEscapes(s)) == s, s)
+    }
+    val path = tmpXlsx()
+    Xlsx.writeSheets(path, ListMap("s" -> Seq(tricky)))
+    assert(Xlsx.readSheets(path)("s").head == tricky)
+  }
+
   test("property: sheet values round-trip for arbitrary strings") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val cell = Gen.listOf(Gen.frequency(
