@@ -173,6 +173,10 @@ object StreamingQueries {
       val events = StreamFlow.readParquetStream(
         s, s"$dir/events.parquet", EventsSchema)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // prune BEFORE the stateful op: dedup emits whole rows, so every
+        // column that reaches it rides the state-store writes and the
+        // dedup shuffle — the wide `props` JSON column stays at the scan
+        .select("event_id", "ts", "event_type", "value")
       val doubled = events.unionByName(events)
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
