@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ LifecycleQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs ++
-      StreamingQueries.defs
+      StreamingQueries.defs ++ AnalyticsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -28,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ LifecycleQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles ++ StreamingQueries.oracles
+      MultimodalQueries.oracles ++ StreamingQueries.oracles ++
+      AnalyticsQueries.oracles
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the reproducible alternative to
+  * `df.sample()` for corpus downsampling and train/eval splits.
+  * Extension category (the reference's only row-capping device is the
+  * dev-mode `limitdata` head, betl/ConfClass.py:186-188, which is biased
+  * by source order; hash sampling is the production version).
+  *
+  * Scale stance: a row-local predicate on a salted md5 hash — no
+  * shuffle, no RNG state, pushes down past column pruning, and the SAME
+  * rows are selected on any cluster size, any partitioning, any engine
+  * (the salt keys independent samples apart). That reproducibility is
+  * what makes a 100 TB sample auditable: re-running selects identical
+  * rows, and an oracle can replay the exact membership test.
+  */
+object Sampling {
+
+  /** Stable per-row bucket in [0, buckets): salted md5 of the id. */
+  def hashBucket(idCol: Column, salt: String, buckets: Int = 100): Column =
+    TextFunctions.tokenHash60(concat(lit(salt), idCol.cast("string"))) %
+      buckets
+
+  /** Keep rows whose bucket falls under `pct` (percent, 0-100). */
+  def hashSample(
+      df: DataFrame, idCol: String, pct: Int,
+      salt: String = "sample:"): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct out of range: $pct")
+    df.where(hashBucket(col(idCol), salt) < pct)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep-percentages with
+    * a default for unlisted strata. One row-local predicate — the rate
+    * lookup is a literal CASE chain, not a join.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int,
+      salt: String = "sample:"): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "rates must be percentages in [0, 100]")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) =>
+        when(col(stratumCol) === stratum, pct).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol), salt) < rate)
+  }
+}

@@ -1,0 +1,286 @@
+package graft.queries
+
+import graft._
+import graft.functions.HllSketch
+import graft.operators.{Quantiles, Sampling, TemporalJoins}
+import graft.similarity.Centroids
+import graft.text.{Chunker, TfIdf}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 analytics operators: temporal joins (as-of, range), exact
+  * grouped quantiles, TF-IDF, embedding centroids, a deterministic HLL
+  * distinct sketch, hash sampling, and document chunking. Every query has
+  * a full DuckDB oracle; the temporal-join oracles are INDEPENDENT
+  * formulations (DuckDB's native ASOF / inequality joins), not pipeline
+  * mirrors.
+  */
+object AnalyticsQueries {
+  import Q._
+
+  /** events.parquet carries TIMESTAMP(NANOS); read raw nanos (legacy
+    * nanosAsLong) and derive micros with integral `div` — epoch-nano
+    * magnitudes exceed 2^53, so a double detour would corrupt them.
+    * DuckDB truncates the same nanos to micros on read, so
+    * `ts div 1000` == `epoch_us(ts)` exactly.
+    */
+  private val EventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("ts div 1000").as("ts_us"))
+  }
+
+  private val TwoDaysUs = 2L * 86400L * 1000000L
+  private val OneDayUs = 86400L * 1000000L
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // as-of join: each click attaches the latest prior-or-equal purchase
+    // of the same user (union trick — one shuffle, no join node)
+    "q_asof_join" -> { (s, dir) =>
+      val ev = eventsUs(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us", "value")
+      // right side unique per (user, ts): deterministic as-of target
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(max(col("event_id")).as("p_event_id"),
+          max(col("value")).as("p_value"))
+        .withColumn("p_ts_us", col("ts_us"))
+      TemporalJoins.asofJoin(clicks, purchases,
+        on = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+        rightCols = Seq("p_ts_us", "p_event_id", "p_value"))
+        .orderBy("event_id")
+    },
+
+    // range join: clicks landing inside any 2-day attribution window
+    // opened by a signup of the same user (binned equi-join, no BNLJ)
+    "q_range_join" -> { (s, dir) =>
+      val ev = eventsUs(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val windows = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("s_event_id"), col("user_id"),
+          col("ts_us").as("start_us"),
+          (col("ts_us") + TwoDaysUs).as("end_us"))
+      TemporalJoins.rangeJoin(clicks, windows, on = Seq("user_id"),
+        tsCol = "ts_us", startCol = "start_us", endCol = "end_us",
+        binWidth = OneDayUs)
+        .select("event_id", "user_id", "ts_us", "s_event_id", "start_us")
+        .orderBy("event_id", "s_event_id")
+    },
+
+    // exact grouped quantiles off the value histogram
+    "q_quantiles" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_quantiles")
+      src(dfl, "lineitem")
+      Quantiles.groupQuantiles(dfl.get("lineitem"),
+        Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75, 1.0))
+        .orderBy("l_returnflag", "q")
+    },
+
+    // TF-IDF top-5 salient terms per document (linear idf — one exact
+    // integer double division, bit-reproducible)
+    "q_tfidf" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_tfidf")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      TfIdf.topTerms(docs, "doc_id", "text", nDocs = docs.count(), k = 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tf_idf"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // per-label embedding centroids in exact fixed-point
+    "q_embedding_centroid" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_embedding_centroid")
+      src(dfl, "embeddings")
+      Centroids.centroids(dfl.get("embeddings"), "label", "embedding")
+        .orderBy("label", "dim")
+    },
+
+    // deterministic HyperLogLog distinct sketch + exact control count
+    "q_hll_distinct" -> { (s, dir) =>
+      val ev = eventsUs(s, dir)
+      val est = HllSketch.estimate(HllSketch.registers(s, ev, "event_id"))
+      est.crossJoin(
+        ev.agg(count_distinct(col("event_id")).as("exact_distinct")))
+    },
+
+    // stratified deterministic hash sample (50% en / 20% rest)
+    "q_sample_stratified" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_sample_stratified")
+      src(dfl, "documents")
+      Sampling.stratifiedSample(dfl.get("documents"), "doc_id", "lang",
+        rates = Map("en" -> 50), defaultPct = 20)
+        .withColumn("bucket", Sampling.hashBucket(col("doc_id"), "sample:"))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    },
+
+    // sliding-window chunking: 40-token windows, stride 30
+    "q_chunk_docs" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_chunk_docs")
+      src(dfl, "documents")
+      Chunker.chunk(dfl.get("documents"), "doc_id", "text",
+        chunkSize = 40, stride = 30)
+        .select(col("doc_id"), col("chunk_id"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    })
+
+  // ------------------------------------------------------------------
+  // oracles
+  // ------------------------------------------------------------------
+
+  private val evCte =
+    """ev AS (SELECT event_id, user_id, event_type, value,
+      |  epoch_us(ts) AS ts_us FROM events)""".stripMargin
+
+  /** Mirror of [[HllSketch.rhoCol]] over a 54-bit `rest` expression. */
+  private def hllRho(rest: String): String = {
+    val bitLen = (0 until HllSketch.RestBits)
+      .map(j => s"CASE WHEN $rest >= ${1L << j} THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"least(${HllSketch.RestBits + 1} - $bitLen, ${HllSketch.MaxRho})"
+  }
+
+  /** Mirror of [[HllSketch.powCol]]: 2^(31-m) lookup list. */
+  private val hllPowList: String =
+    (0 to HllSketch.MaxRho).map(j => s"${1L << (HllSketch.MaxRho - j)}")
+      .mkString("[", ", ", "]")
+
+  /** [[HllSketch.EstNumerator]] as a literal that parses to the same
+    * double (shortest round-trip representation).
+    */
+  private val hllNumerator: String =
+    java.lang.Double.toString(HllSketch.EstNumerator)
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_id, user_id, ts_us, value FROM ev
+         |      WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts_us, max(event_id) AS p_event_id,
+         |        max(value) AS p_value
+         |      FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT c.event_id, c.user_id, c.ts_us, c.value,
+         |  p.ts_us AS p_ts_us, p.p_event_id, p.p_value
+         |FROM c ASOF LEFT JOIN p
+         |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+         |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_id, user_id, ts_us FROM ev
+         |      WHERE event_type = 'click'),
+         |w AS (SELECT event_id AS s_event_id, user_id,
+         |        ts_us AS start_us, ts_us + $TwoDaysUs AS end_us
+         |      FROM ev WHERE event_type = 'signup')
+         |SELECT c.event_id, c.user_id, c.ts_us, w.s_event_id, w.start_us
+         |FROM c JOIN w ON c.user_id = w.user_id
+         |  AND c.ts_us >= w.start_us AND c.ts_us < w.end_us
+         |ORDER BY c.event_id, w.s_event_id""".stripMargin,
+
+    "q_quantiles" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT l_returnflag, q, l_quantity AS quantile_value, n AS n_rows
+        |FROM c, (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+        |  1.0::DOUBLE]) AS q) qs
+        |WHERE cum - cnt < ceil(q * n) AND ceil(q * n) <= cum
+        |ORDER BY l_returnflag, q""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH ${OracleSql.toksCte},
+         |t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(tf * (SELECT count(*) FROM documents) AS DOUBLE) / df
+         |      AS tf_idf
+         |  FROM tf JOIN dfq USING (term)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY tf_idf DESC, term) AS rank FROM scored)
+         |SELECT doc_id, term, tf, df, tf_idf, rank
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_embedding_centroid" ->
+      s"""SELECT label, r.range AS dim,
+         |  count(*) AS n_vectors,
+         |  CAST(CAST(sum(CAST(floor(embedding[r.range]::DOUBLE
+         |      * ${Centroids.Scale}) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / (${Centroids.Scale}.0 * count(*)) AS centroid
+         |FROM embeddings, range(1, ${graft.similarity.VectorFunctions.Dim + 1}) r
+         |GROUP BY 1, 2
+         |ORDER BY label, dim""".stripMargin,
+
+    "q_hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT ${OracleSql.tokenHash("'hll:' || CAST(event_id AS VARCHAR)")}
+         |    AS h FROM events),
+         |b AS (SELECT h % ${HllSketch.M} AS bucket,
+         |        h // ${HllSketch.M} AS rest FROM h),
+         |r AS (SELECT bucket, ${hllRho("rest")} AS rho FROM b),
+         |regs0 AS (SELECT bucket, max(rho) AS m FROM r GROUP BY bucket),
+         |allb AS (SELECT range AS bucket FROM range(0, ${HllSketch.M})),
+         |regs AS (SELECT allb.bucket, coalesce(regs0.m, 0) AS m
+         |  FROM allb LEFT JOIN regs0 ON allb.bucket = regs0.bucket),
+         |agg AS (SELECT count(*) AS m_buckets,
+         |  CAST(sum($hllPowList[m + 1]) AS BIGINT) AS sum_pow,
+         |  CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |  FROM regs)
+         |SELECT m_buckets, sum_pow, n_zero,
+         |  CASE WHEN $hllNumerator / sum_pow <= ${HllSketch.SmallRangeThreshold}
+         |      AND n_zero > 0
+         |    THEN ${HllSketch.M}.0 * ln(${HllSketch.M}.0 / n_zero)
+         |    ELSE $hllNumerator / sum_pow END AS estimate,
+         |  (SELECT count(DISTINCT event_id) FROM events) AS exact_distinct
+         |FROM agg""".stripMargin,
+
+    "q_sample_stratified" -> {
+      val h = OracleSql.tokenHash("'sample:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, lang, ($h) % 100 AS bucket
+         |FROM documents
+         |WHERE ($h) % 100 <
+         |  CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_chunk_docs" ->
+      s"""WITH ${OracleSql.toksCte},
+         |st AS (SELECT doc_id, w,
+         |  unnest(range(1, greatest(1, len(w)) + 1, 30)) AS chunk_start
+         |  FROM toks),
+         |c AS (SELECT doc_id, (chunk_start - 1) // 30 AS chunk_id,
+         |  chunk_start, list_slice(w, chunk_start, chunk_start + 39) AS ch
+         |  FROM st)
+         |SELECT doc_id, chunk_id, chunk_start, len(ch) AS n_tokens,
+         |  array_to_string(ch, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+}

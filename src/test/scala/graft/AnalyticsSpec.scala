@@ -1,0 +1,210 @@
+package graft
+
+import graft.functions.HllSketch
+import graft.operators.{Quantiles, Sampling, TemporalJoins}
+import graft.similarity.Centroids
+import graft.text.Chunker
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-4 analytics operators: temporal joins, quantiles, HLL,
+  * sampling, chunking, centroids — ground-truth values + plan-shape
+  * assertions (the scale claims, checked against the executed plan).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- asof
+
+  private def asofFixture = {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 500L))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 9L, "c"))
+      .toDF("k", "t", "rv")
+      .select(col("k"), col("t"), col("rv"), col("t").as("rt"))
+    (left, right)
+  }
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val (left, right) = asofFixture
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("rt", "rv")).orderBy("k", "t").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 10L, 100L, 10L, "a"),   // equal ts matches (inclusive)
+      Row(1L, 20L, 200L, 15L, "b"),   // latest of the two priors
+      Row(2L, 5L, 500L, null, null))) // no prior → nulls
+  }
+
+  test("asofJoin strict mode excludes equal timestamps") {
+    val (left, right) = asofFixture
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("rv"), inclusive = false).orderBy("k", "t").collect()
+    assert(out.map(_.get(3)).toSeq === Seq(null, "b", null))
+  }
+
+  test("asofJoin plans exactly one shuffle (union trick, no join node)") {
+    val (left, right) = asofFixture
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("rv"))
+    out.count() // materialise so the adaptive plan is final
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size === 1,
+      s"expected exactly one shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"expected no join node:\n$plan")
+  }
+
+  // --------------------------------------------------------------- range
+
+  test("rangeJoin matches points to containing ranges across bins") {
+    val points = Seq((1L, 5L, 100L), (1L, 25L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "pid")
+    // range spanning several bins; end exclusive
+    val ranges = Seq((1L, 0L, 30L, 900L), (1L, 25L, 26L, 901L),
+      (2L, 6L, 30L, 902L)).toDF("k", "s", "e", "rid")
+    val out = TemporalJoins.rangeJoin(points, ranges, Seq("k"),
+      "t", "s", "e", binWidth = 10L)
+      .select("pid", "rid").as[(Long, Long)].collect().sorted
+    assert(out.toSeq === Seq((100L, 900L), (101L, 900L), (101L, 901L)))
+  }
+
+  test("rangeJoin point on exclusive end is excluded, on start included") {
+    val points = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("k", "t", "pid")
+    val ranges = Seq((1L, 10L, 20L, 9L)).toDF("k", "s", "e", "rid")
+    val out = TemporalJoins.rangeJoin(points, ranges, Seq("k"),
+      "t", "s", "e", 7L).select("pid").as[Long].collect()
+    assert(out.toSeq === Seq(1L))
+  }
+
+  test("rangeJoin plans a hash/merge equi-join, never a nested loop") {
+    val points = Seq((1L, 5L, 100L)).toDF("k", "t", "pid")
+    val ranges = Seq((1L, 0L, 30L, 900L)).toDF("k", "s", "e", "rid")
+    val out = TemporalJoins.rangeJoin(points, ranges, Seq("k"),
+      "t", "s", "e", 10L)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.toLowerCase.contains("cartesian"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
+  // ----------------------------------------------------------- quantiles
+
+  test("groupQuantiles reads exact discrete quantiles off the histogram") {
+    // group a: values 1..4 once each; group b: heavy repeats
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)) ++
+      Seq.fill(9)(("b", 5.0)) :+ ("b", 7.0)).toDF("g", "x")
+    val out = Quantiles.groupQuantiles(df, Seq("g"), "x",
+      Seq(0.25, 0.5, 1.0)).orderBy("g", "q").collect()
+    assert(out.toSeq === Seq(
+      Row("a", 0.25, 1.0, 4L), Row("a", 0.5, 2.0, 4L),
+      Row("a", 1.0, 4.0, 4L),
+      Row("b", 0.25, 5.0, 10L), Row("b", 0.5, 5.0, 10L),
+      Row("b", 1.0, 7.0, 10L)))
+  }
+
+  // ----------------------------------------------------------------- hll
+
+  test("hll rho column matches a leading-zero kernel bit-for-bit") {
+    val hashes = Seq(0L, 1L, 63L, 64L, 65L, 1L << 59, (1L << 60) - 1,
+      123456789012345L)
+    val df = hashes.toDF("h")
+    val got = df.select(HllSketch.rhoCol(col("h"))).as[Int].collect()
+    val want = hashes.map { h =>
+      val rest = h >>> HllSketch.BucketBits
+      val rho =
+        if (rest == 0) HllSketch.RestBits + 1
+        else HllSketch.RestBits - (63 - java.lang.Long.numberOfLeadingZeros(rest))
+      math.min(rho, HllSketch.MaxRho)
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("hll registers merge by max and the estimate tracks exact count") {
+    val n = 5000
+    val df = spark.range(n).toDF("v")
+    val regs = HllSketch.registers(spark, df, "v")
+    assert(regs.count() === HllSketch.M)
+    // mergeability: registers of two halves max-merge to the full set
+    val a = HllSketch.registers(spark, spark.range(0, n / 2).toDF("v"), "v")
+    val b = HllSketch.registers(spark, spark.range(n / 2, n).toDF("v"), "v")
+    val merged = a.union(b).groupBy("bucket").agg(max("m").as("m"))
+    val full = regs.orderBy("bucket").as[(Long, Int)].collect()
+    assert(merged.orderBy("bucket").as[(Long, Int)].collect().toSeq
+      === full.toSeq)
+    // 64 registers → ~13% stderr; 4σ bound keeps this deterministic-safe
+    val est = HllSketch.estimate(regs).select("estimate").as[Double].head()
+    assert(math.abs(est - n) / n < 0.52, s"estimate $est vs exact $n")
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  test("hash sampling is deterministic, salted, and roughly proportional") {
+    val df = spark.range(2000).toDF("id")
+    val s1 = Sampling.hashSample(df, "id", 30).as[Long].collect().sorted
+    val s2 = Sampling.hashSample(df, "id", 30).as[Long].collect().sorted
+    assert(s1.toSeq === s2.toSeq)
+    assert(math.abs(s1.length - 600) < 120)
+    val other = Sampling.hashSample(df, "id", 30, salt = "other:")
+      .as[Long].collect().sorted
+    assert(other.toSeq !== s1.toSeq)
+    // nested rates: a 20% sample is a subset of a 50% one (same salt)
+    val small = Sampling.hashSample(df, "id", 20).as[Long].collect().toSet
+    val big = Sampling.hashSample(df, "id", 50).as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 100), defaultPct = 0)
+    assert(out.select("lang").distinct().as[String].collect().toSeq
+      === Seq("en"))
+    assert(out.count() === 500)
+  }
+
+  // ------------------------------------------------------------ chunking
+
+  test("chunker windows cover every token with the configured overlap") {
+    val text = (1 to 95).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Chunker.chunk(df, "doc_id", "text", chunkSize = 40, stride = 30)
+      .orderBy("chunk_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+      === Seq((0L, 1, 40), (1L, 31, 40), (2L, 61, 35), (3L, 91, 5)))
+    // overlap: chunk k starts 10 tokens before chunk k-1 ends
+    val texts = out.map(_.getString(4))
+    assert(texts(0).split(" ").drop(30).toSeq
+      === texts(1).split(" ").take(10).toSeq)
+    // full coverage: union of chunk tokens = original tokens
+    assert(texts.flatMap(_.split(" ")).distinct.length === 95)
+  }
+
+  test("chunker yields one short chunk for short and empty docs") {
+    val df = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
+    val out = Chunker.chunk(df, "doc_id", "text", 40, 30)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(3), r.getString(4))).toSeq
+      === Seq((1L, 3, "a b c"), (2L, 0, "")))
+  }
+
+  // ----------------------------------------------------------- centroids
+
+  test("centroids are exact fixed-point means, order-independent") {
+    val df = Seq(
+      (0, Seq(1.0f, -2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(0.5f, 0.25f)))
+      .toDF("label", "embedding")
+    val out = Centroids.centroids(df, "label", "embedding")
+      .orderBy("label", "dim")
+      .select("label", "dim", "n_vectors", "centroid").collect()
+    assert(out.toSeq === Seq(
+      Row(0, 1L, 2L, 2.0), Row(0, 2L, 2L, 1.0),
+      Row(1, 1L, 1L, 0.5), Row(1, 2L, 1L, 0.25)))
+    // order independence: reversed input, single partition vs many
+    val rev = Centroids.centroids(
+      df.orderBy(col("label").desc).repartition(7), "label", "embedding")
+      .orderBy("label", "dim")
+      .select("label", "dim", "n_vectors", "centroid").collect()
+    assert(rev.toSeq === out.toSeq)
+  }
+}
