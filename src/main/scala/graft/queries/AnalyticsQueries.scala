@@ -131,6 +131,38 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // bloom-pruned exact semi-join: the probe side is filtered by a
+    // row-local bitset predicate BEFORE the join shuffle; the trailing
+    // left-semi join keeps the result exact, so the oracle is a plain IN
+    "q_bloom_semijoin" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_bloom_semijoin")
+      src(dfl, "supplier")
+      src(dfl, "lineitem")
+      val dim = dfl.get("supplier")
+        .filter(col("s_acctbal") > 6000).select("s_suppkey")
+      val fact = dfl.get("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+      graft.functions.BloomFilter.semiJoin(fact, "l_suppkey", dim, "s_suppkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // hopping (sliding) event-time windows: 1-hour windows every 30
+    // minutes — each event lands in two windows
+    "q_window_hopping" -> { (s, dir) =>
+      val ev = eventsUs(s, dir)
+        .withColumn("tsm", timestamp_micros(col("ts_us")))
+      ev.groupBy(window(col("tsm"), "1 hour", "30 minutes"),
+        col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Q.dsum(col("value"), 2).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // sliding-window chunking: 40-token windows, stride 30
     "q_chunk_docs" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -271,6 +303,27 @@ object AnalyticsQueries {
          |  CASE WHEN lang = 'en' THEN 50 ELSE 20 END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_bloom_semijoin" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_suppkey IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal > 6000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_window_hopping" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |x AS (SELECT event_type, value, unnest([
+        |    (us // 1800000000) * 1800000000,
+        |    (us // 1800000000) * 1800000000 - 1800000000]) AS ws
+        |  FROM e)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q_chunk_docs" ->
       s"""WITH ${OracleSql.toksCte},

@@ -151,6 +151,41 @@ object LifecycleQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // §2.7 SCD2 (type-2) dimension: attribute changes close the current
+    // version and open a new one with a fresh SK; vanished members
+    // soft-close. Two snapshot applications — updates, inserts, deletes
+    // and untouched history all present in the result
+    "q_scd2_dimension" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_scd2_dimension")
+      val dfl = DataFlow(s, "q_scd2_dimension")
+      val base = src(dfl, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      // first snapshot: some members absent (future INSERTs), some
+      // attributes drifted (future UPDATEs when the truth arrives)
+      val snap1 = base.filter(col("c_custkey") % 11 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") * 2)
+            .otherwise(col("c_acctbal")))
+      // second snapshot: true values; some members gone (soft DELETEs)
+      val snap2 = base.filter(col("c_custkey") % 7 =!= 2)
+      val spec = DimensionSpec(
+        "dm_customer", Seq("c_custkey"), Seq("c_name", "c_acctbal"))
+      dfl.createDataset("s1", snap1)
+      dfl.prepForLoad("s1", "dm_customer")
+      Scd2Load.load(s, c, spec, "2024-06-01 00:00:00", initial = true)
+      dfl.createDataset("s2", snap2)
+      dfl.prepForLoad("s2", "dm_customer")
+      val dim = Scd2Load.load(s, c, spec, "2024-07-01 00:00:00")
+      dim.select(col("sk_customer"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"),
+        date_format(col(Scd2Load.ValidFrom), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_from"),
+        date_format(col(Scd2Load.ValidTo), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_to"),
+        col(Scd2Load.IsCurrent).as("is_current"))
+        .orderBy("c_custkey", "sk_customer")
+    },
+
     // §2.3 delta-extract classification (the reference's dormant design):
     // INSERT/UPDATE/DELETE/UNCHANGED via one null-safe full-outer NK join
     "q_delta_classify" -> { (s, dir) =>
@@ -490,6 +525,48 @@ object LifecycleQueries {
         |UNION ALL SELECT * FROM ins
         |UNION ALL SELECT * FROM defs
         |ORDER BY sk_customer""".stripMargin,
+    "q_scd2_dimension" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |s1 AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM base WHERE c_custkey % 11 <> 3),
+        |s2 AS (SELECT * FROM base WHERE c_custkey % 7 <> 2),
+        |v1 AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk,
+        |    c_custkey, c_name, c_acctbal FROM s1),
+        |m AS (SELECT v.sk, v.c_custkey, v.c_name AS p_name,
+        |    v.c_acctbal AS p_bal, s.c_name, s.c_acctbal
+        |  FROM v1 v JOIN s2 s USING (c_custkey)),
+        |unch AS (SELECT sk, c_custkey, c_name, c_acctbal FROM m
+        |  WHERE p_name = c_name AND p_bal = c_acctbal),
+        |updv AS (SELECT c_custkey, c_name, c_acctbal FROM m
+        |  WHERE p_name <> c_name OR p_bal <> c_acctbal),
+        |closedupd AS (SELECT sk, c_custkey, p_name AS c_name,
+        |    p_bal AS c_acctbal FROM m
+        |  WHERE p_name <> c_name OR p_bal <> c_acctbal),
+        |closeddel AS (SELECT sk, c_custkey, c_name, c_acctbal FROM v1
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM s2)),
+        |ins AS (SELECT c_custkey, c_name, c_acctbal FROM s2
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM s1)),
+        |newv AS (SELECT (SELECT max(sk) FROM v1)
+        |    + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk,
+        |    c_custkey, c_name, c_acctbal
+        |  FROM (SELECT * FROM updv UNION ALL SELECT * FROM ins))
+        |SELECT sk AS sk_customer, c_custkey, c_name, c_acctbal,
+        |    '2024-06-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        |  FROM unch
+        |UNION ALL SELECT sk, c_custkey, c_name, c_acctbal,
+        |  '2024-06-01 00:00:00', '2024-07-01 00:00:00', FALSE
+        |  FROM closedupd
+        |UNION ALL SELECT sk, c_custkey, c_name, c_acctbal,
+        |  '2024-06-01 00:00:00', '2024-07-01 00:00:00', FALSE
+        |  FROM closeddel
+        |UNION ALL SELECT sk, c_custkey, c_name, c_acctbal,
+        |  '2024-07-01 00:00:00', NULL, TRUE
+        |  FROM newv
+        |ORDER BY c_custkey, sk_customer""".stripMargin,
     "q_delta_load_fact" ->
       """SELECT l_orderkey, l_linenumber,
         |  COALESCE(sm.sk_supplier, -1) AS sk_supplier, l_quantity

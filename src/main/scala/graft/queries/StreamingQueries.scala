@@ -211,6 +211,44 @@ object StreamingQueries {
         .orderBy("c_mktsegment", "event_type")
     },
 
+    // stream-stream inner join: clicks join purchases of the same user
+    // within the preceding hour. Both sides are watermarked and the join
+    // condition carries the time bound — the two things that let Spark
+    // EVICT join state on an unbounded stream instead of buffering each
+    // side forever (the scale requirement for stream-stream joins).
+    // Ground truth is the same interval join in batch.
+    "q_stream_join" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // a stream-stream join runs FOUR state stores per shuffle
+      // partition (left/right keyed + key-to-num); at the bench's 32
+      // partitions that is 128 stores of setup cost for one bounded
+      // drain. 8 partitions still spread a skewless key space; a real
+      // deployment sizes this to throughput, not the batch default.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+      val ev = StreamFlow.readParquetStream(
+        s, s"$dir/events.parquet", EventsSchema)
+        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("tsm").as("ct"))
+        .withWatermark("ct", "1 hour")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("tsm").as("pt"))
+        .withWatermark("pt", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("pt") >= col("ct") - expr("INTERVAL 1 HOUR") &&
+          col("pt") <= col("ct"))
+      StreamFlow.runToMemory(joined, s, "q_stream_join",
+        outputMode = "append")
+        .select("click_id", "purchase_id", "user_id")
+        .orderBy("click_id", "purchase_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -269,6 +307,17 @@ object StreamingQueries {
         |  ON c_custkey = user_id % (SELECT count(*) FROM customer) + 1
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+    "q_stream_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us FROM ev
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, us FROM ev
+        |  WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.us >= c.us - 3600000000 AND p.us <= c.us
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_total,

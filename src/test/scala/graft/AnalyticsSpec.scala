@@ -188,6 +188,43 @@ class AnalyticsSpec extends SparkSpec {
       === Seq((1L, 3, "a b c"), (2L, 0, "")))
   }
 
+  // --------------------------------------------------------------- bloom
+
+  test("bloom kernel is bit-identical to the declarative membership test") {
+    import graft.functions.BloomFilter
+    val keys = (0 until 50).map(i => (i * 7).toString)
+    val dim = keys.toDF("k")
+    val words = BloomFilter.build(dim, "k", numBits = 1 << 10, numHashes = 5)
+    val probes = (0 until 3000).map(_.toString).toDF("v")
+    val declarative = probes
+      .withColumn("__bh", BloomFilter.hashCol(col("v")))
+      .withColumn("hit", BloomFilter.mightContain(col("__bh"), words, 5))
+      .select("v", "hit").as[(String, Boolean)].collect().toMap
+    val kernel = probes
+      .withColumn("hit", BloomFilter.mightContainUdf(words, 5)(col("v")))
+      .select("v", "hit").as[(String, Boolean)].collect().toMap
+    assert(kernel === declarative)
+    // no false negatives; false-positive rate sane for m=1024, n=50, k=5
+    assert(keys.forall(kernel(_)))
+    val fps = kernel.count { case (v, hit) => hit && !keys.contains(v) }
+    assert(fps < 3000 * 0.05, s"fp rate too high: $fps/3000")
+  }
+
+  test("bloom semiJoin equals the plain semi-join and actually prunes") {
+    import graft.functions.BloomFilter
+    val dim = Seq(3L, 5L, 8L).toDF("dk")
+    val fact = spark.range(1000).toDF("fk")
+      .withColumn("payload", col("fk") * 2)
+    val got = BloomFilter.semiJoin(fact, "fk", dim, "dk")
+      .orderBy("fk").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((3L, 6L), (5L, 10L), (8L, 16L)))
+    val pruned = fact.where(
+      BloomFilter.mightContainUdf(
+        BloomFilter.build(dim, "dk", 1 << 14, 5), 5)(
+        col("fk").cast("string"))).count()
+    assert(pruned < 100, s"bloom should prune most of 1000 rows: $pruned")
+  }
+
   // ----------------------------------------------------------- centroids
 
   test("centroids are exact fixed-point means, order-independent") {

@@ -152,4 +152,48 @@ class WarehouseSpec extends SparkSpec {
     assert(dim.select("load_operation").distinct().count() == 4)
     assert(dim.filter(col("nk_audit") === "BULK_10").count() == 1)
   }
+
+  test("scd2 load closes changed versions, opens new ones, soft-deletes") {
+    implicit val c: GraftConf = tmpConf()
+    val dfl = flow("scd2")
+    dfl.createDataset("s1", Map(
+      "cust_id" -> Seq("10", "20", "30"),
+      "tier" -> Seq("gold", "silver", "bronze")))
+    dfl.write("s1", "dm_cust", Layer.LOD)
+    val spec = DimensionSpec("dm_cust", Seq("cust_id"), Seq("tier"))
+    val v1 = Scd2Load.load(spark, c, spec, "2024-01-01 00:00:00",
+      initial = true)
+    assert(v1.count() == 3)
+    assert(v1.where(col(Scd2Load.IsCurrent)).count() == 3)
+
+    // 10 changes tier (close + open), 20 unchanged, 30 vanishes
+    // (soft delete), 40 appears (insert)
+    val dfl2 = flow("scd2b")
+    dfl2.createDataset("s2", Map(
+      "cust_id" -> Seq("10", "20", "40"),
+      "tier" -> Seq("platinum", "silver", "gold")))
+    dfl2.write("s2", "dm_cust", Layer.LOD)
+    val v2 = Scd2Load.load(spark, c, spec, "2024-02-01 00:00:00")
+    val rows = v2.orderBy("cust_id", "sk_cust").collect().map(r => (
+      r.getAs[String]("cust_id"), r.getAs[Long]("sk_cust"),
+      r.getAs[String]("tier"), r.getAs[Boolean](Scd2Load.IsCurrent),
+      Option(r.getAs[java.sql.Timestamp](Scd2Load.ValidTo)).isDefined))
+    assert(rows.toSeq == Seq(
+      ("10", 1L, "gold", false, true),      // closed old version
+      ("10", 4L, "platinum", true, false),  // new version, fresh SK
+      ("20", 2L, "silver", true, false),    // untouched
+      ("30", 3L, "bronze", false, true),    // soft-deleted (closed)
+      ("40", 5L, "gold", true, false)))     // brand-new member
+    // history stays stable on a THIRD, identical snapshot (idempotence)
+    val v3 = Scd2Load.load(spark, c, spec, "2024-03-01 00:00:00")
+    val rows3 = v3.orderBy("cust_id", "sk_cust").collect().map(r => (
+      r.getAs[String]("cust_id"), r.getAs[Long]("sk_cust"),
+      r.getAs[String]("tier"), r.getAs[Boolean](Scd2Load.IsCurrent),
+      Option(r.getAs[java.sql.Timestamp](Scd2Load.ValidTo)).isDefined))
+    assert(rows3.toSeq == rows.toSeq)
+    // point-in-time lookup: January state has the original tiers
+    val asOfJan = Scd2Load.asOf(v3, "2024-01-15 00:00:00")
+      .orderBy("cust_id").collect().map(_.getAs[String]("tier"))
+    assert(asOfJan.toSeq == Seq("gold", "silver", "bronze"))
+  }
 }
