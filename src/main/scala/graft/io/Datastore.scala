@@ -142,6 +142,90 @@ case class ExcelDatastore(path: String) extends Datastore {
   }
 }
 
+/** Transport abstraction for sheet-service connectors: the reference's
+  * GSheet connector (betl/io/_gsheet.py:9-69, gsheetIO.py:4-12) is a thin
+  * wrapper over `worksheet.get_all_values()` / `append_row()` — i.e. a
+  * fetch-all / replace-all protocol over named sheets. Everything above
+  * that protocol (stringly contract, header row, MDM mapping semantics)
+  * is engine logic and is implemented + tested here; the HTTP/OAuth
+  * transport is the ONLY piece that needs a network, so it is this trait.
+  */
+trait SheetTransport extends Serializable {
+  /** All cell values of a sheet, row-major; empty seq if absent. */
+  def fetch(sheet: String): Seq[Seq[String]]
+  /** Replace a sheet's full contents. */
+  def replace(sheet: String, rows: Seq[Seq[String]]): Unit
+  def sheetNames: Seq[String]
+}
+
+/** Offline [[SheetTransport]]: sheets as TSV files in a directory. The
+  * deterministic stand-in for the Sheets API in an egress-free
+  * environment — swap in an HTTP transport to talk to the real service;
+  * no other line of the connector changes.
+  */
+case class LocalSheetTransport(dir: String) extends SheetTransport {
+  private def file(sheet: String) = new java.io.File(dir, s"$sheet.tsv")
+  def fetch(sheet: String): Seq[Seq[String]] = {
+    val f = file(sheet)
+    if (!f.exists()) Seq.empty
+    else scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .map(_.split("\t", -1).toSeq).toSeq
+  }
+  def replace(sheet: String, rows: Seq[Seq[String]]): Unit = {
+    new java.io.File(dir).mkdirs()
+    require(rows.forall(_.forall(v => !v.contains('\t') && !v.contains('\n'))),
+      s"$sheet: cell values must not contain tabs/newlines in TSV transport")
+    java.nio.file.Files.writeString(file(sheet).toPath,
+      rows.map(_.mkString("\t")).mkString("", "\n", "\n"))
+  }
+  def sheetNames: Seq[String] =
+    Option(new java.io.File(dir).list()).getOrElse(Array.empty)
+      .filter(_.endsWith(".tsv")).map(_.stripSuffix(".tsv")).toSeq.sorted
+}
+
+/** Sheet-service datastore: worksheets as tables over a pluggable
+  * [[SheetTransport]] — the reference's GSheet connector re-expressed
+  * with the network boundary isolated. Same stringly contract as
+  * [[ExcelDatastore]]: first row names columns, every cell is a string,
+  * empty cells are `''`. Control-plane sized (MDM mappings, schema
+  * descriptions) — reads and writes materialise driver-side like the
+  * reference's `get_all_values()` round-trip.
+  */
+case class GSheetDatastore(transport: SheetTransport) extends Datastore {
+  import org.apache.spark.sql.Row
+
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val rows = transport.fetch(table)
+    require(rows.nonEmpty, s"sheet '$table': missing or empty")
+    val header = rows.head
+    val schema = StructType(header.map(StructField(_, StringType)))
+    val data = rows.tail.map(r =>
+      Row.fromSeq(header.indices.map(i => r.lift(i).getOrElse(""))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toSeq, 1), schema)
+  }
+
+  override def tableNames(spark: SparkSession): Seq[String] =
+    transport.sheetNames
+
+  override def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "overwrite"): Unit = {
+    val header = df.columns.toSeq
+    val rows = df.collect().toSeq.map(_.toSeq.map(v =>
+      Option(v).map(_.toString).getOrElse("")))
+    val sheet =
+      if (mode.equalsIgnoreCase("append") && transport.fetch(table).nonEmpty) {
+        val existing = transport.fetch(table)
+        require(existing.head == header,
+          s"sheet '$table' append: frame columns " +
+            s"${header.mkString("[", ",", "]")} do not match sheet header " +
+            s"${existing.head.mkString("[", ",", "]")}")
+        existing ++ rows
+      } else header +: rows
+    transport.replace(table, sheet)
+  }
+}
+
 /** Generic JDBC datastore covering the reference's Postgres/SQLite
   * connectors (betl/io/_postgres.py, _sqlite.py). Reads partition by a
   * numeric column when provided so large tables parallelise across

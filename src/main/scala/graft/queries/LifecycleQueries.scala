@@ -186,6 +186,51 @@ object LifecycleQueries {
         .orderBy("c_custkey", "sk_customer")
     },
 
+    // SCD2 × as-of composition: each fact row joins the dimension VERSION
+    // that was valid at the fact's own time — the point of type-2
+    // history. One as-of join on (member, valid_from) + a row-local
+    // valid_to check (a member's versions partition its timeline, so the
+    // latest valid_from <= t is the valid version unless t outlives it)
+    "q_scd2_fact_asof" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_scd2_fact_asof")
+      val dfl = DataFlow(s, "q_scd2_fact_asof")
+      val base = src(dfl, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val snap1 = base.filter(col("c_custkey") % 11 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") * 2)
+            .otherwise(col("c_acctbal")))
+      val snap2 = base.filter(col("c_custkey") % 7 =!= 2)
+      val spec = DimensionSpec(
+        "dm_customer", Seq("c_custkey"), Seq("c_name", "c_acctbal"))
+      dfl.createDataset("s1", snap1)
+      dfl.prepForLoad("s1", "dm_customer")
+      Scd2Load.load(s, c, spec, "1996-01-01 00:00:00", initial = true)
+      dfl.createDataset("s2", snap2)
+      dfl.prepForLoad("s2", "dm_customer")
+      val dim = Scd2Load.load(s, c, spec, "1997-01-01 00:00:00")
+      val versions = dim.select(
+        col("c_custkey").as("o_custkey"),
+        unix_micros(col(Scd2Load.ValidFrom)).as("vf_us"),
+        col("sk_customer").as("v_sk"),
+        unix_micros(col(Scd2Load.ValidTo)).as("v_vt_us"))
+      val facts = src(dfl, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          // parquet reads the date as TIMESTAMP_NTZ; the UTC session
+          // makes the cast to TIMESTAMP an identity
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+      graft.operators.TemporalJoins.asofJoin(
+        facts, versions, on = Seq("o_custkey"),
+        leftTs = "ts_us", rightTs = "vf_us",
+        rightCols = Seq("v_sk", "v_vt_us"))
+        .withColumn("sk_customer",
+          when(col("v_sk").isNull ||
+            (col("v_vt_us").isNotNull && col("v_vt_us") <= col("ts_us")),
+            -1L).otherwise(col("v_sk")))
+        .select("o_orderkey", "o_custkey", "ts_us", "sk_customer")
+        .orderBy("o_orderkey")
+    },
+
     // §2.3 delta-extract classification (the reference's dormant design):
     // INSERT/UPDATE/DELETE/UNCHANGED via one null-safe full-outer NK join
     "q_delta_classify" -> { (s, dir) =>
@@ -567,6 +612,43 @@ object LifecycleQueries {
         |  '2024-07-01 00:00:00', NULL, TRUE
         |  FROM newv
         |ORDER BY c_custkey, sk_customer""".stripMargin,
+    "q_scd2_fact_asof" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |s1 AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM base WHERE c_custkey % 11 <> 3),
+        |s2 AS (SELECT * FROM base WHERE c_custkey % 7 <> 2),
+        |v1 AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk,
+        |    c_custkey, c_name, c_acctbal FROM s1),
+        |m AS (SELECT v.sk, v.c_custkey, v.c_name AS p_name,
+        |    v.c_acctbal AS p_bal, s.c_name, s.c_acctbal
+        |  FROM v1 v JOIN s2 s USING (c_custkey)),
+        |updv AS (SELECT c_custkey, c_name, c_acctbal FROM m
+        |  WHERE p_name <> c_name OR p_bal <> c_acctbal),
+        |ins AS (SELECT c_custkey, c_name, c_acctbal FROM s2
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM s1)),
+        |newv AS (SELECT (SELECT max(sk) FROM v1)
+        |    + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk,
+        |    c_custkey FROM (SELECT * FROM updv UNION ALL SELECT * FROM ins)),
+        |dim AS (
+        |  SELECT sk, c_custkey,
+        |      TIMESTAMP '1996-01-01 00:00:00' AS valid_from,
+        |      CASE WHEN c_custkey IN (SELECT c_custkey FROM updv)
+        |             OR c_custkey NOT IN (SELECT c_custkey FROM s2)
+        |           THEN TIMESTAMP '1997-01-01 00:00:00' END AS valid_to
+        |    FROM v1
+        |  UNION ALL
+        |  SELECT sk, c_custkey, TIMESTAMP '1997-01-01 00:00:00',
+        |      CAST(NULL AS TIMESTAMP)
+        |    FROM newv)
+        |SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS ts_us,
+        |  coalesce(d.sk, -1) AS sk_customer
+        |FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+        |  AND o.o_orderdate >= d.valid_from
+        |  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_delta_load_fact" ->
       """SELECT l_orderkey, l_linenumber,
         |  COALESCE(sm.sk_supplier, -1) AS sk_supplier, l_quantity

@@ -80,4 +80,67 @@ class DataFlowPropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  test("property: asofJoin matches the naive latest-at-or-before scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L)))
+    check(Prop.forAll(rows, rows, Gen.oneOf(true, false)) {
+      (ls, rs0, inclusive) =>
+        ls.isEmpty || rs0.isEmpty || {
+          // right side unique per (key, ts): as-of target must be
+          val rs = rs0.distinct
+          val left = ls.zipWithIndex
+            .map { case ((k, t), i) => (k, t, i.toLong) }
+            .toDF("k", "t", "lid")
+          val right = rs.zipWithIndex
+            .map { case ((k, t), i) => (k, t, i.toLong) }
+            .toDF("k", "t", "rid0")
+            .select(col("k"), col("t"), col("rid0").as("rid"))
+          val got = graft.operators.TemporalJoins
+            .asofJoin(left, right, Seq("k"), "t", "t", Seq("rid"),
+              inclusive = inclusive)
+            .select("lid", "rid").collect()
+            .map(r => r.getLong(0) ->
+              (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+          val want = ls.zipWithIndex.map { case ((k, t), i) =>
+            val cands = rs.zipWithIndex.filter { case ((rk, rt), _) =>
+              rk == k && (if (inclusive) rt <= t else rt < t)
+            }
+            i.toLong -> (if (cands.isEmpty) -1L
+              else cands.maxBy { case ((_, rt), ri) => (rt, ri) }
+                match { case ((rk2, rt2), _) =>
+                  // latest ts; among equal ts the single unique row
+                  cands.filter(_._1._2 == rt2).map(_._2.toLong).max
+                })
+          }.toMap
+          got == want
+        }
+    })
+  }
+
+  test("property: rangeJoin equals the naive inequality join at any bin width") {
+    import spark.implicits._
+    val pts = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))
+    val rng = Gen.listOfN(10, Gen.zip(Gen.choose(1L, 3L),
+      Gen.zip(Gen.choose(0L, 50L), Gen.choose(1L, 25L))))
+    check(Prop.forAll(pts, rng, Gen.choose(1L, 40L)) { (ps, rg, w) =>
+      ps.isEmpty || rg.isEmpty || {
+        val points = ps.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "pid")
+        val ranges = rg.zipWithIndex
+          .map { case ((k, (s0, len)), i) => (k, s0, s0 + len, i.toLong) }
+          .toDF("k", "s", "e", "rid")
+        val got = graft.operators.TemporalJoins
+          .rangeJoin(points, ranges, Seq("k"), "t", "s", "e", w)
+          .select("pid", "rid").as[(Long, Long)].collect().sorted.toSeq
+        val want = (for {
+          ((pk, pt), pi) <- ps.zipWithIndex
+          ((rk, (s0, len)), ri) <- rg.zipWithIndex
+          if pk == rk && pt >= s0 && pt < s0 + len
+        } yield (pi.toLong, ri.toLong)).sorted
+        got == want
+      }
+    })
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
-import graft.io.{ExcelDatastore, Xlsx}
+import graft.io.{ExcelDatastore, GSheetDatastore, LocalSheetTransport, Xlsx}
+import org.apache.spark.sql.functions._
 
 import java.io.FileOutputStream
 import java.util.zip.{ZipEntry, ZipOutputStream}
@@ -125,5 +126,39 @@ class ExcelSpec extends SparkSpec {
     // A2 = shared string with runs, B2 = gap -> '', C2 = raw numeric
     assert((got.getString(0), got.getString(1), got.getString(2)) ==
       ("widget", "", "42"))
+  }
+
+  test("gsheet datastore round-trips the stringly contract over TSV transport") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gsheet").toString
+    val ds = GSheetDatastore(LocalSheetTransport(dir))
+    import spark.implicits._
+    val df = Seq(("NATION_3", "EU-OVERRIDE"), ("NATION_7", ""))
+      .toDF("n_name", "region_name")
+    ds.write(spark, df, "mapping")
+    assert(ds.tableNames(spark) == Seq("mapping"))
+    val back = ds.read(spark, "mapping").orderBy("n_name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq == Seq(("NATION_3", "EU-OVERRIDE"), ("NATION_7", "")))
+    // append extends; header mismatch refuses
+    ds.write(spark, Seq(("NATION_9", "GHOST")).toDF("n_name", "region_name"),
+      "mapping", mode = "append")
+    assert(ds.read(spark, "mapping").count() == 3)
+    val bad = Seq(("x", "y")).toDF("wrong", "cols")
+    assertThrows[IllegalArgumentException] {
+      ds.write(spark, bad, "mapping", mode = "append")
+    }
+  }
+
+  test("gsheet datastore serves as a DataFlow source system") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gsheet-src").toString
+    val ds = GSheetDatastore(LocalSheetTransport(dir))
+    import spark.implicits._
+    ds.write(spark, Seq(("10", "gold"), ("20", "silver"))
+      .toDF("cust_id", "tier"), "tiers")
+    implicit val c: GraftConf = tmpConf().copy(
+      srcSystems = Map("SHEETS" -> ds))
+    val dfl = flow("gsheet-src")
+    dfl.getDataFromSrc("tiers", "SHEETS")
+    assert(dfl.get("tiers").where(col("tier") === "gold").count() == 1)
   }
 }
