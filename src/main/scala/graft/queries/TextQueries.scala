@@ -67,6 +67,39 @@ object TextQueries {
         "rollhash" -> rollingHash(col("text"))))
       dfl.getColumns("documents", Seq("doc_id", "fp", "simhash", "rollhash"))
         .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition signals: duplicate-3-gram fraction and
+    // top-bigram mass — the standard pretraining filters for boilerplate
+    // and degenerate repetition. Computed via explode + combine-reduced
+    // aggregation (not a per-row O(n²) fold), so a pathological
+    // million-token document costs its length, not its length squared
+    "q_text_repetition" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_text_repetition")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      def gramStats(k: Int) = docs
+        .select(col("doc_id"),
+          explode(graft.text.TextFunctions.ngrams(
+            tokens(col("text")), k)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("total"),
+          max(col("c")).as("top"),
+          count(lit(1)).as("nd"))
+      val b = gramStats(2).select(col("doc_id"),
+        (col("top").cast("double") / col("total")).as("top2_frac"))
+      val t = gramStats(3).select(col("doc_id"),
+        ((col("total") - col("nd")).cast("double") / col("total"))
+          .as("dup3_frac"))
+      docs.select("doc_id")
+        .join(b, Seq("doc_id"), "left")
+        .join(t, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+          coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+        .orderBy("doc_id")
     })
 
   import OracleSql.{toksCte, simHashExpr, tokenHash}
@@ -131,5 +164,30 @@ object TextQueries {
         |      (h, x) -> (h * ${RollingHashBase} + x)
         |        % ${RollingHashP})
         |  END AS rollhash
-        |FROM th ORDER BY doc_id""".stripMargin)
+        |FROM th ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH $toksCte,
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id,
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top2_frac
+        |  FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id,
+        |    CAST(CAST(sum(c) AS BIGINT) - count(*) AS DOUBLE)
+        |      / CAST(sum(c) AS BIGINT) AS dup3_frac
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a2.top2_frac, 0.0) AS top2_frac,
+        |  coalesce(a3.dup3_frac, 0.0) AS dup3_frac
+        |FROM documents d
+        |LEFT JOIN a2 ON d.doc_id = a2.doc_id
+        |LEFT JOIN a3 ON d.doc_id = a3.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 }

@@ -26,6 +26,16 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Word k-grams WITH repeats (unlike the dedup shingles, which are
+    * distinct sets) — repetition statistics need the multiplicities.
+    * Empty for documents shorter than k tokens.
+    */
+  def ngrams(t: Column, k: Int): Column =
+    when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", slice(t, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
   /** BPE-ish sub-word piece count: runs of letters, runs of digits, or a
     * single other non-space char. A cheap, deterministic stand-in for a
     * real tokenizer's piece count (the regex is RE2/Java compatible so

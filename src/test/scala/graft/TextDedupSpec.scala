@@ -261,4 +261,16 @@ class TextDedupSpec extends SparkSpec {
     assert(keys.forall(k => k.length == VectorFunctions.PlaneBandBits &&
       k.forall(c => c == '0' || c == '1')))
   }
+
+  test("ngrams keep repeats and repetition fractions are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("a b a b a b", "x y z", "a").toDF("text")
+    val got = df.select(graft.text.TextFunctions.ngrams(
+      graft.text.TextFunctions.tokens(col("text")), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b", "b a", "a b", "b a", "a b"))
+    assert(got(1) == Seq("x y", "y z"))
+    assert(got(2) == Seq())
+  }
 }
