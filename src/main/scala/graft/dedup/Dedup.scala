@@ -17,17 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Materialise the OUTPUT-sized pair result (localCheckpoint: computed
-    * once, block-manager backed, lineage truncated), then release the
+  /** Eagerly materialise the OUTPUT-sized pair result, then release the
     * corpus-sized cached intermediates. Without this, a long-lived
     * session pins corpus blocks until the GC-driven ContextCleaner
     * happens to reclaim them; the caches are local to each pair
     * generator, so the terminal action can run here.
+    *
+    * persist + count, NOT localCheckpoint: localCheckpoint stores
+    * unreplicated blocks AND truncates lineage, so one lost executor
+    * between here and the caller's action kills the job. persist keeps
+    * the lineage — a lost block recomputes from source (slower, the
+    * caches are gone by then, but correct).
     */
   private[graft] def releasing(caches: DataFrame*)(
-      result: DataFrame): DataFrame =
-    try result.localCheckpoint()
+      result: DataFrame): DataFrame = {
+    val out = result.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { out.count(); out }
     finally caches.foreach(_.unpersist(false))
+  }
 
   // ------------------------------------------------------------------
   // shingling

@@ -52,7 +52,10 @@ object BloomFilter {
     require(numBits % 64 == 0 && numBits > 0, "numBits must be a multiple of 64")
     require(numHashes >= 1 && numHashes <= 16, "1 <= numHashes <= 16")
     val pow2 = array((0 until 64).map(j => lit(1L << j)): _*)
+    // null keys carry no membership information (a semi-join would
+    // ignore them) and a null hash would NPE the getLong below
     val words = df
+      .where(col(keyCol).isNotNull)
       .select(hashCol(col(keyCol)).as("__bh"))
       .select(explode(
         array(positions(col("__bh"), numBits, numHashes): _*)).as("p"))

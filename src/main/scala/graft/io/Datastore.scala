@@ -168,8 +168,8 @@ case class LocalSheetTransport(dir: String) extends SheetTransport {
   def fetch(sheet: String): Seq[Seq[String]] = {
     val f = file(sheet)
     if (!f.exists()) Seq.empty
-    else scala.io.Source.fromFile(f, "UTF-8").getLines()
-      .map(_.split("\t", -1).toSeq).toSeq
+    else scala.util.Using.resource(scala.io.Source.fromFile(f, "UTF-8"))(
+      _.getLines().map(_.split("\t", -1).toSeq).toSeq)
   }
   def replace(sheet: String, rows: Seq[Seq[String]]): Unit = {
     new java.io.File(dir).mkdirs()
@@ -213,9 +213,12 @@ case class GSheetDatastore(transport: SheetTransport) extends Datastore {
     val header = df.columns.toSeq
     val rows = df.collect().toSeq.map(_.toSeq.map(v =>
       Option(v).map(_.toString).getOrElse("")))
+    // fetch once: with a real HTTP transport a second fetch is another
+    // full-sheet download and a TOCTOU window between check and validate
+    val existing = if (mode.equalsIgnoreCase("append")) transport.fetch(table)
+                   else Seq.empty
     val sheet =
-      if (mode.equalsIgnoreCase("append") && transport.fetch(table).nonEmpty) {
-        val existing = transport.fetch(table)
+      if (existing.nonEmpty) {
         require(existing.head == header,
           s"sheet '$table' append: frame columns " +
             s"${header.mkString("[", ",", "]")} do not match sheet header " +

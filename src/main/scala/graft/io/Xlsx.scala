@@ -71,17 +71,31 @@ object Xlsx {
     * as an escape.
     */
   private[graft] def encodeEscapes(s: String): String = {
-    // lookahead (not capture) so the trailing underscore is NOT consumed:
-    // in overlapping literals like "_x0041_x0042_" the shared underscore
-    // starts the second escape too, and a consuming match would leave it
-    // unprotected (decode would corrupt it to "_x0041B")
-    val protectedLiterals =
-      s.replaceAll("_(?=x[0-9A-Fa-f]{4}_)", "_x005F_")
-    protectedLiterals.flatMap {
-      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
-        f"_x${c.toInt}%04X_"
-      case c => c.toString
+    // Single pass deciding per-underscore whether to protect. A literal
+    // "_xHHHH" is dangerous iff the OUTPUT char that follows it is '_' —
+    // which happens when the next input char is a literal '_' (protected
+    // or not, its output starts with '_') OR a control char the encoder
+    // is about to escape (escapes start with '_'). A trailing-underscore
+    // lookahead on the raw input misses the second case: "_x0041"+''
+    // would encode to "_x0041_x0004_" and decode to "Ax0004_".
+    def needsEnc(c: Char) = c < 0x20 && c != '\t' && c != '\n' && c != '\r'
+    def isHex(c: Char) =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (needsEnc(c)) sb.append(f"_x${c.toInt}%04X_")
+      else if (c == '_' && i + 6 < n && s.charAt(i + 1) == 'x' &&
+               isHex(s.charAt(i + 2)) && isHex(s.charAt(i + 3)) &&
+               isHex(s.charAt(i + 4)) && isHex(s.charAt(i + 5)) &&
+               (s.charAt(i + 6) == '_' || needsEnc(s.charAt(i + 6))))
+        sb.append("_x005F_")
+      else sb.append(c)
+      i += 1
     }
+    sb.toString
   }
 
   private def cellText(c: scala.xml.Node, shared: IndexedSeq[String]): String =

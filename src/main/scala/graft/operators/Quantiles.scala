@@ -36,7 +36,11 @@ object Quantiles {
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "quantiles must be in (0, 1]")
-    val hist = df.groupBy((groupCols :+ valueCol).map(col): _*)
+    // SQL percentile functions ignore NULL values; keeping them here
+    // would sort them first (Spark ASC) and shift every position — and
+    // DuckDB sorts nulls LAST, so results would diverge between engines.
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
     val byGroup = Window.partitionBy(groupCols.map(col): _*)
     val cum = sum(col("__cnt")).over(

@@ -51,7 +51,15 @@ object TemporalJoins {
       leftCols.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(0).as("__side"),
         lit(null).cast(payloadT).as("__p")): _*)
-    val r2 = right.select(
+    // SQL join semantics: a NULL equi-key matches nothing. The window
+    // trick would otherwise group null keys TOGETHER (partitionBy treats
+    // null as a value), silently attaching payloads a real join (or a
+    // DuckDB ASOF JOIN oracle) would not. Dropping null-keyed right rows
+    // restores parity: null-keyed left rows share a partition containing
+    // only left rows, so their payload stays null.
+    val r2 = right
+      .where(on.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       on.map(col) ++
         leftCols.filterNot(on.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(

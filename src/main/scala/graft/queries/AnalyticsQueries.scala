@@ -19,20 +19,10 @@ import org.apache.spark.sql.types._
 object AnalyticsQueries {
   import Q._
 
-  /** events.parquet carries TIMESTAMP(NANOS); read raw nanos (legacy
-    * nanosAsLong) and derive micros with integral `div` — epoch-nano
-    * magnitudes exceed 2^53, so a double detour would corrupt them.
-    * DuckDB truncates the same nanos to micros on read, so
+  /** Batch events read off the shared [[Q.EventsSchema]]; DuckDB
+    * truncates the same nanos to micros on read, so
     * `ts div 1000` == `epoch_us(ts)` exactly.
     */
-  private val EventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private def eventsUs(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
@@ -96,7 +86,7 @@ object AnalyticsQueries {
       val dfl = DataFlow(s, "q_tfidf")
       src(dfl, "documents")
       val docs = dfl.get("documents")
-      TfIdf.topTerms(docs, "doc_id", "text", nDocs = docs.count(), k = 5)
+      TfIdf.topTerms(docs, "doc_id", "text", k = 5)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           col("tf_idf"), col("rank").cast("long").as("rank"))
         .orderBy("doc_id", "rank")

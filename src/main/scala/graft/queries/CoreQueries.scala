@@ -40,6 +40,26 @@ object Q {
   def dsum(c: org.apache.spark.sql.Column, scale: Int = 4)
       : org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** events.parquet carries TIMESTAMP(NANOS) — a parquet type Spark does
+    * not map to a timestamp. Every reader takes it as raw nanos (legacy
+    * nanosAsLong flag) and derives micros with integral `div` (epoch-nano
+    * magnitudes exceed 2^53; a double detour would corrupt them). One
+    * shared definition so streaming and analytics reads cannot desync.
+    */
+  private[queries] val EventsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props",
+      org.apache.spark.sql.types.StringType)))
 }
 
 /** Queries exercising the reference's row/schema/data operators

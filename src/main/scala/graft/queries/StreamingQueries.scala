@@ -24,17 +24,7 @@ case class SessionState(
 object StreamingQueries {
   import Q._
 
-  /** events.parquet carries TIMESTAMP(NANOS) — a parquet type Spark does
-    * not map to a timestamp. It is read as raw nanos (legacy nanosAsLong
-    * flag) and converted to a micros TIMESTAMP, which watermarks accept.
-    */
-  private val EventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // events schema shared with the batch readers: Q.EventsSchema
 
   /** Incremental per-user sessionization of a bounded (user_id, ts_us)
     * frame: split into `nSplits` time-ordered files

@@ -42,6 +42,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.get(3)).toSeq === Seq(null, "b", null))
   }
 
+  test("asofJoin null equi-keys match nothing (SQL join semantics)") {
+    val left = Seq[(java.lang.Long, Long, Long)](
+      (null, 10L, 100L), (1L, 10L, 200L)).toDF("k", "t", "lv")
+    val right = Seq[(java.lang.Long, Long, String)](
+      (null, 5L, "x"), (1L, 5L, "y")).toDF("k", "t", "rv")
+      .select(col("k"), col("t"), col("rv"))
+    val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("rv")).orderBy("t", "lv").collect()
+    // the null-keyed left row must NOT pick up the null-keyed right payload
+    assert(out.toSeq === Seq(Row(null, 10L, 100L, null),
+      Row(1L, 10L, 200L, "y")))
+  }
+
   test("asofJoin plans exactly one shuffle (union trick, no join node)") {
     val (left, right) = asofFixture
     val out = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "t",
@@ -100,6 +113,15 @@ class AnalyticsSpec extends SparkSpec {
       Row("a", 1.0, 4.0, 4L),
       Row("b", 0.25, 5.0, 10L), Row("b", 0.5, 5.0, 10L),
       Row("b", 1.0, 7.0, 10L)))
+  }
+
+  test("groupQuantiles ignores null values like SQL percentile functions") {
+    val df = Seq[(String, java.lang.Double)](
+      ("a", null), ("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "x")
+    val out = Quantiles.groupQuantiles(df, Seq("g"), "x",
+      Seq(0.25, 1.0)).orderBy("q").collect()
+    // n=3 (null excluded), p25 → first value, max → 3.0
+    assert(out.toSeq === Seq(Row("a", 0.25, 1.0, 3L), Row("a", 1.0, 3.0, 3L)))
   }
 
   // ----------------------------------------------------------------- hll
@@ -208,6 +230,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(keys.forall(kernel(_)))
     val fps = kernel.count { case (v, hit) => hit && !keys.contains(v) }
     assert(fps < 3000 * 0.05, s"fp rate too high: $fps/3000")
+  }
+
+  test("bloom build ignores null dim keys (a semi-join would too)") {
+    import graft.functions.BloomFilter
+    val dim = Seq[java.lang.Long](3L, null, 5L).toDF("dk")
+    val words = BloomFilter.build(dim, "dk", numBits = 1 << 10, numHashes = 5)
+    val fact = spark.range(10).toDF("fk")
+    val got = BloomFilter.semiJoin(fact, "fk", dim, "dk")
+      .orderBy("fk").as[Long].collect()
+    assert(got.toSeq === Seq(3L, 5L))
   }
 
   test("bloom semiJoin equals the plain semi-join and actually prunes") {

@@ -70,8 +70,15 @@ class ExcelSpec extends SparkSpec {
     // "_x0041_x0042_" has a SHARED underscore between two escape shapes;
     // a consuming protection regex only guards the first and the decoder
     // then corrupts the cell to "_x0041B"
+    // the last four: the trailing underscore completing the escape shape
+    // comes from an ENCODER-GENERATED control-char escape, so input-only
+    // lookahead protection misses it ("_x0041"+'' encodes to
+    // "_x0041_x0004_" and decodes to "Ax0004_")
     val tricky = Seq("_x0041_x0042_", "_x0041_", "_x005F_x0041_",
-      "_x0041_x0042_x0043_", "__x0041_x0042_")
+      "_x0041_x0042_x0043_", "__x0041_x0042_",
+      "_x0041" + 4.toChar, "_x005F" + 4.toChar,
+      "_x0041_x0042" + 1.toChar + "end",
+      "" + 2.toChar + "_x0041" + 2.toChar)
     tricky.foreach { s =>
       assert(Xlsx.decodeEscapes(Xlsx.encodeEscapes(s)) == s, s)
     }
