@@ -342,4 +342,102 @@ object Dedup {
         .select("doc_a", "doc_b", "hamming")
     }
   }
+
+  // ------------------------------------------------------------------
+  // near-dup clustering
+  // ------------------------------------------------------------------
+
+  /** Connected components over an undirected pair list — the step that
+    * turns any pair generator's output ([[jaccardPairs]],
+    * [[minhashLshPairs]], [[simHashPairs]], embedding pairs) into usable
+    * dedup clusters: `(id, cluster)` where `cluster` is the smallest id
+    * reachable from `id` (so `id == cluster` marks the canonical keeper).
+    * Only ids appearing in a pair are returned; untouched documents are
+    * their own trivial cluster by definition.
+    *
+    * Algorithm: iterated hash-min label propagation PLUS pointer jumping
+    * (`comp ← comp(comp)` each round), so convergence is O(log diameter)
+    * rounds, not O(diameter) — a 1M-doc near-dup chain settles in ~20
+    * rounds. Each round is two keyed equi-joins + one map-side-combined
+    * min aggregation; nothing is ever collected to the driver and the
+    * edge list stays partitioned by id throughout, so the operator scales
+    * with cluster count, not corpus size.
+    *
+    * Labels are CHECKPOINTED every round, not merely persisted: each
+    * round's plan embeds several copies of the previous round's, so
+    * without truncation the logical plan grows ~4^rounds and Catalyst
+    * analysis stalls long before the data does (the standard iterative-
+    * DataFrame failure mode). With a checkpoint dir configured
+    * (`sparkContext.setCheckpointDir` — do this on real clusters) rounds
+    * use reliable, replicated checkpoints; otherwise they fall back to
+    * `localCheckpoint`, whose executor-loss caveat is bounded to one
+    * round here rather than a whole downstream job.
+    */
+  def connectedComponents(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    // Union's constraint rewrite (UnionBase.rewriteConstraints) throws
+    // NoSuchElementException when a child's constraints reference the
+    // shared lineage both children derive from (labels ∪ offered below).
+    // Constraint propagation is an optimizer nicety (null-filter
+    // inference); switch it off for the loop's internal plans. Every
+    // frame that escapes this scope is checkpointed, so the setting
+    // cannot leak into caller plans.
+    val sess = pairs.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpOld = sess.conf.getOption(cpKey)
+    sess.conf.set(cpKey, "false")
+    try connectedComponentsLoop(pairs, srcCol, dstCol, maxIter, truncated)
+    finally cpOld match {
+      case Some(v) => sess.conf.set(cpKey, v)
+      case None => sess.conf.unset(cpKey)
+    }
+  }
+
+  private def connectedComponentsLoop(
+      pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int,
+      truncated: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val und = truncated(pairs
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .union(pairs.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // truncated: also strips the `comp = id` alias constraint, which
+    // Union's constraint rewrite mishandles (NoSuchElementException on
+    // the duplicated attribute)
+    var labels = truncated(und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      // hash-min: every node offers its component to each neighbour
+      val offered = und
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val minLab = labels.union(offered)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jump: follow the label one more hop (comp values are
+      // always node ids, so the self-join always matches)
+      val next = truncated(minLab.as("a")
+        .join(minLab.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("a.comp") === col("cid"))
+        .select(col("a.id").as("id"),
+          least(col("a.comp"), col("ccomp")).as("comp")))
+      done = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.comp") =!= col("o.comp")).isEmpty
+      labels = next
+      i += 1
+    }
+    und.unpersist(false)
+    labels
+  }
 }

@@ -111,6 +111,20 @@ object DedupQueries {
           .where(col("cosine") >= CosineThreshold)
           .select("vec_a", "vec_b", "cosine")
       }.orderBy("vec_a", "vec_b")
+    },
+
+    // near-dup clustering: Jaccard pairs → distributed connected
+    // components → (doc_id, cluster = min reachable id); cluster ==
+    // doc_id marks the canonical keeper. Oracle is an INDEPENDENT
+    // formulation: DuckDB recursive-CTE transitive closure.
+    "q_dedup_cluster" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dedup_cluster")
+      val pairs = Dedup.jaccardPairs(src(dfl, "documents"), "text",
+        "doc_id", JaccardThreshold)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")
     })
 
   import OracleSql._
@@ -133,6 +147,26 @@ object DedupQueries {
         |FROM p
         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $toksCte, ${shinglesCte(3)},
+        |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter)
+        |    >= $JaccardThreshold),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT g2.src, r.r FROM edges g2 JOIN reach r ON g2.dst = r.id)
+        |SELECT id AS doc_id, min(r) AS cluster FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_corpus_clean" -> {
       val quality =
         s"""round(

@@ -157,6 +157,28 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("connectedComponents resolves transitive chains to min-id clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, forces real propagation), pair 10-11,
+    // duplicate + reversed edges must not matter
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (3L, 2L), (11L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("connectedComponents handles a long chain within the round budget") {
+    import spark.implicits._
+    // 64-node chain: hash-min alone needs 63 rounds; with pointer
+    // jumping it must settle inside the default 25
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .agg(countDistinct(col("comp")), count(lit(1))).collect().head
+    assert((got.getLong(0), got.getLong(1)) == (1L, 64L))
+  }
+
   test("signature kernel matches the Column expression rendering") {
     val df = textDf(
       1L -> "one two three four five six seven eight",
