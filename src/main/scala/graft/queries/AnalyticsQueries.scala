@@ -164,6 +164,83 @@ object AnalyticsQueries {
           col("chunk_start").cast("long").as("chunk_start"),
           col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // ROLLUP grouping sets: subtotal rows use an 'ALL' sentinel (not
+    // null) so ordering is engine-independent
+    "q_rollup" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_rollup")
+      src(dfl, "lineitem")
+      dfl.get("lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("g1"),
+          grouping(col("l_linestatus")).as("g2"),
+          Q.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          when(col("g1") === 1, lit("ALL"))
+            .otherwise(col("l_returnflag")).as("returnflag"),
+          when(col("g2") === 1, lit("ALL"))
+            .otherwise(col("l_linestatus")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // CUBE over two order dimensions — all four grouping sets
+    "q_cube" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_cube")
+      src(dfl, "orders")
+      dfl.get("orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).as("g1"),
+          grouping(col("o_orderpriority")).as("g2"),
+          Q.dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          when(col("g1") === 1, lit("ALL"))
+            .otherwise(col("o_orderstatus")).as("orderstatus"),
+          when(col("g2") === 1, lit("ALL"))
+            .otherwise(col("o_orderpriority")).as("orderpriority"),
+          col("sum_price"), col("n_rows"))
+        .orderBy("orderstatus", "orderpriority")
+    },
+
+    // cohort retention: users grouped by first-seen day, distinct-user
+    // counts per day offset. ONE shuffle for the cohort day (window min
+    // over user) + the final aggregation — no self-join of events.
+    "q_retention" -> { (s, dir) =>
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+      eventsUs(s, dir)
+        .select(col("user_id"),
+          expr("ts_us div 86400000000").as("d"))
+        .withColumn("d0", min(col("d")).over(byUser))
+        .groupBy(col("d0").as("cohort_day"),
+          (col("d") - col("d0")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // ranking-window battery: rank / dense_rank / ntile / lag / lead
+    // over a deterministic total order within each customer
+    "q_window_rank" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_window_rank")
+      src(dfl, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      dfl.get("orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .where(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
     })
 
   // ------------------------------------------------------------------
@@ -325,5 +402,52 @@ object AnalyticsQueries {
          |  FROM st)
          |SELECT doc_id, chunk_id, chunk_start, len(ch) AS n_tokens,
          |  array_to_string(ch, ' ') AS chunk_text
-         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |    ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |    ELSE l_linestatus END AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |    AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |    ELSE o_orderstatus END AS orderstatus,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |    ELSE o_orderpriority END AS orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+        |    AS sum_price,
+        |  count(*) AS n_rows
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+
+    "q_retention" ->
+      s"""WITH $evCte,
+         |d AS (SELECT user_id, ts_us // 86400000000 AS d FROM ev),
+         |f AS (SELECT user_id, min(d) AS d0 FROM d GROUP BY 1)
+         |SELECT f.d0 AS cohort_day, d.d - f.d0 AS day_offset,
+         |  count(DISTINCT d.user_id) AS n_users
+         |FROM d JOIN f USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_rank" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(4) OVER w AS quartile,
+        |    lag(o_totalprice, 1) OVER w AS prev_price,
+        |    lead(o_totalprice, 1) OVER w AS next_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |SELECT * FROM r WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)
 }
