@@ -143,4 +143,34 @@ class DataFlowPropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  test("property: connectedComponents matches driver-side union-find") {
+    import spark.implicits._
+    // keep Spark rounds cheap: few checks, larger random graphs
+    val edges = Gen.listOfN(18,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    val prop = Prop.forAll(edges) { es0 =>
+      val es = es0.filter { case (a, b) => a != b }
+      es.isEmpty || {
+        val got = graft.dedup.Dedup
+          .connectedComponents(es.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .as[(Long, Long)].collect().sorted.toSeq
+        // reference: classic union-find with min-id canonicalisation
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.toSeq.map(x => (x, find(x))).sorted
+        got == want
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
