@@ -90,8 +90,35 @@ object HllSketch {
     * and empty registers remain. `sum_pow` is an exact integer, so the
     * only float op on the main path is one double division.
     */
-  def estimate(regs: DataFrame): DataFrame =
-    regs.agg(
+  def estimate(regs: DataFrame): DataFrame = groupedEstimate(regs, Nil)
+
+  /** Per-group register maxima — the realistic shape at scale (distinct
+    * users per event type / day / source): ONE map-side-combined
+    * aggregation to groups×[[M]] rows. Never-hit registers are restored
+    * as zeros via a (distinct groups) × range(M) frame — group
+    * cardinality is sketch-sized (it bounds the OUTPUT), so the cross
+    * join is a broadcast of 64 rows, not a data-sized product.
+    */
+  def groupedRegisters(
+      spark: SparkSession, df: DataFrame, groupCols: Seq[String],
+      valueCol: String, salt: String = "hll:"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val h = hash(col(valueCol), salt)
+    val hit = df
+      .select(groupCols.map(col) :+ bucketCol(h).as("bucket") :+
+        rhoCol(h).as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("m"))
+    df.select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(spark.range(M).toDF("bucket")))
+      .join(hit, groupCols :+ "bucket", "left")
+      .select(groupCols.map(col) :+ col("bucket") :+
+        coalesce(col("m"), lit(0)).as("m"): _*)
+  }
+
+  /** [[estimate]] per group (pass `Nil` for the global single row). */
+  def groupedEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("m_buckets"),
       sum(powCol(col("m"))).as("sum_pow"),
       sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))

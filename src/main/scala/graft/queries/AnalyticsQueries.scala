@@ -109,6 +109,25 @@ object AnalyticsQueries {
         ev.agg(count_distinct(col("event_id")).as("exact_distinct")))
     },
 
+    // grouped HLL: distinct users per event type — the realistic sketch
+    // shape at scale. Estimate rounded to 6dp: the linear-counting
+    // branch's ln() may differ by an ulp between JVM Math.log and
+    // DuckDB's libm.
+    "q_hll_grouped" -> { (s, dir) =>
+      val ev = eventsUs(s, dir)
+      val est = HllSketch.groupedEstimate(
+        HllSketch.groupedRegisters(s, ev, Seq("event_type"), "user_id"),
+        Seq("event_type"))
+      est
+        .join(ev.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("exact_distinct")),
+          Seq("event_type"))
+        .select(col("event_type"), col("m_buckets"), col("sum_pow"),
+          col("n_zero"), round(col("estimate"), 6).as("est_r"),
+          col("exact_distinct"))
+        .orderBy("event_type")
+    },
+
     // stratified deterministic hash sample (50% en / 20% rest)
     "q_sample_stratified" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -361,6 +380,40 @@ object AnalyticsQueries {
          |    ELSE $hllNumerator / sum_pow END AS estimate,
          |  (SELECT count(DISTINCT event_id) FROM events) AS exact_distinct
          |FROM agg""".stripMargin,
+
+    "q_hll_grouped" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ${OracleSql.tokenHash("'hll:' || CAST(user_id AS VARCHAR)")}
+         |    AS h FROM events),
+         |b AS (SELECT event_type, h % ${HllSketch.M} AS bucket,
+         |        h // ${HllSketch.M} AS rest FROM h),
+         |r AS (SELECT event_type, bucket, ${hllRho("rest")} AS rho FROM b),
+         |regs0 AS (SELECT event_type, bucket, max(rho) AS m FROM r
+         |  GROUP BY 1, 2),
+         |g AS (SELECT DISTINCT event_type FROM events),
+         |allb AS (SELECT g.event_type, range AS bucket
+         |  FROM g CROSS JOIN range(0, ${HllSketch.M})),
+         |regs AS (SELECT allb.event_type, allb.bucket,
+         |    coalesce(regs0.m, 0) AS m
+         |  FROM allb LEFT JOIN regs0
+         |    ON allb.event_type = regs0.event_type
+         |    AND allb.bucket = regs0.bucket),
+         |agg AS (SELECT event_type, count(*) AS m_buckets,
+         |  CAST(sum($hllPowList[m + 1]) AS BIGINT) AS sum_pow,
+         |  CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id)
+         |    AS exact_distinct FROM events GROUP BY 1)
+         |SELECT agg.event_type, m_buckets, sum_pow, n_zero,
+         |  round(CASE
+         |    WHEN $hllNumerator / sum_pow <= ${HllSketch.SmallRangeThreshold}
+         |      AND n_zero > 0
+         |    THEN ${HllSketch.M}.0 * ln(${HllSketch.M}.0 / n_zero)
+         |    ELSE $hllNumerator / sum_pow END, 6) AS est_r,
+         |  exact_distinct
+         |FROM agg JOIN ex ON agg.event_type = ex.event_type
+         |ORDER BY agg.event_type""".stripMargin,
 
     "q_sample_stratified" -> {
       val h = OracleSql.tokenHash("'sample:' || CAST(doc_id AS VARCHAR)")
