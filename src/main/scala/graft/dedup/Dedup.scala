@@ -133,14 +133,17 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc").orderBy("df", "g")))
       .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-    // (no cache here: the two self-join sides are identical subtrees and
-    // ReuseExchange already computes the window shuffle once — measured
-    // faster than materialising the exploded prefix index)
-    val cand = prefix.select(col("g"), col("doc").as("doc_a"))
-      .join(prefix.select(col("g"), col("doc").as("doc_b")), Seq("g"))
+    // cache the id-only prefix index: AQE turns ONE self-join side into
+    // a broadcast, so the two sides' exchanges no longer match and
+    // ReuseExchange stops deduplicating them — without the cache the
+    // whole inverted-index + window pipeline runs twice (measured 12.4s
+    // vs 7.5s at sf0.1)
+    val pidx = prefix.select(col("g"), col("doc")).cache()
+    val cand = pidx.select(col("g"), col("doc").as("doc_a"))
+      .join(pidx.select(col("g"), col("doc").as("doc_b")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    releasing(sh) {
+    releasing(sh, pidx) {
       cand
         .join(sh.select(col("doc").as("doc_a"), col("s").as("sa"),
           col("n").as("na")), Seq("doc_a"))
