@@ -242,6 +242,30 @@ object AnalyticsQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // ordered event funnel: users reaching signup → later click → later
+    // purchase. Three cascaded keyed aggregations — each stage's frame
+    // is user-sized, so AQE broadcasts it into the next stage's join;
+    // nothing is ever events × events.
+    "q_funnel" -> { (s, dir) =>
+      val ev = eventsUs(s, dir)
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, Seq("user_id")).where(col("ts_us") >= col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).where(col("ts_us") >= col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .withColumn("stage", lit(name))
+      stage(s1, "1_signup")
+        .unionByName(stage(s2, "2_click"))
+        .unionByName(stage(s3, "3_purchase"))
+        .select("stage", "n_users")
+        .orderBy("stage")
+    },
+
     // ranking-window battery: rank / dense_rank / ntile / lag / lead
     // over a deterministic total order within each customer
     "q_window_rank" -> { (s, dir) =>
@@ -489,6 +513,22 @@ object AnalyticsQueries {
          |  count(DISTINCT d.user_id) AS n_users
          |FROM d JOIN f USING (user_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      s"""WITH $evCte,
+         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM ev e
+         |  JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND ts_us >= t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM ev e
+         |  JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND ts_us >= t2 GROUP BY 1)
+         |SELECT stage, n_users FROM (
+         |  SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+         |  UNION ALL SELECT '2_click', count(*) FROM s2
+         |  UNION ALL SELECT '3_purchase', count(*) FROM s3)
+         |ORDER BY stage""".stripMargin,
 
     "q_window_rank" ->
       """WITH r AS (
