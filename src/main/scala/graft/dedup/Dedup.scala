@@ -406,14 +406,17 @@ object Dedup {
       pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int,
       truncated: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // null filter AFTER the union so both directions of a null-endpoint
+    // edge (including ids whose long cast nulls out) are dropped; no
+    // extra persist on top of the checkpoint — the checkpoint blocks ARE
+    // the materialisation, a persist would store the scan a second time
     val und = truncated(pairs
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
       .union(pairs.select(col(dstCol).cast("long").as("src"),
         col(srcCol).cast("long").as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct())
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // truncated: also strips the `comp = id` alias constraint, which
     // Union's constraint rewrite mishandles (NoSuchElementException on
     // the duplicated attribute)
@@ -426,8 +429,13 @@ object Dedup {
       val offered = und
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("comp"))
+      // persist: minLab feeds BOTH sides of the pointer-jump join, and
+      // when AQE broadcasts one side the exchanges stop matching and
+      // ReuseExchange would compute the union+aggregate twice per round
+      // (same failure mode as the pidx cache in jaccardPairsPrefix)
       val minLab = labels.union(offered)
         .groupBy("id").agg(min("comp").as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer jump: follow the label one more hop (comp values are
       // always node ids, so the self-join always matches)
       val next = truncated(minLab.as("a")
@@ -435,12 +443,16 @@ object Dedup {
           col("a.comp") === col("cid"))
         .select(col("a.id").as("id"),
           least(col("a.comp"), col("ccomp")).as("comp")))
+      minLab.unpersist(false)
       done = next.as("n").join(labels.as("o"), "id")
         .where(col("n.comp") =!= col("o.comp")).isEmpty
       labels = next
       i += 1
     }
-    und.unpersist(false)
+    // per-round checkpoint blocks (und and each round's labels) are
+    // reclaimed by the ContextCleaner as the local frames go out of
+    // scope — the Dataset API has no explicit free for localCheckpoint
+    // storage, which is why the loop keeps at most two live rounds
     labels
   }
 }

@@ -109,11 +109,19 @@ object HllSketch {
         rhoCol(h).as("rho"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("m"))
-    df.select(groupCols.map(col): _*).distinct()
-      .crossJoin(broadcast(spark.range(M).toDF("bucket")))
-      .join(hit, groupCols :+ "bucket", "left")
-      .select(groupCols.map(col) :+ col("bucket") :+
-        coalesce(col("m"), lit(0)).as("m"): _*)
+    // groups come from the already-aggregated `hit` (output-sized), not
+    // a second corpus scan; the restore join is NULL-SAFE on the group
+    // keys so a null group keeps its registers (a plain left join would
+    // zero them all and report 0 distinct for a group with real data)
+    val dense = hit.select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(spark.range(M).toDF("bucket"))).as("d")
+    val ha = hit.as("h")
+    val cond = (groupCols.map(c => col(s"d.$c") <=> col(s"h.$c")) :+
+      (col("d.bucket") === col("h.bucket"))).reduce(_ && _)
+    dense.join(ha, cond, "left")
+      .select(groupCols.map(c => col(s"d.$c").as(c)) :+
+        col("d.bucket").as("bucket") :+
+        coalesce(col("h.m"), lit(0)).as("m"): _*)
   }
 
   /** [[estimate]] per group (pass `Nil` for the global single row). */

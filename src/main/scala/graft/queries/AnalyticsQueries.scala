@@ -415,13 +415,13 @@ object AnalyticsQueries {
          |r AS (SELECT event_type, bucket, ${hllRho("rest")} AS rho FROM b),
          |regs0 AS (SELECT event_type, bucket, max(rho) AS m FROM r
          |  GROUP BY 1, 2),
-         |g AS (SELECT DISTINCT event_type FROM events),
+         |g AS (SELECT DISTINCT event_type FROM regs0),
          |allb AS (SELECT g.event_type, range AS bucket
          |  FROM g CROSS JOIN range(0, ${HllSketch.M})),
          |regs AS (SELECT allb.event_type, allb.bucket,
          |    coalesce(regs0.m, 0) AS m
          |  FROM allb LEFT JOIN regs0
-         |    ON allb.event_type = regs0.event_type
+         |    ON allb.event_type IS NOT DISTINCT FROM regs0.event_type
          |    AND allb.bucket = regs0.bucket),
          |agg AS (SELECT event_type, count(*) AS m_buckets,
          |  CAST(sum($hllPowList[m + 1]) AS BIGINT) AS sum_pow,

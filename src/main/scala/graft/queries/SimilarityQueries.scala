@@ -29,33 +29,41 @@ object SimilarityQueries {
   private val NumQueries = 5
   private val TopK = 10
 
+  /** Shared brute-force top-k scaffold: collect the [[NumQueries]] query
+    * vectors as literal PARAMETERS (this is the query workload, not
+    * data), explode them against the corpus scan, score with the native
+    * codegen'd cosine expression, and keep the per-query top-k — plan is
+    * scan → generate → window, no crossJoin, one shuffle.
+    */
+  private def bruteTopK(
+      s: SparkSession, v: DataFrame, vecCol: String,
+      scoreName: String): DataFrame = {
+    val qRows = v.filter(col("vec_id") < NumQueries)
+      .orderBy("vec_id").collect()
+    val qLit = array(qRows.map { r =>
+      struct(lit(r.getLong(0)).as("qid"),
+        array(r.getSeq[Float](1).map(f => lit(f)): _*).as("pqv"))
+    }: _*)
+    val rank = row_number().over(
+      Window.partitionBy("qid").orderBy(desc(scoreName), asc("vec_id")))
+    v.select(col("vec_id"), col(vecCol), explode(qLit).as("p"))
+      .select(col("p.qid").as("qid"), col("vec_id"), col(vecCol),
+        col("p.pqv").as("pqv"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn(scoreName,
+        graft.functions.GraftFunctions.cosineSim(s, col("pqv"), col(vecCol)))
+      .withColumn("rank", rank.cast("bigint"))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor"), col(scoreName),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   private def annBrute(s: SparkSession, dir: String): DataFrame = {
     implicit val c: GraftConf = conf(dir)
     val dfl = DataFlow(s, "q_ann_brute")
     val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
-    // query vectors as literal parameters (float → double is exact)
-    val qRows = emb.filter(col("vec_id") < NumQueries)
-      .orderBy("vec_id").collect()
-    val qLit = array(qRows.map { r =>
-      struct(
-        lit(r.getLong(0)).as("qid"),
-        array(r.getSeq[Float](1).map(f => lit(f)): _*).as("qv"))
-    }: _*)
-    val rank = row_number().over(
-      Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id")))
-    emb.select(col("vec_id"), col("embedding"), explode(qLit).as("q"))
-      .select(col("q.qid").as("qid"), col("vec_id"), col("embedding"),
-        col("q.qv").as("qv"))
-      .where(col("qid") =!= col("vec_id"))
-      // native codegen'd Catalyst expression — bit-identical to the
-      // Column fold, no UDF SerDe, stays inside whole-stage codegen
-      .withColumn("cosine",
-        graft.functions.GraftFunctions.cosineSim(s, col("qv"), col("embedding")))
-      .withColumn("rank", rank.cast("bigint"))
-      .where(col("rank") <= TopK)
-      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"),
-        col("rank"))
-      .orderBy("qid", "rank")
+    bruteTopK(s, emb, "embedding", "cosine")
   }
 
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
@@ -190,25 +198,7 @@ object SimilarityQueries {
         x => floor(x.cast("double") * (lit(127.0) / col("maxabs"))
           + lit(0.5)).cast("float")))
       .select("vec_id", "qv")
-    val qRows = v.filter(col("vec_id") < NumQueries)
-      .orderBy("vec_id").collect()
-    val qLit = array(qRows.map { r =>
-      struct(lit(r.getLong(0)).as("qid"),
-        array(r.getSeq[Float](1).map(f => lit(f)): _*).as("pqv"))
-    }: _*)
-    val rank = row_number().over(
-      Window.partitionBy("qid").orderBy(desc("cosq"), asc("vec_id")))
-    v.select(col("vec_id"), col("qv"), explode(qLit).as("p"))
-      .select(col("p.qid").as("qid"), col("vec_id"), col("qv"),
-        col("p.pqv").as("pqv"))
-      .where(col("qid") =!= col("vec_id"))
-      .withColumn("cosq",
-        graft.functions.GraftFunctions.cosineSim(s, col("pqv"), col("qv")))
-      .withColumn("rank", rank.cast("bigint"))
-      .where(col("rank") <= TopK)
-      .select(col("qid"), col("vec_id").as("neighbor"), col("cosq"),
-        col("rank"))
-      .orderBy("qid", "rank")
+    bruteTopK(s, v, "qv", "cosq")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
