@@ -500,6 +500,33 @@ class DataFlow(
         ids.map(col).toArray, colsToPivot.map(col).toArray, varName, valName))
     }(r => Some(r.get(dataset)))
 
+  /** Long→wide pivot — the inverse of [[pivotColsToRows]] (extension: the
+    * reference only melts, never pivots back). `pivotValues` is EXPLICIT:
+    * with it, Spark skips the eager distinct-scan of `pivotCol` that the
+    * values-less overload runs — at 100 TB that pre-pass costs as much as
+    * the pivot itself — and the output schema is static for downstream
+    * plans. Rows whose `pivotCol` is outside `pivotValues` are dropped,
+    * matching SQL conditional aggregation.
+    */
+  def pivotRowsToCols(
+      dataset: String,
+      groupCols: Seq[String],
+      pivotCol: String,
+      pivotValues: Seq[String],
+      agg: Column,
+      prefix: String = ""): DataFlow =
+    log.step("pivotRowsToCols", dataset) {
+      val wide = get(dataset)
+        .groupBy(groupCols.map(col): _*)
+        .pivot(pivotCol, pivotValues)
+        .agg(agg)
+      val renamed =
+        if (prefix.isEmpty) wide
+        else pivotValues.foldLeft(wide)((d, v) =>
+          d.withColumnRenamed(v, s"$prefix$v"))
+      put(dataset, renamed)
+    }(r => Some(r.get(dataset)))
+
   // -------------------------------------------------------------------
   // §2.7 audit / load prep
   // -------------------------------------------------------------------

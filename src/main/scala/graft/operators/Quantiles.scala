@@ -60,4 +60,24 @@ object Quantiles {
       .select((groupCols.map(col) :+ col("q") :+
         col(valueCol).as("quantile_value") :+ col("__n").as("n_rows")): _*)
   }
+
+  /** Fixed-width bucket histogram of an integer measure: one row per
+    * occupied bucket with its row count and actual value bounds. The last
+    * bucket (`nBuckets - 1`) is open-ended so outliers cannot explode the
+    * bucket space. Pure map-side-combined aggregation — the distribution
+    * profile of a 100 TB column costs one combine-reduced shuffle of at
+    * most `nBuckets` rows per partition.
+    */
+  def histogram(
+      df: DataFrame, value: Column, width: Long, nBuckets: Int)
+      : DataFrame = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    df.select(value.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(least(floor(col("__v") / width), lit(nBuckets - 1L))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("min_value"),
+        max(col("__v")).as("max_value"))
+  }
 }

@@ -2,9 +2,10 @@ package graft.queries
 
 import graft._
 import graft.functions.HllSketch
-import graft.operators.{Quantiles, Sampling, TemporalJoins}
+import graft.operators.{PerKey, Profile, Quantiles, Sampling, Sessionize,
+  TemporalJoins, TimeSeries}
 import graft.similarity.Centroids
-import graft.text.{Chunker, TfIdf}
+import graft.text.{Chunker, TextFunctions, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -284,7 +285,91 @@ object AnalyticsQueries {
           lead(col("o_totalprice"), 1).over(w).as("next_price"))
         .where(col("rnk") <= 3)
         .orderBy("o_custkey", "rnk", "o_orderkey")
+    },
+
+    // batch gap sessionization (30-minute inactivity): the batch
+    // complement of q_stream_sessionize — one window shuffle, and the
+    // per-session aggregation reuses the window's hash partitioning
+    "q_sessionize" -> { (s, dir) =>
+      Sessionize.sessionize(
+        eventsUs(s, dir).select("user_id", "ts_us", "event_id"),
+        keyCol = "user_id", tsCol = "ts_us",
+        gap = 30L * 60 * 1000000, tieBreak = Seq("event_id"))
+        .orderBy("user_id", "session_seq")
+    },
+
+    // long→wide pivot with EXPLICIT values (no distinct pre-scan)
+    "q_pivot" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_pivot")
+      src(dfl, "lineitem")
+      dfl.pivotRowsToCols("lineitem",
+        groupCols = Seq("l_returnflag"), pivotCol = "l_linestatus",
+        pivotValues = Seq("F", "O"),
+        agg = sum(col("l_quantity").cast(DecimalType(28, 4))),
+        prefix = "qty_")
+      dfl.get("lineitem")
+        .select(col("l_returnflag"),
+          col("qty_F").cast("double").as("qty_F"),
+          col("qty_O").cast("double").as("qty_O"))
+        .orderBy("l_returnflag")
+    },
+
+    // latest order per customer: max_by aggregation (map-side combine)
+    // instead of a window sort — each partition ships one candidate row
+    // per key
+    "q_latest_per_key" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_latest_per_key")
+      src(dfl, "orders")
+      val o = dfl.get("orders").select(
+        col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      PerKey.argMax(o, keys = Seq("o_custkey"),
+        ordering = Seq("order_us", "o_orderkey"),
+        payload = Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_custkey")
+    },
+
+    // time-series gap fill: dense daily axis per event type, missing
+    // days zero-filled — grid frames are output-sized, never input-sized
+    "q_gapfill" -> { (s, dir) =>
+      val ev = eventsUs(s, dir).select("event_type", "ts_us", "value")
+      TimeSeries.gapFill(ev, groupCol = "event_type",
+        bucket = expr("ts_us div 86400000000"), bucketName = "day",
+        aggs = Seq(count(lit(1)).as("n_events"),
+          Q.dsum(col("value"), 2).as("total_value")))
+        .orderBy("event_type", "day")
+    },
+
+    // token-length histogram of the document corpus (fixed-width,
+    // open-ended last bucket) — one combine-reduced aggregation
+    "q_histogram" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_histogram")
+      src(dfl, "documents")
+      Quantiles.histogram(dfl.get("documents"),
+        value = size(TextFunctions.tokens(col("text"))),
+        width = 20, nBuckets = 20)
+        .orderBy("bucket")
+    },
+
+    // one-pass column profiling: nulls / distincts / bounds for four
+    // customer columns out of a single scan
+    "q_profile" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_profile")
+      src(dfl, "customer")
+      Profile.profile(dfl.get("customer"), ProfileCols)
+        .orderBy("col_name")
     })
+
+  /** Columns profiled by q_profile: strings and integers only — float
+    * min/max would surface engine-specific decimal rendering.
+    */
+  private val ProfileCols =
+    Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
 
   // ------------------------------------------------------------------
   // oracles
@@ -542,5 +627,90 @@ object AnalyticsQueries {
         |  WINDOW w AS (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey ASC))
         |SELECT * FROM r WHERE rnk <= 3
-        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH $evCte,
+         |o AS (SELECT user_id, ts_us, event_id,
+         |  lag(ts_us) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS prev
+         |  FROM ev),
+         |m AS (SELECT user_id, ts_us, event_id,
+         |  CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+         |    THEN 1 ELSE 0 END AS boundary FROM o),
+         |sq AS (SELECT user_id, ts_us,
+         |  CAST(sum(boundary) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS session_seq
+         |  FROM m)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(ts_us) AS session_start, max(ts_us) AS session_end,
+         |  max(ts_us) - min(ts_us) AS duration
+         |FROM sq GROUP BY 1, 2
+         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE)
+        |    AS "qty_F",
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE)
+        |    AS "qty_O"
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS order_us,
+        |    o_orderkey, o_totalprice, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY epoch_us(o_orderdate) DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, order_us, o_orderkey, o_totalprice,
+        |  o_orderstatus
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_gapfill" ->
+      s"""WITH $evCte,
+         |c AS (SELECT event_type, ts_us // 86400000000 AS day,
+         |    count(*) AS n_events,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+         |      AS total_value
+         |  FROM ev GROUP BY 1, 2),
+         |b AS (SELECT min(ts_us // 86400000000) AS mn,
+         |    max(ts_us // 86400000000) AS mx FROM ev),
+         |days AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+         |g AS (SELECT DISTINCT event_type FROM ev)
+         |SELECT g.event_type, days.day,
+         |  coalesce(c.n_events, 0) AS n_events,
+         |  coalesce(c.total_value, 0.0) AS total_value
+         |FROM days CROSS JOIN g
+         |LEFT JOIN c ON c.event_type = g.event_type AND c.day = days.day
+         |ORDER BY g.event_type, days.day""".stripMargin,
+
+    "q_histogram" ->
+      s"""WITH ${OracleSql.toksCte},
+         |v AS (SELECT len(w) AS v FROM toks)
+         |SELECT least(v // 20, 19) AS bucket, count(*) AS n_rows,
+         |  min(v) AS min_value, max(v) AS max_value
+         |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_profile" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(s"count($c) AS nn$i", s"count(DISTINCT $c) AS nd$i",
+          s"min(CAST($c AS VARCHAR)) AS mn$i",
+          s"max(CAST($c AS VARCHAR)) AS mx$i")
+      }.mkString(", ")
+      val branches = cols.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS col_name, n AS n_rows, n - nn$i AS n_nulls,
+           |  nd$i AS n_distinct, mn$i AS min_str, mx$i AS max_str FROM s"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT count(*) AS n, $aggs FROM customer)
+         |$branches
+         |ORDER BY col_name""".stripMargin
+    })
 }

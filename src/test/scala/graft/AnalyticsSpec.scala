@@ -1,7 +1,9 @@
 package graft
 
 import graft.functions.HllSketch
-import graft.operators.{Quantiles, Sampling, TemporalJoins}
+import graft.operators.{PerKey, Profile, Quantiles, Sampling, Sessionize,
+  TemporalJoins, TimeSeries}
+import graft.queries.Q
 import graft.similarity.Centroids
 import graft.text.Chunker
 import org.apache.spark.sql.Row
@@ -275,5 +277,123 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy("label", "dim")
       .select("label", "dim", "n_vectors", "centroid").collect()
     assert(rev.toSeq === out.toSeq)
+  }
+
+  // ---------------------------------------------------------- sessionize
+
+  test("sessionize splits on gaps and aggregates per session") {
+    // user 1: events at 0, 10, 100 (gap 50 splits before 100); user 2: one
+    val ev = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 100L, 3L),
+      (2L, 7L, 4L)).toDF("u", "t", "id")
+    val out = Sessionize.sessionize(ev, "u", "t", gap = 50,
+      tieBreak = Seq("id")).orderBy("u", "session_seq").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 1L, 2L, 0L, 10L, 10L),
+      Row(1L, 2L, 1L, 100L, 100L, 0L),
+      Row(2L, 1L, 1L, 7L, 7L, 0L)))
+  }
+
+  test("sessionize ties at a timestamp never open a session mid-tie") {
+    val ev = Seq((1L, 5L, 9L), (1L, 5L, 1L), (1L, 5L, 4L))
+      .toDF("u", "t", "id")
+    val out = Sessionize.sessionize(ev, "u", "t", gap = 1,
+      tieBreak = Seq("id")).collect()
+    assert(out.toSeq === Seq(Row(1L, 1L, 3L, 5L, 5L, 0L)))
+  }
+
+  test("sessionize plans ONE exchange (agg reuses the window partitioning)") {
+    val ev = Seq((1L, 0L, 1L)).toDF("u", "t", "id")
+    val plan = Sessionize.sessionize(ev, "u", "t", gap = 50,
+      tieBreak = Seq("id")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size === 1,
+      s"expected a single exchange:\n$plan")
+  }
+
+  // -------------------------------------------------------------- argMax
+
+  test("argMax keeps the row with the greatest ordering tuple per key") {
+    val df = Seq(
+      (1L, 10L, 2L, "a"), (1L, 10L, 5L, "b"), (1L, 9L, 9L, "c"),
+      (2L, 1L, 1L, "d")).toDF("k", "t", "seq", "v")
+    val out = PerKey.argMax(df, Seq("k"), Seq("t", "seq"), Seq("v"))
+      .orderBy("k").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 10L, 5L, "b"), // tie on t broken by seq
+      Row(2L, 1L, 1L, "d")))
+  }
+
+  test("argMax equals the window row_number formulation") {
+    val r = new scala.util.Random(7)
+    val df = (1 to 500).map(i =>
+      (r.nextInt(20).toLong, r.nextInt(50).toLong, i.toLong, r.nextInt(9)))
+      .toDF("k", "t", "seq", "v")
+    val viaAgg = PerKey.argMax(df, Seq("k"), Seq("t", "seq"), Seq("v"))
+      .orderBy("k").collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("t").desc, col("seq").desc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).select("k", "t", "seq", "v")
+      .orderBy("k").collect()
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+  }
+
+  // ------------------------------------------------------------- gapFill
+
+  test("gapFill produces a dense axis with zero-filled measures") {
+    val df = Seq(("a", 1L, 5.0), ("a", 3L, 2.0), ("b", 2L, 1.0))
+      .toDF("g", "d", "v")
+    val out = TimeSeries.gapFill(df, "g", col("d"), "day",
+      Seq(count(lit(1)).as("n"), Q.dsum(col("v"), 2).as("tv")))
+      .orderBy("g", "day").collect()
+    assert(out.toSeq === Seq(
+      Row("a", 1L, 1L, 5.0), Row("a", 2L, 0L, 0.0), Row("a", 3L, 1L, 2.0),
+      Row("b", 1L, 0L, 0.0), Row("b", 2L, 1L, 1.0), Row("b", 3L, 0L, 0.0)))
+  }
+
+  // ----------------------------------------------------------- histogram
+
+  test("histogram buckets are fixed-width with an open-ended last bucket") {
+    val df = (Seq(0L, 5L, 19L, 20L, 45L, 1000L) :+ -1L).toDF("v")
+    val out = Quantiles.histogram(df.where(col("v") >= 0), col("v"),
+      width = 20, nBuckets = 3).orderBy("bucket").collect()
+    assert(out.toSeq === Seq(
+      Row(0L, 3L, 0L, 19L),   // [0, 20)
+      Row(1L, 1L, 20L, 20L),  // [20, 40)
+      Row(2L, 2L, 45L, 1000L))) // open-ended
+  }
+
+  // ------------------------------------------------------------- profile
+
+  test("profile computes nulls/distincts/bounds in one aggregation") {
+    val df = Seq(("x", java.lang.Long.valueOf(3L)),
+      ("y", java.lang.Long.valueOf(1L)), ("x", null))
+      .toDF("s", "n")
+    val out = Profile.profile(df, Seq("s", "n")).orderBy("col_name")
+      .collect()
+    assert(out.toSeq === Seq(
+      Row("n", 3L, 1L, 2L, "1", "3"),
+      Row("s", 3L, 0L, 2L, "x", "y")))
+    val plan = Profile.profile(df, Seq("s", "n"))
+      .queryExecution.optimizedPlan.toString
+    // one source scan feeds all statistics
+    assert("LocalRelation".r.findAllMatchIn(plan).size <= 1,
+      s"profile must not re-scan per column:\n$plan")
+  }
+
+  // ---------------------------------------------------- pivotRowsToCols
+
+  test("pivotRowsToCols is the inverse of pivotColsToRows on sums") {
+    implicit val c: GraftConf = tmpConf()
+    val dfl = DataFlow(spark, "pivot_spec")
+    dfl.createDataset("t", Seq(("r1", "F", 2.0), ("r1", "O", 3.0),
+      ("r2", "F", 5.0), ("r1", "F", 4.0)).toDF("k", "st", "qty"))
+    dfl.pivotRowsToCols("t", Seq("k"), "st", Seq("F", "O"),
+      sum(col("qty").cast(org.apache.spark.sql.types.DecimalType(28, 4))),
+      prefix = "qty_")
+    val wide = dfl.get("t")
+      .select(col("k"), col("qty_F").cast("double"),
+        col("qty_O").cast("double"))
+      .orderBy("k").collect()
+    assert(wide.toSeq === Seq(Row("r1", 6.0, 3.0), Row("r2", 5.0, null)))
   }
 }
