@@ -100,7 +100,73 @@ object TextQueries {
           coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
           coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
         .orderBy("doc_id")
+    },
+
+    // PII redaction over a contact card derived from customer columns
+    // (this corpus carries no raw PII, so both engines replay the same
+    // derivation; the operator is the portable regex battery)
+    "q_pii_redact" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_pii_redact")
+      src(dfl, "customer")
+      val card = concat(
+        col("c_name"), lit(" <u"), col("c_custkey").cast("string"),
+        lit("@corp.example.org> tel 2"),
+        (col("c_nationkey") % 10).cast("string"), lit("-989-741-29"),
+        lpad((col("c_custkey") % 100).cast("string"), 2, "0"))
+      dfl.get("customer")
+        .select(col("c_custkey"), card.as("card"),
+          graft.text.PiiRedact.redactPii(card).as("redacted"))
+        .orderBy("c_custkey")
+    },
+
+    // corpus vocabulary: top-100 terms by frequency with doc frequency
+    "q_vocab_topk" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_vocab_topk")
+      src(dfl, "documents")
+      graft.text.Vocabulary.topK(
+        graft.text.Vocabulary.vocabulary(
+          dfl.get("documents"), "doc_id", "text"), 100)
+        .select("rank", "term", "tf", "df")
+        .orderBy("rank")
+    },
+
+    // unigram LM quality score (mean log-probability per document,
+    // fixed-point ln so the sum is order-independent)
+    "q_lm_score" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_lm_score")
+      src(dfl, "documents")
+      graft.text.Vocabulary.lmScore(dfl.get("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // count-min sketch point estimates vs exact counts for five probes
+    // (four corpus terms + one unseen)
+    "q_cms_freq" -> { (s, dir) =>
+      import s.implicits._
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_cms_freq")
+      src(dfl, "documents")
+      val toks = dfl.get("documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val sk = graft.functions.CountMinSketch.sketch(toks, "term")
+      val probes = CmsProbes.toDF("term")
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_tf"))
+      graft.functions.CountMinSketch.estimate(sk, probes, "term")
+        .join(exact, Seq("term"), "left")
+        .na.fill(0L, Seq("exact_tf"))
+        .select("term", "cms_est", "exact_tf")
+        .orderBy("term")
     })
+
+  /** Probe terms for q_cms_freq: four high-frequency corpus terms and
+    * one absent term (the sketch must return a small collision count or
+    * zero for it, never a miss).
+    */
+  private val CmsProbes = Seq("scan", "column", "window", "join",
+    "zzz_unseen")
 
   import OracleSql.{toksCte, simHashExpr, tokenHash}
   import OracleSql.{hitsExpr => hitsSql}
@@ -189,5 +255,74 @@ object TextQueries {
         |FROM documents d
         |LEFT JOIN a2 ON d.doc_id = a2.doc_id
         |LEFT JOIN a3 ON d.doc_id = a3.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""WITH card AS (SELECT c_custkey,
+         |  c_name || ' <u' || CAST(c_custkey AS VARCHAR)
+         |    || '@corp.example.org> tel 2'
+         |    || CAST(c_nationkey % 10 AS VARCHAR) || '-989-741-29'
+         |    || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS card
+         |  FROM customer)
+         |SELECT c_custkey, card,
+         |  regexp_replace(regexp_replace(regexp_replace(card,
+         |    '${graft.text.PiiRedact.Email}', '[EMAIL]', 'g'),
+         |    '${graft.text.PiiRedact.Phone}', '[PHONE]', 'g'),
+         |    '${graft.text.PiiRedact.DigitRun}', '[NUM]', 'g') AS redacted
+         |FROM card ORDER BY c_custkey""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+         |v AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |  FROM t GROUP BY 1),
+         |r AS (SELECT term, tf, df,
+         |  row_number() OVER (ORDER BY tf DESC, term) AS rank FROM v)
+         |SELECT rank, term, tf, df FROM r WHERE rank <= 100
+         |ORDER BY rank""".stripMargin,
+
+    "q_lm_score" -> {
+      val sc = graft.text.Vocabulary.LnScale
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+         |v AS (SELECT term, count(*) AS tf FROM t GROUP BY 1),
+         |fp AS (SELECT term,
+         |  CAST(floor(ln(CAST(tf AS DOUBLE)) * $sc) AS BIGINT) AS fp
+         |  FROM v),
+         |n AS (SELECT CAST(floor(ln(CAST(sum(tf) AS DOUBLE)) * $sc)
+         |  AS BIGINT) AS ln_n_fp FROM v),
+         |d AS (SELECT doc_id, CAST(sum(fp) AS BIGINT) AS sum_fp,
+         |    count(*) AS n_tokens
+         |  FROM t JOIN fp USING (term) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(sum_fp - n_tokens * ln_n_fp AS DOUBLE)
+         |    / (n_tokens * $sc.0), 6) AS avg_logprob
+         |FROM d, n ORDER BY doc_id""".stripMargin
+    },
+
+    "q_cms_freq" -> {
+      import graft.functions.CountMinSketch.{Depth, Width, Salt}
+      val probeList = CmsProbes.map(p => s"'$p'").mkString("[", ", ", "]")
+      val js = (0 until Depth).mkString("[", ", ", "]")
+      // cell_j = (h1 + j*h2) % Width with h1 = h % 2^30, h2 = (h>>30)*2+1
+      def cell(h: String) =
+        s"(($h % 1073741824) + j * (($h // 1073741824) * 2 + 1)) % $Width"
+      s"""WITH $toksCte,
+         |t AS (SELECT unnest(w) AS term FROM toks),
+         |th AS (SELECT term, ${tokenHash(s"'$Salt' || term")} AS h FROM t),
+         |js AS (SELECT unnest($js) AS j),
+         |c AS (SELECT j, ${cell("h")} AS cell FROM th, js),
+         |sk AS (SELECT j, cell, count(*) AS cnt FROM c GROUP BY 1, 2),
+         |probes AS (SELECT unnest($probeList) AS term),
+         |ph AS (SELECT term, ${tokenHash(s"'$Salt' || term")} AS h
+         |  FROM probes),
+         |pc AS (SELECT term, j, ${cell("h")} AS cell FROM ph, js),
+         |est AS (SELECT term, min(coalesce(cnt, 0)) AS cms_est
+         |  FROM pc LEFT JOIN sk USING (j, cell) GROUP BY 1),
+         |ex AS (SELECT term, count(*) AS exact_tf FROM t GROUP BY 1)
+         |SELECT est.term, est.cms_est,
+         |  coalesce(ex.exact_tf, 0) AS exact_tf
+         |FROM est LEFT JOIN ex ON est.term = ex.term
+         |ORDER BY est.term""".stripMargin
+    })
 }

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary statistics and unigram language-model scoring —
+  * the two corpus-level text passes a training-data pipeline runs before
+  * filtering (extension category; the reference has no text analytics).
+  *
+  * Scale shape: both are explode → combine-reduced aggregations. The
+  * vocabulary is |vocab|-sized (tiny next to the corpus); `topK` plans
+  * TakeOrderedAndProject — per-partition heaps of k rows merged on the
+  * driver, NOT a single-partition global window over the vocabulary.
+  *
+  * LM scoring determinism: mean log-probability sums ln() doubles per
+  * document, and IEEE addition is order-sensitive — different partition
+  * or engine evaluation orders would drift in the last ulp. So ln(tf)
+  * and ln(N) are snapped to 2^-20 fixed-point ONCE PER TERM
+  * (`floor(ln(tf)·2^20)` as a long), and the per-document sum runs on
+  * exact integers: bit-identical under any accumulation order, mirrored
+  * exactly by the DuckDB oracle.
+  */
+object Vocabulary {
+
+  /** Fixed-point scale for log-probabilities (2^20 ≈ 6 decimal digits). */
+  val LnScale: Long = 1L << 20
+
+  /** term → corpus frequency (tf) and document frequency (df). */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
+
+  /** Top-k vocabulary rows by corpus frequency (ties broken by term). */
+  def topK(vocab: DataFrame, k: Int): DataFrame =
+    vocab.orderBy(col("tf").desc, col("term")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("term")))
+          .cast("long"))
+
+  /** Mean unigram log-probability per document (the CCNet-style quality
+    * signal: low = far from the corpus distribution). Output:
+    * (idCol, n_tokens, avg_logprob) — empty documents are absent, like
+    * every SQL rendering that explodes tokens.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val termFp = vocab.select(col("term"),
+      floor(log(col("tf").cast("double")) * LnScale).cast("long").as("fp"))
+    // ln of the corpus token count, same fixed-point snap (1-row frame)
+    val lnN = vocab.agg(
+      floor(log(sum(col("tf")).cast("double")) * LnScale)
+        .cast("long").as("ln_n_fp"))
+    toks.join(termFp, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("fp")).as("sum_fp"), count(lit(1)).as("n_tokens"))
+      .crossJoin(lnN)
+      .select(col(idCol), col("n_tokens"),
+        round(
+          (col("sum_fp") - col("n_tokens") * col("ln_n_fp")).cast("double")
+            / (col("n_tokens") * lit(LnScale.toDouble)), 6)
+          .as("avg_logprob"))
+  }
+}

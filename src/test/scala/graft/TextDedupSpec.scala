@@ -295,4 +295,70 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1) == Seq("x y", "y z"))
     assert(got(2) == Seq())
   }
+
+  // ----------------------------------------------------------- pii redact
+
+  test("pii redaction order: emails before digit runs, phones bounded") {
+    import graft.text.PiiRedact
+    val df = Seq(
+      "mail 12345678@x.org now",       // numeric local part stays an EMAIL
+      "id 000123456 call 25-989-741-2988 end",
+      "ok 12-345 x1234",               // too-short digit runs untouched
+      "a@b.io").toDF("t")
+    val got = df.select(PiiRedact.redactPii(col("t"))).collect()
+      .map(_.getString(0))
+    assert(got(0) === "mail [EMAIL] now")
+    assert(got(1) === "id [NUM] call [PHONE] end")
+    assert(got(2) === "ok 12-345 x1234")
+    assert(got(3) === "[EMAIL]")
+  }
+
+  // ----------------------------------------------------------- vocabulary
+
+  test("vocabulary counts tf/df and topK ranks by frequency then term") {
+    import graft.text.Vocabulary
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("id", "text")
+    val v = Vocabulary.vocabulary(docs, "id", "text")
+      .orderBy("term").collect()
+    assert(v.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
+    val top = Vocabulary.topK(Vocabulary.vocabulary(docs, "id", "text"), 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getString(0)).toSeq === Seq("a", "b")) // b < c tie
+  }
+
+  test("lmScore is order-independent and favors common-word documents") {
+    import graft.text.Vocabulary
+    val docs = Seq((1L, "a a a a"), (2L, "a rare"), (3L, "a a rare2"))
+      .toDF("id", "text")
+    val base = Vocabulary.lmScore(docs, "id", "text")
+      .orderBy("id").collect()
+    // doc 1 (all common) scores above doc 2 (half rare)
+    assert(base(0).getDouble(2) > base(1).getDouble(2))
+    val shuffled = Vocabulary.lmScore(
+      docs.orderBy(col("id").desc).repartition(7), "id", "text")
+      .orderBy("id").collect()
+    assert(shuffled.map(_.getDouble(2)).toSeq ===
+      base.map(_.getDouble(2)).toSeq)
+  }
+
+  // ------------------------------------------------------ count-min sketch
+
+  test("count-min estimates never undercount and the grid stays bounded") {
+    import graft.functions.CountMinSketch
+    val r = new scala.util.Random(3)
+    val terms = (1 to 2000).map(_ => s"t${r.nextInt(50)}").toDF("term")
+    val sk = CountMinSketch.sketch(terms, "term")
+    assert(sk.count() <= CountMinSketch.Depth * CountMinSketch.Width)
+    val exact = terms.groupBy("term").count()
+    val probes = (0 until 50).map(i => s"t$i").toDF("term")
+    val est = CountMinSketch.estimate(sk, probes, "term")
+      .join(exact, Seq("term"), "left").na.fill(0L)
+    val bad = est.where(col("cms_est") < col("count")).count()
+    assert(bad === 0, "CMS must never undercount")
+    // unseen terms estimate small (collisions only)
+    val unseen = CountMinSketch.estimate(sk,
+      Seq("zz_never").toDF("term"), "term").head().getLong(1)
+    assert(unseen < 100)
+  }
 }
