@@ -2,8 +2,8 @@ package graft.queries
 
 import graft._
 import graft.functions.HllSketch
-import graft.operators.{PerKey, Profile, Quantiles, Sampling, Sessionize,
-  TemporalJoins, TimeSeries}
+import graft.operators.{PageRank, PerKey, Profile, Quantiles, Sampling,
+  Sessionize, TemporalJoins, TimeSeries}
 import graft.similarity.Centroids
 import graft.text.{Chunker, TextFunctions, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -355,6 +355,22 @@ object AnalyticsQueries {
         .orderBy("bucket")
     },
 
+    // fixed-point PageRank over the part↔supplier co-occurrence graph
+    // (both directions, so no dangling nodes); 5 rounds, bit-exact
+    // integer arithmetic replayed by a DuckDB recursive CTE
+    "q_pagerank" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_pagerank")
+      src(dfl, "lineitem")
+      val li = dfl.get("lineitem").select("l_partkey", "l_suppkey")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      PageRank.run(fwd.unionByName(rev).distinct(), iterations = 5)
+        .orderBy("id")
+    },
+
     // one-pass column profiling: nulls / distincts / bounds for four
     // customer columns out of a single scan
     "q_profile" -> { (s, dir) =>
@@ -689,6 +705,30 @@ object AnalyticsQueries {
          |FROM days CROSS JOIN g
          |LEFT JOIN c ON c.event_type = g.event_type AND c.day = days.day
          |ORDER BY g.event_type, days.day""".stripMargin,
+
+    "q_pagerank" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |    FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+         |    FROM lineitem),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |pr AS (
+         |  SELECT 0 AS iter, src AS id,
+         |    CAST(${PageRank.Scale} AS BIGINT) AS r FROM deg
+         |  UNION ALL
+         |  SELECT s.iter + 1, s.id,
+         |    CAST(${PageRank.Base} + (17 * s.c) // 20 AS BIGINT) AS r
+         |  FROM (SELECT pr.iter AS iter, e.dst AS id,
+         |          CAST(sum(pr.r // d.outdeg) AS BIGINT) AS c
+         |        FROM pr
+         |        JOIN edges e ON pr.id = e.src
+         |        JOIN deg d ON d.src = pr.id
+         |        WHERE pr.iter < 5 GROUP BY 1, 2) s)
+         |SELECT id, r AS rank_fp FROM pr WHERE iter = 5
+         |ORDER BY id""".stripMargin,
 
     "q_histogram" ->
       s"""WITH ${OracleSql.toksCte},

@@ -380,6 +380,30 @@ class AnalyticsSpec extends SparkSpec {
       s"profile must not re-scan per column:\n$plan")
   }
 
+  // ------------------------------------------------------------ pagerank
+
+  test("pagerank: a cycle is an exact fixed point at the initial rank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = operators.PageRank.run(edges, 5).orderBy("id").collect()
+    // outdeg 1 everywhere: r' = 150000 + (17 * 1000000) div 20 = 1000000
+    assert(out.toSeq === Seq(Row(1L, 1000000L), Row(2L, 1000000L),
+      Row(3L, 1000000L)))
+  }
+
+  test("pagerank: hub of an undirected star outranks leaves, mass kept") {
+    val leaves = (2L to 6L)
+    val edges = (leaves.map(l => (1L, l)) ++ leaves.map(l => (l, 1L)))
+      .toDF("src", "dst")
+    val out = operators.PageRank.run(edges, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leaves.forall(l => out(1L) > out(l)),
+      s"hub must outrank leaves: $out")
+    val total = out.values.sum
+    // floor dust only: within 6 * iterations of n * Scale
+    assert(math.abs(total - 6L * operators.PageRank.Scale) < 30L,
+      s"rank mass should be conserved: $total")
+  }
+
   // ---------------------------------------------------- pivotRowsToCols
 
   test("pivotRowsToCols is the inverse of pivotColsToRows on sums") {
