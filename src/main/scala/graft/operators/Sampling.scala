@@ -48,4 +48,28 @@ object Sampling {
     }
     df.where(hashBucket(col(idCol), salt) < rate)
   }
+
+  /** Fixed-size deterministic sample per group: the k rows whose salted
+    * hashes are smallest within each group (a uniform without-replacement
+    * k-sample, reproducible on any cluster/engine). Rate-based sampling
+    * can't promise "exactly 100 eval docs per language" — this does.
+    *
+    * One hash-partitioned window per group; the sort key is the 60-bit
+    * hash (ties broken by id), so the window sorts GROUP-sized runs, and
+    * skew is the stratum's own size. For k ≪ group this is the exact
+    * grouped top-k; Spark plans a WindowExec with rank-pushdown limiting
+    * in recent versions (WindowGroupLimit) so partitions pre-prune to k.
+    */
+  def groupSample(
+      df: DataFrame, groupCol: String, idCol: String, k: Int,
+      salt: String = "ksample:"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val h = TextFunctions.tokenHash60(
+      concat(lit(salt), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -355,6 +355,41 @@ object AnalyticsQueries {
         .orderBy("bucket")
     },
 
+    // rolling-frame aggregates: 3-order moving sum/average per customer
+    // (decimal-exact frame sums; the avg divides two exact operands so
+    // the double is engine-identical)
+    "q_moving_avg" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_moving_avg")
+      src(dfl, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("order_us"), col("o_orderkey"))
+        .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      val frameSum =
+        sum(col("o_totalprice").cast(DecimalType(28, 4))).over(w)
+          .cast("double")
+      dfl.get("orders")
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+          col("o_orderkey"), col("o_totalprice"))
+        .select(col("o_custkey"), col("order_us"), col("o_orderkey"),
+          frameSum.as("mov_sum3"),
+          (frameSum / count(lit(1)).over(w)).as("mov_avg3"))
+        .orderBy("o_custkey", "order_us", "o_orderkey")
+    },
+
+    // fixed-k deterministic sample per stratum: exactly 5 docs per
+    // language, same rows on any cluster/engine
+    "q_group_sample" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_group_sample")
+      src(dfl, "documents")
+      Sampling.groupSample(dfl.get("documents"), "lang", "doc_id", k = 5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // fixed-point PageRank over the part↔supplier co-occurrence graph
     // (both directions, so no dangling nodes); 5 rounds, bit-exact
     // integer arithmetic replayed by a DuckDB recursive CTE
@@ -705,6 +740,28 @@ object AnalyticsQueries {
          |FROM days CROSS JOIN g
          |LEFT JOIN c ON c.event_type = g.event_type AND c.day = days.day
          |ORDER BY g.event_type, days.day""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT o_custkey, epoch_us(o_orderdate) AS order_us, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)
+        |    AS mov_sum3,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS mov_avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY epoch_us(o_orderdate), o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, order_us, o_orderkey""".stripMargin,
+
+    "q_group_sample" -> {
+      val h = OracleSql.tokenHash("'ksample:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT doc_id, lang, $h AS h FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |  FROM h)
+         |SELECT doc_id, lang FROM r WHERE rn <= 5
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_pagerank" ->
       s"""WITH RECURSIVE

@@ -380,6 +380,24 @@ class AnalyticsSpec extends SparkSpec {
       s"profile must not re-scan per column:\n$plan")
   }
 
+  // --------------------------------------------------------- groupSample
+
+  test("groupSample keeps exactly k rows per group, deterministically") {
+    val df = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val s1 = Sampling.groupSample(df, "g", "id", k = 7)
+      .orderBy("id").collect()
+    assert(s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      === Map("a" -> 7, "b" -> 7))
+    // rerun over different partitioning selects the same rows
+    val s2 = Sampling.groupSample(df.repartition(13), "g", "id", k = 7)
+      .orderBy("id").collect()
+    assert(s1.toSeq === s2.toSeq)
+    // a group smaller than k survives whole
+    val tiny = Seq((1L, "z"), (2L, "z")).toDF("id", "g")
+    assert(Sampling.groupSample(tiny, "g", "id", k = 7).count() === 2)
+  }
+
   // ------------------------------------------------------------ pagerank
 
   test("pagerank: a cycle is an exact fixed point at the initial rank") {
