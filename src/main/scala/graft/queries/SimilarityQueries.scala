@@ -201,15 +201,79 @@ object SimilarityQueries {
     bruteTopK(s, v, "qv", "cosq")
   }
 
+  val KMeansK = 8
+  val KMeansIters = 3
+
+  /** Distributed Lloyd k-means, bit-exact integer arithmetic (see
+    * [[graft.similarity.KMeans]]); one row per (cluster, dim) with the
+    * final cluster size and fixed-point centroid.
+    */
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    implicit val c: GraftConf = Q.conf(dir)
+    val dfl = DataFlow(s, "q_kmeans")
+    val emb = src(dfl, "embeddings").select("vec_id", "embedding")
+    graft.similarity.KMeans.fit(emb, "vec_id", "embedding",
+      k = KMeansK, iterations = KMeansIters)
+      .orderBy("cid", "dim")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> (annBrute _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
-    "q_ann_quantized" -> (annQuantized _))
+    "q_ann_quantized" -> (annQuantized _),
+    "q_kmeans" -> (kmeans _))
 
   import OracleSql._
 
+  /** Unrolled Lloyd-iteration replay of [[graft.similarity.KMeans]]:
+    * all-integer arithmetic, so the CTE chain reproduces Spark's result
+    * bit-for-bit (a{i} = assignment against c{i-1}, c{i} = integer
+    * per-dim means; the final a{T+1} sizes the clusters).
+    */
+  private def kmeansOracle: String = {
+    import graft.similarity.KMeans.{Scale, Offset}
+    val d1 = graft.similarity.VectorFunctions.Dim + 1
+    def dist(p: String, c: String) =
+      s"""CAST(list_sum(list_transform(range(1, $d1),
+         |      d -> ($p[d] - $c[d]) * ($p[d] - $c[d]))) AS BIGINT)"""
+        .stripMargin
+    def asg(i: Int) =
+      s"""a$i AS (SELECT vec_id, cid FROM (
+         |  SELECT pts.vec_id, c${i - 1}.cid,
+         |    row_number() OVER (PARTITION BY pts.vec_id
+         |      ORDER BY ${dist("pts.p", s"c${i - 1}.c")}, c${i - 1}.cid)
+         |      AS rn
+         |  FROM pts, c${i - 1}) WHERE rn = 1)""".stripMargin
+    def cent(i: Int) =
+      s"""c$i AS (SELECT cid, list(cv ORDER BY dim) AS c FROM (
+         |  SELECT cid, r.range AS dim,
+         |    CAST(sum(p[r.range]) AS BIGINT) // count(*) AS cv
+         |  FROM a$i JOIN pts USING (vec_id), range(1, $d1) r
+         |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+    val t = KMeansIters
+    val rounds = (1 to t).flatMap(i => Seq(asg(i), cent(i)))
+      .mkString(",\n")
+    s"""WITH pts AS (SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
+       |      AS BIGINT)) AS p
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, p AS c FROM pts
+       |  ORDER BY vec_id LIMIT $KMeansK),
+       |$rounds,
+       |${asg(t + 1)},
+       |sizes AS (SELECT cid, count(*) AS n_points FROM a${t + 1}
+       |  GROUP BY 1)
+       |SELECT ct.cid, r.range AS dim, sizes.n_points,
+       |  ct.c[r.range] AS centroid_fp
+       |FROM c$t ct
+       |CROSS JOIN range(1, $d1) r
+       |JOIN sizes ON ct.cid = sizes.cid
+       |ORDER BY ct.cid, r.range""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans" -> kmeansOracle,
     "q_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
         |  WHERE vec_id < $NumQueries),

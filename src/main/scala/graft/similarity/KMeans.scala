@@ -1,0 +1,83 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over embedding vectors, bit-exact in any
+  * engine: every quantity is an integer.
+  *
+  * - Points are snapped to a 2^-20 fixed-point grid ONCE, with a +2.0
+  *   offset first: squared-L2 distances are translation-invariant, and
+  *   all-positive coordinates make integer division unambiguous
+  *   (floor == truncate), so Spark's `div` and DuckDB's `//` agree.
+  * - Seeds are the k smallest vec_ids (deterministic, replayable).
+  * - Assignment: argmin of the integer squared distance, ties to the
+  *   smaller centroid id. Update: per-dimension integer mean (floor).
+  *
+  * Scale shape: each round broadcasts the k-row centroid frame into the
+  * points scan; the argmin is a map-side-combined `min_by` agg (the ×k
+  * fan-out never shuffles — partials reduce to one row per point before
+  * the exchange), and the update is a posexplode + (cid, dim) agg, the
+  * same distributive form as [[Centroids]]. Per-round localCheckpoint
+  * caps iterative lineage. Clusters that lose all points drop out (same
+  * arithmetic in the oracle drops them identically).
+  */
+object KMeans {
+
+  /** Fixed-point scale 2^20; `(v + Offset) * Scale` is exact in doubles
+    * (|v| < 2 ⇒ the product is an integer-valued double below 2^22).
+    */
+  val Scale = 1048576L
+  val Offset = 2.0
+
+  /** (vec_id, p: array<long>) in offset fixed-point space. */
+  def pointsFp(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), v =>
+        floor((v.cast("double") + Offset) * Scale).cast("long")).as("p"))
+
+  /** Nearest-centroid assignment: (vec_id, cid). */
+  private def assign(pts: DataFrame, cent: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        aggregate(
+          zip_with(col("p"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+
+  /** Run `iterations` Lloyd rounds; output one row per (cluster, dim):
+    * (cid, dim 1-based, n_points, centroid_fp) where n_points counts the
+    * FINAL assignment against the last centroids.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    require(k >= 1 && iterations >= 1, "k and iterations must be >= 1")
+    val pts = pointsFp(df, idCol, vecCol).persist()
+    try {
+      pts.count()
+      var cent = pts.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("p").as("c"))
+      for (_ <- 1 to iterations) {
+        cent = assign(pts, cent).join(pts, "vec_id")
+          .select(col("cid"), posexplode(col("p")).as(Seq("d0", "v")))
+          .groupBy(col("cid"), (col("d0") + 1).cast("long").as("dim"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .select(col("cid"), col("dim"), expr("s div n").as("cv"))
+          .groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("cv")))),
+            x => x.getField("cv")).as("c"))
+          .localCheckpoint()
+      }
+      val sizes = assign(pts, cent)
+        .groupBy("cid").agg(count(lit(1)).as("n_points"))
+      cent
+        .select(col("cid"), posexplode(col("c")).as(Seq("d0", "cfp")))
+        .select(col("cid"), (col("d0") + 1).cast("long").as("dim"),
+          col("cfp").as("centroid_fp"))
+        .join(sizes, "cid")
+        .select("cid", "dim", "n_points", "centroid_fp")
+    } finally pts.unpersist()
+  }
+}

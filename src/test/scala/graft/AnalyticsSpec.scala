@@ -422,6 +422,31 @@ class AnalyticsSpec extends SparkSpec {
       s"rank mass should be conserved: $total")
   }
 
+  // -------------------------------------------------------------- kmeans
+
+  test("kmeans separates two blobs and is partitioning-independent") {
+    import graft.similarity.KMeans
+    // two tight 2-d blobs around (0.1, 0.1) and (-0.4, -0.4); seeds are
+    // the two smallest ids, one in each blob
+    val pts = Seq(
+      (1L, Seq(0.10f, 0.12f)), (3L, Seq(0.11f, 0.09f)),
+      (5L, Seq(0.09f, 0.10f)),
+      (2L, Seq(-0.40f, -0.41f)), (4L, Seq(-0.39f, -0.42f)))
+      .toDF("vec_id", "embedding")
+    val out = KMeans.fit(pts, "vec_id", "embedding", k = 2, iterations = 3)
+      .orderBy("cid", "dim").collect()
+    val sizes = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sizes === Map(1L -> 3L, 2L -> 2L))
+    // centroid of cluster 2 ≈ (-0.395 - 0.415 means) in offset space:
+    // cfp/2^20 - 2 recovers the mean within the fixed-point grid
+    val c2d1 = out.find(r => r.getLong(0) == 2L && r.getLong(1) == 1L).get
+      .getLong(3) / KMeans.Scale.toDouble - KMeans.Offset
+    assert(math.abs(c2d1 - (-0.395)) < 1e-2, s"got $c2d1")
+    val reshuffled = KMeans.fit(pts.repartition(7), "vec_id", "embedding",
+      k = 2, iterations = 3).orderBy("cid", "dim").collect()
+    assert(reshuffled.toSeq === out.toSeq)
+  }
+
   // ---------------------------------------------------- pivotRowsToCols
 
   test("pivotRowsToCols is the inverse of pivotColsToRows on sums") {
