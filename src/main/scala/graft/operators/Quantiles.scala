@@ -61,6 +61,26 @@ object Quantiles {
         col(valueCol).as("quantile_value") :+ col("__n").as("n_rows")): _*)
   }
 
+  /** Approximate grouped quantiles for HIGH-CARDINALITY measures — the
+    * scale path [[groupQuantiles]]' doc promises: snap values to a fixed
+    * `width` grid first, then take EXACT quantiles of the snapped
+    * distribution. Error ≤ `width`, while the histogram is bounded by
+    * range/width instead of distinct-value count — a 100 TB double
+    * column collapses to a few thousand grid rows. The floor snap is
+    * plain arithmetic on each row, so the "approximation" is itself
+    * deterministic and oracle-replayable (unlike sketch-based
+    * percentile_approx, whose result depends on merge order).
+    */
+  def approxGroupQuantiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      width: Long, qs: Seq[Double]): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    groupQuantiles(
+      df.withColumn(valueCol,
+        (floor(col(valueCol) / width) * width).cast("long")),
+      groupCols, valueCol, qs)
+  }
+
   /** Fixed-width bucket histogram of an integer measure: one row per
     * occupied bucket with its row count and actual value bounds. The last
     * bucket (`nBuckets - 1`) is open-ended so outliers cannot explode the

@@ -80,6 +80,18 @@ object AnalyticsQueries {
         .orderBy("l_returnflag", "q")
     },
 
+    // approximate quantiles of a high-cardinality double (grid-snapped
+    // exact quantiles — deterministic, error ≤ 64)
+    "q_quantiles_approx" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_quantiles_approx")
+      src(dfl, "lineitem")
+      Quantiles.approxGroupQuantiles(dfl.get("lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", width = 64,
+        qs = Seq(0.5, 0.9, 0.99))
+        .orderBy("l_returnflag", "q")
+    },
+
     // TF-IDF top-5 salient terms per document (linear idf — one exact
     // integer double division, bit-reproducible)
     "q_tfidf" -> { (s, dir) =>
@@ -490,6 +502,25 @@ object AnalyticsQueries {
         |SELECT l_returnflag, q, l_quantity AS quantile_value, n AS n_rows
         |FROM c, (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
         |  1.0::DOUBLE]) AS q) qs
+        |WHERE cum - cnt < ceil(q * n) AND ceil(q * n) <= cum
+        |ORDER BY l_returnflag, q""".stripMargin,
+
+    "q_quantiles_approx" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice / 64) * 64 AS BIGINT) AS v,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT l_returnflag, q, v AS quantile_value, n AS n_rows
+        |FROM c, (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+        |  0.99::DOUBLE]) AS q) qs
         |WHERE cum - cnt < ceil(q * n) AND ceil(q * n) <= cum
         |ORDER BY l_returnflag, q""".stripMargin,
 

@@ -142,6 +142,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // boilerplate removal over an HTML wrapper derived from each doc
+    // (tags → URLs → whitespace, all RE2/java-portable patterns)
+    "q_boilerplate" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_boilerplate")
+      src(dfl, "documents")
+      val html = concat(
+        lit("<html><p id=\""), col("doc_id").cast("string"), lit("\">"),
+        substring(col("text"), 1, 80),
+        lit("</p> visit https://example.org/d/"),
+        col("doc_id").cast("string"), lit("?ref=x now</html>"))
+      dfl.get("documents")
+        .select(col("doc_id"), graft.text.Cleaner.clean(html).as("cleaned"))
+        .orderBy("doc_id")
+    },
+
+    // PMI collocation mining: top-20 bigrams beating independence,
+    // fixed-point ln so ranking and values are engine-identical
+    "q_collocations" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_collocations")
+      src(dfl, "documents")
+      graft.text.Collocations.topCollocations(
+        dfl.get("documents"), "text", k = 20, minCount = 5)
+        .orderBy("rank")
+    },
+
     // count-min sketch point estimates vs exact counts for five probes
     // (four corpus terms + one unseen)
     "q_cms_freq" -> { (s, dir) =>
@@ -298,6 +325,50 @@ object TextQueries {
          |  round(CAST(sum_fp - n_tokens * ln_n_fp AS DOUBLE)
          |    / (n_tokens * $sc.0), 6) AS avg_logprob
          |FROM d, n ORDER BY doc_id""".stripMargin
+    },
+
+    "q_boilerplate" -> {
+      import graft.text.Cleaner
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><p id="' || CAST(doc_id AS VARCHAR) || '">'
+         |    || substr(text, 1, 80)
+         |    || '</p> visit https://example.org/d/'
+         |    || CAST(doc_id AS VARCHAR) || '?ref=x now</html>' AS html
+         |  FROM documents)
+         |SELECT doc_id,
+         |  trim(regexp_replace(
+         |    regexp_replace(regexp_replace(html,
+         |      '${Cleaner.HtmlTag}', ' ', 'g'),
+         |      '${Cleaner.Url}', ' ', 'g'),
+         |    '${Cleaner.Ws}', ' ', 'g')) AS cleaned
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "q_collocations" -> {
+      val sc = graft.text.Collocations.LnScale
+      def fp(x: String) =
+        s"CAST(floor(ln(CAST($x AS DOUBLE)) * $sc) AS BIGINT)"
+      s"""WITH $toksCte,
+         |t AS (SELECT unnest(w) AS term FROM toks),
+         |uni AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+         |n AS (SELECT ${fp("sum(c)")} AS fp_n FROM uni),
+         |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+         |  FROM toks WHERE len(w) >= 2),
+         |bi AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY 1
+         |  HAVING count(*) >= 5),
+         |m AS (SELECT ${fp("count(*)")} AS fp_m FROM bg),
+         |sc AS (SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+         |    ${fp("c_ab")} - fp_m - ${fp("ua.c")} - ${fp("ub.c")}
+         |      + 2 * fp_n AS pmi_fp
+         |  FROM bi
+         |  JOIN uni ua ON ua.term = string_split(bigram, ' ')[1]
+         |  JOIN uni ub ON ub.term = string_split(bigram, ' ')[2], n, m),
+         |r AS (SELECT *, row_number() OVER (ORDER BY pmi_fp DESC, bigram)
+         |  AS rank FROM sc)
+         |SELECT rank, bigram, c_ab, c_a, c_b,
+         |  round(CAST(pmi_fp AS DOUBLE) / $sc, 6) AS pmi
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
 
     "q_cms_freq" -> {

@@ -350,6 +350,22 @@ class AnalyticsSpec extends SparkSpec {
       Row("b", 1L, 0L, 0.0), Row("b", 2L, 1L, 1.0), Row("b", 3L, 0L, 0.0)))
   }
 
+  // ---------------------------------------------------- approx quantiles
+
+  test("approxGroupQuantiles stay within the grid width of exact") {
+    val r = new scala.util.Random(11)
+    val df = (1 to 2000).map(_ => ("g", r.nextDouble() * 10000))
+      .toDF("g", "v")
+    val exact = Quantiles.groupQuantiles(df, Seq("g"), "v",
+      Seq(0.5, 0.9)).orderBy("q").collect().map(_.getDouble(2))
+    val approx = Quantiles.approxGroupQuantiles(df, Seq("g"), "v",
+      width = 64, qs = Seq(0.5, 0.9)).orderBy("q").collect()
+      .map(_.getLong(2).toDouble)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 64.0, s"exact=$e approx=$a")
+    }
+  }
+
   // ----------------------------------------------------------- histogram
 
   test("histogram buckets are fixed-width with an open-ended last bucket") {

@@ -342,6 +342,37 @@ class TextDedupSpec extends SparkSpec {
       base.map(_.getDouble(2)).toSeq)
   }
 
+  // -------------------------------------------------------------- cleaner
+
+  test("cleaner strips tags then urls then collapses whitespace") {
+    import graft.text.Cleaner
+    val df = Seq(
+      "<div class=\"x\">keep <b>this</b></div>  see https://a.io/p?q=1 end",
+      "plain   text",
+      "<a href=\"https://b.io\">link</a>").toDF("t")
+    val got = df.select(Cleaner.clean(col("t"))).collect()
+      .map(_.getString(0))
+    assert(got(0) === "keep this see end")
+    assert(got(1) === "plain text")
+    assert(got(2) === "link") // url inside the tag dies with the tag
+  }
+
+  // --------------------------------------------------------- collocations
+
+  test("collocations rank always-paired bigrams above independent ones") {
+    import graft.text.Collocations
+    // "alpha beta" always adjacent; "x"/"y" co-occur only incidentally
+    val docs = (1 to 10).map(i => (i.toLong, "alpha beta x y x y"))
+      .toDF("id", "text")
+    val out = Collocations.topCollocations(docs, "text", k = 3,
+      minCount = 5).orderBy("rank").collect()
+    assert(out.head.getString(1) === "alpha beta",
+      s"expected 'alpha beta' first: ${out.toSeq}")
+    // PMI of the always-paired bigram beats the frequent-word pair
+    val pmis = out.map(r => r.getString(1) -> r.getDouble(5)).toMap
+    assert(pmis("alpha beta") > pmis.getOrElse("x y", Double.MinValue))
+  }
+
   // ------------------------------------------------------ count-min sketch
 
   test("count-min estimates never undercount and the grid stays bounded") {
