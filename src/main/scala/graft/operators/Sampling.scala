@@ -49,6 +49,31 @@ object Sampling {
     df.where(hashBucket(col(idCol), salt) < rate)
   }
 
+  /** Weight-proportional deterministic Poisson sample: keep each row
+    * with inclusion probability min(1, k * w / W) where W = sum of the
+    * integer weight column — expected sample size ~k, heavier rows
+    * proportionally likelier (the importance-sampling step of quality-
+    * weighted corpus mixing). Membership is the exact integer test
+    *   hash20 * W < k * w * 2^20
+    * (DECIMAL(38,0) products — at 100 TB, hash20 * W overflows a long),
+    * so the SAME rows are kept on any cluster and any engine can replay
+    * the sample. The weight total W broadcasts from a one-row aggregate:
+    * two scans of the input, zero shuffles of it.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "wsample:"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tot = df.agg(sum(col(weightCol).cast(d)).as("__w_total"))
+    val h20 = TextFunctions.tokenHash60(
+      concat(lit(salt), col(idCol).cast("string"))) % (1L << 20)
+    df.crossJoin(broadcast(tot))
+      .where(h20.cast(d) * col("__w_total") <
+        lit(k).cast(d) * col(weightCol).cast(d) * lit(1L << 20).cast(d))
+      .drop("__w_total")
+  }
+
   /** Fixed-size deterministic sample per group: the k rows whose salted
     * hashes are smallest within each group (a uniform without-replacement
     * k-sample, reproducible on any cluster/engine). Rate-based sampling

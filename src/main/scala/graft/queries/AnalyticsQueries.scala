@@ -2,8 +2,8 @@ package graft.queries
 
 import graft._
 import graft.functions.HllSketch
-import graft.operators.{PageRank, PerKey, Profile, Quantiles, Sampling,
-  Sessionize, TemporalJoins, TimeSeries}
+import graft.operators.{Outliers, PageRank, PerKey, Profile, Quantiles,
+  Sampling, Sessionize, TemporalJoins, TimeSeries, Transitions, Triangles}
 import graft.similarity.Centroids
 import graft.text.{Chunker, TextFunctions, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -426,6 +426,52 @@ object AnalyticsQueries {
       src(dfl, "customer")
       Profile.profile(dfl.get("customer"), ProfileCols)
         .orderBy("col_name")
+    },
+
+    // exact per-type z-score outliers (2σ) on the cents grid — integer
+    // membership test, group stats broadcast back into the probe scan
+    "q_outliers" -> { (s, dir) =>
+      val ev = eventsUs(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      Outliers.flag(ev, Seq("event_type"), "cents", z = 2)
+        .select("event_id", "event_type", "cents")
+        .orderBy("event_id")
+    },
+
+    // first-order Markov transition matrix over each user's event
+    // timeline: one keyed window + output-sized normalisation
+    "q_event_transitions" -> { (s, dir) =>
+      Transitions.matrix(eventsUs(s, dir), "user_id", "event_type",
+        Seq("ts_us", "event_id"))
+        .orderBy("from_state", "to_state")
+    },
+
+    // triangle count of the supplier co-supply graph (suppliers sharing
+    // a part) — degree-oriented wedge join, each triangle counted once
+    "q_triangles" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_triangles")
+      src(dfl, "lineitem")
+      val ps = dfl.get("lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = ps.select(col("pk"), col("sk").as("sa"))
+        .join(ps.select(col("pk"), col("sk").as("sb")), Seq("pk"))
+        .where(col("sa") < col("sb"))
+        .select("sa", "sb")
+      Triangles.run(edges, "sa", "sb")
+    },
+
+    // weight-proportional deterministic Poisson sample (importance
+    // sampling by document length; expected ~100 docs)
+    "q_weighted_sample" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_weighted_sample")
+      src(dfl, "documents")
+      Sampling.weightedSample(dfl.get("documents"), "doc_id", "n_chars",
+        k = 100)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     })
 
   /** Columns profiled by q_profile: strings and integers only — float
@@ -840,5 +886,60 @@ object AnalyticsQueries {
       s"""WITH s AS (SELECT count(*) AS n, $aggs FROM customer)
          |$branches
          |ORDER BY col_name""".stripMargin
+    },
+
+    // exact integer z-score membership: HUGEINT products replay Spark's
+    // DECIMAL(38,0) arithmetic exactly
+    "q_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(cents) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ssq
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type, cents
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE (n * cents - s) * (n * cents - s)
+        |  > 4 * (n * ssq - s * s)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH nx AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS n
+        |  FROM nx WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY c.from_state, c.to_state""".stripMargin,
+
+    // naive closed-wedge formulation — independent of the engine's
+    // degree-oriented algorithm
+    "q_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.sk AS a, b.sk AS b
+        |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk),
+        |tr AS (SELECT count(*) AS n_triangles
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |    JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |ne AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM ne, tr""".stripMargin,
+
+    "q_weighted_sample" -> {
+      val h = OracleSql.tokenHash("'wsample:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH w AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS tot
+         |  FROM documents)
+         |SELECT doc_id, n_chars FROM documents, w
+         |WHERE CAST(($h) % 1048576 AS HUGEINT) * tot
+         |  < CAST(100 AS HUGEINT) * n_chars * 1048576
+         |ORDER BY doc_id""".stripMargin
     })
 }

@@ -125,6 +125,36 @@ object DedupQueries {
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("comp").as("cluster"))
         .orderBy("doc_id")
+    },
+
+    // SemDeDup-style semantic dedup: k-means shards the corpus, then
+    // pairwise cosine runs ONLY within a cluster (Σ|cluster|² pair work
+    // instead of n²); a vector is dropped when a lower-id in-cluster
+    // neighbour sits above the cosine threshold. Candidate pairs carry
+    // only ids (cid equi-join); vectors re-attach for the exact verify.
+    "q_semantic_dedup" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_semantic_dedup")
+      val e = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
+      val asg = graft.similarity.KMeans.fitAssign(e, "vec_id", "embedding",
+        k = SimilarityQueries.KMeansK,
+        iterations = SimilarityQueries.KMeansIters)
+      val cand = asg.select(col("cid"), col("vec_id").as("vec_a"))
+        .join(asg.select(col("cid"), col("vec_id").as("vec_b")), Seq("cid"))
+        .where(col("vec_a") < col("vec_b"))
+      val drops = cand
+        .join(e.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb")), Seq("vec_b"))
+        .withColumn("cosine",
+          graft.functions.GraftFunctions.cosineSim(s, col("ea"), col("eb")))
+        .where(col("cosine") >= CosineThreshold)
+        .select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("__drop", lit(1))
+      asg.join(drops, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("__drop").isNull.as("kept"))
+        .orderBy("vec_id")
     })
 
   import OracleSql._
@@ -260,5 +290,22 @@ object DedupQueries {
         |SELECT vec_a, vec_b, ${cosineExpr("ea", "eb")} AS cosine
         |FROM cand
         |WHERE ${cosineExpr("ea", "eb")} >= $CosineThreshold
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_semantic_dedup" -> {
+      val t = SimilarityQueries.KMeansIters
+      s"""WITH ${kmeansCtes(SimilarityQueries.KMeansK, t)},
+         |av AS (SELECT a.vec_id, a.cid, e.embedding
+         |  FROM a${t + 1} a JOIN embeddings e USING (vec_id)),
+         |pr AS (SELECT y.vec_id AS vb, x.embedding AS ea,
+         |    y.embedding AS eb
+         |  FROM av x JOIN av y
+         |    ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |dr AS (SELECT DISTINCT vb AS vec_id FROM pr
+         |  WHERE ${cosineExpr("ea", "eb")} >= $CosineThreshold)
+         |SELECT a.vec_id, a.cid,
+         |  a.vec_id NOT IN (SELECT vec_id FROM dr) AS kept
+         |FROM a${t + 1} a
+         |ORDER BY a.vec_id""".stripMargin
+    })
 }

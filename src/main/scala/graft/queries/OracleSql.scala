@@ -77,6 +77,44 @@ object OracleSql {
   def cosineExpr(a: String, b: String): String =
     s"(${dotExpr(a, b)}) / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
 
+  /** Unrolled Lloyd-iteration CTE chain replaying
+    * [[graft.similarity.KMeans]] bit-for-bit (all-integer arithmetic):
+    * `pts` (fixed-point points), `c0..c$iters` (centroids), `a1..a${iters+1}`
+    * (assignments; `a${iters + 1}` is the final assignment against the
+    * last centroids). Compose with `WITH $chain, ...`.
+    */
+  def kmeansCtes(k: Int, iters: Int): String = {
+    import graft.similarity.KMeans.{Scale, Offset}
+    val d1 = VectorFunctions.Dim + 1
+    def dist(p: String, c: String) =
+      s"""CAST(list_sum(list_transform(range(1, $d1),
+         |      d -> ($p[d] - $c[d]) * ($p[d] - $c[d]))) AS BIGINT)"""
+        .stripMargin
+    def asg(i: Int) =
+      s"""a$i AS (SELECT vec_id, cid FROM (
+         |  SELECT pts.vec_id, c${i - 1}.cid,
+         |    row_number() OVER (PARTITION BY pts.vec_id
+         |      ORDER BY ${dist("pts.p", s"c${i - 1}.c")}, c${i - 1}.cid)
+         |      AS rn
+         |  FROM pts, c${i - 1}) WHERE rn = 1)""".stripMargin
+    def cent(i: Int) =
+      s"""c$i AS (SELECT cid, list(cv ORDER BY dim) AS c FROM (
+         |  SELECT cid, r.range AS dim,
+         |    CAST(sum(p[r.range]) AS BIGINT) // count(*) AS cv
+         |  FROM a$i JOIN pts USING (vec_id), range(1, $d1) r
+         |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+    val rounds = (1 to iters).flatMap(i => Seq(asg(i), cent(i)))
+      .mkString(",\n")
+    s"""pts AS (SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
+       |      AS BIGINT)) AS p
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, p AS c FROM pts
+       |  ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |${asg(iters + 1)}""".stripMargin
+  }
+
   /** Mirror of [[VectorFunctions.planeBits]]: the 16-char sign-bit
     * signature of an embedding column.
     */

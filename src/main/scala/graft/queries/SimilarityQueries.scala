@@ -226,42 +226,14 @@ object SimilarityQueries {
 
   import OracleSql._
 
-  /** Unrolled Lloyd-iteration replay of [[graft.similarity.KMeans]]:
-    * all-integer arithmetic, so the CTE chain reproduces Spark's result
-    * bit-for-bit (a{i} = assignment against c{i-1}, c{i} = integer
-    * per-dim means; the final a{T+1} sizes the clusters).
+  /** Unrolled Lloyd-iteration replay of [[graft.similarity.KMeans]] (the
+    * shared [[OracleSql.kmeansCtes]] chain): the final a{T+1} sizes the
+    * clusters, c{T} carries the centroids.
     */
   private def kmeansOracle: String = {
-    import graft.similarity.KMeans.{Scale, Offset}
     val d1 = graft.similarity.VectorFunctions.Dim + 1
-    def dist(p: String, c: String) =
-      s"""CAST(list_sum(list_transform(range(1, $d1),
-         |      d -> ($p[d] - $c[d]) * ($p[d] - $c[d]))) AS BIGINT)"""
-        .stripMargin
-    def asg(i: Int) =
-      s"""a$i AS (SELECT vec_id, cid FROM (
-         |  SELECT pts.vec_id, c${i - 1}.cid,
-         |    row_number() OVER (PARTITION BY pts.vec_id
-         |      ORDER BY ${dist("pts.p", s"c${i - 1}.c")}, c${i - 1}.cid)
-         |      AS rn
-         |  FROM pts, c${i - 1}) WHERE rn = 1)""".stripMargin
-    def cent(i: Int) =
-      s"""c$i AS (SELECT cid, list(cv ORDER BY dim) AS c FROM (
-         |  SELECT cid, r.range AS dim,
-         |    CAST(sum(p[r.range]) AS BIGINT) // count(*) AS cv
-         |  FROM a$i JOIN pts USING (vec_id), range(1, $d1) r
-         |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
     val t = KMeansIters
-    val rounds = (1 to t).flatMap(i => Seq(asg(i), cent(i)))
-      .mkString(",\n")
-    s"""WITH pts AS (SELECT vec_id, list_transform(embedding,
-       |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
-       |      AS BIGINT)) AS p
-       |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, p AS c FROM pts
-       |  ORDER BY vec_id LIMIT $KMeansK),
-       |$rounds,
-       |${asg(t + 1)},
+    s"""WITH ${OracleSql.kmeansCtes(KMeansK, t)},
        |sizes AS (SELECT cid, count(*) AS n_points FROM a${t + 1}
        |  GROUP BY 1)
        |SELECT ct.cid, r.range AS dim, sizes.n_points,

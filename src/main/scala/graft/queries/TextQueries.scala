@@ -186,7 +186,40 @@ object TextQueries {
         .na.fill(0L, Seq("exact_tf"))
         .select("term", "cms_est", "exact_tf")
         .orderBy("term")
+    },
+
+    // benchmark decontamination: training docs sharing any 5-gram with
+    // the (hash-sampled) eval split; eval's distinct grams broadcast,
+    // the corpus is never shuffled on the gram key
+    "q_decontaminate" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_decontaminate")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), "eval:")
+      graft.text.Decontaminate.flag(
+        docs.where(bucket >= EvalPct), docs.where(bucket < EvalPct),
+        "text", "doc_id", k = 5)
+        .orderBy("doc_id")
+    },
+
+    // GPT-style sequence packing: id-ordered token stream chunked into
+    // 256-token sequences, docs spanning boundaries; global offsets via
+    // the two-phase range-partition + broadcast-offsets layout
+    "q_seq_pack" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_seq_pack")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("nt"))
+      graft.text.SeqPack.pack(docs, "doc_id", "nt", seqLen = SeqLen)
+        .orderBy("seq_id", "doc_id")
     })
+
+  /** Eval-split percentage for q_decontaminate. */
+  private val EvalPct = 10
+  /** Tokens per packed training sequence for q_seq_pack. */
+  private val SeqLen = 256L
 
   /** Probe terms for q_cms_freq: four high-frequency corpus terms and
     * one absent term (the sketch must return a small collision count or
@@ -395,5 +428,41 @@ object TextQueries {
          |  coalesce(ex.exact_tf, 0) AS exact_tf
          |FROM est LEFT JOIN ex ON est.term = ex.term
          |ORDER BY est.term""".stripMargin
-    })
+    },
+
+    "q_decontaminate" -> {
+      val h = tokenHash("'eval:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $toksCte, ${OracleSql.shinglesCte(5)},
+         |ev AS (SELECT doc_id FROM documents WHERE ($h) % 100 < $EvalPct),
+         |eg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+         |  WHERE doc_id IN (SELECT doc_id FROM ev)),
+         |tg AS (SELECT doc_id, unnest(s) AS g FROM sh
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         |ns AS (SELECT doc_id, count(*) AS n_shared
+         |  FROM tg JOIN eg USING (g) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(ns.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(ns.n_shared, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN ns USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_seq_pack" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM toks
+         |  WHERE len(w) > 0),
+         |o AS (SELECT doc_id, n,
+         |  CAST(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+         |    AS BIGINT) AS s
+         |  FROM n),
+         |x AS (SELECT doc_id, n, s,
+         |  unnest(range(s // $SeqLen, (s + n - 1) // $SeqLen + 1)) AS seq_id
+         |  FROM o)
+         |SELECT seq_id, doc_id,
+         |  greatest(seq_id * $SeqLen - s, 0) AS tok_start,
+         |  least(s + n, (seq_id + 1) * $SeqLen)
+         |    - greatest(s, seq_id * $SeqLen) AS n_toks
+         |FROM x ORDER BY seq_id, doc_id""".stripMargin)
 }

@@ -46,6 +46,41 @@ object KMeans {
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
 
+  /** `iterations` Lloyd rounds over persisted fixed-point points →
+    * final centroid frame (cid, c: array<long>).
+    */
+  private def lloyd(pts: DataFrame, k: Int, iterations: Int): DataFrame = {
+    var cent = pts.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("p").as("c"))
+    for (_ <- 1 to iterations) {
+      cent = assign(pts, cent).join(pts, "vec_id")
+        .select(col("cid"), posexplode(col("p")).as(Seq("d0", "v")))
+        .groupBy(col("cid"), (col("d0") + 1).cast("long").as("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"), expr("s div n").as("cv"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** Final (vec_id, cid) assignment after `iterations` Lloyd rounds —
+    * the clustering handle compositions build on (semantic dedup shards
+    * the pair search by cid).
+    */
+  def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    require(k >= 1 && iterations >= 1, "k and iterations must be >= 1")
+    val pts = pointsFp(df, idCol, vecCol).persist()
+    try {
+      pts.count()
+      assign(pts, lloyd(pts, k, iterations))
+    } finally pts.unpersist()
+  }
+
   /** Run `iterations` Lloyd rounds; output one row per (cluster, dim):
     * (cid, dim 1-based, n_points, centroid_fp) where n_points counts the
     * FINAL assignment against the last centroids.
@@ -56,20 +91,7 @@ object KMeans {
     val pts = pointsFp(df, idCol, vecCol).persist()
     try {
       pts.count()
-      var cent = pts.orderBy("vec_id").limit(k)
-        .select(col("vec_id").as("cid"), col("p").as("c"))
-      for (_ <- 1 to iterations) {
-        cent = assign(pts, cent).join(pts, "vec_id")
-          .select(col("cid"), posexplode(col("p")).as(Seq("d0", "v")))
-          .groupBy(col("cid"), (col("d0") + 1).cast("long").as("dim"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-          .select(col("cid"), col("dim"), expr("s div n").as("cv"))
-          .groupBy("cid")
-          .agg(transform(
-            array_sort(collect_list(struct(col("dim"), col("cv")))),
-            x => x.getField("cv")).as("c"))
-          .localCheckpoint()
-      }
+      val cent = lloyd(pts, k, iterations)
       val sizes = assign(pts, cent)
         .groupBy("cid").agg(count(lit(1)).as("n_points"))
       cent
