@@ -2,8 +2,9 @@ package graft.queries
 
 import graft._
 import graft.functions.HllSketch
-import graft.operators.{Outliers, PageRank, PerKey, Profile, Quantiles,
-  Sampling, Sessionize, TemporalJoins, TimeSeries, Transitions, Triangles}
+import graft.operators.{FuzzyJoin, Outliers, PageRank, PerKey, Profile,
+  Quantiles, Sampling, Sessionize, TemporalJoins, TimeSeries, Transitions,
+  Triangles}
 import graft.similarity.Centroids
 import graft.text.{Chunker, TextFunctions, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -446,20 +447,34 @@ object AnalyticsQueries {
         .orderBy("from_state", "to_state")
     },
 
-    // triangle count of the supplier co-supply graph (suppliers sharing
-    // a part) — degree-oriented wedge join, each triangle counted once
+    // triangle count of the market-basket graph (parts co-occurring in
+    // an order) — degree-oriented wedge join, each triangle counted
+    // once. Baskets are bounded (an order has a handful of lines), so
+    // the co-occurrence graph is sparse by construction — the property
+    // that makes triangle counting tractable at any scale
     "q_triangles" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_triangles")
       src(dfl, "lineitem")
-      val ps = dfl.get("lineitem")
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val op = dfl.get("lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val edges = ps.select(col("pk"), col("sk").as("sa"))
-        .join(ps.select(col("pk"), col("sk").as("sb")), Seq("pk"))
-        .where(col("sa") < col("sb"))
-        .select("sa", "sb")
-      Triangles.run(edges, "sa", "sb")
+      val edges = op.select(col("ok"), col("pk").as("pa"))
+        .join(op.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .where(col("pa") < col("pb"))
+        .select("pa", "pb")
+      Triangles.run(edges, "pa", "pb")
+    },
+
+    // entity resolution pair stage: FastSS deletion-neighborhood
+    // blocking + exact levenshtein verify over customer names — every
+    // distance-≤1 pair from equi-joins only
+    "q_entity_pairs" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_entity_pairs")
+      src(dfl, "customer")
+      FuzzyJoin.editDistancePairs(dfl.get("customer"), "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")
     },
 
     // weight-proportional deterministic Poisson sample (importance
@@ -921,10 +936,10 @@ object AnalyticsQueries {
     // naive closed-wedge formulation — independent of the engine's
     // degree-oriented algorithm
     "q_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
-        |e AS (SELECT DISTINCT a.sk AS a, b.sk AS b
-        |  FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
         |tr AS (SELECT count(*) AS n_triangles
         |  FROM e ab JOIN e bc ON ab.b = bc.a
         |    JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
@@ -932,6 +947,22 @@ object AnalyticsQueries {
         |SELECT CAST(n_edges AS BIGINT) AS n_edges,
         |  CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM ne, tr""".stripMargin,
+
+    "q_entity_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |k AS (SELECT id, unnest(list_distinct(list_prepend(name,
+        |    list_transform(range(1, length(name) + 1),
+        |      i -> substr(name, 1, i - 1)
+        |        || substr(name, i + 1, length(name)))))) AS key
+        |  FROM c),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id),
+        |p AS (SELECT id_a, id_b,
+        |    CAST(levenshtein(ca.name, cb.name) AS BIGINT) AS dist
+        |  FROM cand JOIN c ca ON ca.id = cand.id_a
+        |    JOIN c cb ON cb.id = cand.id_b)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_weighted_sample" -> {
       val h = OracleSql.tokenHash("'wsample:' || CAST(doc_id AS VARCHAR)")

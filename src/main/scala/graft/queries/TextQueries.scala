@@ -203,6 +203,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // per-language median-quality filter: the percentile-threshold pass
+    // a curation pipeline runs (keep docs at/above their language's
+    // median quality) — exact grouped median off the score histogram,
+    // medians broadcast back into the probe scan
+    "q_quality_filter" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_quality_filter")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+        .withColumn("quality_score", qualityScore(col("text")))
+      val med = graft.operators.Quantiles
+        .groupQuantiles(docs, Seq("lang"), "quality_score", Seq(0.5))
+        .select(col("lang"), col("quantile_value").as("__med"))
+      docs.join(broadcast(med), Seq("lang"))
+        .where(col("quality_score") >= col("__med"))
+        .select("doc_id", "lang", "quality_score")
+        .orderBy("doc_id")
+    },
+
     // GPT-style sequence packing: id-ordered token stream chunked into
     // 256-token sequences, docs spanning boundaries; global offsets via
     // the two-phase range-partition + broadcast-offsets layout
@@ -231,6 +250,19 @@ object TextQueries {
   import OracleSql.{toksCte, simHashExpr, tokenHash}
   import OracleSql.{hitsExpr => hitsSql}
 
+  /** Mirror of [[graft.text.TextFunctions.qualityScore]] over the `toks`
+    * CTE — shared by q_text_quality and q_quality_filter.
+    */
+  private lazy val qualitySql: String =
+    s"""round(
+       |  CAST(least(len(w), 100) AS DOUBLE) / 100 * 0.4
+       |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+       |        / length(text) END) * 0.3
+       |  + least((CASE WHEN len(w) = 0 THEN 0.0 ELSE
+       |      CAST(${hitsSql(EnglishStopwords)} AS DOUBLE) / len(w) END) * 5,
+       |      1.0) * 0.3, 6)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
       s"""WITH $toksCte
@@ -251,15 +283,26 @@ object TextQueries {
         |FROM toks ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       s"""WITH $toksCte
-        |SELECT doc_id, round(
-        |  CAST(least(len(w), 100) AS DOUBLE) / 100 * 0.4
-        |  + (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-        |        / length(text) END) * 0.3
-        |  + least((CASE WHEN len(w) = 0 THEN 0.0 ELSE
-        |      CAST(${hitsSql(EnglishStopwords)} AS DOUBLE) / len(w) END) * 5,
-        |      1.0) * 0.3, 6) AS quality_score
+        |SELECT doc_id, $qualitySql AS quality_score
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_quality_filter" ->
+      s"""WITH $toksCte,
+        |d AS (SELECT doc_id, lang, $qualitySql AS quality_score
+        |  FROM toks),
+        |hist AS (SELECT lang, quality_score, count(*) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |cm AS (SELECT lang, quality_score, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY quality_score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist),
+        |m AS (SELECT lang, quality_score AS med FROM cm
+        |  WHERE cum - cnt < ceil(0.5 * n) AND ceil(0.5 * n) <= cum)
+        |SELECT doc_id, d.lang, quality_score
+        |FROM d JOIN m ON d.lang = m.lang AND quality_score >= med
+        |ORDER BY doc_id""".stripMargin,
     "q_text_langid" -> {
       val hits = LangMarkers.map { case (l, m) => l -> hitsSql(m) }
       val best = hits.map(h => s"h_${h._1}").mkString("greatest(", ", ", ")")

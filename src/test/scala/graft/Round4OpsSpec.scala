@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Outliers, Sampling, Transitions, Triangles}
+import graft.operators.{FuzzyJoin, Outliers, Sampling, Transitions,
+  Triangles}
 import graft.text.{Decontaminate, SeqPack}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -151,6 +152,39 @@ class Round4OpsSpec extends SparkSpec {
       SeqPack.pack(df, "doc_id", "nt", seqLen = 32)
         .orderBy("seq_id", "doc_id").collect().toSeq
     assert(run(docs.repartition(1)) === run(docs.repartition(7)))
+  }
+
+  // ----------------------------------------------------------- fuzzy join
+
+  test("FuzzyJoin.editDistancePairs matches brute-force levenshtein") {
+    val names = Seq("kitten", "sitten", "sittin", "kittens", "mitten",
+      "cat", "cap", "cat", "dog", "do", "kitte", "abcdef")
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      i <- names.indices; j <- (i + 1) until names.size
+      if lev(names(i), names(j)) <= 1
+    } yield (i.toLong, j.toLong, lev(names(i), names(j)).toLong)).sorted
+    val got = FuzzyJoin.editDistancePairs(df, "id", "s")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === brute)
+  }
+
+  test("FuzzyJoin candidate generation contains no non-equi join") {
+    val df = Seq((1L, "aa"), (2L, "ab")).toDF("id", "s")
+    val plan = FuzzyJoin.editDistancePairs(df, "id", "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
   }
 
   // ------------------------------------------------- kmeans assignments
