@@ -47,7 +47,7 @@ object Q {
     * magnitudes exceed 2^53; a double detour would corrupt them). One
     * shared definition so streaming and analytics reads cannot desync.
     */
-  private[queries] val EventsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val EventsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("event_id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("ts",

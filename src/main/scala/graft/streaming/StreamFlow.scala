@@ -37,6 +37,35 @@ object StreamFlow {
     * Rows with a null `tsCol` have no place on the timeline and are
     * dropped, as an event-time watermark would drop them anyway.
     */
+  /** Write `df` as ONE parquet file named `split-<idx>` under `dir`
+    * (zero-padded names keep lexicographic = chronological order for the
+    * file source's tie-break on equal modification times).
+    */
+  private def writeSplitFile(
+      df: DataFrame, fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, idx: Int): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir + s"__tmp$idx")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"writeTimeSplits: no part file under $tmp"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir), f"split-$idx%03d.parquet"))
+    fs.delete(tmp, true)
+  }
+
+  /** Append one more single-file split AFTER a [[writeTimeSplits]] call —
+    * the sentinel harness for bounded outer-join drains: a far-future
+    * batch advances the watermark past the real timeline, and the batch
+    * after it evicts (and thus emits) the expired outer-join state.
+    */
+  def appendSplit(df: DataFrame, dir: String, idx: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    writeSplitFile(df, fs, dir, idx)
+  }
+
   def writeTimeSplits(
       df: DataFrame, tsCol: String, n: Int, dir: String): Unit = {
     val spark = df.sparkSession
@@ -48,15 +77,7 @@ object StreamFlow {
     // empty input (or all-null event times): land a single empty split so
     // the drain still runs one batch and initialises its state stores
     if (bounds.isNullAt(0)) {
-      val tmp = new org.apache.hadoop.fs.Path(dir + "__tmp0")
-      df.where(lit(false)).coalesce(1).write.mode("overwrite")
-        .parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(
-          s"writeTimeSplits: no part file under $tmp"))
-      fs.rename(part, new org.apache.hadoop.fs.Path(out, "split-000.parquet"))
-      fs.delete(tmp, true)
+      writeSplitFile(df.where(lit(false)), fs, dir, 0)
       return
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
@@ -65,16 +86,7 @@ object StreamFlow {
       val slice = df.where(
         col(tsCol) >= lo + i * step &&
           (if (i == n - 1) lit(true) else col(tsCol) < lo + (i + 1) * step))
-      val tmp = new org.apache.hadoop.fs.Path(dir + s"__tmp$i")
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(
-          s"writeTimeSplits: no part file under $tmp"))
-      // zero-padded names keep lexicographic = chronological order for
-      // the file source's tie-break on equal modification times
-      fs.rename(part, new org.apache.hadoop.fs.Path(out, f"split-$i%03d.parquet"))
-      fs.delete(tmp, true)
+      writeSplitFile(slice, fs, dir, i)
     }
   }
 

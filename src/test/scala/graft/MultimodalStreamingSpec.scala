@@ -96,6 +96,34 @@ class MultimodalStreamingSpec extends SparkSpec {
       Seq(("00:00", "click", 2L, 3.0), ("01:00", "view", 1L, 5.0)))
   }
 
+  test("stream-stream left-outer join flushes unmatched tail rows") {
+    // the sentinel harness must emit EVERY unmatched click — including
+    // those near the end of the bounded source, whose outer state a
+    // plain drain strands in the state store
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.defs("q_stream_join_outer")(
+      spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.exists(_.isNullAt(1)), "no null-padded outer rows emitted")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.schema(graft.queries.Q.EventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        col("event_type"), expr("ts div 1000").as("us"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("us").as("cus"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("us").as("pus"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pus") >= col("cus") - 3600000000L && col("pus") <= col("cus"),
+      "left")
+      .select("click_id", "purchase_id", "user_id")
+      .orderBy("click_id", "purchase_id").collect()
+    assert(got.toSeq === batch.toSeq)
+  }
+
   test("incremental sessionize is split-count invariant") {
     import graft.queries.StreamingQueries
     val min = 60L * 1000 * 1000
