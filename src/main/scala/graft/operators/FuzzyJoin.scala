@@ -25,13 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** The string itself plus its |s| single-deletion variants. */
+  /** The string itself plus its |s| single-deletion variants. The empty
+    * string must short-circuit: Spark's `sequence(1, 0)` steps DOWNWARD
+    * ([1, 0]), it is not an empty range.
+    */
   private def deletionKeys(c: Column): Column =
-    array_union(
-      array(c),
-      transform(sequence(lit(1), length(c)),
-        i => concat(c.substr(lit(1), i - 1),
-          c.substr(i + 1, length(c) - i))))
+    when(length(c) === 0, array(c)).otherwise(
+      array_union(
+        array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1),
+            c.substr(i + 1, length(c) - i)))))
 
   /** All pairs (id_a < id_b) of rows whose `strCol` values are within
     * Levenshtein distance 1, with the exact distance. Output:

@@ -35,7 +35,12 @@ object PageRank {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, "src").persist()
+    // pin hash(src) partitioning INTO the persisted edges: AQE turns the
+    // degree join into a broadcast, whose output keeps the scan's file
+    // partitioning — without the explicit repartition every round's
+    // rank join re-shuffles the full edge frame; with it, each round
+    // shuffles only the node-sized rank side into the cached layout
+    val withDeg = e.join(deg, "src").repartition(col("src")).persist()
     try {
       var rank = deg.select(col("src").as("id"), lit(Scale).as("r"))
       for (_ <- 1 to iterations) {

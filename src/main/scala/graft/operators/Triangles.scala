@@ -33,10 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Broadcast the closing edge set below this many edges (~16 B/row →
-    * well under the default driver/executor broadcast budgets).
+  /** Broadcast the adjacency table below this many edges — its payload
+    * is one array entry per oriented edge (~8 B plus row overhead), so
+    * 4M edges ≈ a few tens of MB, comfortably inside executor broadcast
+    * budgets. Larger graphs fall back to hash-partitioned attach joins.
     */
-  val BroadcastEdgeLimit = 20000000L
+  val BroadcastEdgeLimit = 4000000L
 
   /** Global triangle count of the undirected graph given as (a, b) rows;
     * edges are canonicalised and deduped internally. Returns one row:

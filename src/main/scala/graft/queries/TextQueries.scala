@@ -222,6 +222,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // per-source (domain-level) quality: m-estimate smoothing pulls
+    // small sources toward the corpus prior — the domain-trust signal a
+    // curation pipeline ranks sources by. Quality lives on a 1e-6 grid,
+    // so sums run in EXACT fixed-point; the only doubles are final
+    // divisions of exact integers (engine-identical)
+    "q_source_quality" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_source_quality")
+      src(dfl, "documents")
+      val fp = dfl.get("documents")
+        .select(col("source"),
+          round(qualityScore(col("text")) * 1000000L).cast("long").as("qfp"))
+      val per = fp.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("qfp")).as("__s"))
+      // corpus prior from the per-source partials (output-sized re-agg)
+      val prior = per.agg(
+        expr("sum(__s) div sum(n_docs)").as("__prior_fp"))
+      per.crossJoin(broadcast(prior))
+        .select(col("source"), col("n_docs"),
+          (col("__s").cast("double") / lit(1000000.0) /
+            col("n_docs").cast("double")).as("mean_q"),
+          ((col("__s") + lit(SmoothM) * col("__prior_fp")).cast("double") /
+            lit(1000000.0) / (col("n_docs") + lit(SmoothM)).cast("double"))
+            .as("smoothed_q"))
+        .orderBy("source")
+    },
+
     // GPT-style sequence packing: id-ordered token stream chunked into
     // 256-token sequences, docs spanning boundaries; global offsets via
     // the two-phase range-partition + broadcast-offsets layout
@@ -237,6 +264,8 @@ object TextQueries {
 
   /** Eval-split percentage for q_decontaminate. */
   private val EvalPct = 10
+  /** m-estimate pseudo-count for q_source_quality smoothing. */
+  private val SmoothM = 20L
   /** Tokens per packed training sequence for q_seq_pack. */
   private val SeqLen = 256L
 
@@ -490,6 +519,24 @@ object TextQueries {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_source_quality" ->
+      s"""WITH $toksCte,
+        |d AS (SELECT doc_id,
+        |    CAST(round(($qualitySql) * 1000000) AS BIGINT) AS qfp
+        |  FROM toks),
+        |ds AS (SELECT doc.source, d.qfp
+        |  FROM d JOIN documents doc USING (doc_id)),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(qfp) AS BIGINT) AS s FROM ds GROUP BY 1),
+        |pr AS (SELECT CAST(sum(s) AS BIGINT) // CAST(sum(n_docs) AS BIGINT)
+        |    AS prior_fp FROM per)
+        |SELECT source, n_docs,
+        |  CAST(s AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE) AS mean_q,
+        |  CAST(s + $SmoothM * prior_fp AS DOUBLE) / 1000000.0
+        |    / CAST(n_docs + $SmoothM AS DOUBLE) AS smoothed_q
+        |FROM per, pr
+        |ORDER BY source""".stripMargin,
 
     "q_seq_pack" ->
       s"""WITH $toksCte,

@@ -179,6 +179,18 @@ class Round4OpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("FuzzyJoin handles empty and single-char strings") {
+    val df = Seq((1L, ""), (2L, ""), (3L, "a"), (4L, "b"), (5L, "ab"))
+      .toDF("id", "s")
+    val got = FuzzyJoin.editDistancePairs(df, "id", "s")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // ""≡"" (0); ""~"a"/"b" (1); "a"~"b" (1); "a"/"b"~"ab" (1)
+    assert(got === Seq((1L, 2L, 0L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (3L, 5L, 1L),
+      (4L, 5L, 1L)))
+  }
+
   test("FuzzyJoin candidate generation contains no non-equi join") {
     val df = Seq((1L, "aa"), (2L, "ab")).toDF("id", "s")
     val plan = FuzzyJoin.editDistancePairs(df, "id", "s")
