@@ -199,6 +199,28 @@ class Round4OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  // ------------------------------------------------------- plan shapes
+
+  test("SeqPack.pack plans no single-partition exchange") {
+    val docs = (1L to 500L).map(i => (i, 1L + i % 17)).toDF("doc_id", "nt")
+    val out = SeqPack.pack(docs, "doc_id", "nt", seqLen = 64)
+    out.collect() // resolve AQE so the final plan is the executed one
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "global token offsets must not serialise onto one partition")
+  }
+
+  test("Outliers.flag probes via broadcast join, no per-group window") {
+    val df = (1L to 300L).map(i => ("g" + i % 3, i, i % 50))
+      .toDF("g", "id", "v")
+    val out = Outliers.flag(df, Seq("g"), "v", z = 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("Window"),
+      "group stats must broadcast back, not window over the groups")
+  }
+
   // ------------------------------------------------- kmeans assignments
 
   test("KMeans.fitAssign sizes agree with fit's n_points") {
