@@ -78,27 +78,28 @@ object TextQueries {
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_text_repetition")
       src(dfl, "documents")
-      val docs = dfl.get("documents")
-      def gramStats(k: Int) = docs
+      // both signals are per-document functions of the token array, so
+      // they run ROW-LOCALLY (one sort + one fold for the top-bigram
+      // run; distinct-count arithmetic for dup-3-grams): a single scan
+      // with NO shuffle, vs the explode + per-(doc, gram) aggregation
+      // that ships every n-gram of the corpus through two exchanges.
+      // Layout rules (all measured): the token array MUST be its own
+      // column — inlining tokens(text) into ngrams' per-element lambda
+      // re-splits the text per shingle, O(n²)/doc (45s vs 4s at sf0.1);
+      // and the expensive fold appears exactly once — Catalyst inlines
+      // duplicated trees into every use, so a multi-referenced fold
+      // alias re-runs per field (13-40s)
+      import graft.text.TextFunctions.{maxRunLength, ngrams}
+      val b = ngrams(col("__w"), 2)
+      val t = ngrams(col("__w"), 3)
+      dfl.get("documents")
+        .withColumn("__w", tokens(col("text")))
         .select(col("doc_id"),
-          explode(graft.text.TextFunctions.ngrams(
-            tokens(col("text")), k)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum(col("c")).as("total"),
-          max(col("c")).as("top"),
-          count(lit(1)).as("nd"))
-      val b = gramStats(2).select(col("doc_id"),
-        (col("top").cast("double") / col("total")).as("top2_frac"))
-      val t = gramStats(3).select(col("doc_id"),
-        ((col("total") - col("nd")).cast("double") / col("total"))
-          .as("dup3_frac"))
-      docs.select("doc_id")
-        .join(b, Seq("doc_id"), "left")
-        .join(t, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
-          coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+          when(size(b) > 0, maxRunLength(array_sort(b)).cast("double")
+            / size(b)).otherwise(0.0).as("top2_frac"),
+          when(size(t) > 0,
+            (size(t) - size(array_distinct(t))).cast("double") / size(t))
+            .otherwise(0.0).as("dup3_frac"))
         .orderBy("doc_id")
     },
 
