@@ -298,6 +298,59 @@ object StreamingQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     },
 
+    // streaming → warehouse upsert sink: UPDATE-mode aggregation whose
+    // changed rows merge into a keyed parquet table per micro-batch via
+    // foreachBatch (read-current ∖ batch-keys ∪ batch, staging-swap) —
+    // the pattern that lands a continuously-updating aggregate in the
+    // BSE layer. On a transactional table this merge is MERGE INTO; the
+    // anti-join + swap is its exactly-equivalent parquet rendering.
+    // Ground truth: the final table state equals the batch aggregate.
+    "q_stream_upsert" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val batch = s.read.schema(EventsSchema)
+          .parquet(s"$dir/events.parquet")
+          .select(col("event_type"), col("value"),
+            expr("ts div 1000").as("ts_us"))
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_upsert").toString
+        val splitDir = base + "/splits"
+        val target = base + "/bse_event_totals"
+        StreamFlow.writeTimeSplits(batch, "ts_us", 3, splitDir)
+        val splitSchema = StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("ts_us", LongType)))
+        val agg = s.readStream.schema(splitSchema)
+          .option("maxFilesPerTrigger", "1").parquet(splitDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(28,2)")).as("__tv"))
+        val q = agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val fs = new org.apache.hadoop.fs.Path(target)
+              .getFileSystem(s.sessionState.newHadoopConf())
+            val merged =
+              if (!fs.exists(new org.apache.hadoop.fs.Path(target))) b
+              else s.read.parquet(target)
+                .join(b.select("event_type"), Seq("event_type"),
+                  "left_anti")
+                .unionByName(b)
+            graft.io.ParquetUtil.safeOverwrite(s, merged, target)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(target)
+          .select(col("event_type"), col("n_events"),
+            col("__tv").cast("double").as("total_value"))
+          .orderBy("event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -367,6 +420,11 @@ object StreamingQueries {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.us >= c.us - 3600000000 AND p.us <= c.us
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_stream_upsert" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_join_outer" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,

@@ -173,4 +173,36 @@ class DataFlowPropertiesSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: editDistancePairs matches brute-force levenshtein") {
+    import spark.implicits._
+    // short strings over a tiny alphabet maximise near-collisions
+    val strs = Gen.listOfN(12,
+      Gen.choose(0, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val prop = Prop.forAll(strs) { ss =>
+      ss.isEmpty || {
+        val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("id", "s")
+        val got = graft.operators.FuzzyJoin.editDistancePairs(df, "id", "s")
+          .as[(Long, Long, Long)].collect().sorted.toSeq
+        val want = (for {
+          i <- ss.indices; j <- (i + 1) until ss.size
+          if lev(ss(i), ss(j)) <= 1
+        } yield (i.toLong, j.toLong, lev(ss(i), ss(j)).toLong)).sorted
+        got == want
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
