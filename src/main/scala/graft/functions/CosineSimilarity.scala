@@ -88,15 +88,35 @@ object GraftFunctions {
       CosineSimilarity(children.head, children(1))
     })
 
+  private val repetitionStatsDescriptor: (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("repetition_stats"),
+    new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "repetition_stats expects exactly 1 argument")
+      RepetitionStats(children.head)
+    })
+
   /** Register on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineSimDescriptor._1, cosineSimDescriptor._2, cosineSimDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      repetitionStatsDescriptor._1, repetitionStatsDescriptor._2,
+      repetitionStatsDescriptor._3)
+  }
 
   /** Column-level accessor (registers on the session first). */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_udf("cosine_sim", a, b)
+  }
+
+  /** Column-level accessor for [[RepetitionStats]]. */
+  def repetitionStats(spark: SparkSession, toks: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("repetition_stats", toks)
   }
 }
 

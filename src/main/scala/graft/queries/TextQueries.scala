@@ -79,27 +79,21 @@ object TextQueries {
       val dfl = DataFlow(s, "q_text_repetition")
       src(dfl, "documents")
       // both signals are per-document functions of the token array, so
-      // they run ROW-LOCALLY (one sort + one fold for the top-bigram
-      // run; distinct-count arithmetic for dup-3-grams): a single scan
-      // with NO shuffle, vs the explode + per-(doc, gram) aggregation
-      // that ships every n-gram of the corpus through two exchanges.
-      // Layout rules (all measured): the token array MUST be its own
-      // column — inlining tokens(text) into ngrams' per-element lambda
-      // re-splits the text per shingle, O(n²)/doc (45s vs 4s at sf0.1);
-      // and the expensive fold appears exactly once — Catalyst inlines
-      // duplicated trees into every use, so a multi-referenced fold
-      // alias re-runs per field (13-40s)
-      import graft.text.TextFunctions.{maxRunLength, ngrams}
-      val b = ngrams(col("__w"), 2)
-      val t = ngrams(col("__w"), 3)
+      // they run ROW-LOCALLY — a single scan with NO shuffle, vs the
+      // explode + per-(doc, gram) aggregation that ships every corpus
+      // n-gram through two exchanges. The native repetition_stats
+      // expression hash-counts both signals in ONE pass per row
+      // (bit-parity with the declarative fold rendering is
+      // unit-asserted; the declarative route measured 4.3s at sf0.1 and
+      // is hostage to expression-tree layout — an inline token tree
+      // re-splits the text per shingle, O(n²)/doc)
+      val rs = graft.functions.GraftFunctions
+        .repetitionStats(s, tokens(col("text")))
       dfl.get("documents")
-        .withColumn("__w", tokens(col("text")))
+        .withColumn("__rs", rs)
         .select(col("doc_id"),
-          when(size(b) > 0, maxRunLength(array_sort(b)).cast("double")
-            / size(b)).otherwise(0.0).as("top2_frac"),
-          when(size(t) > 0,
-            (size(t) - size(array_distinct(t))).cast("double") / size(t))
-            .otherwise(0.0).as("dup3_frac"))
+          col("__rs.top2_frac").as("top2_frac"),
+          col("__rs.dup3_frac").as("dup3_frac"))
         .orderBy("doc_id")
     },
 

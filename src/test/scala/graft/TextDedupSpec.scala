@@ -392,4 +392,31 @@ class TextDedupSpec extends SparkSpec {
       Seq("zz_never").toDF("term"), "term").head().getLong(1)
     assert(unseen < 100)
   }
+
+  test("repetition_stats kernel is bit-identical to the fold rendering") {
+    import graft.text.TextFunctions.{maxRunLength, ngrams, tokens}
+    val r = new scala.util.Random(11)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e")
+    val docs = (0L until 80L).map { i =>
+      val n = r.nextInt(12) // includes 0-, 1- and 2-token docs
+      (i, Seq.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val b = ngrams(col("__w"), 2)
+    val t = ngrams(col("__w"), 3)
+    val declarative = docs.withColumn("__w", tokens(col("text")))
+      .select(col("doc_id"),
+        when(size(b) > 0, maxRunLength(array_sort(b)).cast("double")
+          / size(b)).otherwise(0.0).as("top2_frac"),
+        when(size(t) > 0,
+          (size(t) - size(array_distinct(t))).cast("double") / size(t))
+          .otherwise(0.0).as("dup3_frac"))
+      .orderBy("doc_id").collect()
+    val native = docs.withColumn("__rs",
+        graft.functions.GraftFunctions.repetitionStats(
+          spark, tokens(col("text"))))
+      .select(col("doc_id"), col("__rs.top2_frac").as("top2_frac"),
+        col("__rs.dup3_frac").as("dup3_frac"))
+      .orderBy("doc_id").collect()
+    assert(native.toSeq === declarative.toSeq)
+  }
 }
