@@ -100,8 +100,18 @@ object StreamingQueries {
     drained.unionByName(open)
   }
 
+  /** Stateful bounded drains pay per-partition state-store setup each
+    * micro-batch; 8 partitions still spread a skewless key space (a real
+    * deployment sizes this to throughput, not the batch default).
+    */
+  private def withStreamParts[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_events" -> { (s, dir) =>
+    "q_stream_events" -> { (s, dir) =>withStreamParts(s) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = StreamFlow.readParquetStream(
         s, s"$dir/events.parquet", EventsSchema)
@@ -118,6 +128,7 @@ object StreamingQueries {
             .as("window_start"),
           col("event_type"), col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")
+    }
     },
 
     // stateful streaming: per-user sessionization via
@@ -130,7 +141,7 @@ object StreamingQueries {
     // data source) — the bounded-drain analogue of "read open sessions
     // on the next run". Per-batch events are sorted by event time inside
     // the state function (iterator order is not guaranteed).
-    "q_stream_sessionize" -> { (s, dir) =>
+    "q_stream_sessionize" -> { (s, dir) =>withStreamParts(s) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batch = s.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
         .select(col("user_id"), expr("ts div 1000").as("ts_us"))
@@ -147,6 +158,7 @@ object StreamingQueries {
         date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")
           .as("session_end"))
         .orderBy("user_id", "session_idx")
+    }
     },
 
     // stateful streaming dedup: dropDuplicatesWithinWatermark on the
@@ -158,7 +170,7 @@ object StreamingQueries {
     // every duplicate arrives well inside the watermark delay) and the
     // dedup provably removes duplicates; ground truth is the plain batch
     // aggregate.
-    "q_stream_dedup" -> { (s, dir) =>
+    "q_stream_dedup" -> { (s, dir) =>withStreamParts(s) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = StreamFlow.readParquetStream(
         s, s"$dir/events.parquet", EventsSchema)
@@ -176,6 +188,7 @@ object StreamingQueries {
       StreamFlow.runToMemory(agg, s, "q_stream_dedup")
         .select(col("event_type"), col("n_events"), col("total_value"))
         .orderBy("event_type")
+    }
     },
 
     // stream-static enrichment join: the streaming fact side joins a
@@ -183,7 +196,7 @@ object StreamingQueries {
     // small) — the canonical streaming-enrichment pattern. The join key
     // maps event users onto customer keys; ground truth is the same
     // join in batch.
-    "q_stream_enrich" -> { (s, dir) =>
+    "q_stream_enrich" -> { (s, dir) =>withStreamParts(s) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val customers = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -199,6 +212,7 @@ object StreamingQueries {
         .select(col("c_mktsegment"), col("event_type"), col("n_events"),
           col("total_value"))
         .orderBy("c_mktsegment", "event_type")
+    }
     },
 
     // stream-stream inner join: clicks join purchases of the same user
