@@ -92,6 +92,37 @@ case class CsvDatastore(dir: String, delimiter: String = ",",
       .csv(s"$dir/$table.csv")
 }
 
+/** Directory of JSON-lines files: `<dir>/<table>.json` — the modern
+  * interchange sibling of [[CsvDatastore]], same stringly ingestion
+  * contract: a name-discovery pass, then every field read as STRING
+  * (JSON scalars coerce to their literal text) with missing keys / JSON
+  * nulls normalised to `''`. Typing stays an explicit downstream step
+  * (`toNumeric`), exactly like the CSV path.
+  */
+case class JsonDatastore(dir: String, singleFile: Boolean = true)
+    extends Datastore {
+
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val path = s"$dir/$table.json"
+    // two-pass like CsvDatastore: discover field names, then re-read
+    // with an all-string schema (inference off, types faithful)
+    val names = spark.read.json(path).schema.fieldNames
+    val schema = StructType(names.map(StructField(_, StringType)))
+    spark.read.schema(schema).json(path).na.fill("")
+  }
+
+  override def tableNames(spark: SparkSession): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).getOrElse(Array.empty[String]).toSeq
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+
+  override def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "overwrite"): Unit =
+    (if (singleFile) df.coalesce(1) else df).write.mode(mode)
+      .json(s"$dir/$table.json")
+}
+
 /** Workbook-backed datastore: one xlsx file, worksheets as tables — the
   * reference's Excel connector (betl/io/_excel.py:5-44,
   * excelIO.py:4-35). Same stringly contract as [[CsvDatastore]]: the

@@ -296,6 +296,24 @@ object LifecycleQueries {
         .orderBy("key_num")
     },
 
+    // §2.1 JSONL source: same stringly contract as CSV through a real
+    // JsonDatastore round trip (extension — the modern interchange
+    // sibling of the reference's CSV front door)
+    "q_json_source" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_json_source")
+      val js = graft.io.JsonDatastore(s"${c.warehousePath}/json_src")
+      val dfl = DataFlow(s, "q_json_source")
+      src(dfl, "nation")
+      js.write(s, dfl.get("nation"), "nation")
+      val c2 = c.copy(srcSystems = Map("JSONL" -> js))
+      val dfl2 = new DataFlow(s, "q_json_source_read", c2)
+      dfl2.getDataFromSrc("nation", "JSONL")
+      dfl2.dropColumns("nation", dropAuditCols = true)
+      dfl2.toNumeric("nation", Seq("n_nationkey"), Seq("key_num"))
+      dfl2.getColumns("nation", Seq("key_num", "n_name", "n_regionkey"))
+        .orderBy("key_num")
+    },
+
     // §2.5 dev-mode row cap applied at the source (limitdata)
     "q_limitdata" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir).copy(dataLimitRows = Some(50))
@@ -683,6 +701,10 @@ object LifecycleQueries {
         |WHERE n.n_name NOT IN ('NATION_3', 'NATION_7', 'NATION_99')
         |ORDER BY n_nationkey""".stripMargin,
     "q_csv_source" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS key_num, n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY key_num""".stripMargin,
+    "q_json_source" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS key_num, n_name,
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation ORDER BY key_num""".stripMargin,
