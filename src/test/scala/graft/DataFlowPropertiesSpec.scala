@@ -174,6 +174,60 @@ class DataFlowPropertiesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: Outliers.flag equals the naive rational z-test") {
+    import spark.implicits._
+    val vals = Gen.listOfN(25, Gen.choose(-50L, 50L))
+    val prop = Prop.forAll(vals) { vs =>
+      vs.isEmpty || {
+        val df = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+          .toDF("g", "id", "v")
+        val got = graft.operators.Outliers.flag(df, Seq("g"), "v", z = 2)
+          .select("id").as[Long].collect().toSet
+        // naive with exact rational arithmetic via BigInt
+        val n = BigInt(vs.size)
+        val s = vs.map(BigInt(_)).sum
+        val ssq = vs.map(v => BigInt(v) * v).sum
+        val want = vs.zipWithIndex.collect {
+          case (v, i) if {
+            val d = n * v - s
+            d * d > 4 * (n * ssq - s * s)
+          } => i.toLong
+        }.toSet
+        got == want
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: SeqPack conserves tokens and fills every sequence") {
+    import spark.implicits._
+    val sizes = Gen.listOfN(20, Gen.choose(0L, 40L))
+    val prop = Prop.forAll(sizes, Gen.choose(8L, 64L)) { (ns, seqLen) =>
+      ns.forall(_ <= 0) || {
+        val df = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+          .toDF("doc_id", "nt")
+        val out = graft.text.SeqPack.pack(df, "doc_id", "nt", seqLen)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        val total = ns.filter(_ > 0).sum
+        val perDoc = out.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+        val perSeq = out.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+          .toSeq.sortBy(_._1)
+        ns.zipWithIndex.filter(_._1 > 0).forall { case (n, i) =>
+          perDoc.getOrElse(i.toLong, 0L) == n } &&
+          perSeq.map(_._2).sum == total &&
+          perSeq.init.forall(_._2 == seqLen) &&
+          (perSeq.isEmpty || perSeq.last._2 <= seqLen) &&
+          perSeq.map(_._1) == (0L until perSeq.size.toLong)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: editDistancePairs matches brute-force levenshtein") {
     import spark.implicits._
     // short strings over a tiny alphabet maximise near-collisions
