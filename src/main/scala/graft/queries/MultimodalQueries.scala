@@ -32,7 +32,43 @@ object MultimodalQueries {
         element_at(col("feat"), 3).as("f2"),
         element_at(col("feat"), 4).as("f3"))
         .orderBy("doc_id")
+    },
+
+    // multimodal retrieval: brute-force cosine top-k over the media
+    // feature vectors (queries-as-literals like q_ann_brute — no
+    // crossJoin; the 5 query vectors explode into the scan). Swapping
+    // FakeKernel for a real decoder turns this into image/audio
+    // similarity search with no plan change.
+    "q_multimodal_ann" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_multimodal_ann")
+      val packed = src(dfl, "documents")
+        .select(col("doc_id"), Multimodal.packText(col("text")).as("media"))
+      val feats = Multimodal.featurize(packed, "media", "feat")
+        .select("doc_id", "feat")
+      val qRows = feats.where(col("doc_id") < NumQueries)
+        .orderBy("doc_id").collect()
+      val qLit = array(qRows.map { r =>
+        struct(lit(r.getLong(0)).as("qid"),
+          array(r.getSeq[Double](1).map(lit(_)): _*).as("qf"))
+      }: _*)
+      val rank = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("cosine"), asc("doc_id"))
+      feats.select(col("doc_id"), col("feat"), explode(qLit).as("p"))
+        .select(col("p.qid").as("qid"), col("doc_id"), col("feat"),
+          col("p.qf").as("qf"))
+        .where(col("qid") =!= col("doc_id"))
+        .withColumn("cosine",
+          graft.similarity.VectorFunctions.cosine(col("qf"), col("feat")))
+        .withColumn("rank", row_number().over(rank).cast("bigint"))
+        .where(col("rank") <= TopK)
+        .select(col("qid"), col("doc_id").as("neighbor"), col("cosine"),
+          col("rank"))
+        .orderBy("qid", "rank")
     })
+
+  private val NumQueries = 5
+  private val TopK = 10
 
   private def featSql(i: Int): String =
     s"""list_reduce(list_transform(range(1, 5),
@@ -49,5 +85,23 @@ object MultimodalQueries {
         |  ${featSql(1)} AS f1,
         |  ${featSql(2)} AS f2,
         |  ${featSql(3)} AS f3
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_ann" -> {
+      val dot = OracleSql.dotExpr("qf", "feat", dim = 4)
+      val na = OracleSql.dotExpr("qf", "qf", dim = 4)
+      val nb = OracleSql.dotExpr("feat", "feat", dim = 4)
+      s"""WITH f AS (SELECT doc_id,
+        |    [${featSql(0)}, ${featSql(1)}, ${featSql(2)}, ${featSql(3)}]
+        |      AS feat
+        |  FROM documents),
+        |q AS (SELECT doc_id AS qid, feat AS qf FROM f WHERE doc_id < 5),
+        |p AS (SELECT qid, doc_id,
+        |    ($dot) / (sqrt($na) * sqrt($nb)) AS cosine
+        |  FROM q JOIN f ON f.doc_id <> q.qid),
+        |r AS (SELECT qid, doc_id, cosine, row_number() OVER
+        |  (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank FROM p)
+        |SELECT qid, doc_id AS neighbor, cosine, rank
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    })
 }
