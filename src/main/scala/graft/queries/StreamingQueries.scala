@@ -100,6 +100,63 @@ object StreamingQueries {
     drained.unionByName(open)
   }
 
+  /** Outer stream-stream interval join (clicks ⋈ purchases of the same
+    * user within the preceding hour). Unmatched rows only emit once the
+    * watermark proves no match can still arrive; a bounded drain's
+    * watermark stops at the last real event, stranding the tail's
+    * unmatched state — so the drain appends two far-future sentinel
+    * batches on BOTH sides (the join watermark is the min across
+    * inputs): the first advances the watermark past the whole real
+    * timeline, the second's execution evicts and emits the expired
+    * outer state. Ground truth is the identical batch outer join.
+    */
+  private def outerIntervalJoin(
+      s: SparkSession, dir: String, joinType: String,
+      name: String): DataFrame = withStreamParts(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = s.read.schema(EventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val splitDir = java.nio.file.Files
+      .createTempDirectory("graft_sjo_split").toString + "/splits"
+    StreamFlow.writeTimeSplits(batch, "ts_us", 3, splitDir)
+    val hiUs = batch.agg(max(col("ts_us"))).collect()(0).getLong(0)
+    val dayUs = 86400L * 1000000L
+    import s.implicits._
+    def sentinel(tsUs: Long) = Seq(
+      (-1L, -1L, "click", tsUs), (-1L, -2L, "purchase", tsUs))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    StreamFlow.appendSplit(sentinel(hiUs + 10 * dayUs), splitDir, 3)
+    StreamFlow.appendSplit(sentinel(hiUs + 20 * dayUs), splitDir, 4)
+    val splitSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts_us", LongType)))
+    val ev = s.readStream.schema(splitSchema)
+      .option("maxFilesPerTrigger", "1").parquet(splitDir)
+      .withColumn("tsm", timestamp_micros(col("ts_us")))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("tsm").as("ct"))
+      .withWatermark("ct", "1 hour")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("tsm").as("pt"))
+      .withWatermark("pt", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("pt") >= col("ct") - expr("INTERVAL 1 HOUR") &&
+        col("pt") <= col("ct"),
+      joinType)
+    StreamFlow.runToMemory(joined, s, name, outputMode = "append")
+      .withColumn("u", coalesce(col("user_id"), col("p_user_id")))
+      .where(col("u") >= 0) // drop the sentinel rows
+      .select(col("click_id"), col("purchase_id"), col("u").as("user_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Stateful bounded drains pay per-partition state-store setup each
     * micro-batch; 8 partitions still spread a skewless key space (a real
     * deployment sizes this to throughput, not the batch default).
@@ -264,52 +321,13 @@ object StreamingQueries {
     // second's execution evicts and emits the expired outer state.
     // Ground truth is the identical batch left join.
     "q_stream_join_outer" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val batch = s.read.schema(EventsSchema)
-          .parquet(s"$dir/events.parquet")
-          .where(col("event_type").isin("click", "purchase"))
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            expr("ts div 1000").as("ts_us"))
-        val splitDir = java.nio.file.Files
-          .createTempDirectory("graft_sjo_split").toString + "/splits"
-        StreamFlow.writeTimeSplits(batch, "ts_us", 3, splitDir)
-        val hiUs = batch.agg(max(col("ts_us"))).collect()(0).getLong(0)
-        val dayUs = 86400L * 1000000L
-        import s.implicits._
-        def sentinel(tsUs: Long) = Seq(
-          (-1L, -1L, "click", tsUs), (-1L, -2L, "purchase", tsUs))
-          .toDF("user_id", "event_id", "event_type", "ts_us")
-        StreamFlow.appendSplit(sentinel(hiUs + 10 * dayUs), splitDir, 3)
-        StreamFlow.appendSplit(sentinel(hiUs + 20 * dayUs), splitDir, 4)
-        val splitSchema = StructType(Seq(
-          StructField("user_id", LongType), StructField("event_id", LongType),
-          StructField("event_type", StringType),
-          StructField("ts_us", LongType)))
-        val ev = s.readStream.schema(splitSchema)
-          .option("maxFilesPerTrigger", "1").parquet(splitDir)
-          .withColumn("tsm", timestamp_micros(col("ts_us")))
-        val clicks = ev.where(col("event_type") === "click")
-          .select(col("user_id"), col("event_id").as("click_id"),
-            col("tsm").as("ct"))
-          .withWatermark("ct", "1 hour")
-        val purchases = ev.where(col("event_type") === "purchase")
-          .select(col("user_id").as("p_user_id"),
-            col("event_id").as("purchase_id"), col("tsm").as("pt"))
-          .withWatermark("pt", "1 hour")
-        val joined = clicks.join(purchases,
-          col("user_id") === col("p_user_id") &&
-            col("pt") >= col("ct") - expr("INTERVAL 1 HOUR") &&
-            col("pt") <= col("ct"),
-          "leftOuter")
-        StreamFlow.runToMemory(joined, s, "q_stream_join_outer",
-          outputMode = "append")
-          .where(col("user_id") >= 0) // drop the sentinel rows
-          .select("click_id", "purchase_id", "user_id")
-          .orderBy("click_id", "purchase_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      outerIntervalJoin(s, dir, "leftOuter", "q_stream_join_outer")
+    },
+
+    // stream-stream FULL OUTER variant: unmatched PURCHASES also emit
+    // (null click side); same sentinel flush mechanism
+    "q_stream_join_full" -> { (s, dir) =>
+      outerIntervalJoin(s, dir, "fullOuter", "q_stream_join_full")
     },
 
     // streaming → warehouse upsert sink: UPDATE-mode aggregation whose
@@ -449,6 +467,19 @@ object StreamingQueries {
         |  WHERE event_type = 'purchase')
         |SELECT c.click_id, p.purchase_id, c.user_id
         |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.us >= c.us - 3600000000 AND p.us <= c.us
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_stream_join_full" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, us FROM ev
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, us FROM ev
+        |  WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id,
+        |  COALESCE(c.user_id, p.user_id) AS user_id
+        |FROM c FULL JOIN p ON c.user_id = p.user_id
         |  AND p.us >= c.us - 3600000000 AND p.us <= c.us
         |ORDER BY click_id, purchase_id""".stripMargin,
     "q_events_json" ->

@@ -217,6 +217,17 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BM25 ranked retrieval: top-15 docs for a bag-of-terms query —
+    // per-(doc, term) contributions snapped to 2^-20 fixed point before
+    // the per-doc sum, so the ranking is engine-identical
+    "q_bm25" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_bm25")
+      src(dfl, "documents")
+      graft.text.Bm25.topK(dfl.get("documents"), "doc_id", "text",
+        Bm25Terms, k = 15)
+    },
+
     // per-source (domain-level) quality: m-estimate smoothing pulls
     // small sources toward the corpus prior — the domain-trust signal a
     // curation pipeline ranks sources by. Quality lives on a 1e-6 grid,
@@ -261,6 +272,8 @@ object TextQueries {
   private val EvalPct = 10
   /** m-estimate pseudo-count for q_source_quality smoothing. */
   private val SmoothM = 20L
+  /** Query terms for q_bm25 (common corpus vocabulary). */
+  private val Bm25Terms = Seq("spark", "join", "window")
   /** Tokens per packed training sequence for q_seq_pack. */
   private val SeqLen = 256L
 
@@ -513,6 +526,32 @@ object TextQueries {
          |FROM documents d LEFT JOIN ns USING (doc_id)
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_bm25" -> {
+      import graft.text.Bm25.{B, K1, K1Plus1, OneMinusB, Scale}
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $toksCte,
+        |t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+        |  FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN ($terms) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(floor(
+        |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (CAST(tf AS DOUBLE) * $K1Plus1)
+        |      / (CAST(tf AS DOUBLE) + $K1 * ($OneMinusB
+        |        + $B * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |          / CAST(tot AS DOUBLE)))
+        |      * ${Scale.toDouble}) AS BIGINT) AS c
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), nn),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_fp
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, score_fp,
+        |  CAST(score_fp AS DOUBLE) / ${Scale.toDouble} AS score
+        |FROM agg ORDER BY score_fp DESC, doc_id LIMIT 15""".stripMargin
     },
 
     "q_source_quality" ->

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over the document corpus — the lexical search
+  * scorer (k1/b Robertson weighting) a curation pipeline uses to mine
+  * topic-relevant training data. Extension category.
+  *
+  * Determinism: every input to the per-(doc, term) contribution is an
+  * exact integer (tf, df, dl, N, total tokens), the double expression is
+  * written with IDENTICAL association on both engines, and the result is
+  * snapped to 2^-20 fixed point BEFORE the per-doc sum — so document
+  * scores are integer sums, bit-identical under any partitioning, and an
+  * oracle replays the ranking exactly (same ln()-ULP caveat as
+  * [[Vocabulary.lmScore]]).
+  *
+  * Scale shape: the corpus contributes one combine-reduced doc-length
+  * aggregation and one (doc, query-term) tf aggregation pre-filtered to
+  * the query's terms (the `isin` prunes at the scan); df and the corpus
+  * totals are output-sized frames that broadcast back via 1-row / tiny
+  * cross joins. Top-k plans TakeOrderedAndProject — per-partition heaps,
+  * no global sort.
+  */
+object Bm25 {
+
+  val Scale = 1048576L // 2^20
+  val K1 = 1.2
+  /** Written as its own literal, NOT `K1 + 1`: the runtime sum
+    * 1.2 + 1.0 rounds differently from the parsed literal 2.2, and the
+    * oracle parses literals.
+    */
+  val K1Plus1 = 2.2
+  val B = 0.75
+  val OneMinusB = 0.25
+
+  /** Top-k documents for a bag-of-terms query. Output:
+    * (idCol, score_fp, score) ordered by (score_fp desc, id).
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1, "need query terms and k >= 1")
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot"))
+    val tf = toks.where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd: Column = col("n_docs").cast("double")
+    // association mirrors the oracle SQL token for token
+    val idf = log((nd - col("df") + 0.5) / (col("df") + 0.5))
+    val den = col("tf").cast("double") + lit(K1) *
+      (lit(OneMinusB) + lit(B) * col("dl").cast("double") * nd /
+        col("tot").cast("double"))
+    val contrib = floor(
+      idf * (col("tf").cast("double") * lit(K1Plus1)) / den *
+        lit(Scale.toDouble)).cast("long")
+    tf.join(broadcast(dfq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), contrib.as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("score_fp"))
+      .withColumn("score", col("score_fp").cast("double") / Scale.toDouble)
+      .orderBy(col("score_fp").desc, col(idCol))
+      .limit(k)
+  }
+}
