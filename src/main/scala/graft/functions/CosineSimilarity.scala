@@ -124,10 +124,16 @@ object GraftFunctions {
   * (`.config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")`).
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
         (children: Seq[Expression]) => CosineSimilarity(
           children.head, children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("repetition_stats"),
+        new ExpressionInfo(classOf[RepetitionStats].getName,
+          "repetition_stats"),
+        (children: Seq[Expression]) => RepetitionStats(children.head)))
+  }
 }

@@ -21,8 +21,14 @@ import org.apache.spark.sql.types.DecimalType
   *
   * — every operand an integer, so membership is bit-identical on any
   * partitioning and replayable by any engine. Products run in
-  * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): at 100 TB, n*ssq exceeds
-  * 64 bits long before the math is wrong.
+  * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): at 100 TB,
+  * n*ssq exceeds 64 bits long before the math is wrong. The valid
+  * envelope is |n·v − s| < 10^19 (so its square stays inside 38
+  * digits) — group row-count × fixed-point magnitude up to ~10^19,
+  * comfortable for any telemetry measure on a cents grid; beyond it
+  * Spark's non-ANSI decimal overflow would null the predicate, so
+  * re-grid the measure (coarser fixed point) rather than trust a
+  * silent result.
   *
   * Scale shape: one map-side-combined aggregation reduces the table to
   * |groups| stat rows, which broadcast back into a second scan — the

@@ -95,13 +95,14 @@ object MultimodalQueries {
         |    [${featSql(0)}, ${featSql(1)}, ${featSql(2)}, ${featSql(3)}]
         |      AS feat
         |  FROM documents),
-        |q AS (SELECT doc_id AS qid, feat AS qf FROM f WHERE doc_id < 5),
+        |q AS (SELECT doc_id AS qid, feat AS qf FROM f
+        |  WHERE doc_id < $NumQueries),
         |p AS (SELECT qid, doc_id,
         |    ($dot) / (sqrt($na) * sqrt($nb)) AS cosine
         |  FROM q JOIN f ON f.doc_id <> q.qid),
         |r AS (SELECT qid, doc_id, cosine, row_number() OVER
         |  (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank FROM p)
         |SELECT qid, doc_id AS neighbor, cosine, rank
-        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+        |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
     })
 }

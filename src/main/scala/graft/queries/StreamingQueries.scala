@@ -154,7 +154,10 @@ object StreamingQueries {
       .withColumn("u", coalesce(col("user_id"), col("p_user_id")))
       .where(col("u") >= 0) // drop the sentinel rows
       .select(col("click_id"), col("purchase_id"), col("u").as("user_id"))
-      .orderBy("click_id", "purchase_id")
+      // NULLS LAST to match DuckDB's ORDER BY default (full-outer rows
+      // can carry a null click_id; Spark's default is nulls first)
+      .orderBy(col("click_id").asc_nulls_last,
+        col("purchase_id").asc_nulls_last)
   }
 
   /** Stateful bounded drains pay per-partition state-store setup each
@@ -339,9 +342,7 @@ object StreamingQueries {
     // Ground truth: the final table state equals the batch aggregate.
     "q_stream_upsert" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withStreamParts(s) {
         val batch = s.read.schema(EventsSchema)
           .parquet(s"$dir/events.parquet")
           .select(col("event_type"), col("value"),
@@ -380,7 +381,7 @@ object StreamingQueries {
           .select(col("event_type"), col("n_events"),
             col("__tv").cast("double").as("total_value"))
           .orderBy("event_type")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     },
 
     // batch JSON extraction over the events props column

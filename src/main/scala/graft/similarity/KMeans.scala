@@ -77,7 +77,10 @@ object KMeans {
     val pts = pointsFp(df, idCol, vecCol).persist()
     try {
       pts.count()
-      assign(pts, lloyd(pts, k, iterations))
+      // materialise BEFORE the finally unpersists pts: the caller will
+      // reference the assignment several times (pair-join sides), and a
+      // lazy result would recompute the scan + argmin per reference
+      assign(pts, lloyd(pts, k, iterations)).localCheckpoint()
     } finally pts.unpersist()
   }
 

@@ -59,10 +59,15 @@ object SeqPack {
         StructField("__off", LongType, nullable = false))))
     val w = Window.partitionBy(pidOf).orderBy(col("__mid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // materialise the doc-sized placement (one row per doc) so the
+    // persisted shuffle can be released here instead of leaking for the
+    // session lifetime; the explode below builds lazily on top
     val placed = rows
       .join(broadcast(offDf), pidOf === col("__pid"))
       .withColumn("__start", col("__off") + sum(col("__n")).over(w)
         - col("__n"))
+      .localCheckpoint()
+    rows.unpersist(false)
     placed
       .select(col(idCol), col("__n"), col("__start"),
         explode(sequence(
