@@ -128,6 +128,34 @@ object Admin {
       Files.write(gitignore,
         "warehouse/\nreports/\nlogs/\n".getBytes("UTF-8"))
   }
+
+  /** Compact a layer table's small files: rewrite to
+    * ceil(bytes / targetBytes) output files (min 1). The streaming
+    * upsert sink and per-op layer writes accrete one file per batch /
+    * task; at warehouse scale the file count — not the data — becomes
+    * the scan's bottleneck (driver-side listing + task-per-file).
+    * Returns (files_before, files_after). Staging-swap rewrite
+    * ([[graft.io.ParquetUtil.safeOverwrite]]): readers never observe a
+    * half-compacted table.
+    */
+  def compact(spark: SparkSession, conf: GraftConf, layer: Layer,
+      table: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val path = conf.tablePath(layer, table)
+    val bytes = graft.io.ParquetUtil.dirSizeBytes(spark, path)
+    require(bytes >= 0, s"compact: no table at $path")
+    val before = partFileCount(spark, path)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    graft.io.ParquetUtil.safeOverwrite(spark,
+      spark.read.parquet(path).repartition(n), path)
+    (before, partFileCount(spark, path))
+  }
+
+  private def partFileCount(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).count(_.getPath.getName.startsWith("part-")).toLong
+  }
 }
 
 /** Append-only alert report file — the reference's logAlert

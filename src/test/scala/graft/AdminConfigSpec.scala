@@ -142,6 +142,35 @@ class AdminConfigSpec extends SparkSpec {
     assert(!new java.io.File(c.warehousePath).exists())
   }
 
+  test("Admin.compact collapses small files and preserves the data") {
+    implicit val c: GraftConf = tmpConf()
+    val dfl = flow("adm")
+    val rows = (1 to 500).map(_.toString)
+    dfl.createDataset("t", Map("a" -> rows))
+    // fragment: many tiny files (one per partition)
+    dfl.get("t").repartition(16).write.mode("overwrite")
+      .parquet(c.tablePath(Layer.EXT, "frag"))
+    val (before, after) = Admin.compact(spark, c, Layer.EXT, "frag")
+    assert(before == 16L)
+    assert(after == 1L) // tiny table → one target-sized file
+    val back = spark.read.parquet(c.tablePath(Layer.EXT, "frag"))
+    assert(back.count() == 500)
+    assert(back.select("a").as[String].collect().sorted.toSeq ==
+      rows.sorted)
+  }
+
+  test("JsonDatastore round-trips with the stringly contract") {
+    val dir = java.nio.file.Files.createTempDirectory("ds-json").toString
+    val df = Seq(("1", "x"), ("2", "")).toDF("id", "v")
+    val js = graft.io.JsonDatastore(dir)
+    js.write(spark, df, "t")
+    val back = js.read(spark, "t").orderBy("id").collect()
+    // empty strings survive the write as ""; missing keys / JSON nulls
+    // normalise to '' on read
+    assert(back.map(_.getString(0)).toSeq == Seq("1", "2"))
+    assert(back.map(_.getString(1)).toSeq == Seq("x", ""))
+  }
+
   test("ParquetDatastore and CsvDatastore write/read round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("ds").toString
     val df = Seq(("1", "x"), ("2", "")).toDF("id", "v")
