@@ -393,6 +393,33 @@ class TextDedupSpec extends SparkSpec {
     assert(unseen < 100)
   }
 
+  test("Bm25.topK matches a hand-computed reference ranking") {
+    import graft.text.Bm25
+    val docs = Seq(
+      (1L, "spark spark join window"),   // tf(spark)=2, dl=4
+      (2L, "spark table scan"),          // tf(spark)=1, dl=3
+      (3L, "window window window join"), // no 'spark', tf(window)=3
+      (4L, "table scan filter value"))   // no query terms
+      .toDF("doc_id", "text")
+    val got = Bm25.topK(docs, "doc_id", "text", Seq("spark", "window"),
+      k = 4).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference computation in plain Scala (same association)
+    val dls = Map(1L -> 4L, 2L -> 3L, 3L -> 4L, 4L -> 4L)
+    val nDocs = 4.0; val tot = 15.0
+    def idf(df: Long) = math.log((nDocs - df + 0.5) / (df + 0.5))
+    def c(tf: Long, df: Long, dl: Long): Long =
+      math.floor(idf(df) * (tf * Bm25.K1Plus1) /
+        (tf + Bm25.K1 * (Bm25.OneMinusB + Bm25.B * dl * nDocs / tot)) *
+        Bm25.Scale).toLong
+    val want = Map(
+      1L -> (c(2, 2, dls(1)) + c(1, 2, dls(1))), // spark + window
+      2L -> c(1, 2, dls(2)),                     // spark only
+      3L -> c(3, 2, dls(3)))                     // window only
+      .toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq === want)
+    assert(!got.map(_._1).contains(4L)) // no query terms → unscored
+  }
+
   test("repetition_stats kernel is bit-identical to the fold rendering") {
     import graft.text.TextFunctions.{maxRunLength, ngrams, tokens}
     val r = new scala.util.Random(11)
