@@ -314,6 +314,25 @@ object LifecycleQueries {
         .orderBy("key_num")
     },
 
+    // small-files compaction: fragment a layer table into 16 files,
+    // compact to 1, and prove the data is untouched (the maintenance
+    // verb the streaming upsert sink needs; staging-swap rewrite)
+    "q_compact" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_compact")
+      val dfl = DataFlow(s, "q_compact")
+      src(dfl, "nation")
+      dfl.dropColumns("nation", dropAuditCols = true)
+      dfl.get("nation").repartition(16).write.mode("overwrite")
+        .parquet(c.tablePath(Layer.EXT, "nation_frag"))
+      val (before, after) =
+        Admin.compact(s, c, Layer.EXT, "nation_frag")
+      require(before == 16L && after == 1L,
+        s"compact: expected 16 -> 1 files, got $before -> $after")
+      s.read.parquet(c.tablePath(Layer.EXT, "nation_frag"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
     // §2.5 dev-mode row cap applied at the source (limitdata)
     "q_limitdata" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir).copy(dataLimitRows = Some(50))
@@ -708,6 +727,9 @@ object LifecycleQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS key_num, n_name,
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation ORDER BY key_num""".stripMargin,
+    "q_compact" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_limitdata" -> "SELECT CAST(50 AS BIGINT) AS n_rows",
     "q_delta_classify" ->
       """WITH prev AS (
