@@ -228,6 +228,39 @@ class DataFlowPropertiesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: Transitions.matrix equals the naive sequential count") {
+    import spark.implicits._
+    val events = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 30L), Gen.choose(0, 3)))
+    val prop = Prop.forAll(events) { evs0 =>
+      // unique (user, t) so the window order is total
+      val evs = evs0.groupBy(e => (e._1, e._2)).values.map(_.head).toSeq
+      evs.size < 2 || {
+        val df = evs.map { case (u, t, s) => (u, t, "s" + s) }
+          .toDF("u", "t", "s")
+        val got = graft.operators.Transitions
+          .matrix(df, "u", "s", Seq("t"))
+          .collect()
+          .map(r => ((r.getString(0), r.getString(1)),
+            (r.getLong(2), r.getDouble(3)))).toMap
+        val pairs = evs.groupBy(_._1).values.flatMap { es =>
+          es.sortBy(_._2).map(e => "s" + e._3).sliding(2)
+            .collect { case Seq(a, b) => (a, b) }
+        }.toSeq
+        val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+        val margins = counts.toSeq.groupBy(_._1._1).view
+          .mapValues(_.map(_._2).sum)
+        counts.forall { case (k, n) =>
+          got.get(k).exists { case (gn, gp) =>
+            gn == n && gp == n.toDouble / margins(k._1).toDouble }
+        } && got.size == counts.size
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: editDistancePairs matches brute-force levenshtein") {
     import spark.implicits._
     // short strings over a tiny alphabet maximise near-collisions
