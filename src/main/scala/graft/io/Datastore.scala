@@ -92,6 +92,25 @@ case class CsvDatastore(dir: String, delimiter: String = ",",
       .csv(s"$dir/$table.csv")
 }
 
+/** Directory of ORC files: `<dir>/<table>.orc` — the second columnar
+  * interchange format (typed, like [[ParquetDatastore]]; Hive-ecosystem
+  * sources commonly hand data over as ORC).
+  */
+case class OrcDatastore(dir: String) extends Datastore {
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.orc(s"$dir/$table.orc")
+
+  override def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(s"$dir/$table.orc")
+
+  override def tableNames(spark: SparkSession): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).getOrElse(Array.empty[String]).toSeq
+      .filter(_.endsWith(".orc")).map(_.stripSuffix(".orc")).sorted
+  }
+}
+
 /** Directory of JSON-lines files: `<dir>/<table>.json` — the modern
   * interchange sibling of [[CsvDatastore]], same stringly ingestion
   * contract: a name-discovery pass, then every field read as STRING

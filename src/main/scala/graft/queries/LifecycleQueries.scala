@@ -314,6 +314,23 @@ object LifecycleQueries {
         .orderBy("key_num")
     },
 
+    // §2.1 ORC source: typed columnar round trip through a real
+    // OrcDatastore (extension — Hive-ecosystem interchange)
+    "q_orc_source" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_orc_source")
+      val orc = graft.io.OrcDatastore(s"${c.warehousePath}/orc_src")
+      val dfl = DataFlow(s, "q_orc_source")
+      src(dfl, "nation")
+      dfl.dropColumns("nation", dropAuditCols = true)
+      orc.write(s, dfl.get("nation"), "nation")
+      val c2 = c.copy(srcSystems = Map("ORC" -> orc))
+      val dfl2 = new DataFlow(s, "q_orc_source_read", c2)
+      dfl2.getDataFromSrc("nation", "ORC")
+      dfl2.dropColumns("nation", dropAuditCols = true)
+      dfl2.getColumns("nation", Seq("n_nationkey", "n_name", "n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
     // small-files compaction: fragment a layer table into 16 files,
     // compact to 1, and prove the data is untouched (the maintenance
     // verb the streaming upsert sink needs; staging-swap rewrite)
@@ -728,6 +745,9 @@ object LifecycleQueries {
         |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation ORDER BY key_num""".stripMargin,
     "q_compact" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_orc_source" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_limitdata" -> "SELECT CAST(50 AS BIGINT) AS n_rows",
