@@ -93,13 +93,19 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
-    val sh = shingled(df, textCol, idCol, k).withColumn("n", size(col("s")))
-      .cache() // both sides of the inverted-index self-join read this:
-    // shingle the corpus once, not twice
-    val inv = sh.select(col("doc"), col("n"), explode(col("s")).as("g"))
+    // cache the FLAT exploded inverted index (doc, n, g) — one row per
+    // (doc, shingle), never a pinned shingle ARRAY (the id-only cache
+    // discipline minHashPairs set): arrays are recomputed, flat rows are
+    // spill-friendly, and both sides of the self-join still shingle the
+    // corpus exactly once (AQE's one-sided broadcast breaks
+    // ReuseExchange, so an uncached index would be built twice)
+    val inv = shingled(df, textCol, idCol, k)
+      .withColumn("n", size(col("s")))
+      .select(col("doc"), col("n"), explode(col("s")).as("g"))
+      .cache()
     val a = inv.select(col("g"), col("doc").as("doc_a"), col("n").as("na"))
     val b = inv.select(col("g"), col("doc").as("doc_b"), col("n").as("nb"))
-    releasing(sh) {
+    releasing(inv) {
       a.join(b, Seq("g")).where(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
@@ -124,9 +130,13 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT cached: pinning (doc, shingle-array, n) is the one payload
+    // that ignores the id-only cache discipline. The index build and
+    // the two verify joins each re-shingle (row-local CPU, linear) —
+    // the only cached frame on this path is the id-only prefix index
+    // below, whose reuse is the measured win
     val sh = shingled(df, textCol, idCol, k)
       .withColumn("n", size(col("s")))
-      .cache() // read by the index build and twice by the verify joins
     val inv = sh.select(col("doc"), col("n"), explode(col("s")).as("g"))
     val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val prefix = inv.join(dfreq, Seq("g"))
@@ -143,7 +153,7 @@ object Dedup {
       .join(pidx.select(col("g"), col("doc").as("doc_b")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    releasing(sh, pidx) {
+    releasing(pidx) {
       cand
         .join(sh.select(col("doc").as("doc_a"), col("s").as("sa"),
           col("n").as("na")), Seq("doc_a"))

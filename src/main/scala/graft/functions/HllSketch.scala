@@ -131,9 +131,13 @@ object HllSketch {
       sum(powCol(col("m"))).as("sum_pow"),
       sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
       .withColumn("est_raw", lit(EstNumerator) / col("sum_pow"))
+      // linear-counting ln(M/V) via DetLog (V = n_zero is an integer in
+      // [1, M]) — no libm ln in either engine's plan; the oracle mirrors
+      // with a precomputed M-entry literal list of the same doubles
       .withColumn("estimate",
         when(col("est_raw") <= SmallRangeThreshold && col("n_zero") > 0,
-          lit(M.toDouble) * log(lit(M.toDouble) / col("n_zero")))
+          lit(M.toDouble) *
+            graft.functions.DetLog.lnRatio(lit(M.toLong), col("n_zero")))
           .otherwise(col("est_raw")))
       .drop("est_raw")
 }

@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   */
 object RepetitionKernel {
 
+  // Internal gram-grouping separator. NUL cannot appear in real token
+  // streams, so tokens containing spaces (legal for arbitrary SQL-function
+  // callers — the whitespace tokenizer never produces them) cannot alias
+  // distinct n-grams the way a space separator would ("a b"+"c" vs
+  // "a"+"b c"). Only gram EQUALITY matters, never the joined string, so
+  // the choice is invisible to any whitespace-token caller.
+  private final val Sep = "\u0000"
+
   def eval(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     var top2 = 0.0
@@ -30,7 +38,7 @@ object RepetitionKernel {
       var maxC = 0
       i = 0
       while (i < n - 1) {
-        val g = toks(i) + " " + toks(i + 1)
+        val g = toks(i) + Sep + toks(i + 1)
         val prev = counts.get(g)
         val c = if (prev == null) 1 else prev.intValue() + 1
         counts.put(g, c)
@@ -43,7 +51,7 @@ object RepetitionKernel {
         var distinct = 0
         i = 0
         while (i < n - 2) {
-          if (seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)))
+          if (seen.add(toks(i) + Sep + toks(i + 1) + Sep + toks(i + 2)))
             distinct += 1
           i += 1
         }

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, explode, json_object_keys}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** A connectable source/sink system — the Spark equivalent of the
@@ -124,8 +125,17 @@ case class JsonDatastore(dir: String, singleFile: Boolean = true)
   def read(spark: SparkSession, table: String): DataFrame = {
     val path = s"$dir/$table.json"
     // two-pass like CsvDatastore: discover field names, then re-read
-    // with an all-string schema (inference off, types faithful)
-    val names = spark.read.json(path).schema.fieldNames
+    // with an all-string schema (inference off, types faithful). The
+    // discovery pass unions json_object_keys over raw text lines — one
+    // scan with no type-merge machinery, and unlike a sampled
+    // inference it cannot drop a key that first appears late in the
+    // file (the stringly contract promises missing keys become '')
+    val names = spark.read.text(path)
+      .select(explode(json_object_keys(col("value"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(names.nonEmpty,
+      s"$path: no JSON object keys found — empty file or no parseable " +
+        "JSON-lines rows")
     val schema = StructType(names.map(StructField(_, StringType)))
     spark.read.schema(schema).json(path).na.fill("")
   }

@@ -23,12 +23,14 @@ import org.apache.spark.sql.types.DecimalType
   * partitioning and replayable by any engine. Products run in
   * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): at 100 TB,
   * n*ssq exceeds 64 bits long before the math is wrong. The valid
-  * envelope is |n·v − s| < 10^19 (so its square stays inside 38
-  * digits) — group row-count × fixed-point magnitude up to ~10^19,
-  * comfortable for any telemetry measure on a cents grid; beyond it
-  * Spark's non-ANSI decimal overflow would null the predicate, so
-  * re-grid the measure (coarser fixed point) rather than trust a
-  * silent result.
+  * envelope is z·(n·max|v| + |s|) < 10^19 (so every square in the
+  * predicate stays inside 38 digits) — group row-count × fixed-point
+  * magnitude up to ~10^19, comfortable for any telemetry measure on a
+  * cents grid. The envelope is ENFORCED at runtime: an `assert_true`
+  * conjunct over the broadcast stats row fails the job loudly if any
+  * group exceeds it (Spark's non-ANSI decimal overflow would otherwise
+  * null the predicate and silently drop rows from the outlier set);
+  * re-grid the measure (coarser fixed point) when it trips.
   *
   * Scale shape: one map-side-combined aggregation reduces the table to
   * |groups| stat rows, which broadcast back into a second scan — the
@@ -51,12 +53,25 @@ object Outliers {
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast(D).as("__n"),
         sum(v).as("__s"),
-        sum(v * v).as("__ssq"))
+        sum(v * v).as("__ssq"),
+        max(abs(v)).as("__maxv"))
     val dev: Column = col("__n") * v - col("__s")
+    // overflow envelope: z·(n·max|v| + |s|) < 10^19 bounds BOTH sides'
+    // squares inside DECIMAL(38,0). Evaluated per broadcast stats row
+    // (a handful of exact integer ops); a null guard value means the
+    // guard product itself overflowed — equally fatal.
+    val guard = lit(z).cast(D) *
+      (col("__n") * col("__maxv") + abs(col("__s")))
+    val lim = lit(new java.math.BigDecimal("10000000000000000000")).cast(D)
+    val inEnvelope = guard.isNotNull && guard < lim
     df.join(broadcast(stats), groupCols)
-      .where(dev * dev >
-        lit(z * z).cast(D) * (col("__n") * col("__ssq") -
-          col("__s") * col("__s")))
-      .drop("__n", "__s", "__ssq")
+      .where(assert_true(inEnvelope,
+        lit("Outliers.flag: fixed-point envelope exceeded — " +
+          "z*(n*max|v| + |s|) >= 1e19 would overflow DECIMAL(38,0) " +
+          "and silently null the predicate; re-grid the measure")).isNull
+        && dev * dev >
+          lit(z * z).cast(D) * (col("__n") * col("__ssq") -
+            col("__s") * col("__s")))
+      .drop("__n", "__s", "__ssq", "__maxv")
   }
 }

@@ -124,9 +124,9 @@ object AnalyticsQueries {
     },
 
     // grouped HLL: distinct users per event type — the realistic sketch
-    // shape at scale. Estimate rounded to 6dp: the linear-counting
-    // branch's ln() may differ by an ulp between JVM Math.log and
-    // DuckDB's libm.
+    // shape at scale. The linear-counting branch's ln(M/V) runs through
+    // DetLog (mirrored by a literal lookup list in the oracle), so both
+    // engines produce the same double bit-for-bit.
     "q_hll_grouped" -> { (s, dir) =>
       val ev = eventsUs(s, dir)
       val est = HllSketch.groupedEstimate(
@@ -522,6 +522,16 @@ object AnalyticsQueries {
   private val hllNumerator: String =
     java.lang.Double.toString(HllSketch.EstNumerator)
 
+  /** ln(M / V) for V in 1..M — the exact doubles the Spark plan's
+    * [[graft.functions.DetLog]] expression produces (no libm ln in
+    * either engine), as a 1-based DuckDB lookup list of
+    * shortest-round-trip literals.
+    */
+  private val hllLnList: String =
+    (1 to HllSketch.M).map(v => java.lang.Double.toString(
+      graft.functions.DetLog.lnRatioRef(HllSketch.M.toLong, v.toLong)))
+      .mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
     "q_asof_join" ->
       s"""WITH $evCte,
@@ -628,7 +638,7 @@ object AnalyticsQueries {
          |SELECT m_buckets, sum_pow, n_zero,
          |  CASE WHEN $hllNumerator / sum_pow <= ${HllSketch.SmallRangeThreshold}
          |      AND n_zero > 0
-         |    THEN ${HllSketch.M}.0 * ln(${HllSketch.M}.0 / n_zero)
+         |    THEN ${HllSketch.M}.0 * $hllLnList[n_zero]
          |    ELSE $hllNumerator / sum_pow END AS estimate,
          |  (SELECT count(DISTINCT event_id) FROM events) AS exact_distinct
          |FROM agg""".stripMargin,
@@ -661,7 +671,7 @@ object AnalyticsQueries {
          |  round(CASE
          |    WHEN $hllNumerator / sum_pow <= ${HllSketch.SmallRangeThreshold}
          |      AND n_zero > 0
-         |    THEN ${HllSketch.M}.0 * ln(${HllSketch.M}.0 / n_zero)
+         |    THEN ${HllSketch.M}.0 * $hllLnList[n_zero]
          |    ELSE $hllNumerator / sum_pow END, 6) AS est_r,
          |  exact_distinct
          |FROM agg JOIN ex ON agg.event_type = ex.event_type

@@ -81,8 +81,7 @@ object StreamingQueries {
             state.getCurrentWatermarkMs() + 1))
           out.iterator
       }
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_sess_ckpt").toString
+    val ckpt = tmpDir("graft_sess_ckpt")
     val drained = StreamFlow.runToMemory(
       sessions.toDF("user_id", "session_idx", "n_events", "start_us", "end_us"),
       s, name, outputMode = "append",
@@ -119,8 +118,7 @@ object StreamingQueries {
       .where(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts div 1000").as("ts_us"))
-    val splitDir = java.nio.file.Files
-      .createTempDirectory("graft_sjo_split").toString + "/splits"
+    val splitDir = tmpDir("graft_sjo_split") + "/splits"
     StreamFlow.writeTimeSplits(batch, "ts_us", 3, splitDir)
     val hiUs = batch.agg(max(col("ts_us"))).collect()(0).getLong(0)
     val dayUs = 86400L * 1000000L
@@ -160,14 +158,58 @@ object StreamingQueries {
         col("purchase_id").asc_nulls_last)
   }
 
+  /** Temp dirs created via [[tmpDir]] inside the enclosing
+    * [[withStreamParts]] scope; deleted recursively when it exits.
+    */
+  private val tmpReg =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[java.nio.file.Path]]
+
+  /** Fresh temp dir, registered for recursive deletion when the
+    * enclosing [[withStreamParts]] scope completes — a long-lived
+    * session must not leak drain staging / checkpoint trees. Outside a
+    * scope (e.g. [[sessionize]] called directly by a spec) the dir is
+    * simply not tracked.
+    */
+  private def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Option(tmpReg.get).foreach(_ += p)
+    p.toString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   /** Stateful bounded drains pay per-partition state-store setup each
     * micro-batch; 8 partitions still spread a skewless key space (a real
     * deployment sizes this to throughput, not the batch default).
+    * Restores shuffle partitions AND `nanosAsLong` on exit (the drain
+    * consumes the nanos parquet inside the body, so nothing after needs
+    * the legacy flag), deletes every [[tmpDir]] tree, and eagerly
+    * materialises the result first — the returned frame must not lazily
+    * re-read a deleted checkpoint/staging dir or depend on the restored
+    * session conf.
     */
-  private def withStreamParts[T](s: SparkSession)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+  private def withStreamParts(s: SparkSession)(body: => DataFrame)
+      : DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNanos = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    tmpReg.set(dirs)
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    try body.localCheckpoint(true)
+    finally {
+      tmpReg.remove()
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNanos match {
+        case Some(v) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None =>
+          s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      dirs.foreach(p => deleteRecursively(p.toFile))
+    }
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -207,8 +249,7 @@ object StreamingQueries {
         .select(col("user_id"), expr("ts div 1000").as("ts_us"))
       // fresh staging dir per run: no cross-session/checkout races on a
       // shared path, and writeTimeSplits' delete can't hit live readers
-      val splitDir = java.nio.file.Files
-        .createTempDirectory("graft_sess_split").toString + "/splits"
+      val splitDir = tmpDir("graft_sess_split") + "/splits"
       sessionize(s, batch, splitDir, nSplits = 3,
         name = "q_stream_sessionize").select(
         col("user_id"), col("session_idx").cast("bigint").as("session_idx"),
@@ -282,15 +323,13 @@ object StreamingQueries {
     // side forever (the scale requirement for stream-stream joins).
     // Ground truth is the same interval join in batch.
     "q_stream_join" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // a stream-stream join runs FOUR state stores per shuffle
       // partition (left/right keyed + key-to-num); at the bench's 32
       // partitions that is 128 stores of setup cost for one bounded
-      // drain. 8 partitions still spread a skewless key space; a real
-      // deployment sizes this to throughput, not the batch default.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // drain — withStreamParts' 8 partitions still spread a skewless
+      // key space; a real deployment sizes this to throughput.
+      withStreamParts(s) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = StreamFlow.readParquetStream(
         s, s"$dir/events.parquet", EventsSchema)
         .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
@@ -310,7 +349,7 @@ object StreamingQueries {
         outputMode = "append")
         .select("click_id", "purchase_id", "user_id")
         .orderBy("click_id", "purchase_id")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     },
 
     // stream-stream LEFT OUTER join: like q_stream_join, but clicks
@@ -341,14 +380,13 @@ object StreamingQueries {
     // anti-join + swap is its exactly-equivalent parquet rendering.
     // Ground truth: the final table state equals the batch aggregate.
     "q_stream_upsert" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       withStreamParts(s) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val batch = s.read.schema(EventsSchema)
           .parquet(s"$dir/events.parquet")
           .select(col("event_type"), col("value"),
             expr("ts div 1000").as("ts_us"))
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_upsert").toString
+        val base = tmpDir("graft_upsert")
         val splitDir = base + "/splits"
         val target = base + "/bse_event_totals"
         StreamFlow.writeTimeSplits(batch, "ts_us", 3, splitDir)

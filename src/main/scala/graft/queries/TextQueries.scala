@@ -426,11 +426,14 @@ object TextQueries {
       s"""WITH $toksCte,
          |t AS (SELECT doc_id, unnest(w) AS term FROM toks),
          |v AS (SELECT term, count(*) AS tf FROM t GROUP BY 1),
+         |${graft.functions.DetLog.lnCtes("lv", "v", "tf", "lntf",
+             Seq("term", "tf"))},
          |fp AS (SELECT term,
-         |  CAST(floor(ln(CAST(tf AS DOUBLE)) * $sc) AS BIGINT) AS fp
-         |  FROM v),
-         |n AS (SELECT CAST(floor(ln(CAST(sum(tf) AS DOUBLE)) * $sc)
-         |  AS BIGINT) AS ln_n_fp FROM v),
+         |  CAST(floor(lntf * $sc) AS BIGINT) AS fp FROM lv),
+         |vn AS (SELECT CAST(sum(tf) AS BIGINT) AS ntot FROM v),
+         |${graft.functions.DetLog.lnCtes("lvn", "vn", "ntot", "lnn", Nil)},
+         |n AS (SELECT CAST(floor(lnn * $sc)
+         |  AS BIGINT) AS ln_n_fp FROM lvn),
          |d AS (SELECT doc_id, CAST(sum(fp) AS BIGINT) AS sum_fp,
          |    count(*) AS n_tokens
          |  FROM t JOIN fp USING (term) GROUP BY 1)
@@ -459,20 +462,29 @@ object TextQueries {
 
     "q_collocations" -> {
       val sc = graft.text.Collocations.LnScale
-      def fp(x: String) =
-        s"CAST(floor(ln(CAST($x AS DOUBLE)) * $sc) AS BIGINT)"
+      import graft.functions.DetLog.lnCtes
       s"""WITH $toksCte,
          |t AS (SELECT unnest(w) AS term FROM toks),
-         |uni AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
-         |n AS (SELECT ${fp("sum(c)")} AS fp_n FROM uni),
+         |uni0 AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+         |${lnCtes("lu", "uni0", "c", "lnc", Seq("term", "c"))},
+         |uni AS (SELECT term, c,
+         |  CAST(floor(lnc * $sc) AS BIGINT) AS fpc FROM lu),
+         |nsum AS (SELECT CAST(sum(c) AS BIGINT) AS cn FROM uni0),
+         |${lnCtes("lns", "nsum", "cn", "lnn", Nil)},
+         |n AS (SELECT CAST(floor(lnn * $sc) AS BIGINT) AS fp_n FROM lns),
          |bg AS (SELECT unnest(list_transform(range(1, len(w)),
          |    i -> w[i] || ' ' || w[i + 1])) AS bigram
          |  FROM toks WHERE len(w) >= 2),
-         |bi AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY 1
+         |bi0 AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY 1
          |  HAVING count(*) >= 5),
-         |m AS (SELECT ${fp("count(*)")} AS fp_m FROM bg),
+         |${lnCtes("lbi", "bi0", "c_ab", "lnab", Seq("bigram", "c_ab"))},
+         |bi AS (SELECT bigram, c_ab,
+         |  CAST(floor(lnab * $sc) AS BIGINT) AS fpab FROM lbi),
+         |mcnt AS (SELECT count(*) AS cm FROM bg),
+         |${lnCtes("lmc", "mcnt", "cm", "lnm", Nil)},
+         |m AS (SELECT CAST(floor(lnm * $sc) AS BIGINT) AS fp_m FROM lmc),
          |sc AS (SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
-         |    ${fp("c_ab")} - fp_m - ${fp("ua.c")} - ${fp("ub.c")}
+         |    fpab - fp_m - ua.fpc - ub.fpc
          |      + 2 * fp_n AS pmi_fp
          |  FROM bi
          |  JOIN uni ua ON ua.term = string_split(bigram, ' ')[1]
@@ -539,14 +551,17 @@ object TextQueries {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
         |  WHERE term IN ($terms) GROUP BY 1, 2),
         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |${graft.functions.DetLog.lnRatioCtes("idfq", "dfq, nn",
+            "2 * n_docs - 2 * df + 1", "2 * df + 1", "idf",
+            Seq("term", "df"))},
         |sc AS (SELECT doc_id, CAST(floor(
-        |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |    idf
         |      * (CAST(tf AS DOUBLE) * $K1Plus1)
         |      / (CAST(tf AS DOUBLE) + $K1 * ($OneMinusB
         |        + $B * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
         |          / CAST(tot AS DOUBLE)))
         |      * ${Scale.toDouble}) AS BIGINT) AS c
-        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), nn),
+        |  FROM tf JOIN idfq USING (term) JOIN dl USING (doc_id), nn),
         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_fp
         |  FROM sc GROUP BY 1)
         |SELECT doc_id, score_fp,

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * written with IDENTICAL association on both engines, and the result is
   * snapped to 2^-20 fixed point BEFORE the per-doc sum — so document
   * scores are integer sums, bit-identical under any partitioning, and an
-  * oracle replays the ranking exactly (same ln()-ULP caveat as
-  * [[Vocabulary.lmScore]]).
+  * oracle replays the ranking exactly. The idf log runs through
+  * [[graft.functions.DetLog]] (ladder + artanh series over the integer
+  * ratio (2N-2df+1)/(2df+1)), so no libm ln() remains in either
+  * engine's plan — the former ln()-ULP caveat is gone.
   *
   * Scale shape: the corpus contributes one combine-reduced doc-length
   * aggregation and one (doc, query-term) tf aggregation pre-filtered to
@@ -49,8 +51,11 @@ object Bm25 {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nd: Column = col("n_docs").cast("double")
-    // association mirrors the oracle SQL token for token
-    val idf = log((nd - col("df") + 0.5) / (col("df") + 0.5))
+    // association mirrors the oracle SQL token for token; the idf
+    // argument (N - df + 0.5)/(df + 0.5) = (2N-2df+1)/(2df+1) exactly,
+    // a ratio of integers — deterministic log, no libm
+    val idf = graft.functions.DetLog.lnRatio(
+      col("n_docs") * 2 - col("df") * 2 + 1, col("df") * 2 + 1)
     val den = col("tf").cast("double") + lit(K1) *
       (lit(OneMinusB) + lit(B) * col("dl").cast("double") * nd /
         col("tot").cast("double"))

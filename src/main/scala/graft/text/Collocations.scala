@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * co-occurrence beats the independence assumption,
   * PMI = ln(p(ab)) − ln(p(a)) − ln(p(b)).
   *
-  * Determinism: like [[Vocabulary.lmScore]], every ln(count) is snapped
-  * to 2^-20 fixed-point once, and the PMI combines five such integers —
+  * Determinism: like [[Vocabulary.lmScore]], every ln(count) runs
+  * through [[graft.functions.DetLog]] (no libm) and is snapped to 2^-20
+  * fixed-point once, and the PMI combines five such integers —
   * pmi_fp = fp(c_ab) − fp(M) − fp(c_a) − fp(c_b) + 2·fp(N) — so ranking
   * and values are bit-identical in any engine.
   *
@@ -21,7 +22,7 @@ object Collocations {
   val LnScale: Long = Vocabulary.LnScale
 
   private def fp(c: org.apache.spark.sql.Column) =
-    floor(log(c.cast("double")) * LnScale).cast("long")
+    floor(graft.functions.DetLog.lnInt(c) * LnScale).cast("long")
 
   /** Top-k bigram collocations with at least `minCount` occurrences.
     * Output: (bigram, c_ab, c_a, c_b, pmi, rank).

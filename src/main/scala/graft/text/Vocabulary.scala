@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
   * TakeOrderedAndProject — per-partition heaps of k rows merged on the
   * driver, NOT a single-partition global window over the vocabulary.
   *
-  * LM scoring determinism: mean log-probability sums ln() doubles per
+  * LM scoring determinism: mean log-probability sums log doubles per
   * document, and IEEE addition is order-sensitive — different partition
   * or engine evaluation orders would drift in the last ulp. So ln(tf)
-  * and ln(N) are snapped to 2^-20 fixed-point ONCE PER TERM
-  * (`floor(ln(tf)·2^20)` as a long), and the per-document sum runs on
-  * exact integers: bit-identical under any accumulation order, mirrored
-  * exactly by the DuckDB oracle.
+  * and ln(N) are computed with [[graft.functions.DetLog]] (no libm,
+  * engine-identical bits) and snapped to 2^-20 fixed-point ONCE PER
+  * TERM (`floor(lnInt(tf)·2^20)` as a long); the per-document sum runs
+  * on exact integers: bit-identical under any accumulation order,
+  * mirrored exactly by the DuckDB oracle.
   */
 object Vocabulary {
 
@@ -51,10 +52,11 @@ object Vocabulary {
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
     val termFp = vocab.select(col("term"),
-      floor(log(col("tf").cast("double")) * LnScale).cast("long").as("fp"))
+      floor(graft.functions.DetLog.lnInt(col("tf")) * LnScale)
+        .cast("long").as("fp"))
     // ln of the corpus token count, same fixed-point snap (1-row frame)
     val lnN = vocab.agg(
-      floor(log(sum(col("tf")).cast("double")) * LnScale)
+      floor(graft.functions.DetLog.lnInt(sum(col("tf"))) * LnScale)
         .cast("long").as("ln_n_fp"))
     toks.join(termFp, "term")
       .groupBy(col(idCol))

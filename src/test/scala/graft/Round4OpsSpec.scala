@@ -42,6 +42,24 @@ class Round4OpsSpec extends SparkSpec {
     assert(Outliers.flag(df, Seq("g"), "v", z = 1).count() === 0)
   }
 
+  test("Outliers.flag fails loudly outside the fixed-point envelope") {
+    // z*(n*max|v| + |s|) = 2*(9e18 + 6e18) = 3e19 > 1e19 trips the
+    // guard while every sum/product in the plan still fits in
+    // DECIMAL(38,0) — the silent-null regime the guard exists for
+    // (values any larger and Spark 4's decimal-sum overflow already
+    // fails loudly on its own)
+    val big = 3000000000000000000L // 3e18
+    val df = Seq(("g", 1L, big), ("g", 2L, big - 7), ("g", 3L, 5L))
+      .toDF("g", "id", "v")
+    val e = intercept[Exception] {
+      Outliers.flag(df, Seq("g"), "v", z = 2).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("envelope")))
+  }
+
   // --------------------------------------------------------- transitions
 
   test("Transitions.matrix counts consecutive pairs and normalises") {

@@ -406,7 +406,8 @@ class TextDedupSpec extends SparkSpec {
     // reference computation in plain Scala (same association)
     val dls = Map(1L -> 4L, 2L -> 3L, 3L -> 4L, 4L -> 4L)
     val nDocs = 4.0; val tot = 15.0
-    def idf(df: Long) = math.log((nDocs - df + 0.5) / (df + 0.5))
+    def idf(df: Long) = // deterministic log, same DAG as the engine
+      graft.functions.DetLog.lnRatioRef(2L * 4 - 2 * df + 1, 2 * df + 1)
     def c(tf: Long, df: Long, dl: Long): Long =
       math.floor(idf(df) * (tf * Bm25.K1Plus1) /
         (tf + Bm25.K1 * (Bm25.OneMinusB + Bm25.B * dl * nDocs / tot)) *
@@ -445,5 +446,36 @@ class TextDedupSpec extends SparkSpec {
         col("__rs.dup3_frac").as("dup3_frac"))
       .orderBy("doc_id").collect()
     assert(native.toSeq === declarative.toSeq)
+  }
+
+  test("DetLog.lnInt is bit-identical to the Scala reference and ~ln") {
+    import graft.functions.DetLog
+    import org.apache.spark.sql.functions._
+    val r = new scala.util.Random(7)
+    val ms = (Seq(1L, 2L, 3L, 4L, 7L, 8L, (1L << 40) - 1, 1L << 40,
+      Long.MaxValue) ++ Seq.fill(200)(1L + (r.nextLong() & Long.MaxValue)))
+      .distinct
+    val got = ms.toDF("m").select(col("m"), DetLog.lnInt(col("m")).as("l"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    ms.foreach { m =>
+      // EXACT bit equality Column vs plain-Scala rendering
+      assert(java.lang.Double.doubleToLongBits(got(m)) ===
+        java.lang.Double.doubleToLongBits(DetLog.lnIntRef(m)), s"m=$m")
+      // and the approximation really is ln to ~1e-9 absolute
+      assert(math.abs(got(m) - math.log(m.toDouble)) < 2e-9, s"m=$m")
+    }
+  }
+
+  test("repetition_stats does not alias grams across space-bearing tokens") {
+    import org.apache.spark.sql.functions._
+    // With a ' ' gram separator the bigrams ('a b','c') and ('a','b c')
+    // would both render "a b c" and count as a repeat; the NUL separator
+    // keeps them distinct for arbitrary (non-whitespace-split) callers.
+    val df = Seq(Tuple1(Seq("a b", "c", "a", "b c"))).toDF("w")
+    val got = df.select(graft.functions.GraftFunctions
+        .repetitionStats(spark, col("w")).as("rs"))
+      .select(col("rs.top2_frac"), col("rs.dup3_frac")).head()
+    assert(got.getDouble(0) === 1.0 / 3) // all 3 bigrams distinct
+    assert(got.getDouble(1) === 0.0)     // both trigrams distinct
   }
 }
