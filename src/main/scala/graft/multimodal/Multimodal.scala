@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * over partition iterators — the Scala analogue of batched Pandas-UDF
   * processing.
   *
-  * The DECODE KERNELS ARE STUBS: this container ships no image/audio
-  * codecs, so `FakeKernel` derives deterministic pseudo-features from the
-  * payload bytes (md5-seeded). Everything around the kernel — the media
-  * schema, the batched `mapPartitions` execution, partitioning behaviour,
-  * and the Column-level metadata ops — is real and tested; swapping
-  * `FakeKernel` for a JNI/JavaCV decoder changes no plumbing.
+  * The decode kernels are REAL: [[MediaCodecs.BmpStatsKernel]] parses
+  * 24bpp BMP (header, 4-byte row stride, bottom-up raster) and
+  * [[MediaCodecs.WavEnergyKernel]] parses RIFF/WAVE 16-bit PCM (chunk
+  * walk), both dependency-free and byte-for-byte unit-asserted.
+  * [[DigestKernel]] remains for opaque payloads with no parseable
+  * container (md5-derived features — a stand-in for an embedding-model
+  * forward pass, not a decoder).
   */
 object Multimodal {
 
@@ -74,10 +75,12 @@ object Multimodal {
     def features(data: Array[Byte]): Array[Double]
   }
 
-  /** Deterministic stand-in for a real decoder: md5-seeded features,
-    * identical to [[digestFeatures]] for dim 4.
+  /** md5-derived features for payloads with no parseable container
+    * (identical to [[digestFeatures]] for dim 4) — a deterministic
+    * stand-in for an embedding-model forward pass over opaque bytes.
+    * For decodable media use the real codec kernels in [[MediaCodecs]].
     */
-  object FakeKernel extends Kernel {
+  object DigestKernel extends Kernel {
     def features(data: Array[Byte]): Array[Double] = {
       val d = java.security.MessageDigest.getInstance("MD5").digest(data)
       (0 until 4).map { i =>
@@ -97,7 +100,7 @@ object Multimodal {
     */
   def featurize(
       df: DataFrame, mediaCol: String, featCol: String,
-      kernel: Kernel = FakeKernel): DataFrame = {
+      kernel: Kernel = DigestKernel): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields :+
       StructField(featCol, ArrayType(DoubleType)))

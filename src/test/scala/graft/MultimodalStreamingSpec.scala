@@ -69,6 +69,119 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(joined == "hello world".getBytes("UTF-8").toSeq)
   }
 
+  test("Bmp.decode parses a hand-crafted padded bottom-up file " +
+      "byte for byte") {
+    import graft.multimodal.MediaCodecs.Bmp
+    // 3x2 24bpp: stride 12 (9 pixel bytes + 3 pad). Build the file BY
+    // HAND — header fields at their absolute offsets, rows bottom-up,
+    // pad bytes set to a 0xEE sentinel that must never leak out.
+    val w = 3; val h = 2; val st = 12
+    val data = new Array[Byte](54 + st * h)
+    def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      data(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def le16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      data(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    data(0) = 'B'; data(1) = 'M'
+    le32(2, data.length); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, h); le16(26, 1); le16(28, 24); le32(30, 0)
+    le32(34, st * h)
+    // logical top row = bytes 10..18, stored LAST (bottom-up)
+    val top = Array[Byte](10, 11, 12, 13, 14, 15, 16, 17, 18)
+    val bot = Array[Byte](20, 21, 22, 23, 24, 25, 26, 27, 28)
+    System.arraycopy(bot, 0, data, 54, 9)
+    System.arraycopy(top, 0, data, 54 + st, 9)
+    data(54 + 9) = 0xee.toByte; data(54 + 10) = 0xee.toByte
+    data(54 + 11) = 0xee.toByte
+    val img = Bmp.decode(data)
+    assert(img.w == 3 && img.h == 2)
+    assert(img.pixels.toSeq == (top ++ bot).toSeq)
+    // negative height = top-down storage: same logical pixels
+    le32(22, -h)
+    System.arraycopy(top, 0, data, 54, 9)
+    System.arraycopy(bot, 0, data, 54 + st, 9)
+    assert(Bmp.decode(data).pixels.toSeq == (top ++ bot).toSeq)
+  }
+
+  test("Bmp encode/decode round-trips across stride classes") {
+    import graft.multimodal.MediaCodecs.Bmp
+    val rnd = new scala.util.Random(3)
+    for (w <- 1 to 5; h <- Seq(1, 3)) {
+      val px = Array.fill[Byte](3 * w * h)(rnd.nextInt(256).toByte)
+      val img = Bmp.decode(Bmp.encode(w, h, px))
+      assert(img.w == w && img.h == h && img.pixels.toSeq == px.toSeq,
+        s"w=$w h=$h")
+      assert(Bmp.encode(w, h, px).length == Bmp.fileSize(w, h))
+    }
+  }
+
+  test("Wav.decode walks chunks, skips LIST, and preserves sign") {
+    import graft.multimodal.MediaCodecs.Wav
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val plain = Wav.encode(8000, samples)
+    val au = Wav.decode(plain)
+    assert(au.sampleRate == 8000 && au.samples.toSeq == samples.toSeq)
+    // splice an unknown LIST chunk (odd length → word-aligned skip)
+    // between fmt and data; a real-tool WAV often carries one
+    val listBody = "INFOx".getBytes("US-ASCII") // 5 bytes, odd
+    val spliced = new java.io.ByteArrayOutputStream()
+    spliced.write(plain, 0, 36) // up to end of fmt chunk
+    spliced.write("LIST".getBytes("US-ASCII"))
+    spliced.write(Array[Byte](5, 0, 0, 0)) // le32 length 5
+    spliced.write(listBody); spliced.write(0) // pad to even
+    spliced.write(plain, 36, plain.length - 36) // data chunk onward
+    val arr = spliced.toByteArray
+    // fix the RIFF size field (bytes 4..7): total - 8
+    (0 until 4).foreach(i =>
+      arr(4 + i) = (((arr.length - 8) >> (8 * i)) & 0xff).toByte)
+    val au2 = Wav.decode(arr)
+    assert(au2.samples.toSeq == samples.toSeq)
+  }
+
+  test("BmpStatsKernel features are the hand-computed pixel stats") {
+    import graft.multimodal.MediaCodecs.{Bmp, BmpStatsKernel}
+    // 2x2: top row pixels (B,G,R) = (10,20,30),(40,50,60);
+    // bottom row = (70,80,90),(100,110,120)
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val f = BmpStatsKernel.features(Bmp.encode(2, 2, px))
+    assert(f(0) == 2.0 && f(1) == 2.0)
+    assert(f(2) == (10.0 + 40 + 70 + 100) / (4 * 255)) // mean B
+    assert(f(3) == (20.0 + 50 + 80 + 110) / (4 * 255)) // mean G
+    assert(f(4) == (30.0 + 60 + 90 + 120) / (4 * 255)) // mean R
+    // top half = logical FIRST row only — catches a bottom-up bug
+    assert(f(5) == (10.0 + 20 + 30 + 40 + 50 + 60) / (6 * 255))
+  }
+
+  test("WavEnergyKernel band RMS matches the naive computation") {
+    import graft.multimodal.MediaCodecs.{Wav, WavEnergyKernel}
+    val samples = Array[Short](3, -4, 5, 0, 100, -100, 7, -24, 32000)
+    val f = WavEnergyKernel.features(Wav.encode(44100, samples))
+    val n = samples.length; val base = n / 4
+    val want = (0 until 4).map { b =>
+      val until = if (b == 3) n else (b + 1) * base
+      val sl = samples.slice(b * base, until).map(_.toLong)
+      math.sqrt(sl.map(x => x * x).sum.toDouble / sl.length) / 32768.0
+    }
+    assert(f.toSeq == want)
+  }
+
+  test("Synthetic media decodes back to the closed-form generator") {
+    import graft.multimodal.MediaCodecs.{Bmp, Synthetic, Wav}
+    Seq(0L, 7L, 62L, 123L).foreach { id =>
+      val img = Bmp.decode(Synthetic.bmpFor(id))
+      assert(img.w == Synthetic.bmpWidth(id) &&
+        img.h == Synthetic.bmpHeight(id))
+      img.pixels.zipWithIndex.foreach { case (p, j) =>
+        assert((p & 0xff) == (id * 131 + j * 31 + 7) % 256, s"id=$id j=$j")
+      }
+      val au = Wav.decode(Synthetic.wavFor(id))
+      assert(au.samples.length == Synthetic.wavSamples(id))
+      au.samples.zipWithIndex.foreach { case (sm, i) =>
+        assert(sm == (id * 7919 + i * 104729 + 13) % 65536 - 32768,
+          s"id=$id i=$i")
+      }
+    }
+  }
+
   test("streaming windowed agg over a parquet file matches batch totals") {
     val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
     val events = Seq(
