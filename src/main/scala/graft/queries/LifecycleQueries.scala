@@ -250,6 +250,47 @@ object LifecycleQueries {
         .orderBy("c_custkey")
     },
 
+    // §2.1 delta extract (the reference's commented high-water-mark
+    // design, stageExtract.py:95-228): bulk-extract nation into EXT,
+    // mutate the source (drops, comment edits, new keys), run
+    // StageExtract.deltaExtract, and emit BOTH the delta slices and the
+    // resulting staged EXT state with their audit verdicts — bulk dates
+    // surface as a presence flag (the timestamps are wall-clock)
+    "q_delta_extract" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_delta_extract")
+      val dfl = DataFlow(s, "q_delta_extract")
+      val nat = src(dfl, "nation")
+      val srcStore = graft.io.ParquetDatastore(s"${c.warehousePath}/mut_src")
+      srcStore.write(s, nat, "nation")
+      val c2 = c.copy(srcSystems = Map("MUT" -> srcStore))
+      graft.warehouse.StageExtract.bulkExtract(s, c2, "MUT", "nation")
+      // v2 of the source: keys %7==3 deleted, names edited on %5==1
+      // survivors, +100 clones of %6==0 inserted
+      val v2 = nat.where(col("n_nationkey") % 7 =!= 3)
+        .withColumn("n_name",
+          when(col("n_nationkey") % 5 === 1,
+            concat(lit("v2 "), col("n_name")))
+            .otherwise(col("n_name")))
+        .unionByName(nat.where(col("n_nationkey") % 6 === 0)
+          .select((col("n_nationkey") + 100).as("n_nationkey"),
+            concat(col("n_name"), lit("_NEW")).as("n_name"),
+            col("n_regionkey")))
+      srcStore.write(s, v2, "nation")
+      val slices = graft.warehouse.StageExtract.deltaExtract(
+        s, c2, "MUT", "nation", Seq("n_nationkey"),
+        deltaLoadDate = Some("2026-01-01 00:00:00"))
+      val staged = s.read.parquet(c2.tablePath(Layer.EXT, "nation"))
+      def shape(df: DataFrame, kind: String,
+          opCol: org.apache.spark.sql.Column) = df.select(
+        lit(kind).as("kind"), col("n_nationkey"), opCol.as("delta_op"),
+        col("n_name"), col("n_regionkey"),
+        col(Audit.BulkLoadDate).isNotNull.as("has_bulk_date"),
+        col(Audit.LatestLoadOperation).as("audit_op"))
+      shape(slices, "DELTA", col(DeltaLoad.OpCol))
+        .unionByName(shape(staged, "STAGED", lit(null).cast("string")))
+        .orderBy("kind", "n_nationkey")
+    },
+
     // §2.7 mapMasterData: outer join + indicator + auto-populate
     "q_mdm" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -772,6 +813,45 @@ object LifecycleQueries {
         |       ELSE 'UNCHANGED' END AS delta_op
         |FROM cur FULL OUTER JOIN prev ON cur.c_custkey = prev.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "q_delta_extract" ->
+      """WITH v2 AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 5 = 1 THEN 'v2 ' || n_name
+        |         ELSE n_name END AS n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name || '_NEW', n_regionkey
+        |  FROM nation WHERE n_nationkey % 6 = 0),
+        |ins AS (SELECT 'DELTA' AS kind, n_nationkey,
+        |    'INSERT' AS delta_op, n_name, n_regionkey,
+        |    false AS has_bulk_date, 'INSERT' AS audit_op
+        |  FROM v2
+        |  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+        |del AS (SELECT 'DELTA', n_nationkey, 'DELETE', n_name,
+        |    n_regionkey, true, 'DELETE'
+        |  FROM nation WHERE n_nationkey % 7 = 3),
+        |upd AS (SELECT 'DELTA', v2.n_nationkey, 'UPDATE', v2.n_name,
+        |    v2.n_regionkey, true, 'UPDATE'
+        |  FROM v2 JOIN nation n ON v2.n_nationkey = n.n_nationkey
+        |  WHERE v2.n_name IS DISTINCT FROM n.n_name
+        |    OR v2.n_regionkey IS DISTINCT FROM n.n_regionkey),
+        |staged AS (SELECT 'STAGED' AS kind, v2.n_nationkey,
+        |    CAST(NULL AS VARCHAR) AS delta_op, v2.n_name, v2.n_regionkey,
+        |    v2.n_nationkey IN (SELECT n_nationkey FROM nation)
+        |      AS has_bulk_date,
+        |    CASE WHEN v2.n_nationkey NOT IN
+        |           (SELECT n_nationkey FROM nation) THEN 'INSERT'
+        |         WHEN EXISTS (SELECT 1 FROM nation n
+        |           WHERE n.n_nationkey = v2.n_nationkey
+        |             AND (v2.n_name IS DISTINCT FROM n.n_name
+        |               OR v2.n_regionkey IS DISTINCT FROM n.n_regionkey))
+        |           THEN 'UPDATE'
+        |         ELSE 'BULK' END AS audit_op
+        |  FROM v2)
+        |SELECT * FROM (
+        |  SELECT * FROM ins UNION ALL SELECT * FROM del
+        |  UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM staged)
+        |ORDER BY kind, n_nationkey""".stripMargin,
     "q_pipeline_default" ->
       """WITH audit AS (
         |  SELECT op || '_' || CAST(sc AS VARCHAR) AS nk_audit
