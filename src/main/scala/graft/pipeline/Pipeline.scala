@@ -91,6 +91,19 @@ class Pipeline(
     java.nio.file.Files.write(p, dagJson.getBytes("UTF-8"))
   }
 
+  /** Run exactly ONE op by name — the entry a generated Airflow task
+    * reaches via `spark-submit ... --run-op <name>`
+    * ([[AirflowDagGen]]); ordering is the scheduler's job there, so no
+    * stage barriers apply.
+    */
+  def runOp(spark: SparkSession, name: String): Unit =
+    ops.find(_.name == name) match {
+      case Some(op) => op.run(spark, conf)
+      case None => throw new IllegalArgumentException(
+        s"runOp: unknown op '$name' (known: " +
+          s"${ops.map(_.name).sorted.mkString(", ")})")
+    }
+
   def run(spark: SparkSession): Unit = {
     Stage.all.filterNot(skipStages.contains).foreach { stage =>
       val stageOps = ops.filter(_.stage == stage)

@@ -119,6 +119,53 @@ class WarehouseSpec extends SparkSpec {
     assert(!edges.contains(("load_ft_sales", "load_dim_cust")))
   }
 
+  test("generated Airflow DAG file round-trips the op graph") {
+    import graft.pipeline.AirflowDagGen
+    implicit val c: GraftConf = tmpConf()
+    val ops = Seq(
+      PipelineOp("ext_a", Stage.Extract, (_, _) => ()),
+      PipelineOp("ext_b", Stage.Extract, (_, _) => ()),
+      PipelineOp("load_dim_cust", Stage.LoadDim, (_, _) => ()),
+      PipelineOp("load_dim_part", Stage.LoadDim, (_, _) => ()),
+      PipelineOp("load_ft_sales", Stage.LoadFact, (_, _) => ()),
+      PipelineOp("summarise", Stage.Summarise, (_, _) => ()))
+    val pipe = new Pipeline(c, ops)
+    val py = AirflowDagGen.generate(pipe.dagJson, "graft_wh")
+    // the emitted file is self-contained Airflow + datetime only
+    assert(py.contains("from airflow import DAG"))
+    assert(!py.contains("graft."), "generated DAG must not import graft")
+    assert(py.contains("--run-op ext_a"))
+    val (stages, edges) = AirflowDagGen.parse(py)
+    // every op survives with its stage
+    assert(stages == ops.map(o => o.name -> o.stage.name).toMap)
+    // edge set identical to dagJson's stage barriers
+    assert(edges.toSet == Set(
+      ("ext_a", "load_dim_cust"), ("ext_a", "load_dim_part"),
+      ("ext_b", "load_dim_cust"), ("ext_b", "load_dim_part"),
+      ("load_dim_cust", "load_ft_sales"),
+      ("load_dim_part", "load_ft_sales"),
+      ("load_ft_sales", "summarise")))
+    // dims strictly upstream of facts, never the reverse
+    assert(!edges.contains(("load_ft_sales", "load_dim_cust")))
+    // and the export writes the same text to disk
+    val path = java.nio.file.Files
+      .createTempDirectory("dag-gen").toString + "/graft_wh.py"
+    AirflowDagGen.export(pipe, "graft_wh", path)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8") == py)
+  }
+
+  test("Pipeline.runOp executes exactly the named op") {
+    implicit val c: GraftConf = tmpConf()
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pipe = new Pipeline(c, Seq(
+      PipelineOp("a", Stage.Extract, (_, _) => { ran.add("a"); () }),
+      PipelineOp("b", Stage.LoadDim, (_, _) => { ran.add("b"); () })))
+    pipe.runOp(spark, "b")
+    assert(ran.toArray.toSeq == Seq("b"))
+    intercept[IllegalArgumentException](pipe.runOp(spark, "nope"))
+  }
+
   test("deltaLoad classifies insert/update/delete/unchanged and applies") {
     import graft.warehouse.DeltaLoad
     val previous = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
