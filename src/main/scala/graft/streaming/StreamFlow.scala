@@ -113,10 +113,35 @@ object StreamFlow {
     * (every window emitted, none dropped by the watermark cutoff);
     * stateful flatMapGroupsWithState pipelines use append.
     */
+  /** State store provider for every stateful drain: RocksDB. The
+    * default HDFS-backed provider keeps each partition's entire state
+    * map ON HEAP — at real streaming throughput (stream-stream join
+    * state, per-key session state over unbounded key spaces) the heap
+    * is the scale limit and GC the failure mode. RocksDB keeps state
+    * off-heap with incremental changelog checkpoints; per-batch
+    * overhead on bounded drains is noise next to micro-batch setup.
+    */
+  val StateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Make [[StateStoreProvider]] the session's provider (idempotent;
+    * applied by every drain and by state-store readers). Changelog
+    * checkpointing writes per-batch deltas instead of full RocksDB
+    * snapshot uploads — the production setting, and it claws back most
+    * of the bounded-drain overhead vs the HDFS provider.
+    */
+  def configureStateStore(spark: SparkSession): Unit = {
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", StateStoreProvider)
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled", "true")
+  }
+
   def runToMemory(
       agg: DataFrame, spark: SparkSession, name: String,
       outputMode: String = "complete",
       checkpointLocation: Option[String] = None): DataFrame = {
+    configureStateStore(spark)
     val writer = agg.writeStream
       .format("memory")
       .queryName(name)

@@ -209,6 +209,39 @@ class MultimodalStreamingSpec extends SparkSpec {
       Seq(("00:00", "click", 2L, 3.0), ("01:00", "view", 1L, 5.0)))
   }
 
+  test("stateful drains run on the RocksDB state store provider") {
+    // a stateful dedup with an explicit checkpoint: after the drain the
+    // state dir must hold RocksDB artifacts (zip snapshots/changelogs),
+    // NOT the HDFS provider's .delta files — proving the provider took,
+    // not merely that the conf string was set
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("rocks-ckpt").toString
+    val src = java.nio.file.Files.createTempDirectory("rocks-src").toString
+    Seq((1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 00:11:00"),
+      (2L, "2024-01-01 00:12:00"))
+      .toDF("id", "ts_str")
+      .select(col("id"), to_timestamp(col("ts_str")).as("ts"))
+      .write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampType)))
+    val dedup = StreamFlow.readParquetStream(spark, src, schema)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val got = StreamFlow.runToMemory(dedup, spark, "spec_rocks",
+      outputMode = "append", checkpointLocation = Some(ckpt))
+    assert(got.count() == 2)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      == StreamFlow.StateStoreProvider)
+    import scala.jdk.CollectionConverters._
+    val stateFiles = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(ckpt, "state"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(stateFiles.exists(_.endsWith(".zip")),
+      s"no RocksDB artifacts under $ckpt/state: $stateFiles")
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      "HDFS-provider .delta files present - RocksDB did not take")
+  }
+
   test("stream-stream left-outer join flushes unmatched tail rows") {
     // the sentinel harness must emit EVERY unmatched click — including
     // those near the end of the bounded source, whose outer state a
