@@ -457,10 +457,13 @@ class DataFlow(
       }
       val joined =
         if (cartesianJoin) l.crossJoin(r)
-        // skewed probe keys: salt instead of broadcast (see SkewJoin)
+        // skewed probe keys: salt instead of broadcast — ADAPTIVE: the
+        // salt only applies when a sampled key histogram shows real
+        // skew, so a saltFactor on uniform keys costs ~the plain join
+        // (see SkewJoin.adaptiveSaltedJoin)
         else if (saltFactor > 1)
-          graft.operators.SkewJoin.saltedJoin(l, r, joinCols, sparkHow,
-            saltFactor)
+          graft.operators.SkewJoin.adaptiveSaltedJoin(l, r, joinCols,
+            sparkHow, saltFactor)
         else l.join(r, joinCols, sparkHow)
       val projected =
         if (keepCols.nonEmpty) joined.select(keepCols.map(col): _*)

@@ -81,6 +81,62 @@ class DataFlowPropertiesSpec extends SparkSpec {
     })
   }
 
+  test("property: adaptiveSaltedJoin equals the plain join on skewed " +
+      "and uniform keys") {
+    import spark.implicits._
+    // skewed generator: ~70% of probe keys are 'hot' — crosses the 0.2
+    // share threshold; uniform generator spreads over 10 keys
+    val hotKeys = Gen.listOfN(40, Gen.frequency(
+      7 -> Gen.const("hot"), 3 -> Gen.oneOf("a", "b", "c")))
+    val coldKeys = Gen.listOfN(40,
+      Gen.oneOf((0 until 10).map(i => s"k$i")))
+    check(Prop.forAll(
+      Gen.oneOf(hotKeys, coldKeys).flatMap(g => g),
+      Gen.listOfN(6, Gen.zip(Gen.oneOf("hot", "a", "k1", "k2"),
+        Gen.choose(0, 9))),
+      Gen.oneOf("inner", "left")) { (pks, bl, how) =>
+      bl.isEmpty || {
+        val probe = pks.zipWithIndex.map { case (k, i) => (k, i) }
+          .toDF("k", "v")
+        val build = bl.toDF("k", "w")
+        def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getString(0), r.getInt(1), Option(r.get(2))))
+          .sortBy(t => (t._1, t._2, t._3.map(_.toString).getOrElse("")))
+          .toSeq
+        canon(graft.operators.SkewJoin.adaptiveSaltedJoin(
+          probe, build, Seq("k"), how, saltFactor = 4,
+          sampleFraction = 1.0)) ==
+          canon(probe.join(build, Seq("k"), how))
+      }
+    })
+  }
+
+  test("adaptiveSaltedJoin salts only under real skew") {
+    import spark.implicits._
+    import graft.operators.SkewJoin
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.analyzed.toString
+    // 200 rows, one key holding 60% → salted plan (salt col present)
+    val hot = (0 until 200)
+      .map(i => (if (i % 10 < 6) "hot" else s"k${i % 10}", i))
+      .toDF("k", "v")
+    val build = Seq(("hot", 1), ("k7", 2)).toDF("k", "w")
+    val salted = SkewJoin.adaptiveSaltedJoin(hot, build, Seq("k"),
+      saltFactor = 4, sampleFraction = 1.0)
+    assert(planOf(salted).contains("__salt"),
+      "skewed probe must take the salted branch")
+    // 200 uniform rows → plain join, no salt, no build replication
+    val uniform = (0 until 200).map(i => (s"k${i % 10}", i)).toDF("k", "v")
+    val plain = SkewJoin.adaptiveSaltedJoin(uniform, build, Seq("k"),
+      saltFactor = 4, sampleFraction = 1.0)
+    assert(!planOf(plain).contains("__salt"),
+      "uniform probe must take the plain branch")
+    // tiny probes never salt, however skewed
+    val tiny = Seq(("hot", 1), ("hot", 2), ("hot", 3)).toDF("k", "v")
+    assert(!planOf(SkewJoin.adaptiveSaltedJoin(tiny, build, Seq("k"),
+      saltFactor = 4, sampleFraction = 1.0)).contains("__salt"))
+  }
+
   test("property: asofJoin matches the naive latest-at-or-before scan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
