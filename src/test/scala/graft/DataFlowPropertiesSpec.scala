@@ -137,6 +137,87 @@ class DataFlowPropertiesSpec extends SparkSpec {
       saltFactor = 4, sampleFraction = 1.0)).contains("__salt"))
   }
 
+  test("property: Scd2Load equals a naive per-member history replay") {
+    import graft.catalog.Layer
+    import graft.warehouse.{DimensionSpec, Scd2Load}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // model of one version row; dates are day numbers
+    case class V(sk: Long, attr: String, from: Int, to: Option[Int],
+      current: Boolean)
+    def naiveApply(state: Map[String, List[V]],
+        snap: Map[String, String], day: Int): Map[String, List[V]] = {
+      val maxSk = state.values.flatten.map(_.sk).maxOption.getOrElse(0L)
+      val currentOf = state.view.mapValues(_.find(_.current)).toMap
+      def cur(nk: String) = currentOf.getOrElse(nk, None)
+      val openedNks = snap.keys.filter(nk =>
+        cur(nk).forall(_.attr != snap(nk))).toSeq.sorted
+      val skOf = openedNks.zipWithIndex
+        .map { case (nk, i) => nk -> (maxSk + i + 1) }.toMap
+      val allNks = state.keySet ++ snap.keySet
+      allNks.map { nk =>
+        val closedOrKept = state.getOrElse(nk, Nil).map { v =>
+          // a current version closes if its member changed or vanished
+          if (v.current &&
+              (!snap.contains(nk) || snap(nk) != v.attr))
+            v.copy(to = Some(day), current = false)
+          else v
+        }
+        val opened =
+          if (skOf.contains(nk))
+            List(V(skOf(nk), snap(nk), day, None, current = true))
+          else Nil
+        nk -> (closedOrKept ++ opened)
+      }.toMap
+    }
+    def naiveInit(snap: Map[String, String]): Map[String, List[V]] =
+      snap.keys.toSeq.sorted.zipWithIndex.map { case (nk, i) =>
+        nk -> List(V(i + 1L, snap(nk), 1, None, current = true))
+      }.toMap
+    def dateOf(day: Int) = f"2024-01-$day%02d 00:00:00"
+    val snapGen = Gen.mapOf(Gen.zip(
+      Gen.oneOf("A", "B", "C", "D"), Gen.oneOf("x", "y", "z")))
+    val seqGen = Gen.choose(2, 4).flatMap(n =>
+      Gen.listOfN(n, snapGen)).suchThat(_.headOption.exists(_.nonEmpty))
+    val prop = Prop.forAll(seqGen) { snaps =>
+      implicit val c: GraftConf = tmpConf()
+      val spec = DimensionSpec("dm_m", Seq("nk"), Seq("attr"))
+      def writeLod(snap: Map[String, String]): Unit =
+        snap.toSeq.toDF("nk", "attr").write.mode("overwrite")
+          .parquet(c.tablePath(Layer.LOD, "dm_m"))
+      writeLod(snaps.head)
+      Scd2Load.load(spark, c, spec, dateOf(1), initial = true)
+      var model = naiveInit(snaps.head)
+      snaps.tail.zipWithIndex.foreach { case (snap, i) =>
+        writeLod(snap)
+        Scd2Load.load(spark, c, spec, dateOf(i + 2))
+        model = naiveApply(model, snap, i + 2)
+      }
+      val got = spark.read.parquet(c.tablePath(Layer.BSE, "dm_m"))
+        .select(col("nk"), col("sk_m"), col("attr"),
+          org.apache.spark.sql.functions
+            .dayofmonth(col(Scd2Load.ValidFrom)).as("from_d"),
+          org.apache.spark.sql.functions
+            .dayofmonth(col(Scd2Load.ValidTo)).as("to_d"),
+          col(Scd2Load.IsCurrent))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getInt(3), if (r.isNullAt(4)) None else Some(r.getInt(4)),
+          r.getBoolean(5)))
+        .sortBy(t => (t._1, t._2))
+      val want = model.toSeq.flatMap { case (nk, vs) =>
+        vs.map(v => (nk, v.sk, v.attr, v.from, v.to, v.current))
+      }.sortBy(t => (t._1, t._2))
+      if (got.toSeq != want) {
+        println(s"snaps=$snaps\ngot =${got.toSeq}\nwant=$want")
+      }
+      got.toSeq == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: asofJoin matches the naive latest-at-or-before scan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
