@@ -56,6 +56,11 @@ class DataFlow(
   private val data = mutable.LinkedHashMap[String, DataFrame]()
   private val log = new StepLogger(desc, conf.debugCounts)
 
+  /** Per-step durations of this dataflow so far — the input to
+    * [[StepHistory.reportAndRecord]] (step-variance report).
+    */
+  def stepTimings: Seq[StepHistory.StepTiming] = log.timings
+
   def datasetNames: Seq[String] = data.keys.toSeq
 
   /** Fetch a dataset's current plan (reference getDataFrames,

@@ -14,6 +14,8 @@ class StepLogger(dataflowDesc: String, debugCounts: Boolean) extends Serializabl
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger("graft.dataflow")
   private var stepSeq = 0
+  private val recorded =
+    scala.collection.mutable.ArrayBuffer.empty[StepHistory.StepTiming]
 
   def step[T](op: String, detail: String = "")(body: => T)(
       result: T => Option[DataFrame] = (_: T) => None): T = {
@@ -22,6 +24,8 @@ class StepLogger(dataflowDesc: String, debugCounts: Boolean) extends Serializabl
     log.info(s"[$dataflowDesc] step $stepSeq START $op $detail")
     val out = body
     val elapsed = (System.nanoTime() - t0) / 1e9
+    recorded +=
+      StepHistory.StepTiming(dataflowDesc, op, stepSeq, elapsed)
     val shape =
       if (debugCounts)
         result(out).map(df => s" rows=${df.count()} cols=${df.columns.length}")
@@ -30,4 +34,9 @@ class StepLogger(dataflowDesc: String, debugCounts: Boolean) extends Serializabl
     log.info(f"[$dataflowDesc] step $stepSeq END   $op ($elapsed%.3fs)$shape")
     out
   }
+
+  /** Durations recorded so far — feed [[StepHistory.reportAndRecord]]
+    * at dataflow close to get the variance report over prior runs.
+    */
+  def timings: Seq[StepHistory.StepTiming] = recorded.toSeq
 }

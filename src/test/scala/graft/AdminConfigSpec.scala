@@ -194,4 +194,42 @@ class AdminConfigSpec extends SparkSpec {
     assert(!new java.io.File(s"$sinkDir/ext_only.parquet").exists())
     assert(ParquetDatastore(sinkDir).read(spark, "su_pushed").count() == 2)
   }
+
+  test("step-variance report flags outliers against synthetic history") {
+    import StepHistory.StepTiming
+    val path = java.nio.file.Files
+      .createTempDirectory("steps").toString + "/steps.jsonl"
+    def t(op: String, s: Double) = StepTiming("fl", op, 1, s)
+    // three prior runs: 'read' ~1.0s tight, 'join' noisy 2/4/6s
+    Seq("r1" -> Seq(t("read", 1.00), t("join", 2.0)),
+      "r2" -> Seq(t("read", 1.02), t("join", 4.0)),
+      "r3" -> Seq(t("read", 0.98), t("join", 6.0)))
+      .foreach { case (id, ts) => StepHistory.append(path, id, ts) }
+    assert(StepHistory.load(path).size == 6)
+    // read at 2.0s is >> 2 sigma (sd floor 5% of mean); join at 5.0s is
+    // inside its wide prior spread; a first-seen step is never judged
+    val flagged = StepHistory.varianceReport(path,
+      Seq(t("read", 2.0), t("join", 5.0), t("newstep", 9.9)), limit = 2.0)
+    assert(flagged.map(_.key) == Seq("fl/1/read"))
+    val v = flagged.head
+    assert(v.priorRuns == 3 && math.abs(v.priorMean - 1.0) < 1e-9)
+    assert(v.sigmas > 2.0)
+    // within-noise current run flags nothing
+    assert(StepHistory.varianceReport(path,
+      Seq(t("read", 1.01), t("join", 4.5))).isEmpty)
+    // reportAndRecord appends: 'newstep' becomes judgeable after 3 runs
+    StepHistory.reportAndRecord(path, "r4", Seq(t("newstep", 1.0)))
+    StepHistory.reportAndRecord(path, "r5", Seq(t("newstep", 1.0)))
+    StepHistory.reportAndRecord(path, "r6", Seq(t("newstep", 1.0)))
+    assert(StepHistory.varianceReport(path, Seq(t("newstep", 2.0)))
+      .map(_.key) == Seq("fl/1/newstep"))
+    // and the real StepLogger feeds timings with the right keys
+    implicit val c: GraftConf = tmpConf()
+    val dfl = flow("var_fl")
+    dfl.createDataset("x", Map("v" -> Seq("1", "2")))
+    dfl.dedupe("x")
+    val keys = dfl.stepTimings.map(_.key)
+    assert(keys == Seq("var_fl/1/createDataset", "var_fl/2/dedupe"))
+    assert(dfl.stepTimings.forall(_.seconds >= 0.0))
+  }
 }
