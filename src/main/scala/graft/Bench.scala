@@ -35,24 +35,50 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
-    val results = selected.map { case (name, fn) =>
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // between queries: drop cached intermediates (LSH bands,
-      // signatures) and nudge the ContextCleaner so the next query isn't
-      // timed under this one's pinned storage / shuffle files
+      // between runs: drop cached intermediates (LSH bands, signatures)
+      // and nudge the ContextCleaner so the next query isn't timed under
+      // this one's pinned storage / shuffle files
       spark.catalog.clearCache()
       System.gc()
-      name -> elapsed
+      elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // sub-2s queries are rerun to a median of 3: their round-over-round
+    // deltas otherwise alias machine contention (r4's driver numbers ran
+    // ~1.4x hot under external load)
+    val results = selected.map { case (name, fn) =>
+      val first = timeOnce(name, fn)
+      val runs =
+        if (first < 2.0) Seq(first, timeOnce(name, fn), timeOnce(name, fn))
+        else Seq(first)
+      (name, runs.sorted.apply(runs.size / 2), runs)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // artifact FILE with every run per query: stdout's head gets
+    // truncated by the driver's tail-capture; this file never does
+    val runsJson = results.map { case (k, _, rs) =>
+      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/target/bench_last.json")
+    val p = java.nio.file.Paths.get(outPath)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      (line.dropRight(1) + s""","runs":$runsJson}""" + "\n")
+        .getBytes("UTF-8"))
     spark.stop()
   }
 }
