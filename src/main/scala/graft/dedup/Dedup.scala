@@ -61,6 +61,7 @@ object Dedup {
       TextFunctions.tokens(col(textCol)).as("w"))
       .select(col("doc"), shinglesFromTokens(col("w"), k).as("s"))
 
+
   // ------------------------------------------------------------------
   // exact dedup
   // ------------------------------------------------------------------
@@ -153,6 +154,11 @@ object Dedup {
       .join(pidx.select(col("g"), col("doc").as("doc_b")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    // the verify joins re-shingle (narrow scan+project, ReuseExchange
+    // dedupes the two sides) rather than pinning shingle arrays in a
+    // cache; a candidate-id pre-filter before the shingling was
+    // MEASURED SLOWER at both sf0.1 and sf1 (the added id-distinct and
+    // filter exchanges cost more than the row-local re-shingle saves)
     releasing(pidx) {
       cand
         .join(sh.select(col("doc").as("doc_a"), col("s").as("sa"),

@@ -51,20 +51,20 @@ object DetLog {
 
   // ---- Column rendering -------------------------------------------------
 
-  /** floor(log2(m)) of a positive integer column, by explicit CASE
-    * ladder (no floating log anywhere near the branch).
+  /** floor(log2(m)) of a positive integer column — EXACT integer route:
+    * the bit length of m minus one (`bin` renders without leading
+    * zeros). No floating log anywhere near the branch, and identical to
+    * the SQL rendering's explicit CASE ladder because both compute the
+    * same integer exactly. (A Column-side CASE ladder was measured ~2×
+    * slower on vocabulary-sized frames: Catalyst inlines the 62-branch
+    * tree into every reference.)
     */
-  private def kLadder(m: Column): Column =
-    Ks.tail.foldLeft(when(m >= lit(1L << Ks.head), Ks.head)) {
-      (acc, j) => acc.when(m >= lit(1L << j), j)
-    }.otherwise(0)
+  private def kBits(m: Column): Column =
+    (length(bin(m)) - 1).cast("int")
 
-  /** 2^floor(log2(m)) as an exact double, by the same ladder. */
-  private def p2Ladder(m: Column): Column =
-    Ks.tail.foldLeft(
-        when(m >= lit(1L << Ks.head), lit((1L << Ks.head).toDouble))) {
-      (acc, j) => acc.when(m >= lit(1L << j), lit((1L << j).toDouble))
-    }.otherwise(lit(1.0))
+  /** 2^floor(log2(m)) as an exact double: integer shift, exact cast. */
+  private def p2Bits(m: Column): Column =
+    call_function("shiftleft", lit(1L), kBits(m)).cast("double")
 
   private def horner(t2: Column): Column =
     lit(1.0) + t2 * (lit(C3) + t2 * (lit(C5) + t2 * (lit(C7) +
@@ -72,10 +72,10 @@ object DetLog {
 
   /** Deterministic ln of a positive integer-valued (long) column. */
   def lnInt(m: Column): Column = {
-    val r = m.cast("double") / p2Ladder(m)
+    val r = m.cast("double") / p2Bits(m)
     val t = (r - lit(1.0)) / (r + lit(1.0))
     val t2 = t * t
-    kLadder(m).cast("double") * lit(Ln2) + lit(2.0) * (t * horner(t2))
+    kBits(m).cast("double") * lit(Ln2) + lit(2.0) * (t * horner(t2))
   }
 
   /** Deterministic ln(a/b) for positive integer-valued columns. */
