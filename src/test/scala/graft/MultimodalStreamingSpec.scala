@@ -236,7 +236,11 @@ class MultimodalStreamingSpec extends SparkSpec {
     val stateFiles = java.nio.file.Files
       .walk(java.nio.file.Paths.get(ckpt, "state"))
       .iterator().asScala.map(_.getFileName.toString).toSeq
-    assert(stateFiles.exists(_.endsWith(".zip")),
+    // with changelog checkpointing RocksDB writes per-batch .changelog
+    // deltas (full .zip snapshots only at snapshot intervals); the HDFS
+    // provider writes neither — it writes .delta files
+    assert(stateFiles.exists(f =>
+      f.endsWith(".changelog") || f.endsWith(".zip")),
       s"no RocksDB artifacts under $ckpt/state: $stateFiles")
     assert(!stateFiles.exists(_.endsWith(".delta")),
       "HDFS-provider .delta files present - RocksDB did not take")
