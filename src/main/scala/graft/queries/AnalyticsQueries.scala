@@ -456,13 +456,19 @@ object AnalyticsQueries {
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_triangles")
       src(dfl, "lineitem")
-      val op = dfl.get("lineitem")
+      // co-occurrence edges via per-order collect_set + ROW-LOCAL pair
+      // explode: ONE exchange (the groupBy, whose set-agg also dedupes
+      // (ok, pk)) versus distinct + self-join's three; the per-order
+      // pair fan-out is bounded by basket size, and array_sort makes
+      // pa < pb hold by construction. Measured 8.0s → ~5.5s at sf0.1.
+      val parts = dfl.get("lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = op.select(col("ok"), col("pk").as("pa"))
-        .join(op.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-        .where(col("pa") < col("pb"))
-        .select("pa", "pb")
+        .groupBy("ok").agg(array_sort(collect_set(col("pk"))).as("ps"))
+      val edges = parts.select(explode(flatten(transform(
+          col("ps"), (x, i) => transform(
+            slice(col("ps"), i + lit(2), size(col("ps"))),
+            y => struct(x.as("pa"), y.as("pb")))))).as("e"))
+        .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
       Triangles.run(edges, "pa", "pb")
     },
 
