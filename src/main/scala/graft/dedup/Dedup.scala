@@ -140,10 +140,17 @@ object Dedup {
       .withColumn("n", size(col("s")))
     val inv = sh.select(col("doc"), col("n"), explode(col("s")).as("g"))
     val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    // per-doc prefix selection as a hash-agg + ROW-LOCAL array sort and
+    // slice instead of a global window: one exchange by doc either way,
+    // but the sort happens on doc-sized arrays inside the agg output
+    // (map-side partial collect) rather than as a partition-wide sort
+    // feeding row_number
     val prefix = inv.join(dfreq, Seq("g"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc").orderBy("df", "g")))
-      .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .groupBy(col("doc"), col("n"))
+      .agg(collect_list(struct(col("df"), col("g"))).as("dg"))
+      .select(col("doc"), explode(slice(array_sort(col("dg")), lit(1),
+        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))).as("e"))
+      .select(col("e.g").as("g"), col("doc"))
     // cache the id-only prefix index: AQE turns ONE self-join side into
     // a broadcast, so the two sides' exchanges no longer match and
     // ReuseExchange stops deduplicating them — without the cache the
