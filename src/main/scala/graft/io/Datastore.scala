@@ -293,20 +293,34 @@ case class GSheetDatastore(transport: SheetTransport) extends Datastore {
   * connectors (betl/io/_postgres.py, _sqlite.py). Reads partition by a
   * numeric column when provided so large tables parallelise across
   * executors instead of funnelling through one connection.
+  *
+  * @param emptyStringToNull write-side `''` → NULL normalisation — the
+  *   reference's DB sink always maps empty strings to NaN before COPY so
+  *   they land as SQL NULL (betl/io/dbIO.py:26-29, emptyStringToNaN)
   */
 case class JdbcDatastore(
     url: String,
     properties: Map[String, String] = Map.empty,
     partitionColumn: Option[String] = None,
-    numPartitions: Int = 8) extends Datastore {
+    numPartitions: Int = 8,
+    emptyStringToNull: Boolean = true) extends Datastore {
+
+  private def props: java.util.Properties = {
+    val p = new java.util.Properties()
+    properties.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = {
-    val props = new java.util.Properties()
-    properties.foreach { case (k, v) => props.setProperty(k, v) }
     partitionColumn match {
       case Some(pc) =>
+        // quote the partition column per dialect: Spark's JDBC writer
+        // creates columns quoted-verbatim, so case-folding engines
+        // (Derby/Postgres) would miss an unquoted lowercase name here
+        val qpc = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+          .quoteIdentifier(pc)
         val bounds = spark.read.jdbc(url,
-          s"(SELECT min($pc) lo, max($pc) hi FROM $table) b", props).head()
+          s"(SELECT min($qpc) lo, max($qpc) hi FROM $table) b", props).head()
         // min/max of INT/DECIMAL columns come back as non-Long Numbers, and
         // an empty table yields NULLs — fall back to the unpartitioned read
         (Option(bounds.getAs[Number](0)), Option(bounds.getAs[Number](1))) match {
@@ -325,8 +339,67 @@ case class JdbcDatastore(
     */
   override def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "overwrite"): Unit = {
-    val props = new java.util.Properties()
-    properties.foreach { case (k, v) => props.setProperty(k, v) }
-    df.write.mode(mode).jdbc(url, table, props)
+    val out =
+      if (!emptyStringToNull) df
+      else df.schema.fields.foldLeft(df) {
+        case (d, f) if f.dataType == StringType =>
+          d.withColumn(f.name,
+            org.apache.spark.sql.functions.when(
+              org.apache.spark.sql.functions.col(f.name) === "", null)
+              .otherwise(org.apache.spark.sql.functions.col(f.name)))
+        case (d, _) => d
+      }
+    out.write.mode(mode).jdbc(url, table, props)
+  }
+
+  /** Whether a table exists, via driver-side JDBC metadata (identifiers
+    * are matched case-insensitively — Derby/Postgres case-fold bare DDL
+    * names in opposite directions).
+    */
+  def tableExists(table: String): Boolean = withConnection { conn =>
+    val rs = conn.getMetaData.getTables(null, null, "%", null)
+    try {
+      Iterator.continually(rs)
+        .takeWhile(_.next())
+        .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+    } finally rs.close()
+  }
+
+  /** Execute DDL statements driver-side on a fresh connection — the
+    * engine's rendering of the reference's `customSQL(sql, 'TRG')` index
+    * maintenance calls (betl/defaultdataflows/stageLoad.py:118-131,:216).
+    * With `ignoreMissing`, drop statements against absent objects succeed
+    * silently (the portable stand-in for Postgres `IF EXISTS`, which
+    * Derby lacks). Returns the statements actually executed.
+    */
+  def executeDdl(
+      sqls: Seq[String], ignoreMissing: Boolean = false): Seq[String] =
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try sqls.flatMap { sql =>
+        try { st.executeUpdate(sql); Some(sql) }
+        catch {
+          case e: java.sql.SQLException if ignoreMissing &&
+              isMissingObject(e) => None
+        }
+      } finally st.close()
+    }
+
+  private def isMissingObject(e: java.sql.SQLException): Boolean = {
+    // Derby: 42X65 index, 42X86 constraint, 42Y55/42Y07 table/schema;
+    // Postgres: 42704 undefined object, 42P01 undefined table
+    val states = Set("42X65", "42X86", "42Y55", "42Y07", "42704", "42P01")
+    states.contains(e.getSQLState) ||
+      Option(e.getMessage).exists(_.toLowerCase.contains("does not exist"))
+  }
+
+  private def withConnection[A](f: java.sql.Connection => A): A = {
+    properties.get("driver").foreach(Class.forName)
+    val user = properties.get("user").orNull
+    val pass = properties.get("password").orNull
+    val conn =
+      if (user != null) java.sql.DriverManager.getConnection(url, user, pass)
+      else java.sql.DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
   }
 }

@@ -106,6 +106,12 @@ class Pipeline(
 
   def run(spark: SparkSession): Unit = {
     Stage.all.filterNot(skipStages.contains).foreach { stage =>
+      // load-stage setup: on a JDBC TRG sink, drop fact/summary FK
+      // constraints + indexes before any dimension truncate (reference
+      // dropFactFKConstraints as the load stage's first task,
+      // stageLoad.py:96-131; no-op for Parquet/other sinks)
+      if (stage == Stage.LoadDim)
+        graft.warehouse.StageLoad.dropTrgSinkIndexes(conf)
       val stageOps = ops.filter(_.stage == stage)
       if (stageOps.nonEmpty) {
         log.info(s"[pipeline] stage ${stage.name}: " +

@@ -372,6 +372,29 @@ object LifecycleQueries {
         .orderBy("n_nationkey")
     },
 
+    // §2.1 JDBC source: the reference's Postgres/SQLite front door
+    // (betl/io/DatastoreClass_postgres.py:8-85, dbIO.py:9-21) through
+    // embedded Derby — write nation into the DB, then read it back
+    // through a PARTITIONED JdbcDatastore read (min/max bounds probe +
+    // 4-way split, the shape that parallelises a big source table
+    // across executors instead of one connection)
+    "q_jdbc_source" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_jdbc_source")
+      new java.io.File(c.warehousePath).mkdirs()
+      val jdbc = graft.io.JdbcDatastore(
+        s"jdbc:derby:${c.warehousePath}/derby_src;create=true",
+        partitionColumn = Some("n_nationkey"), numPartitions = 4)
+      val dfl = DataFlow(s, "q_jdbc_source")
+      src(dfl, "nation")
+      jdbc.write(s, dfl.get("nation"), "nation")
+      val c2 = c.copy(srcSystems = Map("JDBC" -> jdbc))
+      val dfl2 = new DataFlow(s, "q_jdbc_source_read", c2)
+      dfl2.getDataFromSrc("nation", "JDBC")
+      dfl2.dropColumns("nation", dropAuditCols = true)
+      dfl2.getColumns("nation", Seq("n_nationkey", "n_name", "n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
     // small-files compaction: fragment a layer table into 16 files,
     // compact to 1, and prove the data is untouched (the maintenance
     // verb the streaming upsert sink needs; staging-swap rewrite)
@@ -789,6 +812,9 @@ object LifecycleQueries {
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_orc_source" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_jdbc_source" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_limitdata" -> "SELECT CAST(50 AS BIGINT) AS n_rows",

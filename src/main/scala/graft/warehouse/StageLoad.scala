@@ -76,9 +76,71 @@ case class FactSpec(name: String, fks: Seq[FkMapping])
   *  - Fact FK resolution is a chain of LEFT broadcast joins against the
   *    (small) SK/NK maps with -1 defaulting — the reference's per-FK pandas
   *    merge loop (stageLoad.py:361-409) at cluster scale.
-  *  - Index DDL around the load (stageLoad.py:96-131) is a Parquet no-op.
+  *  - Index DDL around the load (stageLoad.py:96-131) is a Parquet no-op —
+  *    but when `GraftConf.trgSink` is a [[graft.io.JdbcDatastore]] the
+  *    reference's DB sequence runs for real: [[dropTrgSinkIndexes]] before
+  *    the loads, then per table create-if-absent DDL → index drop →
+  *    truncate → append → index recreate ([[syncTrgSink]]).
   */
 object StageLoad {
+
+  /** Pre-bulk-load index teardown on a JDBC TRG sink: drop fact/summary
+    * FK constraints and indexes first — they pin the dimension rows the
+    * upcoming truncates must clear (reference dropFactFKConstraints,
+    * stageLoad.py:96-131). No-op for non-JDBC sinks. Returns the
+    * statements actually executed (observability + spec hook).
+    */
+  def dropTrgSinkIndexes(conf: GraftConf): Seq[String] =
+    conf.trgSink match {
+      case Some(jdbc: graft.io.JdbcDatastore) =>
+        val tables = conf.catalog.tablesIn(Layer.BSE) ++
+          conf.catalog.tablesIn(Layer.SUM)
+        val factish = tables.filter(t =>
+          t.tableType == graft.catalog.TableType.Fact ||
+            t.tableType == graft.catalog.TableType.Summary)
+        jdbc.executeDdl(
+          graft.io.JdbcDdl.dropLoadIndexSqls(factish), ignoreMissing = true)
+      case _ => Seq.empty
+    }
+
+  /** Mirror a loaded BSE table into the configured TRG sink (reference:
+    * BSE/SUM always land in the TRG database, dfl_io.py:81-94). For a
+    * JDBC sink this runs the reference's full DB load sequence
+    * (stageLoad.py:185-216): ensure the table exists (catalog-generated
+    * DDL, registering a role-aware TableDef on first sight), drop its
+    * indexes for write speed, truncate (bulk) or not (delta append),
+    * append the rows, recreate the indexes. Other sinks get a plain
+    * write.
+    */
+  private def syncTrgSink(
+      spark: SparkSession, conf: GraftConf, name: String, df: DataFrame,
+      mode: String, skCol: Option[String] = None,
+      fkDims: Map[String, String] = Map.empty): Unit =
+    conf.trgSink.foreach {
+      case jdbc: graft.io.JdbcDatastore =>
+        val tdef = conf.catalog.lookup(Layer.BSE, name).getOrElse {
+          conf.catalog.register(graft.catalog.TableDef(name, Layer.BSE,
+            df.schema.fields.toSeq.map { f =>
+              val role =
+                if (skCol.contains(f.name)) graft.catalog.ColumnRole.SurrogateKey
+                else if (fkDims.contains(f.name)) graft.catalog.ColumnRole.ForeignKey
+                else graft.catalog.ColumnRole.Attribute
+              graft.catalog.ColumnDef(f.name, f.dataType, role,
+                fkDimension = fkDims.get(f.name))
+            }))
+        }
+        import graft.io.JdbcDdl
+        if (!jdbc.tableExists(name))
+          jdbc.executeDdl(Seq(JdbcDdl.createTableSql(tdef)))
+        jdbc.executeDdl(JdbcDdl.dropIndexSqls(tdef), ignoreMissing = true)
+        if (mode == "overwrite")
+          // TRUNCATE restarts Derby/Postgres identity state — the
+          // reference's `TRUNCATE ... RESTART IDENTITY` (dbIO.py:46-52)
+          jdbc.executeDdl(Seq(s"TRUNCATE TABLE $name"))
+        jdbc.write(spark, df, name, "append")
+        jdbc.executeDdl(JdbcDdl.createIndexSqls(tdef))
+      case ds => ds.write(spark, df, name, mode)
+    }
 
   /** truncate BSE dim → read LOD → assign SKs → append default rows →
     * write BSE + emit SK/NK map to LOD
@@ -122,7 +184,9 @@ object StageLoad {
       .select((spec.skName +: spec.nkCols).map(col): _*)
     skMap.write.mode("overwrite")
       .parquet(conf.tablePath(Layer.LOD, spec.mapTableName))
-    spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
+    val reread = spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
+    syncTrgSink(spark, conf, spec.name, reread, "overwrite", Some(spec.skName))
+    reread
   }
 
   /** Broadcast only when the SK/NK map's on-disk size is under the
@@ -169,7 +233,10 @@ object StageLoad {
     val resolved = resolveFks(spark, conf, lod, spec.fks)
     resolved.write.mode("overwrite")
       .parquet(conf.tablePath(Layer.BSE, spec.name))
-    spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
+    val reread = spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
+    syncTrgSink(spark, conf, spec.name, reread, "overwrite",
+      fkDims = spec.fks.map(fk => fk.skName -> fk.dimName).toMap)
+    reread
   }
 
   val AuditDeltaDate = "audit_latest_delta_load_date"
@@ -253,6 +320,7 @@ object StageLoad {
       .select((spec.skName +: spec.nkCols).map(col): _*)
     graft.io.ParquetUtil.safeOverwrite(
       spark, skMap, conf.tablePath(Layer.LOD, spec.mapTableName))
+    syncTrgSink(spark, conf, spec.name, reread, "overwrite", Some(spec.skName))
     reread
   }
 
@@ -277,6 +345,10 @@ object StageLoad {
       else resolved0
     val bsePath = conf.tablePath(Layer.BSE, spec.name)
     resolved.write.mode("append").parquet(bsePath)
+    // delta appends push only the new batch to the sink (re-pushing the
+    // whole table would duplicate previously-synced rows)
+    syncTrgSink(spark, conf, spec.name, resolved, "append",
+      fkDims = spec.fks.map(fk => fk.skName -> fk.dimName).toMap)
     spark.read.parquet(bsePath)
   }
 }
