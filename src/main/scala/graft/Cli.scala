@@ -1,0 +1,150 @@
+package graft
+
+import graft.catalog.Layer
+import graft.pipeline.{Pipeline, PipelineOp, Stage}
+import org.apache.spark.sql.SparkSession
+
+/** Parsed run-control verbs — the reference's CLI argument set
+  * (betl/logger/cliText.py:55-115) as a value the engine API consumes:
+  * `bulk|delta` → [[GraftConf.bulkOrDelta]], the `no<stage>` family →
+  * [[Pipeline]] skipStages, `limitdata` → [[GraftConf.dataLimitRows]],
+  * `rebuild*`/`reset`/`readsrc` → [[Admin]] verbs, `run` → execute.
+  */
+case class CliPlan(
+    bulkOrDelta: String = "BULK",
+    run: Boolean = false,
+    skipStages: Set[Stage] = Set.empty,
+    limitData: Option[Int] = None,
+    rebuildLayers: Seq[Layer] = Seq.empty,
+    readSrc: Boolean = false,
+    reset: Boolean = false,
+    help: Boolean = false)
+
+/** CLI verb parsing + execution binding. The reference processes these
+  * args into conf ctrl flags at startup (cliText.py HELP block); here
+  * [[Cli.parse]] is a pure function so every verb combination is
+  * spec-testable without a session, and [[Cli.execute]] applies the
+  * admin-verbs-then-run order.
+  */
+object Cli {
+
+  /** The `limitdata` row cap (reference cliText.py:53). */
+  val DataLimitRows = 100
+
+  val helpText: String =
+    """graft run-control verbs (reference betl CLI parity):
+      |  reset                   wipe the warehouse (all data lost)
+      |  readsrc                 introspect source-system schemas into the
+      |                          catalog (and schema file when configured)
+      |  rebuildall | rebuildext | rebuildtrn | rebuildlod | rebuildbse |
+      |  rebuildsum              drop a layer's physical tables
+      |  bulk | delta            load mode (default bulk)
+      |  run                     execute the pipeline
+      |  noextract | notransform | noload | nosummarise
+      |                          skip a whole stage
+      |  nodmload | noftload     skip just the dimension / fact loads
+      |  limitdata               cap every source read at 100 rows
+      |  help                    this text
+      |usage: graft.Main <appConfig.json> [verbs...]""".stripMargin
+
+  def parse(args: Seq[String]): CliPlan =
+    args.foldLeft(CliPlan()) { (p, raw) =>
+      raw.toLowerCase match {
+        case "bulk"        => p.copy(bulkOrDelta = "BULK")
+        case "delta"       => p.copy(bulkOrDelta = "DELTA")
+        case "run"         => p.copy(run = true)
+        case "noextract"   => p.copy(skipStages = p.skipStages + Stage.Extract)
+        case "notransform" => p.copy(skipStages = p.skipStages + Stage.Transform)
+        case "noload" =>
+          p.copy(skipStages = p.skipStages + Stage.LoadDim + Stage.LoadFact)
+        case "nodmload"    => p.copy(skipStages = p.skipStages + Stage.LoadDim)
+        case "noftload"    => p.copy(skipStages = p.skipStages + Stage.LoadFact)
+        case "nosummarise" => p.copy(skipStages = p.skipStages + Stage.Summarise)
+        case "limitdata"   => p.copy(limitData = Some(DataLimitRows))
+        case "rebuildall"  => p.copy(rebuildLayers = Layer.all)
+        case "rebuildext" =>
+          p.copy(rebuildLayers = (p.rebuildLayers :+ Layer.EXT).distinct)
+        case "rebuildtrn" =>
+          p.copy(rebuildLayers = (p.rebuildLayers :+ Layer.TRN).distinct)
+        case "rebuildlod" =>
+          p.copy(rebuildLayers = (p.rebuildLayers :+ Layer.LOD).distinct)
+        case "rebuildbse" =>
+          p.copy(rebuildLayers = (p.rebuildLayers :+ Layer.BSE).distinct)
+        case "rebuildsum" =>
+          p.copy(rebuildLayers = (p.rebuildLayers :+ Layer.SUM).distinct)
+        case "readsrc"     => p.copy(readSrc = true)
+        case "reset"       => p.copy(reset = true)
+        case "help"        => p.copy(help = true)
+        case other => throw new IllegalArgumentException(
+          s"unknown verb '$other'\n$helpText")
+      }
+    }
+
+  /** Fold the run-control flags into the conf: `limitdata` beats the
+    * config-file cap; `bulk|delta` sets the load mode ops read.
+    */
+  def applyToConf(conf: GraftConf, plan: CliPlan): GraftConf = conf.copy(
+    dataLimitRows = plan.limitData.orElse(conf.dataLimitRows),
+    bulkOrDelta = plan.bulkOrDelta)
+
+  /** Execute the plan: admin verbs first in the destructive-to-
+    * constructive order reset → rebuild → readsrc, then the pipeline when
+    * `run` was given. Returns the effective conf (with run-control flags
+    * applied) so callers compose further steps against it.
+    */
+  def execute(
+      spark: SparkSession, conf0: GraftConf, plan: CliPlan,
+      ops: Seq[PipelineOp] = Seq.empty,
+      schemaFile: Option[String] = None,
+      parallelism: Int = 1): GraftConf = {
+    val conf = applyToConf(conf0, plan)
+    if (plan.reset) Admin.reset(spark, conf)
+    if (plan.rebuildLayers.nonEmpty)
+      Admin.rebuild(spark, conf, plan.rebuildLayers)
+    if (plan.readSrc) conf.srcSystems.keys.toSeq.sorted.foreach { src =>
+      schemaFile match {
+        case Some(f) => Admin.readSrcToFile(spark, conf, src, f)
+        case None    => Admin.readSrc(spark, conf, src)
+      }
+    }
+    if (plan.run)
+      new Pipeline(conf, ops, parallelism, plan.skipStages).run(spark)
+    conf
+  }
+
+  /** The default op set a bare `graft.Main <conf> run` executes: one
+    * extract per enumerable table of every configured source system (the
+    * reference's default-extract fan-out, betl/defaultdataflows/
+    * stageExtract semantics). Transform/load ops are app code — apps
+    * embed [[Cli]] with their own ops for those stages.
+    */
+  def defaultOps(spark: SparkSession, conf: GraftConf): Seq[PipelineOp] =
+    conf.srcSystems.keys.toSeq.sorted.flatMap { src =>
+      graft.warehouse.StageExtract.defaultExtractOps(spark, conf, src)
+    }
+}
+
+/** `spark-submit --class graft.Main` entry point: config file + verbs. */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(Cli.helpText); sys.exit(2) }
+    val plan = Cli.parse(args.tail.toSeq)
+    if (plan.help) { println(Cli.helpText); return }
+    val conf = GraftConfIO.fromFile(args.head)
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      // readsrc writes next to the config file, mirroring the reference's
+      // schema-desc refresh target (admin.py:364-474)
+      val schemaFile = Option(java.nio.file.Paths.get(args.head).getParent)
+        .getOrElse(java.nio.file.Paths.get("."))
+        .resolve("warehouse_schema.json").toString
+      Cli.execute(spark, conf, plan,
+        ops = Cli.defaultOps(spark, conf),
+        schemaFile = Some(schemaFile),
+        parallelism = 4)
+    } finally spark.stop()
+  }
+}

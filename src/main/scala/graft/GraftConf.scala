@@ -37,6 +37,10 @@ object Audit {
   *                       `reports` SIBLING of the warehouse so
   *                       `Admin.reset` (which wipes the warehouse) never
   *                       deletes the append-only alert history
+  * @param bulkOrDelta    run-control load mode the reference carries as
+  *                       conf.BULK_OR_DELTA (ConfClass.py:150, set by the
+  *                       `bulk`/`delta` CLI verbs) — dataflow ops read it
+  *                       to choose audit stamping and extract/load routes
   */
 case class GraftConf(
     warehousePath: String,
@@ -48,7 +52,8 @@ case class GraftConf(
     catalog: Catalog = new Catalog,
     trgSink: Option[Datastore] = None,
     strictSchema: Boolean = false,
-    reportsPath: Option[String] = None) {
+    reportsPath: Option[String] = None,
+    bulkOrDelta: String = "BULK") {
 
   def tablePath(layer: graft.catalog.Layer, table: String): String =
     s"$warehousePath/${layer.id}/$table"

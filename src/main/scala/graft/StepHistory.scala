@@ -47,13 +47,41 @@ object StepHistory {
       java.nio.file.StandardOpenOption.APPEND)
   }
 
-  /** (execId, stepKey, seconds) triples from the history file. */
+  /** Inverse of [[esc]]: keys containing quotes/backslashes/control
+    * chars must round-trip to the SAME string or varianceReport's
+    * prior-run lookup silently never matches them.
+    */
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case '"'  => sb += '"'; i += 2
+        case '\\' => sb += '\\'; i += 2
+        case 'n'  => sb += '\n'; i += 2
+        case 'u' if i + 5 < s.length =>
+          sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+          i += 6
+        case c => sb += '\\'; sb += c; i += 2
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.result()
+  }
+
+  /** (execId, stepKey, seconds) triples from the history file. Fields
+    * match lazily and exclude unescaped quotes (an escaped quote is the
+    * two-char sequence `\"`, which the char class admits), so values
+    * containing `","key":"` cannot shift the field boundaries.
+    */
   def load(path: String): Seq[(String, String, Double)] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) return Nil
-    val line = """\{"exec":"(.*)","key":"(.*)","seconds":([-0-9.eE]+)\}""".r
+    val field = """(?:[^"\\]|\\.)*"""
+    val line =
+      ("""\{"exec":"(""" + field + """)","key":"(""" + field +
+        """)","seconds":([-0-9.eE]+)\}""").r
     scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq.collect {
-      case line(e, k, s) => (e, k, s.toDouble)
+      case line(e, k, s) => (unesc(e), unesc(k), s.toDouble)
     }
   }
 

@@ -96,12 +96,23 @@ object DetLog {
       s"WHEN $m >= ${1L << j} THEN ${(1L << j).toDouble.toString}")
       .mkString(" ") + " ELSE 1.0 END"
 
+  /** Non-exact coefficients as CAST('…' AS DOUBLE): a bare 16-digit
+    * literal like 0.3333333333333333 types as DECIMAL(17,16) in DuckDB,
+    * and the bit-identity claim would then rest on the oracle engine's
+    * DECIMAL→DOUBLE cast rounding — an implementation detail. A quoted
+    * string→double parse is the correctly-rounded shortest-repr route,
+    * the same guarantee the Scala side gets from `"0.69…".toDouble`.
+    */
+  private def dlit(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+
   def hornerSql(t2: String): String =
-    s"1.0 + $t2 * ($C3 + $t2 * ($C5 + $t2 * ($C7 + $t2 * ($C9 + " +
-      s"$t2 * ($C11 + $t2 * ($C13 + $t2 * $C15))))))"
+    s"1.0 + $t2 * (${dlit(C3)} + $t2 * (${dlit(C5)} + $t2 * (${dlit(C7)} " +
+      s"+ $t2 * (${dlit(C9)} + $t2 * (${dlit(C11)} + $t2 * (${dlit(C13)} " +
+      s"+ $t2 * ${dlit(C15)}))))))"
 
   private def finishSql(k: String, t: String, t2: String): String =
-    s"CAST($k AS DOUBLE) * $Ln2Str + 2.0 * ($t * (${hornerSql(t2)}))"
+    s"CAST($k AS DOUBLE) * CAST('$Ln2Str' AS DOUBLE) + " +
+      s"2.0 * ($t * (${hornerSql(t2)}))"
 
   /** CTE chain computing `outCol = lnInt(aExpr) - lnInt(bExpr)` over
     * `srcFrom` (a FROM fragment), carrying `carry` columns through.

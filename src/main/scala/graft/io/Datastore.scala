@@ -133,11 +133,15 @@ case class JsonDatastore(dir: String, singleFile: Boolean = true)
     val names = spark.read.text(path)
       .select(explode(json_object_keys(col("value"))).as("k"))
       .distinct().collect().map(_.getString(0)).sorted
-    require(names.nonEmpty,
-      s"$path: no JSON object keys found — empty file or no parseable " +
-        "JSON-lines rows")
-    val schema = StructType(names.map(StructField(_, StringType)))
-    spark.read.schema(schema).json(path).na.fill("")
+    // a legitimately-empty extract (zero lines, or only '{}' rows) reads
+    // back as an empty zero-column frame — the round trip of writing an
+    // empty frame, and parity with table-enumerating callers that expect
+    // empty tables to read, not throw
+    if (names.isEmpty) spark.emptyDataFrame
+    else {
+      val schema = StructType(names.map(StructField(_, StringType)))
+      spark.read.schema(schema).json(path).na.fill("")
+    }
   }
 
   override def tableNames(spark: SparkSession): Seq[String] = {
@@ -160,7 +164,30 @@ case class JsonDatastore(dir: String, singleFile: Boolean = true)
   * MDM mappings and schema descriptions in workbooks): reads and writes
   * materialise driver-side through the dependency-free [[Xlsx]] codec.
   */
-case class ExcelDatastore(path: String) extends Datastore {
+/** Row cap guarding the sheet connectors' driver-side materialisation:
+  * reads and writes go through `df.collect()` by protocol (the reference
+  * round-trips whole worksheets, betl/io/excelIO.py:4-35,
+  * gsheetIO.py:4-12), which is fine for the control-plane tables they
+  * exist for — and a silent driver OOM for a fact table pointed at them
+  * by mistake. The cap turns that into an immediate, explicit error.
+  */
+private[io] object SheetGuard {
+  val DefaultMaxRows = 100000
+
+  def check(df: org.apache.spark.sql.DataFrame, maxRows: Int,
+      target: String): Unit = {
+    // limit(max+1) so the guard job scans only enough to prove overflow,
+    // never the whole table
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"$target: refusing to collect > $maxRows rows into a sheet sink " +
+        "(sheet connectors are for control-plane tables; raise maxRows " +
+        "explicitly if this is intentional)")
+  }
+}
+
+case class ExcelDatastore(path: String,
+    maxRows: Int = SheetGuard.DefaultMaxRows) extends Datastore {
   import org.apache.spark.sql.Row
 
   def read(spark: SparkSession, table: String): DataFrame = {
@@ -182,6 +209,7 @@ case class ExcelDatastore(path: String) extends Datastore {
 
   override def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "overwrite"): Unit = {
+    SheetGuard.check(df, maxRows, s"$path!$table")
     val header = df.columns.toSeq
     val rows = df.collect().toSeq.map(_.toSeq.map(v =>
       Option(v).map(_.toString).getOrElse("")))
@@ -251,7 +279,8 @@ case class LocalSheetTransport(dir: String) extends SheetTransport {
   * descriptions) — reads and writes materialise driver-side like the
   * reference's `get_all_values()` round-trip.
   */
-case class GSheetDatastore(transport: SheetTransport) extends Datastore {
+case class GSheetDatastore(transport: SheetTransport,
+    maxRows: Int = SheetGuard.DefaultMaxRows) extends Datastore {
   import org.apache.spark.sql.Row
 
   def read(spark: SparkSession, table: String): DataFrame = {
@@ -270,6 +299,7 @@ case class GSheetDatastore(transport: SheetTransport) extends Datastore {
 
   override def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "overwrite"): Unit = {
+    SheetGuard.check(df, maxRows, s"sheet '$table'")
     val header = df.columns.toSeq
     val rows = df.collect().toSeq.map(_.toSeq.map(v =>
       Option(v).map(_.toString).getOrElse("")))

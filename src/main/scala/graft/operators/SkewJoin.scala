@@ -60,6 +60,14 @@ object SkewJoin {
     * saltFactor copies of the build side through the shuffle for
     * nothing. Samples under 100 rows never salt: a probe that small is
     * cheap to join however skewed.
+    *
+    * NOTE the premium is paid EAGERLY: the `.head()` on the sampled
+    * histogram runs a Spark job at join-DEFINITION time, executing the
+    * probe's upstream lineage once for the sample and again when the
+    * join itself runs. For a source-table probe that is one extra
+    * column-pruned scan; callers defining speculative joins over an
+    * expensive derived probe should `.cache()`/checkpoint the probe
+    * first (or call [[saltedJoin]]/a plain join directly).
     */
   def adaptiveSaltedJoin(
       probe: DataFrame,

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus vocabulary statistics and unigram language-model scoring —
@@ -35,12 +34,18 @@ object Vocabulary {
       .groupBy("term")
       .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
 
-  /** Top-k vocabulary rows by corpus frequency (ties broken by term). */
+  /** Top-k vocabulary rows by corpus frequency (ties broken by term).
+    * The heavy lifting is the TakeOrderedAndProject from orderBy+limit
+    * (per-partition k-row heaps merged on the driver); the rank is then
+    * an ordinal over the k surviving rows — assigned with a row-local id
+    * on the explicitly re-sorted single partition, NOT a global window
+    * (an unpartitioned WindowExec, even a k-row-bounded one, trips the
+    * engine's own plan-hygiene warnings).
+    */
   def topK(vocab: DataFrame, k: Int): DataFrame =
     vocab.orderBy(col("tf").desc, col("term")).limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("tf").desc, col("term")))
-          .cast("long"))
+      .coalesce(1).sortWithinPartitions(col("tf").desc, col("term"))
+      .withColumn("rank", monotonically_increasing_id() + 1)
 
   /** Mean unigram log-probability per document (the CCNet-style quality
     * signal: low = far from the corpus distribution). Output:

@@ -106,7 +106,10 @@ object StageExtract {
     spark.read.parquet(deltaPath)
   }
 
-  /** One default extract op per table the datastore can enumerate. */
+  /** One default extract op per table the datastore can enumerate. The
+    * audit stamp follows the conf's run-control load mode (the `bulk` /
+    * `delta` CLI verbs, [[GraftConf.bulkOrDelta]]) at run time.
+    */
   def defaultExtractOps(
       spark: org.apache.spark.sql.SparkSession, conf: GraftConf,
       srcSysID: String): Seq[PipelineOp] = {
@@ -114,7 +117,7 @@ object StageExtract {
     graft.Admin.requireNoCleanNameCollisions(names)
     names.map { t =>
       PipelineOp(s"extract_${graft.Admin.cleanTableName(t)}", Stage.Extract,
-        (sp, cf) => bulkExtract(sp, cf, srcSysID, t))
+        (sp, cf) => bulkExtract(sp, cf, srcSysID, t, cf.bulkOrDelta))
     }
   }
 }

@@ -156,6 +156,24 @@ class ExcelSpec extends SparkSpec {
     }
   }
 
+  test("sheet sinks refuse frames over the row cap instead of OOMing") {
+    val big = (1 to 10).map(i => (i.toString, "v")).toDF("id", "v")
+    val path = tmpXlsx()
+    intercept[IllegalArgumentException] {
+      ExcelDatastore(path, maxRows = 5).write(spark, big, "t")
+    }
+    // the refused write left nothing behind
+    assert(!new java.io.File(path).exists())
+    // under the cap writes normally
+    ExcelDatastore(path, maxRows = 50).write(spark, big, "t")
+    assert(ExcelDatastore(path).read(spark, "t").count() == 10)
+    val dir = java.nio.file.Files.createTempDirectory("gsheet-cap").toString
+    intercept[IllegalArgumentException] {
+      GSheetDatastore(LocalSheetTransport(dir), maxRows = 5)
+        .write(spark, big, "t")
+    }
+  }
+
   test("gsheet datastore serves as a DataFlow source system") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gsheet-src").toString
     val ds = GSheetDatastore(LocalSheetTransport(dir))
