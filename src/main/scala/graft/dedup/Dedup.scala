@@ -339,20 +339,21 @@ object Dedup {
         .bitwiseAND(lit((1L << SimHashBandBits) - 1))
     }: _*)
 
-  /** Near-dup pairs with SimHash Hamming distance ≤ maxHamming
-    * (< [[SimHashBands]] for exact recall): band equi-join → distinct
-    * candidates → exact `bit_count(a ^ b)` verification.
+  /** Near-dup pairs among PRE-COMPUTED 60-bit hashes with Hamming
+    * distance ≤ maxHamming (< [[SimHashBands]] for exact recall): band
+    * equi-join → distinct candidates → exact `bit_count(a ^ b)`
+    * verification. The hash source is pluggable — text SimHash
+    * ([[simHashPairs]]) and image perceptual dHash
+    * ([[graft.multimodal.MediaCodecs.ImageDHash]]) pair through the
+    * same banding.
     */
-  def simHashPairs(
-      df: DataFrame, textCol: String, idCol: String,
+  def hammingPairs(
+      hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimHashBands,
       s"banding guarantees recall only for distance < $SimHashBands")
-    val hashed = df
-      .select(col(idCol).as("doc"),
-        TextFunctions.simHashUdf(
-          TextFunctions.tokens(col(textCol))).as("h"))
-    val banded = hashed.select(col("doc"), col("h"),
+    val h0 = hashed.select(col(idCol).as("doc"), col(hashCol).as("h"))
+    val banded = h0.select(col("doc"), col("h"),
       posexplode(simHashBands(col("h"))).as(Seq("band", "key")))
       .cache() // both self-join sides read this; hash the corpus once
     val a = banded.select(col("band"), col("key"),
@@ -368,6 +369,19 @@ object Dedup {
         .select("doc_a", "doc_b", "hamming")
     }
   }
+
+  /** Near-dup pairs with SimHash Hamming distance ≤ maxHamming over a
+    * text column — hashes with [[TextFunctions.simHashUdf]], pairs with
+    * [[hammingPairs]].
+    */
+  def simHashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("doc"),
+        TextFunctions.simHashUdf(
+          TextFunctions.tokens(col(textCol))).as("h")),
+      "doc", "h", maxHamming)
 
   // ------------------------------------------------------------------
   // near-dup clustering

@@ -223,6 +223,50 @@ object MediaCodecs {
     }
   }
 
+  /** 60-bit perceptual difference hash (dHash) over the DECODED raster:
+    * a 6-row × 11-column nearest-neighbour luminance grid, one bit per
+    * horizontal gradient (10 comparisons × 6 rows = 60 bits — sized to
+    * reuse [[graft.dedup.Dedup]]'s 4×15-bit SimHash banding, which is
+    * recall-exact for Hamming ≤ 3).
+    *
+    * Gradient bits make the hash exactly invariant to uniform
+    * brightness shifts (both samples move together) and robust to
+    * small local edits (only the gradients crossing the edit flip) —
+    * the classic dHash properties, computed here on the genuinely
+    * decoded raster (header, stride, bottom-up order), not on raw file
+    * bytes. Luminance is the exact integer B+G+R sum: no division, no
+    * rounding, bit-identical in any engine.
+    */
+  object ImageDHash {
+    val Rows = 6
+    val Cols = 11 // Cols-1 = 10 comparisons per row
+
+    def hash(img: Bmp.Image): Long = {
+      // nearest-neighbour sample: grid (x, y) reads pixel
+      // (x*w/Cols, y*h/Rows) — duplicate samples on narrow images
+      // compare equal and contribute 0 bits, like any upscaled dHash
+      def lum(sx: Int, sy: Int): Int = {
+        val p = (sy * img.w + sx) * 3
+        (img.pixels(p) & 0xff) + (img.pixels(p + 1) & 0xff) +
+          (img.pixels(p + 2) & 0xff)
+      }
+      var out = 0L
+      var y = 0
+      while (y < Rows) {
+        val sy = y * img.h / Rows
+        var x = 0
+        while (x < Cols - 1) {
+          val l = lum(x * img.w / Cols, sy)
+          val r = lum((x + 1) * img.w / Cols, sy)
+          if (r > l) out |= 1L << (y * (Cols - 1) + x)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   // ------------------------------------------------- synthetic media
 
   /** Deterministic synthetic media payloads: VALID BMP/WAV files whose
@@ -248,6 +292,43 @@ object MediaCodecs {
       var j = 0
       while (j < px.length) {
         px(j) = ((docId * 131 + j * 31 + 7) % 256).toByte
+        j += 1
+      }
+      Bmp.encode(w, h, px)
+    }
+
+    /** Textured raster for the image-dedup queries: [[bmpFor]]'s linear
+      * formula plus an id-dependent QUADRATIC term. The linear generator
+      * makes any two same-size images differ by a CONSTANT mod-256
+      * shift — which a gradient hash is (by design!) invariant to, so
+      * unrelated images would pair. The `((id%13)+1)·j²` term makes
+      * inter-id differences vary with position (measured: 0 cross-id
+      * pairs at Hamming ≤ 3 over 500 ids, vs 322 for the linear form),
+      * while staying closed-form for the SQL oracle:
+      * byte j = (id·131 + j·31 + ((id%13)+1)·j² + 7) mod 256.
+      */
+    def bmpTexturedFor(docId: Long): Array[Byte] =
+      texturedBytes(docId, perturb = false)
+
+    /** A NEAR-DUPLICATE of [[bmpTexturedFor]]'s image: every byte
+      * brightened by +1 and the top-left pixel's three bytes by a
+      * further +3, all clamped at 255 (a real editor's clamp, not a
+      * wrap): byte j = min(orig(j) + (j<3 ? 4 : 1), 255).
+      */
+    def bmpTexturedPerturbedFor(docId: Long): Array[Byte] =
+      texturedBytes(docId, perturb = true)
+
+    private def texturedBytes(docId: Long, perturb: Boolean): Array[Byte] = {
+      val w = bmpWidth(docId)
+      val h = bmpHeight(docId)
+      val px = new Array[Byte](3 * w * h)
+      var j = 0
+      while (j < px.length) {
+        val orig =
+          (docId * 131 + j * 31 + (docId % 13 + 1) * j * j + 7) % 256
+        px(j) =
+          if (perturb) math.min(orig + (if (j < 3) 4 else 1), 255).toByte
+          else orig.toByte
         j += 1
       }
       Bmp.encode(w, h, px)

@@ -45,6 +45,40 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // image near-dup: perceptual dHash over the decoded raster + the
+    // SimHash 4x15-band Hamming pairing (recall-exact for distance <= 3).
+    // Every 10th document gets a perturbed copy (global +1 brightness,
+    // +3 on the top-left pixel, clamped) under a shifted id; the
+    // gradient hash is brightness-shift invariant, so copies pair with
+    // their originals while unrelated images (pseudorandom rasters,
+    // expected Hamming ~30) do not. The oracle replays the hash from
+    // the closed-form generator and verifies ALL pairs by brute
+    // bit_count — banding must lose nothing.
+    "q_image_dedup" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_image_dedup")
+      val docs = src(dfl, "documents").select("doc_id")
+      // generator UDFs (test-data synthesis, not operators): real
+      // corpora carry binary media columns
+      val bmp = udf((id: Long) => MediaCodecs.Synthetic.bmpTexturedFor(id))
+      val bmpPert =
+        udf((id: Long) => MediaCodecs.Synthetic.bmpTexturedPerturbedFor(id))
+      val orig = docs.select(
+        col("doc_id").as("doc"), bmp(col("doc_id")).as("data"))
+      val pert = docs.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + PertIdOffset).as("doc"),
+        bmpPert(col("doc_id")).as("data"))
+      // decode kernel (bytes -> parsed raster -> 60-bit hash): a scalar
+      // kernel UDF like the minhash/decode kernels — the hash value is
+      // oracle-replayed bit-for-bit, so parity is pinned by the gate
+      val dh = udf((data: Array[Byte]) =>
+        MediaCodecs.ImageDHash.hash(MediaCodecs.Bmp.decode(data)))
+      val hashed = orig.unionByName(pert)
+        .select(col("doc"), dh(col("data")).as("h"))
+      graft.dedup.Dedup.hammingPairs(hashed, "doc", "h", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // multimodal retrieval: brute-force cosine top-k over WAV band-energy
     // feature vectors (queries-as-literals like q_ann_brute — no
     // crossJoin; the 5 query vectors explode into the scan). The features
@@ -86,6 +120,28 @@ object MultimodalQueries {
 
   private val NumQueries = 5
   private val TopK = 10
+  private val PertIdOffset = 1000000L
+
+  /** DuckDB replay of [[MediaCodecs.ImageDHash]] over the closed-form
+    * generator raster: 60 gradient bits on the 6×11 nearest-neighbour
+    * luminance grid. `byteExpr` is the pixel-byte formula with `$J` as
+    * the byte-index placeholder (original vs perturbed generator);
+    * `w`/`h`/`doc_id` are in scope from the surrounding CTE.
+    */
+  private def dhashSql(byteExpr: String): String = {
+    def bexpr(j: String) = byteExpr.replace("$J", j)
+    def g(sx: String): String = {
+      // sy: grid row b//10 samples raster row (b//10)*h//6
+      val p = s"((((b // 10) * h // 6) * w + $sx) * 3)"
+      s"(${bexpr(p)} + ${bexpr(s"($p + 1)")} + ${bexpr(s"($p + 2)")})"
+    }
+    val sxl = "((b % 10) * w // 11)"
+    val sxr = "(((b % 10) + 1) * w // 11)"
+    s"""list_sum(list_transform(range(0, 60),
+       |    b -> CASE WHEN ${g(sxr)} > ${g(sxl)}
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"""
+      .stripMargin
+  }
 
   /** Mean of BMP channel `c` over the generator pixels — mirrors
     * [[MediaCodecs.Synthetic.bmpFor]] (pixel byte j = (id*131+j*31+7)
@@ -122,6 +178,27 @@ object MultimodalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the oracle verifies ALL pairs by brute bit_count (no banding):
+    // the Spark side's band blocking must lose no pair within distance 3
+    "q_image_dedup" -> {
+      val orig = "((doc_id * 131 + ($J) * 31 + " +
+        "(doc_id % 13 + 1) * ($J) * ($J) + 7) % 256)"
+      val pert = s"least($orig + CASE WHEN ($$J) < 3 THEN 4 ELSE 1 END, 255)"
+      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |    4 + doc_id % 7 AS h FROM documents),
+        |ha AS (
+        |  SELECT doc_id AS doc, ${dhashSql(orig)} AS h FROM d
+        |  UNION ALL
+        |  SELECT doc_id + $PertIdOffset AS doc, ${dhashSql(pert)} AS h
+        |  FROM d WHERE doc_id % 10 = 0)
+        |SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |  CAST(bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) AS INTEGER)
+        |    AS hamming
+        |FROM ha a JOIN ha b ON a.doc < b.doc
+        |WHERE bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     "q_multimodal" ->
       s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
         |    4 + doc_id % 7 AS h FROM documents)

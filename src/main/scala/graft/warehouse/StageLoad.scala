@@ -196,7 +196,7 @@ object StageLoad {
     * broadcasts runtime-small sides). Compressed Parquet bytes understate
     * the in-memory size, so a 4× inflation factor is applied.
     */
-  private def maybeBroadcast(
+  private[graft] def maybeBroadcast(
       spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val threshold =
       try spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

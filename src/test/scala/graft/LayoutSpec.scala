@@ -36,6 +36,41 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("FK broadcast gate: small SK maps hint broadcast, big ones defer to AQE") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val dir = java.nio.file.Files.createTempDirectory("fk-gate").toString
+    (1L to 100L).map(i => (i, i + 1000L)).toDF("nk", "sk")
+      .write.parquet(s"$dir/sk_small")
+    def hasHint(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    // under the threshold (4x-inflated on-disk bytes << 10MB default):
+    // the gate hints broadcast and the join plans BroadcastHashJoin
+    val small = graft.warehouse.StageLoad.maybeBroadcast(
+      spark, spark.read.parquet(s"$dir/sk_small"), s"$dir/sk_small")
+    assert(hasHint(small), "small SK map should carry a broadcast hint")
+    val fact = (1L to 1000L).map(i => (i % 100 + 1, i.toDouble)).toDF("nk", "v")
+    assert(fact.join(small, "nk").queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, "hinted join should plan BroadcastHashJoin")
+    // over the threshold: no hint — strategy left to Catalyst/AQE (which
+    // may STILL broadcast runtime-small sides; the gate only guarantees
+    // the driver is never forced to materialise a 500M-member map)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val big = graft.warehouse.StageLoad.maybeBroadcast(
+        spark, spark.read.parquet(s"$dir/sk_small"), s"$dir/sk_small")
+      assert(!hasHint(big), "over-threshold map must not be force-broadcast")
+      // broadcasting disabled entirely (-1) also gates off
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!hasHint(graft.warehouse.StageLoad.maybeBroadcast(
+        spark, spark.read.parquet(s"$dir/sk_small"), s"$dir/sk_small")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("partitionBy lays out hive-style dirs and scans prune partitions") {
     implicit val c: GraftConf = tmpConf()
     val dfl = flow("layout")

@@ -182,6 +182,57 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("ImageDHash: brightness-shift invariant, edit-local, id-discriminative") {
+    import graft.multimodal.MediaCodecs
+    import graft.multimodal.MediaCodecs.{Bmp, ImageDHash}
+    def hashOf(bytes: Array[Byte]): Long = ImageDHash.hash(Bmp.decode(bytes))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // exact invariance under a uniform brightness shift (no clamping in
+    // range): every luminance moves together, no gradient flips
+    val w = 12; val h = 8
+    val px = Array.tabulate(3 * w * h)(j => ((j * 37 + 11) % 200).toByte)
+    val brighter = px.map(v => ((v & 0xff) + 40).toByte)
+    assert(hashOf(Bmp.encode(w, h, px)) == hashOf(Bmp.encode(w, h, brighter)))
+    // perturbed generator copies stay within the banding's Hamming radius
+    // for most ids (clamp effects can cost a couple of bits); unrelated
+    // images sit near the random-hash expectation of ~30
+    val near = (0L until 200L by 10).map { id =>
+      hamming(hashOf(MediaCodecs.Synthetic.bmpTexturedFor(id)),
+        hashOf(MediaCodecs.Synthetic.bmpTexturedPerturbedFor(id)))
+    }
+    assert(near.count(_ <= 3) >= near.size * 8 / 10,
+      s"perturbed copies should mostly pair: $near")
+    val far = (0L until 50L).map { id =>
+      hamming(hashOf(MediaCodecs.Synthetic.bmpTexturedFor(id)),
+        hashOf(MediaCodecs.Synthetic.bmpTexturedFor(id + 1)))
+    }
+    assert(far.count(_ > 3) >= far.size * 9 / 10,
+      s"distinct images should not pair: $far")
+  }
+
+  test("hammingPairs over image dHashes pairs copies with their originals") {
+    import graft.multimodal.MediaCodecs
+    import graft.multimodal.MediaCodecs.{Bmp, ImageDHash}
+    val ids = (0L until 40L)
+    val rows = ids.map(id => (id,
+      ImageDHash.hash(Bmp.decode(
+        MediaCodecs.Synthetic.bmpTexturedFor(id))))) ++
+      ids.filter(_ % 10 == 0).map(id => (id + 1000L,
+        ImageDHash.hash(Bmp.decode(
+          MediaCodecs.Synthetic.bmpTexturedPerturbedFor(id)))))
+    val hashed = rows.toDF("doc", "h")
+    val pairs = graft.dedup.Dedup.hammingPairs(hashed, "doc", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth over the same hashes
+    val truth = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == truth, "banding must match the brute-force pair set")
+    assert(truth.nonEmpty && truth.forall { case (a, b) => b - a == 1000L },
+      s"expected only original->copy pairs, got $truth")
+  }
+
   test("streaming windowed agg over a parquet file matches batch totals") {
     val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
     val events = Seq(
