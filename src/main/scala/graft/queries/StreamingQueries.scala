@@ -422,6 +422,106 @@ object StreamingQueries {
       }
     },
 
+    // END-TO-END streaming warehouse lifecycle: bulk extract → initial
+    // micro-batched load → DELTA EXTRACT of a drifted source v2
+    // (StageExtract.deltaExtract: INSERT/UPDATE/DELETE slices) → second
+    // micro-batched load applying the ops through the keyed upsert sink
+    // → small-file COMPACTION — the reference's batch-only E→L lifecycle
+    // (betl/PipelineClass.py:61-420) told as a continuously-fed
+    // warehouse. The oracle replays the final BSE state in closed form
+    // (v2 = v1 minus deletes, with updates applied, plus inserts), so
+    // every op application across both streamed loads must be exact.
+    "q_stream_warehouse" -> { (s, dir) =>
+      withStreamParts(s) {
+        implicit val c: GraftConf = conf(dir, "q_stream_warehouse")
+        import graft.catalog.Layer
+        import graft.warehouse.{DeltaLoad, StageExtract}
+        val cols = Seq("n_nationkey", "n_name", "n_regionkey")
+        val target = c.tablePath(Layer.BSE, "bse_nation")
+        // a keyed upsert drain: one split file per micro-batch; DELETE
+        // ops drop the key, everything else upserts (same merge shape
+        // as q_stream_upsert, keyed on the natural key). The merged
+        // state is written at width 4 — micro-batch sinks accrete small
+        // files by nature; the compaction below is the maintenance verb
+        // that pays that debt back.
+        def drain(splitDir: String, schema: StructType,
+            applyOps: Boolean): Unit = {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(splitDir)
+            .writeStream.outputMode("append")
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              val fs = new org.apache.hadoop.fs.Path(target)
+                .getFileSystem(s.sessionState.newHadoopConf())
+              val ups = (if (applyOps)
+                b.where(col(DeltaLoad.OpCol) =!= "DELETE") else b)
+                .select(cols.map(col): _*)
+              val merged =
+                if (!fs.exists(new org.apache.hadoop.fs.Path(target))) ups
+                else s.read.parquet(target)
+                  .join(b.select("n_nationkey"), Seq("n_nationkey"),
+                    "left_anti")
+                  .unionByName(ups)
+              graft.io.ParquetUtil.safeOverwrite(
+                s, merged.repartition(4), target)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // LOAD 1: bulk extract v1 into EXT (audit-stamped), stream it
+        // into BSE in 3 micro-batches
+        StageExtract.bulkExtract(s, c, Src, "nation")
+        val v1 = s.read.parquet(c.tablePath(Layer.EXT, "nation"))
+        // the corpus carries int32 keys; the warehouse table is keyed
+        // long (split bounds + oracle both cast to BIGINT)
+        def keyed(df: DataFrame): DataFrame = df.select(
+          col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        val splits1 = s"${c.warehousePath}/splits1"
+        StreamFlow.writeTimeSplits(keyed(v1), "n_nationkey", 3, splits1)
+        drain(splits1, StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType))), applyOps = false)
+        // source drifts to v2: updates (%5=1), deletes (%7=3),
+        // inserts (+100 for %6=0) — q_delta_extract's drift shape
+        val v2dir = s"${c.warehousePath}/v2src"
+        val full = v1.drop(Audit.all: _*)
+        full.where(col("n_nationkey") % 7 =!= 3)
+          .withColumn("n_name",
+            when(col("n_nationkey") % 5 === 1,
+              concat(lit("v2 "), col("n_name"))).otherwise(col("n_name")))
+          .unionByName(full.where(col("n_nationkey") % 6 === 0)
+            .withColumn("n_nationkey", col("n_nationkey") + 100)
+            .withColumn("n_name", concat(col("n_name"), lit("_NEW"))))
+          .write.mode("overwrite").parquet(s"$v2dir/nation.parquet")
+        // DELTA EXTRACT: classify v2 against EXT, emit op slices
+        val c2 = c.copy(srcSystems =
+          c.srcSystems + ("V2" -> graft.io.ParquetDatastore(v2dir)))
+        StageExtract.deltaExtract(s, c2, "V2", "nation",
+          Seq("n_nationkey"), Some("2024-07-01 00:00:00"))
+        val delta = s.read.parquet(c.tablePath(Layer.EXT, "nation_delta"))
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"),
+            col(DeltaLoad.OpCol))
+        // LOAD 2: stream the delta slices, applying ops per batch
+        val splits2 = s"${c.warehousePath}/splits2"
+        StreamFlow.writeTimeSplits(delta, "n_nationkey", 3, splits2)
+        drain(splits2, StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType),
+          StructField(DeltaLoad.OpCol, StringType))), applyOps = true)
+        // COMPACT: the upsert sink's 4-file writes collapse to 1; data
+        // must be untouched (the oracle checks the final state)
+        val (before, after) =
+          Admin.compact(s, c, Layer.BSE, "bse_nation")
+        require(before == 4 && after == 1,
+          s"compact: expected 4 -> 1 files, got $before -> $after")
+        s.read.parquet(target).orderBy("n_nationkey")
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -438,6 +538,21 @@ object StreamingQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // final BSE state after both streamed loads + compaction = v2 in
+    // closed form: v1 minus deletes, updates applied, inserts added
+    "q_stream_warehouse" ->
+      """WITH v2 AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 5 = 1 THEN 'v2 ' || n_name
+        |         ELSE n_name END AS n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name || '_NEW', n_regionkey
+        |  FROM nation WHERE n_nationkey % 6 = 0)
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM v2
+        |ORDER BY n_nationkey""".stripMargin,
+
     "q_stream_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS window_start,
