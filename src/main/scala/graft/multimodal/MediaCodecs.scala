@@ -267,6 +267,47 @@ object MediaCodecs {
     }
   }
 
+  /** 60-bit perceptual audio hash over DECODED PCM: the sample stream
+    * splits into 61 equal time frames, each frame's energy is the exact
+    * integer sum of squared samples, and each of the 60 bits records one
+    * temporal energy GRADIENT (E(f+1) > E(f)) — the audio sibling of
+    * [[ImageDHash]], sized for the same 4×15-bit banding.
+    *
+    * Gradient bits make the hash exactly invariant to uniform gain
+    * (energies scale together by g², order preserved) and robust to
+    * small local edits — the shape of real audio fingerprints
+    * (spectral-band energy differences), computed here on the time
+    * axis so it stays dependency-free and integer-exact.
+    */
+  object AudioEnergyHash {
+    val Frames = 61 // 60 gradient comparisons
+
+    def hash(au: Wav.Audio): Long = {
+      val n = au.samples.length
+      val e = new Array[Long](Frames)
+      var f = 0
+      while (f < Frames) {
+        var i = f * n / Frames
+        val until = (f + 1) * n / Frames
+        var ssq = 0L
+        while (i < until) {
+          val s = au.samples(i).toLong
+          ssq += s * s
+          i += 1
+        }
+        e(f) = ssq
+        f += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < Frames - 1) {
+        if (e(b + 1) > e(b)) out |= 1L << b
+        b += 1
+      }
+      out
+    }
+  }
+
   // ------------------------------------------------- synthetic media
 
   /** Deterministic synthetic media payloads: VALID BMP/WAV files whose
@@ -343,6 +384,36 @@ object MediaCodecs {
       var i = 0
       while (i < n) {
         s(i) = ((docId * 7919 + i * 104729 + 13) % 65536 - 32768).toShort
+        i += 1
+      }
+      Wav.encode(8000, s)
+    }
+
+    /** Textured samples for the audio-dedup queries — same lesson as
+      * [[bmpTexturedFor]]: the linear stream leaves small-Δ ids with
+      * correlated energies (measured: 9 spurious cross-id pairs at 500
+      * ids), the `(id%13+1)·i²·97` term measures 0 with all 50 copies
+      * still at Hamming 0. Closed form for the SQL oracle:
+      * sample i = (id·7919 + i·104729 + (id%13+1)·i²·97 + 13) mod
+      * 65536 − 32768.
+      */
+    def wavTexturedFor(docId: Long): Array[Byte] =
+      texturedSamples(docId, perturb = false)
+
+    /** NEAR-DUPLICATE of [[wavTexturedFor]]: a +16 DC offset clamped at
+      * the int16 ceiling — sample i = min(orig(i) + 16, 32767).
+      */
+    def wavTexturedPerturbedFor(docId: Long): Array[Byte] =
+      texturedSamples(docId, perturb = true)
+
+    private def texturedSamples(docId: Long, perturb: Boolean): Array[Byte] = {
+      val n = wavSamples(docId)
+      val s = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        val orig = (docId * 7919 + i * 104729 +
+          (docId % 13 + 1) * i * i * 97 + 13) % 65536 - 32768
+        s(i) = (if (perturb) math.min(orig + 16, 32767) else orig).toShort
         i += 1
       }
       Wav.encode(8000, s)

@@ -79,6 +79,32 @@ object MultimodalQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // audio near-dup: the audio sibling of q_image_dedup — temporal
+    // energy-gradient hash over genuinely decoded PCM (gain-invariant),
+    // paired through the same 4x15 banding. Every 10th document gets a
+    // +16-DC-offset copy under a shifted id; the oracle replays the
+    // hash from the closed-form sample generator and verifies all
+    // pairs by brute bit_count.
+    "q_audio_dedup" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_audio_dedup")
+      val docs = src(dfl, "documents").select("doc_id")
+      val wav = udf((id: Long) => MediaCodecs.Synthetic.wavTexturedFor(id))
+      val wavPert =
+        udf((id: Long) => MediaCodecs.Synthetic.wavTexturedPerturbedFor(id))
+      val orig = docs.select(
+        col("doc_id").as("doc"), wav(col("doc_id")).as("data"))
+      val pert = docs.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + PertIdOffset).as("doc"),
+        wavPert(col("doc_id")).as("data"))
+      val ah = udf((data: Array[Byte]) =>
+        MediaCodecs.AudioEnergyHash.hash(MediaCodecs.Wav.decode(data)))
+      val hashed = orig.unionByName(pert)
+        .select(col("doc"), ah(col("data")).as("h"))
+      graft.dedup.Dedup.hammingPairs(hashed, "doc", "h", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // multimodal retrieval: brute-force cosine top-k over WAV band-energy
     // feature vectors (queries-as-literals like q_ann_brute — no
     // crossJoin; the 5 query vectors explode into the scan). The features
@@ -177,7 +203,43 @@ object MultimodalQueries {
       .stripMargin
   }
 
+  /** DuckDB replay of [[MediaCodecs.AudioEnergyHash]] over the
+    * closed-form textured sample generator: 60 temporal energy-gradient
+    * bits over 61 equal frames. `sampleExpr` carries `$I` as the
+    * sample-index placeholder; `n`/`doc_id` come from the CTE.
+    */
+  private def audioHashSql(sampleExpr: String): String = {
+    def energy(f: String): String = {
+      val s = sampleExpr.replace("$I", "i")
+      s"""list_sum(list_transform(
+         |      range(($f) * n // 61, (($f) + 1) * n // 61),
+         |      i -> ($s) * ($s)))""".stripMargin
+    }
+    s"""list_sum(list_transform(range(0, 60),
+       |    b -> CASE WHEN ${energy("b + 1")} > ${energy("b")}
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_audio_dedup" -> {
+      val orig = "((doc_id * 7919 + ($I) * 104729 + " +
+        "(doc_id % 13 + 1) * ($I) * ($I) * 97 + 13) % 65536 - 32768)"
+      val pert = s"least($orig + 16, 32767)"
+      s"""WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |ha AS (
+        |  SELECT doc_id AS doc, ${audioHashSql(orig)} AS h FROM d
+        |  UNION ALL
+        |  SELECT doc_id + $PertIdOffset AS doc, ${audioHashSql(pert)} AS h
+        |  FROM d WHERE doc_id % 10 = 0)
+        |SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |  CAST(bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) AS INTEGER)
+        |    AS hamming
+        |FROM ha a JOIN ha b ON a.doc < b.doc
+        |WHERE bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     // the oracle verifies ALL pairs by brute bit_count (no banding):
     // the Spark side's band blocking must lose no pair within distance 3
     "q_image_dedup" -> {

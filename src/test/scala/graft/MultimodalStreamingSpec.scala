@@ -233,6 +233,32 @@ class MultimodalStreamingSpec extends SparkSpec {
       s"expected only original->copy pairs, got $truth")
   }
 
+  test("AudioEnergyHash: gain-invariant, DC-offset-local, id-discriminative") {
+    import graft.multimodal.MediaCodecs
+    import graft.multimodal.MediaCodecs.{AudioEnergyHash, Wav}
+    def hashOf(bytes: Array[Byte]): Long =
+      AudioEnergyHash.hash(Wav.decode(bytes))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // exact invariance under integer gain (energies scale by g² together)
+    val samples = Array.tabulate(100)(i => ((i * 733 + 17) % 2000 - 1000).toShort)
+    val louder = samples.map(s => (s * 3).toShort)
+    assert(hashOf(Wav.encode(8000, samples)) ==
+      hashOf(Wav.encode(8000, louder)))
+    // DC-offset copies pair; distinct ids do not
+    val near = (0L until 200L by 10).map { id =>
+      hamming(hashOf(MediaCodecs.Synthetic.wavTexturedFor(id)),
+        hashOf(MediaCodecs.Synthetic.wavTexturedPerturbedFor(id)))
+    }
+    assert(near.count(_ <= 3) >= near.size * 8 / 10,
+      s"offset copies should mostly pair: $near")
+    val far = (0L until 50L).map { id =>
+      hamming(hashOf(MediaCodecs.Synthetic.wavTexturedFor(id)),
+        hashOf(MediaCodecs.Synthetic.wavTexturedFor(id + 1)))
+    }
+    assert(far.count(_ > 3) >= far.size * 9 / 10,
+      s"distinct audio should not pair: $far")
+  }
+
   test("streaming windowed agg over a parquet file matches batch totals") {
     val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
     val events = Seq(
