@@ -74,6 +74,44 @@ object Sampling {
       .drop("__w_total")
   }
 
+  /** Temperature-flattened source mixing — the data-mixture rebalancing
+    * step of corpus curation: resample so source s's share moves from
+    * its corpus share p_s = n_s/N toward q_s ∝ p_s^T, upsampling rare
+    * sources relative to dominant ones. The temperature is FIXED at
+    * T = 1/2: sqrt is IEEE-correctly-rounded in every engine (the same
+    * bits on JVM, DuckDB, anywhere), while a general pow(x, T) is libm
+    * and would break the engine's replayable-membership contract.
+    *
+    * Determinism shape: per-source counts are exact longs; the sqrt
+    * shares snap to 2^-20 fixed point (`floor(sqrt(n)·2^20)` as long)
+    * so the normalising sum is exact-integer and order-insensitive;
+    * membership is the exact integer cross-multiplication
+    *   hash20 · n_s · S  <  k · ss_s · 2^20
+    * (DECIMAL(38,0) products), i.e. keep-rate min(1, k·q_s/n_s) with
+    * q_s = ss_s/S — the SAME rows on any cluster, any partitioning,
+    * any engine. Scale: one combine-reduced count per source + two
+    * broadcast joins of source-sized frames; the corpus is scanned
+    * twice and never shuffled.
+    */
+  def temperatureMix(
+      df: DataFrame, idCol: String, sourceCol: String, k: Int,
+      salt: String = "tmix:"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val shares = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__ss",
+        floor(sqrt(col("__n")) * (1L << 20)).cast("long"))
+    val tot = shares.agg(sum(col("__ss").cast(d)).as("__stot"))
+    val h20 = TextFunctions.tokenHash60(
+      concat(lit(salt), col(idCol).cast("string"))) % (1L << 20)
+    df.join(broadcast(shares), Seq(sourceCol))
+      .crossJoin(broadcast(tot))
+      .where(h20.cast(d) * col("__n").cast(d) * col("__stot") <
+        lit(k).cast(d) * col("__ss").cast(d) * lit(1L << 20).cast(d))
+      .drop("__n", "__ss", "__stot")
+  }
+
   /** Fixed-size deterministic sample per group: the k rows whose salted
     * hashes are smallest within each group (a uniform without-replacement
     * k-sample, reproducible on any cluster/engine). Rate-based sampling

@@ -493,6 +493,19 @@ object AnalyticsQueries {
         k = 100)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // temperature-flattened source mixing (T = 1/2, the IEEE-exact
+    // temperature): rare sources upsampled toward sqrt-flattened shares,
+    // membership an exact integer test the oracle replays
+    "q_mix_sources" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_mix_sources")
+      src(dfl, "documents")
+      Sampling.temperatureMix(dfl.get("documents"), "doc_id", "source",
+        k = 200)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     })
 
   /** Columns profiled by q_profile: strings and integers only — float
@@ -987,6 +1000,19 @@ object AnalyticsQueries {
          |SELECT doc_id, n_chars FROM documents, w
          |WHERE CAST(($h) % 1048576 AS HUGEINT) * tot
          |  < CAST(100 AS HUGEINT) * n_chars * 1048576
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_mix_sources" -> {
+      val h = OracleSql.tokenHash("'tmix:' || CAST(d.doc_id AS VARCHAR)")
+      s"""WITH src AS (SELECT source, COUNT(*) AS n,
+         |    CAST(FLOOR(sqrt(COUNT(*)) * 1048576) AS BIGINT) AS ss
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(ss) AS HUGEINT) AS stot FROM src)
+         |SELECT d.doc_id, d.source FROM documents d, src, tot
+         |WHERE d.source = src.source
+         |  AND CAST(($h) % 1048576 AS HUGEINT) * n * stot
+         |    < CAST(200 AS HUGEINT) * ss * 1048576
          |ORDER BY doc_id""".stripMargin
     })
 }

@@ -187,6 +187,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.count() === 500)
   }
 
+  test("temperatureMix upsamples rare sources toward sqrt-flattened shares") {
+    // 9:1 corpus: big source 2700 docs, rare source 300
+    val df = (0 until 3000).map(i =>
+      (i.toLong, if (i % 10 == 0) "rare" else "big")).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "id", "src", k = 600)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // corpus shares are 90/10; sqrt-flattened targets are
+    // sqrt(2700):sqrt(300) = 75/25 — the rare share must rise well above
+    // its corpus share while the big one falls (rates are exact, the
+    // hash draw adds sampling noise only)
+    val total = out.values.sum.toDouble
+    assert(out("rare") / total > 0.18, s"rare share too low: $out")
+    assert(out("big") / total < 0.82, s"big share too high: $out")
+    // deterministic: the same rows on a second evaluation
+    val a = Sampling.temperatureMix(df, "id", "src", k = 600)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(df, "id", "src", k = 600)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   // ------------------------------------------------------------ chunking
 
   test("chunker windows cover every token with the configured overlap") {
