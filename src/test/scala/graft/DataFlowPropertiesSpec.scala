@@ -429,4 +429,34 @@ class DataFlowPropertiesSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: hammingPairs banding equals brute force on random hashes") {
+    import spark.implicits._
+    // hash clouds around a few centers maximise near-pairs: each hash is
+    // a center XOR 0-6 random bit flips, so distances straddle the
+    // banding's recall guarantee boundary (<= 3) in both directions
+    val hashes = for {
+      centers <- Gen.listOfN(3, Gen.choose(0L, (1L << 60) - 1))
+      picks <- Gen.listOfN(16, for {
+        c <- Gen.oneOf(centers)
+        nFlips <- Gen.choose(0, 6)
+        bits <- Gen.listOfN(nFlips, Gen.choose(0, 59))
+      } yield bits.foldLeft(c)((h, b) => h ^ (1L << b)))
+    } yield picks
+    val prop = Prop.forAll(hashes) { hs =>
+      val df = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("doc", "h")
+      val got = graft.dedup.Dedup.hammingPairs(df, "doc", "h")
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val want = (for {
+        i <- hs.indices; j <- (i + 1) until hs.size
+        d = java.lang.Long.bitCount(hs(i) ^ hs(j))
+        if d <= 3
+      } yield (i.toLong, j.toLong, d)).sorted
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
