@@ -38,7 +38,11 @@ object GraftConfIO {
         Option(n.get("properties")).map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty),
-        Option(n.get("partitionColumn")).map(_.asText()))
+        Option(n.get("partitionColumn")).map(_.asText()),
+        numPartitions =
+          Option(n.get("numPartitions")).map(_.asInt()).getOrElse(8),
+        emptyStringToNull =
+          Option(n.get("emptyStringToNull")).forall(_.asBoolean()))
       case "excel" => graft.io.ExcelDatastore(n.get("path").asText())
       case t => throw new IllegalArgumentException(
         s"Unknown datastore type '$t'")
