@@ -22,6 +22,10 @@ object MultimodalQueries {
     "q_multimodal" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_multimodal")
+      // GENERATOR udf, not an operator: it synthesises the binary
+      // payloads the corpus doesn't ship (real corpora carry media
+      // columns). The operator under test is the batched decode
+      // kernel below, not this row-local byte builder.
       val bmp = udf((id: Long) => MediaCodecs.Synthetic.bmpFor(id))
       val packed = src(dfl, "documents")
         .select(col("doc_id"), struct(
@@ -112,6 +116,7 @@ object MultimodalQueries {
     "q_multimodal_ann" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_multimodal_ann")
+      // generator udf (test-data synthesis), see q_multimodal
       val wav = udf((id: Long) => MediaCodecs.Synthetic.wavFor(id))
       val packed = src(dfl, "documents")
         .select(col("doc_id"), struct(

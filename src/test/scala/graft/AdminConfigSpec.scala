@@ -195,6 +195,36 @@ class AdminConfigSpec extends SparkSpec {
     assert(ParquetDatastore(sinkDir).read(spark, "su_pushed").count() == 2)
   }
 
+  test("step history round-trips escape-heavy keys and judges them") {
+    import StepHistory.StepTiming
+    val path = java.nio.file.Files
+      .createTempDirectory("steps-esc").toString + "/steps.jsonl"
+    // a desc carrying quotes, backslashes, newlines AND the literal
+    // field-boundary sequence — any of these mis-parsing would shift
+    // fields or produce a key that never matches its prior runs
+    val evil = "q\"u\\ot\ne" + "\",\"key\":\""
+    def t(s: Double) = StepTiming(evil, "join", 1, s)
+    Seq("r1", "r2", "r3").zip(Seq(1.0, 1.0, 1.0)).foreach {
+      case (id, s) => StepHistory.append(path, id, Seq(t(s)))
+    }
+    val loaded = StepHistory.load(path)
+    assert(loaded.size == 3 && loaded.forall(_._2 == t(1.0).key),
+      s"escaped key must round-trip identically: $loaded")
+    // and the prior lookup HITS: an outlier on the evil key is judged
+    assert(StepHistory.varianceReport(path, Seq(t(9.0)))
+      .map(_.key) == Seq(t(9.0).key))
+  }
+
+  test("json datastore reads a legitimately-empty extract as empty") {
+    import graft.io.JsonDatastore
+    val dir = java.nio.file.Files.createTempDirectory("json-empty").toString
+    val ds = JsonDatastore(dir)
+    import spark.implicits._
+    ds.write(spark, Seq((1L, "x")).toDF("id", "v").limit(0), "t")
+    val back = ds.read(spark, "t")
+    assert(back.count() == 0)
+  }
+
   test("step-variance report flags outliers against synthetic history") {
     import StepHistory.StepTiming
     val path = java.nio.file.Files

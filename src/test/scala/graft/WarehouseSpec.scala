@@ -153,6 +153,14 @@ class WarehouseSpec extends SparkSpec {
     AirflowDagGen.export(pipe, "graft_wh", path)
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8") == py)
+    // distinct op names that collide after python-identifier
+    // normalisation are refused (silent rebinding would mis-wire edges)
+    val colliding = new Pipeline(c, Seq(
+      PipelineOp("load-dim", Stage.LoadDim, (_, _) => ()),
+      PipelineOp("load_dim", Stage.LoadDim, (_, _) => ())))
+    intercept[IllegalArgumentException] {
+      AirflowDagGen.generate(colliding.dagJson, "bad")
+    }
   }
 
   test("Pipeline.runOp executes exactly the named op") {
