@@ -395,6 +395,35 @@ object LifecycleQueries {
         .orderBy("n_nationkey")
     },
 
+    // §2.7 + §2.1 composed: bulk dimension load with a JDBC TRG sink —
+    // the reference's "BSE always lands in the target database"
+    // contract (dfl_io.py:81-94) run for real against embedded Derby
+    // (catalog DDL, identity SK column, index bracket), then the
+    // dimension read back FROM THE DATABASE and oracle-checked. A
+    // wrong DDL type map, lost index-bracket statement, or truncated
+    // sync would all surface here as a hash mismatch.
+    "q_jdbc_warehouse" -> { (s, dir) =>
+      implicit val c0: GraftConf = conf(dir, "q_jdbc_warehouse")
+      new java.io.File(c0.warehousePath).mkdirs()
+      val jdbc = graft.io.JdbcDatastore(
+        s"jdbc:derby:${c0.warehousePath}/derby_trg;create=true")
+      implicit val c: GraftConf = c0.copy(trgSink = Some(jdbc))
+      val dfl = new DataFlow(s, "q_jdbc_warehouse", c)
+      src(dfl, "customer")
+      dfl.dropColumns("customer",
+        colsToKeep = Seq("c_custkey", "c_name", "c_mktsegment"),
+        dropAuditCols = true)
+      dfl.prepForLoad("customer", "dm_customer")
+      StageLoad.dropTrgSinkIndexes(c)
+      StageLoad.bulkLoadDimension(s, c, DimensionSpec(
+        "dm_customer", Seq("c_custkey"), Seq("c_name", "c_mktsegment")))
+      jdbc.read(s, "dm_customer")
+        .select(col("sk_customer").cast("long").as("sk_customer"),
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy("sk_customer")
+    },
+
     // small-files compaction: fragment a layer table into 16 files,
     // compact to 1, and prove the data is untouched (the maintenance
     // verb the streaming upsert sink needs; staging-swap rewrite)
@@ -817,6 +846,15 @@ object LifecycleQueries {
     "q_jdbc_source" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_jdbc_warehouse" ->
+      """SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+        |      AS sk_customer, CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    c_name, c_mktsegment
+        |  FROM customer
+        |  UNION ALL SELECT -1, NULL, 'MISSING', 'MISSING'
+        |  UNION ALL SELECT -2, NULL, 'UNRECOGNISED', 'UNRECOGNISED')
+        |ORDER BY sk_customer""".stripMargin,
     "q_limitdata" -> "SELECT CAST(50 AS BIGINT) AS n_rows",
     "q_delta_classify" ->
       """WITH prev AS (
