@@ -18,13 +18,23 @@ case class CliPlan(
     rebuildLayers: Seq[Layer] = Seq.empty,
     readSrc: Boolean = false,
     reset: Boolean = false,
-    help: Boolean = false)
+    help: Boolean = false,
+    dbWrite: Boolean = true,
+    clearTmpData: Boolean = false,
+    runTests: Boolean = true,
+    logLevel: Option[String] = None)
 
 /** CLI verb parsing + execution binding. The reference processes these
   * args into conf ctrl flags at startup (cliText.py HELP block); here
   * [[Cli.parse]] is a pure function so every verb combination is
   * spec-testable without a session, and [[Cli.execute]] applies the
   * admin-verbs-then-run order.
+  *
+  * Deliberately absent from the reference verb set: `faillast` (marks
+  * the previous execution FAILED in the reference's exec-state DB,
+  * cliText.py:103-104) — this engine keeps no execution-state table to
+  * mark (step history is append-only timings), so the verb is rejected
+  * rather than silently accepted.
   */
 object Cli {
 
@@ -44,6 +54,12 @@ object Cli {
       |                          skip a whole stage
       |  nodmload | noftload     skip just the dimension / fact loads
       |  limitdata               cap every source read at 100 rows
+      |  nodbwrite               do not push BSE/SUM to the TRG sink
+      |  cleartmpdata            drop the ETL-side layers (EXT/TRN/LOD)
+      |                          before executing
+      |  notests                 advisory: skip app-level data tests
+      |  loginfo|logdebug|logerror|nowarnings
+      |                          console log level
       |  help                    this text
       |usage: graft.Main <appConfig.json> [verbs...]""".stripMargin
 
@@ -75,6 +91,19 @@ object Cli {
         case "readsrc"     => p.copy(readSrc = true)
         case "reset"       => p.copy(reset = true)
         case "help"        => p.copy(help = true)
+        // reference ctrl extras (cliText.py:81-104): nodbwrite drops the
+        // TRG sink push; cleartmpdata clears the ETL-side layers (the
+        // reference's tmp-data dir holds exactly those — BSE/SUM live
+        // in the TRG DB); notests is advisory (app code reads the flag;
+        // the engine schedules no tests itself); log verbs set the
+        // session log level
+        case "nodbwrite"    => p.copy(dbWrite = false)
+        case "cleartmpdata" => p.copy(clearTmpData = true)
+        case "notests"      => p.copy(runTests = false)
+        case "loginfo"      => p.copy(logLevel = Some("INFO"))
+        case "logdebug"     => p.copy(logLevel = Some("DEBUG"))
+        case "logerror"     => p.copy(logLevel = Some("ERROR"))
+        case "nowarnings"   => p.copy(logLevel = Some("ERROR"))
         case other => throw new IllegalArgumentException(
           s"unknown verb '$other'\n$helpText")
       }
@@ -85,7 +114,8 @@ object Cli {
     */
   def applyToConf(conf: GraftConf, plan: CliPlan): GraftConf = conf.copy(
     dataLimitRows = plan.limitData.orElse(conf.dataLimitRows),
-    bulkOrDelta = plan.bulkOrDelta)
+    bulkOrDelta = plan.bulkOrDelta,
+    trgSink = if (plan.dbWrite) conf.trgSink else None)
 
   /** Execute the plan: admin verbs first in the destructive-to-
     * constructive order reset → rebuild → readsrc, then the pipeline when
@@ -98,7 +128,10 @@ object Cli {
       schemaFile: Option[String] = None,
       parallelism: Int = 1): GraftConf = {
     val conf = applyToConf(conf0, plan)
+    plan.logLevel.foreach(spark.sparkContext.setLogLevel)
     if (plan.reset) Admin.reset(spark, conf)
+    if (plan.clearTmpData)
+      Admin.rebuild(spark, conf, Seq(Layer.EXT, Layer.TRN, Layer.LOD))
     if (plan.rebuildLayers.nonEmpty)
       Admin.rebuild(spark, conf, plan.rebuildLayers)
     if (plan.readSrc) conf.srcSystems.keys.toSeq.sorted.foreach { src =>

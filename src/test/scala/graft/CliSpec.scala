@@ -33,6 +33,12 @@ class CliSpec extends SparkSpec {
     assert(Cli.parse(Seq("help")).help)
     // verbs are case-insensitive like the reference's arg handling
     assert(Cli.parse(Seq("BULK", "RUN")).run)
+    // ctrl extras: nodbwrite / cleartmpdata / notests / log levels
+    assert(!Cli.parse(Seq("run", "nodbwrite")).dbWrite)
+    assert(Cli.parse(Seq("run", "cleartmpdata")).clearTmpData)
+    assert(!Cli.parse(Seq("run", "notests")).runTests)
+    assert(Cli.parse(Seq("logdebug")).logLevel.contains("DEBUG"))
+    assert(Cli.parse(Seq("nowarnings")).logLevel.contains("ERROR"))
     intercept[IllegalArgumentException](Cli.parse(Seq("frobnicate")))
   }
 
@@ -44,6 +50,11 @@ class CliSpec extends SparkSpec {
     val c2 = Cli.applyToConf(base.copy(dataLimitRows = Some(7)),
       Cli.parse(Seq("bulk", "run")))
     assert(c2.dataLimitRows.contains(7))
+    // nodbwrite strips the configured TRG sink; default keeps it
+    val sink = base.copy(trgSink = Some(ParquetDatastore("/tmp/x")))
+    assert(Cli.applyToConf(sink,
+      Cli.parse(Seq("run", "nodbwrite"))).trgSink.isEmpty)
+    assert(Cli.applyToConf(sink, Cli.parse(Seq("run"))).trgSink.nonEmpty)
   }
 
   test("cli execute: stage skips drive the pipeline, admin verbs fire in order") {
@@ -73,6 +84,13 @@ class CliSpec extends SparkSpec {
     f.getParentFile.mkdirs(); f.createNewFile()
     Cli.execute(spark, c, Cli.parse(Seq("rebuildbse")), ops)
     assert(!f.getParentFile.exists())
+    // cleartmpdata clears ETL-side layers, leaves TRG-side alone
+    val ext = new java.io.File(s"${c.warehousePath}/EXT/m")
+    val bse = new java.io.File(s"${c.warehousePath}/BSE/m")
+    ext.getParentFile.mkdirs(); ext.createNewFile()
+    bse.getParentFile.mkdirs(); bse.createNewFile()
+    Cli.execute(spark, c, Cli.parse(Seq("cleartmpdata")), ops)
+    assert(!ext.getParentFile.exists() && bse.exists())
     f.getParentFile.mkdirs(); f.createNewFile()
     Cli.execute(spark, c, Cli.parse(Seq("reset")), ops)
     assert(!new java.io.File(c.warehousePath).exists())
