@@ -163,6 +163,41 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("generated DAG drives per-task runOp like an external scheduler") {
+    import graft.pipeline.AirflowDagGen
+    implicit val c: GraftConf = tmpConf()
+    // an external scheduler executes the emitted file's tasks — each a
+    // `--run-op <name>` invocation — honoring set_upstream edges. The
+    // sandbox has no Airflow, but the binding it exercises is exactly:
+    // parse the FILE, topologically order by its edges, call runOp per
+    // task (reference wrapperFunc semantics, PipelineClass.py:456-514 —
+    // one op per task invocation, ordering owned by the scheduler).
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def op(name: String, st: Stage) =
+      PipelineOp(name, st, (_, _) => { ran += name; () })
+    val ops = Seq(op("ext_a", Stage.Extract), op("trn_b", Stage.Transform),
+      op("dim_c", Stage.LoadDim), op("ft_d", Stage.LoadFact))
+    val pipe = new Pipeline(c, ops)
+    val (stages, edges) =
+      AirflowDagGen.parse(AirflowDagGen.generate(pipe.dagJson, "sim"))
+    // Kahn topological order over the parsed file's edge list
+    val names = stages.keys.toSeq.sorted
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val remaining = scala.collection.mutable.Set(names: _*)
+    while (remaining.nonEmpty) {
+      val free = remaining.filter(n =>
+        !edges.exists { case (u, d) => d == n && remaining.contains(u) })
+      assert(free.nonEmpty, "cycle in generated DAG")
+      free.toSeq.sorted.foreach { n => order += n; remaining -= n }
+    }
+    order.foreach(pipe.runOp(spark, _))
+    // every op ran exactly once, and never before one of its upstreams
+    assert(ran.sorted == names.sorted)
+    edges.foreach { case (u, d) =>
+      assert(ran.indexOf(u) < ran.indexOf(d), s"$u must precede $d")
+    }
+  }
+
   test("Pipeline.runOp executes exactly the named op") {
     implicit val c: GraftConf = tmpConf()
     val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]()
