@@ -127,6 +127,23 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // distributed BPE merge training: k rounds of weighted adjacent-pair
+    // counting + greedy merge application over the vocab-sized
+    // word-frequency table (the corpus is scanned once). The oracle
+    // replays all k rounds as chained CTEs with the same greedy
+    // (run-parity) application formula — argmax ties, self-pair merges
+    // and application order must all agree exactly.
+    "q_bpe_merges" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_bpe_merges")
+      src(dfl, "documents")
+      graft.text.Bpe.trainMergesDf(s,
+        graft.text.Bpe.wordCounts(dfl.get("documents"), "text"), BpeK)
+        .select(col("rank"), col("left").as("merge_left"),
+          col("right").as("merge_right"), col("merged"), col("wt"))
+        .orderBy("rank")
+    },
+
     // unigram LM quality score (mean log-probability per document,
     // fixed-point ln so the sum is order-independent)
     "q_lm_score" -> { (s, dir) =>
@@ -284,6 +301,48 @@ object TextQueries {
   private val CmsProbes = Seq("scan", "column", "window", "join",
     "zzz_unseen")
 
+  /** Merges trained by q_bpe_merges. */
+  private val BpeK = 6
+
+  /** One BPE round as DuckDB CTEs — the exact SQL rendering of
+    * [[graft.text.Bpe.trainMerges]]'s round: weighted pair counts,
+    * (wt desc, a, b) argmax, and the greedy run-parity merge
+    * application over 1-based DuckDB lists (range(a, b) is
+    * end-EXCLUSIVE, mirroring Spark's inclusive sequence(a, b-1)).
+    */
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = s"v${r - 1}"
+    s"""p$r AS (
+       |  SELECT t.pair[1] AS a, t.pair[2] AS b,
+       |    CAST(SUM(cnt) AS BIGINT) AS wt
+       |  FROM $prev, UNNEST(CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)),
+       |        i -> [toks[i], toks[i+1]])
+       |      ELSE [] END) AS t(pair)
+       |  GROUP BY 1, 2),
+       |best$r AS (SELECT a, b, wt FROM p$r ORDER BY wt DESC, a, b LIMIT 1),
+       |m$r AS (
+       |  SELECT w, cnt, toks,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      list_transform(range(1, len(toks)),
+       |        i -> toks[i] = best$r.a AND toks[i+1] = best$r.b)
+       |    ELSE [] END AS mt
+       |  FROM $prev, best$r),
+       |k$r AS (
+       |  SELECT w, cnt, toks,
+       |    list_transform(range(1, len(mt) + 1),
+       |      i -> mt[i] AND (i - coalesce(list_max(list_filter(range(1, i),
+       |        j -> NOT mt[j])), 0) - 1) % 2 = 0) AS kt
+       |  FROM m$r),
+       |v$r AS (
+       |  SELECT w, cnt,
+       |    flatten(list_transform(range(1, len(toks) + 1), i ->
+       |      CASE WHEN i <= len(kt) AND kt[i] THEN [toks[i] || toks[i+1]]
+       |           WHEN i >= 2 AND kt[i-1] THEN []
+       |           ELSE [toks[i]] END)) AS toks
+       |  FROM k$r)""".stripMargin
+  }
+
   import OracleSql.{toksCte, simHashExpr, tokenHash}
   import OracleSql.{hitsExpr => hitsSql}
 
@@ -419,6 +478,20 @@ object TextQueries {
          |r AS (SELECT term, tf, df,
          |  row_number() OVER (ORDER BY tf DESC, term) AS rank FROM v)
          |SELECT rank, term, tf, df FROM r WHERE rank <= 100
+         |ORDER BY rank""".stripMargin,
+
+    "q_bpe_merges" ->
+      s"""WITH $toksCte,
+         |wc AS (SELECT t.tok AS w, COUNT(*) AS cnt
+         |  FROM toks, UNNEST(toks.w) AS t(tok) GROUP BY 1),
+         |v0 AS (SELECT w, cnt, list_transform(range(1, len(w) + 1),
+         |    i -> substr(w, i, 1)) AS toks FROM wc),
+         |${(1 to BpeK).map(bpeRoundCtes).mkString(",\n")}
+         |SELECT CAST(r AS BIGINT) AS rank, a AS merge_left,
+         |  b AS merge_right, a || b AS merged, wt
+         |FROM (${(1 to BpeK)
+           .map(r => s"SELECT $r AS r, a, b, wt FROM best$r")
+           .mkString(" UNION ALL ")})
          |ORDER BY rank""".stripMargin,
 
     "q_lm_score" -> {

@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Distributed BPE merge training — the real version of the "token
+  * counting (whitespace + BPE-ish regex)" extension category: learn the
+  * top-k byte-pair merges from the corpus itself (extension; the
+  * reference has no tokenizer surface).
+  *
+  * Classic BPE (Sennrich et al. 2016, public algorithm): train on the
+  * WORD-FREQUENCY table, not the corpus — the iteration state is
+  * vocab-sized (distinct words), so each round is an explode +
+  * combine-reduced aggregation over thousands of rows even when the
+  * corpus is 100 TB; the corpus itself is scanned exactly once (the
+  * word count). Each round:
+  *
+  *  1. adjacent-pair counts weighted by word frequency (one hash agg);
+  *  2. argmax merge — count desc, then (left, right) ascending, a
+  *     total order both engines share (binary string collation);
+  *  3. greedy non-overlapping merge application to every word's token
+  *     list, ROW-LOCAL via higher-order functions.
+  *
+  * The greedy application is exact, including the self-pair case
+  * (merging (a,a) in "aaaa" takes positions 0 and 2): a match at i is
+  * kept iff the chain of consecutive matches immediately before it has
+  * even length — computed per position from the distance to the last
+  * non-match. The SAME formula renders as Spark HOFs here and as
+  * DuckDB list lambdas in the oracle, so trained merges are
+  * value-exact across engines.
+  *
+  * Each round's vocab is localCheckpointed: the per-round plan embeds
+  * the previous round's, and k rounds of HOF towers would otherwise
+  * stall Catalyst analysis long before the (tiny) data does — the same
+  * iterative-plan discipline as k-means and connected components.
+  */
+object Bpe {
+
+  /** Corpus word-frequency table: (w, cnt) — the single corpus-sized
+    * scan; everything after iterates on this vocab-sized frame.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  private val emptyStrArray = array().cast(ArrayType(StringType))
+
+  /** One greedy merge application over a token-array column. */
+  private def applyMerge(toks: Column, a: String, b: String): Column = {
+    val n = size(toks)
+    // match flags over positions 1..n-1 (1-based like element_at)
+    val mt = when(n >= 2, transform(sequence(lit(1), n - 1), i =>
+      element_at(toks, i) === a && element_at(toks, i + 1) === b))
+      .otherwise(array().cast(ArrayType(org.apache.spark.sql.types
+        .BooleanType)))
+    // greedy keep: match at i survives iff the consecutive-match chain
+    // before it has even length — (i - lastNonMatchBelow(i) - 1) even.
+    // sequence(1, i) then j < i inside the filter avoids the
+    // descending-sequence trap of sequence(1, 0)
+    // the size(mt) >= 1 guard matters twice over: sequence(1, 0) is
+    // DESCENDING [1, 0] in Spark, and ANSI element_at throws on the
+    // empty list it would then index
+    val kt = when(size(mt) >= 1, transform(sequence(lit(1), size(mt)), i =>
+      element_at(mt, i) &&
+        (i - coalesce(array_max(filter(sequence(lit(1), i), j =>
+          j < i && !element_at(mt, j))), lit(0)) - 1) % 2 === 0))
+      .otherwise(array().cast(ArrayType(org.apache.spark.sql.types
+        .BooleanType)))
+    flatten(transform(sequence(lit(1), n), i =>
+      when(i <= size(kt) && element_at(kt, i),
+        array(concat(element_at(toks, i), element_at(toks, i + 1))))
+        .when(i >= 2 && element_at(kt, i - 1), emptyStrArray)
+        .otherwise(array(element_at(toks, i)))))
+  }
+
+  /** A trained merge: 1-based rank, the pair, the merged token, and the
+    * weighted pair count that won the round.
+    */
+  final case class Merge(
+      rank: Long, left: String, right: String, merged: String, wt: Long)
+
+  /** Train `k` merges from a (word, count) frame. Returns one row per
+    * merge in training order. Only the per-round 1-row argmax is ever
+    * collected (a parameter, like k-means centroids).
+    */
+  def trainMerges(
+      spark: SparkSession, words: DataFrame, k: Int,
+      wordCol: String = "w", countCol: String = "cnt"): Seq[Merge] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // initial tokenization: one single-character token per position
+    // (substr is 1-based in both engines; words are non-empty by
+    // construction of the tokenizer)
+    var vocab = words.select(
+      col(wordCol).as("w"), col(countCol).cast("long").as("cnt"))
+      .withColumn("toks", transform(
+        sequence(lit(1), length(col("w"))), i =>
+          col("w").substr(i, lit(1))))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val pairs = vocab.where(size(col("toks")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1), i =>
+            struct(element_at(col("toks"), i).as("a"),
+              element_at(col("toks"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("wt"))
+      val best = pairs.orderBy(desc("wt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, wt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(r.toLong, a, b, a + b, wt)
+        vocab = vocab
+          .withColumn("toks", applyMerge(col("toks"), a, b))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[trainMerges]] as a DataFrame (rank, left, right, merged, wt). */
+  def trainMergesDf(
+      spark: SparkSession, words: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    trainMerges(spark, words, k).toDF()
+      .select("rank", "left", "right", "merged", "wt")
+  }
+}

@@ -478,4 +478,56 @@ class TextDedupSpec extends SparkSpec {
     assert(got.getDouble(0) === 1.0 / 3) // all 3 bigrams distinct
     assert(got.getDouble(1) === 0.0)     // both trigrams distinct
   }
+
+  test("Bpe.trainMerges equals the naive reference, self-pairs included") {
+    import graft.text.Bpe
+    // plain-Scala reference BPE (greedy left-to-right application)
+    def refBpe(words: Map[String, Long], k: Int)
+        : Seq[(String, String, Long)] = {
+      val vocab = scala.collection.mutable.Map(
+        words.keys.map(w => w -> w.map(_.toString).toVector).toSeq: _*)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < k && !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, toks) <- vocab; i <- 0 until toks.size - 1) {
+          val p = (toks(i), toks(i + 1))
+          pairs(p) = pairs.getOrElse(p, 0L) + words(w)
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val m = pairs.values.max
+          val (a, b) = pairs.collect { case (p, v) if v == m => p }
+            .toSeq.sorted.head
+          out += ((a, b, m))
+          for ((w, toks) <- vocab) {
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < toks.size) {
+              if (i < toks.size - 1 && toks(i) == a && toks(i + 1) == b) {
+                merged += a + b; i += 2
+              } else { merged += toks(i); i += 1 }
+            }
+            vocab(w) = merged.toVector
+          }
+          r += 1
+        }
+      }
+      out.toSeq
+    }
+    // the aaaa/aaab words force the self-pair run-parity path; banana
+    // forces repeated non-adjacent pairs
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "aaaa" -> 4L, "aaab" -> 2L, "banana" -> 3L)
+    val df = words.toSeq.toDF("w", "cnt")
+    val got = Bpe.trainMerges(spark, df, 6)
+      .map(m => (m.left, m.right, m.wt))
+    assert(got == refBpe(words, 6),
+      s"trained merges diverge: got $got want ${refBpe(words, 6)}")
+    // more merges than trainable pairs: stops when exhausted
+    val tiny = Seq(("ab", 1L)).toDF("w", "cnt")
+    assert(Bpe.trainMerges(spark, tiny, 10).size == 1)
+  }
 }
