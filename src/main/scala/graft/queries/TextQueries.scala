@@ -127,6 +127,27 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // BPE encode: tokenize the corpus with the merges just trained —
+    // per-document word and BPE-token counts, the compression signal a
+    // data pipeline budgets by. Encoding happens ONCE per distinct word
+    // (vocab-sized); documents equi-join to it. Empty documents drop
+    // out like every explode-based query.
+    "q_bpe_encode" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_bpe_encode")
+      val docs = src(dfl, "documents")
+      val wc = graft.text.Bpe.wordCounts(docs, "text")
+      val merges = graft.text.Bpe.trainMerges(s, wc, BpeK)
+      val encoded = graft.text.Bpe.encode(wc, merges)
+        .select("w", "n_toks")
+      docs.select(col("doc_id"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
+        .join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     // distributed BPE merge training: k rounds of weighted adjacent-pair
     // counting + greedy merge application over the vocab-sized
     // word-frequency table (the corpus is scanned once). The oracle
@@ -479,6 +500,19 @@ object TextQueries {
          |  row_number() OVER (ORDER BY tf DESC, term) AS rank FROM v)
          |SELECT rank, term, tf, df FROM r WHERE rank <= 100
          |ORDER BY rank""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""WITH $toksCte,
+         |wc AS (SELECT t.tok AS w, COUNT(*) AS cnt
+         |  FROM toks, UNNEST(toks.w) AS t(tok) GROUP BY 1),
+         |v0 AS (SELECT w, cnt, list_transform(range(1, len(w) + 1),
+         |    i -> substr(w, i, 1)) AS toks FROM wc),
+         |${(1 to BpeK).map(bpeRoundCtes).mkString(",\n")}
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(len(v$BpeK.toks)) AS BIGINT) AS n_bpe_tokens
+         |FROM toks, UNNEST(toks.w) AS t(tok)
+         |JOIN v$BpeK ON t.tok = v$BpeK.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bpe_merges" ->
       s"""WITH $toksCte,

@@ -131,4 +131,27 @@ object Bpe {
     trainMerges(spark, words, k).toDF()
       .select("rank", "left", "right", "merged", "wt")
   }
+
+  /** Apply trained merges (in rank order) to a word frame: the encode
+    * half of the tokenizer — (word, …) → + `toks` (the word's BPE
+    * tokenization) + `n_toks`. Runs on the DISTINCT-word frame; corpus
+    * token counts then come from an equi-join of words to this
+    * vocab-sized table, never from re-encoding every occurrence.
+    * Checkpoint discipline as in training: each merge's HOF tower is
+    * truncated before the next (Catalyst inlines the previous round's
+    * expression into every reference otherwise).
+    */
+  def encode(
+      words: DataFrame, merges: Seq[Merge],
+      wordCol: String = "w"): DataFrame = {
+    val init = words
+      .withColumn("toks", transform(
+        sequence(lit(1), length(col(wordCol))), i =>
+          col(wordCol).substr(i, lit(1))))
+      .localCheckpoint(true)
+    merges.sortBy(_.rank).foldLeft(init) { (df, m) =>
+      df.withColumn("toks", applyMerge(col("toks"), m.left, m.right))
+        .localCheckpoint(true)
+    }.withColumn("n_toks", size(col("toks")).cast("long"))
+  }
 }

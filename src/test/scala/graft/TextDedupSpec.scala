@@ -529,5 +529,15 @@ class TextDedupSpec extends SparkSpec {
     // more merges than trainable pairs: stops when exhausted
     val tiny = Seq(("ab", 1L)).toDF("w", "cnt")
     assert(Bpe.trainMerges(spark, tiny, 10).size == 1)
+    // encode applies merges in rank order with the same greedy rule:
+    // (a,a) then (aa,aa) turns aaaa into ONE token, aaab into three
+    val ms = Seq(Bpe.Merge(1, "a", "a", "aa", 0),
+      Bpe.Merge(2, "aa", "aa", "aaaa", 0))
+    val enc = Bpe.encode(
+      Seq(("aaaa", 1L), ("aaab", 1L), ("ba", 1L)).toDF("w", "cnt"), ms)
+      .select("w", "toks").as[(String, Seq[String])].collect().toMap
+    assert(enc("aaaa") == Seq("aaaa"))
+    assert(enc("aaab") == Seq("aa", "a", "b"))
+    assert(enc("ba") == Seq("b", "a"))
   }
 }
