@@ -382,6 +382,24 @@ case class JdbcDatastore(
     out.write.mode(mode).jdbc(url, table, props)
   }
 
+  /** User-table names via JDBC metadata — the engine's rendering of the
+    * reference's source-schema introspection front door
+    * (readSrcSystemSchemas reads information_schema.columns /
+    * sqlite_master, betl/admin.py:147-357): `Admin.readSrc` over a JDBC
+    * source enumerates these and types each by reading its schema.
+    * Names come back lowercased — case-folding engines (Derby up,
+    * Postgres down) would otherwise leak their fold into EXT table
+    * names, and both accept the bare lowercase name in queries.
+    */
+  override def tableNames(spark: SparkSession): Seq[String] =
+    withConnection { conn =>
+      val rs = conn.getMetaData.getTables(null, null, "%",
+        Array("TABLE"))
+      try Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME").toLowerCase).toSeq.sorted
+      finally rs.close()
+    }
+
   /** Whether a table exists, via driver-side JDBC metadata (identifiers
     * are matched case-insensitively — Derby/Postgres case-fold bare DDL
     * names in opposite directions).
