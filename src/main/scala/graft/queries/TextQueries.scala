@@ -344,11 +344,11 @@ object TextQueries {
        |best$r AS (SELECT a, b, wt FROM p$r ORDER BY wt DESC, a, b LIMIT 1),
        |m$r AS (
        |  SELECT w, cnt, toks,
-       |    CASE WHEN len(toks) >= 2 THEN
+       |    CASE WHEN best$r.a IS NOT NULL AND len(toks) >= 2 THEN
        |      list_transform(range(1, len(toks)),
        |        i -> toks[i] = best$r.a AND toks[i+1] = best$r.b)
        |    ELSE [] END AS mt
-       |  FROM $prev, best$r),
+       |  FROM $prev LEFT JOIN best$r ON TRUE),
        |k$r AS (
        |  SELECT w, cnt, toks,
        |    list_transform(range(1, len(mt) + 1),

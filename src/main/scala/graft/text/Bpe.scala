@@ -80,11 +80,139 @@ object Bpe {
   final case class Merge(
       rank: Long, left: String, right: String, merged: String, wt: Long)
 
-  /** Train `k` merges from a (word, count) frame. Returns one row per
-    * merge in training order. Only the per-round 1-row argmax is ever
-    * collected (a parameter, like k-means centroids).
+  /** Train `k` merges from a (word, count) frame.
+    *
+    * The iteration state of BPE training is the DISTINCT-word frequency
+    * table — vocab-sized, the same boundedness argument as collecting
+    * k-means centroids — so the scale-correct shape is: Spark for the
+    * one corpus-sized pass ([[wordCounts]]) and for [[encode]], and a
+    * DRIVER-LOCAL greedy loop with incremental pair-count maintenance
+    * for the k merge rounds (Sennrich et al. 2016's reference shape).
+    * The previous all-Spark trainer ([[trainMergesDistributed]]) runs
+    * one Spark job per merge — correct, but k ≈ 30,000 sequential jobs
+    * for a realistic tokenizer is a wall-clock killer regardless of
+    * cluster size. This collects the word-count table ONCE and trains
+    * any realistic k in seconds; both trainers are value-exact with
+    * each other and with the DuckDB oracle (bit-parity spec pins it).
     */
   def trainMerges(
+      spark: SparkSession, words: DataFrame, k: Int,
+      wordCol: String = "w", countCol: String = "cnt"): Seq[Merge] = {
+    val vocab = words
+      .select(col(wordCol).cast("string"), col(countCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainMergesLocal(vocab, k)
+  }
+
+  /** Unsigned UTF-8 byte-wise `<` — the shared total order of Spark's
+    * UTF8String comparison and DuckDB's default (memcmp) collation, so
+    * driver-local argmax tie-breaks agree with both engines exactly.
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Greedy left-to-right non-overlapping merge of (a,b) in `toks` —
+    * the driver-local rendering of [[applyMerge]]'s run-parity formula
+    * (for non-self pairs consecutive matches are impossible; for
+    * self-pairs left-to-right keeps exactly the even-chain positions).
+    */
+  private def applyMergeLocal(
+      toks: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-local greedy BPE trainer over an in-memory (word, count)
+    * vocabulary with INCREMENTAL pair-count maintenance: each round
+    * re-counts only the words that actually contain the winning pair
+    * (tracked per pair), so round cost is proportional to the touched
+    * words, not the vocabulary. The per-round argmax is a scan of the
+    * live pair-count map — O(distinct pairs), vocab-bounded. Realistic
+    * merge budgets (k ≥ 30k) train in seconds where the one-Spark-job-
+    * per-merge shape needed k sequential jobs.
+    */
+  def trainMergesLocal(words: Seq[(String, Long)], k: Int): Seq[Merge] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val n = words.size
+    val toks: Array[Array[String]] =
+      words.iterator.map(_._1.toCharArray.map(_.toString)).toArray
+    val freq: Array[Long] = words.iterator.map(_._2).toArray
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    // word indices currently containing each pair — the incremental
+    // trick: only these words are re-counted when the pair wins
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    def eachPair(i: Int)(f: (String, String) => Unit): Unit = {
+      val t = toks(i); var j = 0
+      while (j < t.length - 1) { f(t(j), t(j + 1)); j += 1 }
+    }
+    def addWord(i: Int): Unit = eachPair(i) { (a, b) =>
+      val p = (a, b)
+      counts.update(p, counts.getOrElse(p, 0L) + freq(i))
+      occ.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += i
+    }
+    def removeWord(i: Int): Unit = eachPair(i) { (a, b) =>
+      val p = (a, b)
+      val c = counts.getOrElse(p, 0L) - freq(i)
+      if (c <= 0L) { counts.remove(p); occ.remove(p) }
+      else { counts.update(p, c); occ.get(p).foreach(_ -= i) }
+    }
+    var i = 0
+    while (i < n) { addWord(i); i += 1 }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    while (r <= k && counts.nonEmpty) {
+      // argmax by (wt desc, a asc, b asc) under UTF-8 byte order — the
+      // exact total order of the distributed/DuckDB renderings
+      var best: (String, String) = null
+      var bw = Long.MinValue
+      counts.foreachEntry { (p, w) =>
+        if (w > bw || (w == bw &&
+            (utf8Lt(p._1, best._1) ||
+              (p._1 == best._1 && utf8Lt(p._2, best._2)))))  {
+          best = p; bw = w
+        }
+      }
+      merges += Merge(r.toLong, best._1, best._2, best._1 + best._2, bw)
+      val affected = occ(best).toArray // snapshot: updates mutate occ
+      var j = 0
+      while (j < affected.length) {
+        val w = affected(j)
+        removeWord(w)
+        toks(w) = applyMergeLocal(toks(w), best._1, best._2)
+        addWord(w)
+        j += 1
+      }
+      r += 1
+    }
+    merges.toSeq
+  }
+
+  /** The original all-Spark trainer: k rounds of distributed pair
+    * counting + HOF merge application, one Spark job (and one 1-row
+    * argmax collect) per merge. Kept as the scale-out fallback for a
+    * vocabulary too large to collect (pathological: distinct words are
+    * bounded in any natural-language corpus) and as the bit-parity
+    * pin for [[trainMergesLocal]]. Prefer [[trainMerges]].
+    */
+  def trainMergesDistributed(
       spark: SparkSession, words: DataFrame, k: Int,
       wordCol: String = "w", countCol: String = "cnt"): Seq[Merge] = {
     require(k >= 1, s"k must be >= 1: $k")

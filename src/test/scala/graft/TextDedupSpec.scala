@@ -540,4 +540,38 @@ class TextDedupSpec extends SparkSpec {
     assert(enc("aaab") == Seq("aa", "a", "b"))
     assert(enc("ba") == Seq("b", "a"))
   }
+
+  test("Bpe driver-local trainer is bit-parity with the distributed one") {
+    import graft.text.Bpe
+    // self-pair runs, tie-broken counts, and multi-byte UTF-8 tokens —
+    // the tie-break must agree under UTF-8 byte order, not UTF-16
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "aaaa" -> 4L, "aaab" -> 2L, "banana" -> 3L,
+      "ábaá" -> 3L, "zzyy" -> 6L)
+    val df = words.toSeq.toDF("w", "cnt")
+    val local = Bpe.trainMerges(spark, df, 8)
+    val dist = Bpe.trainMergesDistributed(spark, df, 8)
+    assert(local == dist, s"local $local vs distributed $dist")
+  }
+
+  test("Bpe.trainMergesLocal trains k>=1000 merges in seconds") {
+    import graft.text.Bpe
+    // deterministic synthetic vocab: 3000 words over a 26-letter
+    // alphabet, enough pair mass for >1000 distinct merges
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 3000).map { i =>
+      val len = 6 + rnd.nextInt(10)
+      val w = (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString
+      (w + i.toString, 1L + rnd.nextInt(50).toLong)
+    }
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainMergesLocal(words, 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1000, s"trained ${merges.size}")
+    assert(merges.map(_.rank) == (1L to 1000L))
+    // ranks weakly usable: every merge's pair was live when chosen
+    assert(merges.forall(_.wt >= 1L))
+    assert(secs < 60.0, f"local BPE trainer took $secs%.1fs for k=1000")
+  }
 }
