@@ -243,12 +243,12 @@ object Dedup {
           v => v.cast("string")), ",")
     }: _*)
 
-  /** Per-document signature band keys as a primitive-loop kernel: the
-    * 64-permutation minima over md5-hashed shingles, sliced into band-key
-    * strings. Values are bit-identical to [[minHashSignature]] +
-    * [[bandKeys]]; the imperative form exists because higher-order
-    * expressions stay interpreted (boxed, allocating) and this is the
-    * hottest loop in the corpus — 64 × |shingles| ops per document.
+  /** Per-document signature band keys as a plain-Scala reference loop:
+    * the 64-permutation minima over md5-hashed shingles, sliced into
+    * band-key strings. Values are bit-identical to [[minHashSignature]] +
+    * [[bandKeys]] AND to the hot-path native expression
+    * ([[graft.functions.MinHashKernel]], which runs inside whole-stage
+    * codegen); this Seq-based form is kept as the three-way parity pin.
     */
   private[graft] def signatureBandKeys(shingles: Seq[String]): Seq[String] = {
     val sig = Array.fill(NumHashes)(MinHashP)
@@ -278,24 +278,13 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     val sh = shingled(df, textCol, idCol, k)
-    // signature kernel runs batched per partition (narrow, no shuffle);
-    // its output carries ONLY (doc, bands) — shingle arrays never enter
-    // the candidate join; the verify re-attaches them by id afterwards
-    val inSchema = sh.schema
-    val di = inSchema.fieldIndex("doc")
-    val si = inSchema.fieldIndex("s")
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      inSchema("doc"),
-      org.apache.spark.sql.types.StructField("bands",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType))))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val withBands = sh.mapPartitions { rows =>
-      rows.map { r =>
-        org.apache.spark.sql.Row(
-          r.get(di), signatureBandKeys(r.getSeq[String](si)))
-      }
-    }(enc)
+    // signature kernel is a native codegen Expression (narrow, no
+    // shuffle, no Row boxing, no codegen fence): its output carries ONLY
+    // (doc, bands) — shingle arrays never enter the candidate join; the
+    // verify re-attaches them by id afterwards
+    val withBands = sh.select(col("doc"),
+      graft.functions.GraftFunctions
+        .minHashBandKeys(df.sparkSession, col("s")).as("bands"))
     // candidate generation carries ONLY ids: the 16-band self-join and
     // the pair-dedup shuffle move (band, key, doc) rows — never shingle
     // payloads. Caching this id-only frame (not the shingles) is what

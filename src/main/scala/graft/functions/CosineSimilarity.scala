@@ -98,6 +98,17 @@ object GraftFunctions {
       RepetitionStats(children.head)
     })
 
+  private val minHashBandKeysDescriptor: (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_band_keys"),
+    new ExpressionInfo(classOf[MinHashBandKeys].getName,
+      "minhash_band_keys"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "minhash_band_keys expects exactly 1 argument")
+      MinHashBandKeys(children.head)
+    })
+
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -105,6 +116,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       repetitionStatsDescriptor._1, repetitionStatsDescriptor._2,
       repetitionStatsDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minHashBandKeysDescriptor._1, minHashBandKeysDescriptor._2,
+      minHashBandKeysDescriptor._3)
   }
 
   /** Column-level accessor (registers on the session first). */
@@ -117,6 +131,12 @@ object GraftFunctions {
   def repetitionStats(spark: SparkSession, toks: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_udf("repetition_stats", toks)
+  }
+
+  /** Column-level accessor for [[MinHashBandKeys]]. */
+  def minHashBandKeys(spark: SparkSession, shingles: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("minhash_band_keys", shingles)
   }
 }
 
@@ -135,5 +155,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[RepetitionStats].getName,
           "repetition_stats"),
         (children: Seq[Expression]) => RepetitionStats(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_band_keys"),
+        new ExpressionInfo(classOf[MinHashBandKeys].getName,
+          "minhash_band_keys"),
+        (children: Seq[Expression]) => MinHashBandKeys(children.head)))
   }
 }

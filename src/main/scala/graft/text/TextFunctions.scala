@@ -153,9 +153,14 @@ object TextFunctions {
     * md5 = top 60 bits of the digest's first 8 bytes. Bit-identical to
     * the Column rendering; used by the hot-loop kernels.
     */
-  private[graft] def md5Hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+  private[graft] def md5Hash60(s: String): Long =
+    fold60(java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")))
+
+  /** Top 60 bits of a digest's first 8 bytes — the fold shared by
+    * [[md5Hash60]] and the digester-reusing hot kernels.
+    */
+  private[graft] def fold60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

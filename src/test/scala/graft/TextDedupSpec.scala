@@ -188,12 +188,17 @@ class TextDedupSpec extends SparkSpec {
       .withColumn("hs",
         transform(col("s"), g => TextFunctions.tokenHash60(g)))
       .withColumn("bands", Dedup.bandKeys(Dedup.minHashSignature(col("hs"))))
-    val rows = df.orderBy("doc_id").collect()
+    val rows = df
+      .withColumn("bands_native", graft.functions.GraftFunctions
+        .minHashBandKeys(spark, col("s")))
+      .orderBy("doc_id").collect()
     rows.foreach { r =>
       val viaColumns = r.getSeq[String](r.fieldIndex("bands")).toSeq
+      val viaNative = r.getSeq[String](r.fieldIndex("bands_native")).toSeq
       val viaKernel = Dedup.signatureBandKeys(
         r.getSeq[String](r.fieldIndex("s")).toSeq)
       assert(viaKernel == viaColumns)
+      assert(viaNative == viaColumns)
     }
   }
 
