@@ -54,12 +54,19 @@ object Dedup {
         i => concat_ws(" ", slice(t, i, lit(k))))))
       .otherwise(array(concat_ws(" ", t)))
 
-  /** doc-id + shingle-set projection shared by the pair generators. */
+  /** doc-id + shingle-set projection shared by the pair generators.
+    * Uses the native one-pass [[graft.functions.ShingleKernel]]
+    * expression — bit-identical to
+    * `shinglesFromTokens(tokens(text), k)` (order included) but one
+    * primitive pass instead of an interpreted HOF tree per position;
+    * shingle construction, not the candidate joins, was the measured
+    * bottleneck of every dedup query at sf0.1.
+    */
   private def shingled(
       df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("doc"),
-      TextFunctions.tokens(col(textCol)).as("w"))
-      .select(col("doc"), shinglesFromTokens(col("w"), k).as("s"))
+      graft.functions.GraftFunctions
+        .shinglesK(df.sparkSession, col(textCol), k).as("s"))
 
 
   // ------------------------------------------------------------------
@@ -145,21 +152,47 @@ object Dedup {
     // but the sort happens on doc-sized arrays inside the agg output
     // (map-side partial collect) rather than as a partition-wide sort
     // feeding row_number
+    // position-aware prefix index: pos = the token's 1-based rank in the
+    // doc's FULL (df, g)-sorted shingle list (the slice starts at rank 1,
+    // so the posexplode index IS the global rank). Carrying (pos, n)
+    // costs two ints per index row and buys the PPJoin position filter
+    // below
     val prefix = inv.join(dfreq, Seq("g"))
       .groupBy(col("doc"), col("n"))
       .agg(collect_list(struct(col("df"), col("g"))).as("dg"))
-      .select(col("doc"), explode(slice(array_sort(col("dg")), lit(1),
-        (col("n") - ceil(col("n") * threshold) + 1).cast("int"))).as("e"))
-      .select(col("e.g").as("g"), col("doc"))
+      .select(col("doc"), col("n"),
+        posexplode(slice(array_sort(col("dg")), lit(1),
+          (col("n") - ceil(col("n") * threshold) + 1).cast("int")))
+          .as(Seq("p0", "e")))
+      .select(col("e.g").as("g"), col("doc"), (col("p0") + 1).as("pos"),
+        col("n"))
     // cache the id-only prefix index: AQE turns ONE self-join side into
     // a broadcast, so the two sides' exchanges no longer match and
     // ReuseExchange stops deduplicating them — without the cache the
     // whole inverted-index + window pipeline runs twice (measured 12.4s
     // vs 7.5s at sf0.1)
-    val pidx = prefix.select(col("g"), col("doc")).cache()
-    val cand = pidx.select(col("g"), col("doc").as("doc_a"))
-      .join(pidx.select(col("g"), col("doc").as("doc_b")), Seq("g"))
+    val pidx = prefix.cache()
+    // PPJoin filters on each collision, BEFORE the pair-distinct shuffle:
+    //  - length: jaccard >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
+    //  - position: at the pair's FIRST common token (positions i, j in
+    //    the shared global order) every other common token sits strictly
+    //    after both, so overlap <= 1 + min(na-i, nb-j); a good pair's
+    //    first common token is inside both prefixes and passes, so
+    //    keeping pairs with ANY passing collision is recall-EXACT.
+    // Overlap target alpha = t*(na+nb)/(1+t) (jaccard>=t <=> inter>=alpha);
+    // comparisons use a 1e-9 slack instead of ceil so double rounding can
+    // only under-prune, never drop a boundary pair.
+    val alpha = (lit(threshold) * (col("na") + col("nb"))
+      / (1.0 + threshold)) - lit(1e-9)
+    val cand = pidx.select(col("g"), col("doc").as("doc_a"),
+        col("pos").as("pa"), col("n").as("na"))
+      .join(pidx.select(col("g"), col("doc").as("doc_b"),
+        col("pos").as("pb"), col("n").as("nb")), Seq("g"))
       .where(col("doc_a") < col("doc_b"))
+      .where(least(col("na"), col("nb")).cast("double")
+        >= lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
+      .where((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
+        .cast("double") >= alpha)
       .select("doc_a", "doc_b").distinct()
     // the verify joins re-shingle (narrow scan+project, ReuseExchange
     // dedupes the two sides) rather than pinning shingle arrays in a

@@ -109,8 +109,19 @@ object GraftFunctions {
       MinHashBandKeys(children.head)
     })
 
+  private val shinglesDescriptor: (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingles_k"),
+    new ExpressionInfo(classOf[Shingles].getName, "shingles_k"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "shingles_k expects exactly 2 arguments")
+      Shingles(children.head, children(1))
+    })
+
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      shinglesDescriptor._1, shinglesDescriptor._2, shinglesDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       cosineSimDescriptor._1, cosineSimDescriptor._2, cosineSimDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
@@ -138,6 +149,13 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_udf("minhash_band_keys", shingles)
   }
+
+  /** Column-level accessor for [[Shingles]]. */
+  def shinglesK(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("shingles_k", text,
+      org.apache.spark.sql.functions.lit(k))
+  }
 }
 
 /** `spark.sql.extensions`-style injection
@@ -160,5 +178,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[MinHashBandKeys].getName,
           "minhash_band_keys"),
         (children: Seq[Expression]) => MinHashBandKeys(children.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("shingles_k"),
+        new ExpressionInfo(classOf[Shingles].getName, "shingles_k"),
+        (children: Seq[Expression]) => Shingles(
+          children.head, children(1))))
   }
 }

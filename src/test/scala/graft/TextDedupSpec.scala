@@ -202,6 +202,27 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("shingle kernel matches the declarative rendering, edge cases included") {
+    // empty, space-only, tab-led (leading empty token), trailing tab
+    // (trailing empty token), shorter-than-k, repeated grams, unicode
+    val texts = Seq("", "   ", "\tone two three", "one two three\t",
+      "one two", "a b c a b c a b c", "ünï cödé tëst wörds",
+      "one  two\n three\tfour five")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = df
+      .withColumn("via_cols", Dedup.shinglesFromTokens(
+        TextFunctions.tokens(col("text")), 3))
+      .withColumn("via_kernel", graft.functions.GraftFunctions
+        .shinglesK(spark, col("text"), 3))
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("via_kernel"))
+        == r.getSeq[String](r.fieldIndex("via_cols")),
+        s"diverged on ${r.get(r.fieldIndex("doc_id"))}")
+    }
+  }
+
   test("md5Hash60 kernel matches the tokenHash60 expression") {
     val words = Seq("alpha", "beta", "gamma delta", "", "ünïcödé")
     val viaExpr = words.toDF("w")
