@@ -522,6 +522,97 @@ object StreamingQueries {
       }
     },
 
+    // NEARLINE near-dup: the banded SimHash index maintained ACROSS
+    // micro-batches — the streaming rendering of the dedup family. The
+    // even-id half of the corpus is the pre-existing index (its internal
+    // pairs emit once at bootstrap); odd-id documents then stream in
+    // over 3 micro-batches, each batch equi-joining the CURRENT band
+    // index (seed + every earlier batch) plus itself, so each near-dup
+    // pair emits exactly ONCE — in the batch where its later member
+    // arrives — and only new band rows append to the index. Banding
+    // keeps per-batch work at |batch| × bucket-hit sized (never
+    // batch × corpus); at scale the parquet index/sink swaps for a
+    // keyed store but the join shape is unchanged. Ground truth: the
+    // emitted union equals the batch Hamming-pair set over the whole
+    // corpus, phase-tagged by arrival half.
+    "q_stream_neardup" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.dedup.Dedup
+        import graft.text.TextFunctions
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val hashed = docs.select(col("doc_id").as("doc"),
+          TextFunctions.simHashUdf(
+            TextFunctions.tokens(col("text"))).as("h"))
+        val base = tmpDir("graft_neardup")
+        val indexDir = base + "/band_index"
+        val pairsDir = base + "/pairs"
+        val splitDir = base + "/splits"
+        // bootstrap: seed band index + the seed's own pairs
+        val seed = hashed.where(col("doc") % 2 === 0)
+        seed.select(col("doc"), col("h"),
+          posexplode(Dedup.simHashBands(col("h"))).as(Seq("band", "key")))
+          .write.mode("overwrite").parquet(indexDir)
+        Dedup.hammingPairs(seed, "doc", "h", maxHamming = 3)
+          .withColumn("phase", lit("seed"))
+          .write.mode("overwrite").parquet(pairsDir)
+        // stream the odd half in 3 micro-batches
+        StreamFlow.writeTimeSplits(
+          hashed.where(col("doc") % 2 === 1), "doc", 3, splitDir)
+        val schema = StructType(Seq(
+          StructField("doc", LongType), StructField("h", LongType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(splitDir)
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val nb = b.select(col("doc"), col("h"),
+              posexplode(Dedup.simHashBands(col("h")))
+                .as(Seq("band", "key"))).cache()
+            val idx = s.read.parquet(indexDir)
+            // new-vs-(seed ∪ earlier batches): pair order normalised by
+            // id so the emitted set matches the batch ground truth
+            val cross = nb.select(col("band"), col("key"),
+                col("doc").as("doc_n"), col("h").as("hn"))
+              .join(idx.select(col("band"), col("key"),
+                col("doc").as("doc_o"), col("h").as("ho")),
+                Seq("band", "key"))
+              .withColumn("hamming",
+                bit_count(col("hn").bitwiseXOR(col("ho"))))
+              .where(col("hamming") <= 3)
+              .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+                greatest(col("doc_n"), col("doc_o")).as("doc_b"),
+                col("hamming"))
+            // new-vs-new inside this batch
+            val selfPairs = nb.select(col("band"), col("key"),
+                col("doc").as("doc_a"), col("h").as("ha"))
+              .join(nb.select(col("band"), col("key"),
+                col("doc").as("doc_b"), col("h").as("hb")),
+                Seq("band", "key"))
+              .where(col("doc_a") < col("doc_b"))
+              .withColumn("hamming",
+                bit_count(col("ha").bitwiseXOR(col("hb"))))
+              .where(col("hamming") <= 3)
+              .select("doc_a", "doc_b", "hamming")
+            cross.unionByName(selfPairs)
+              .dropDuplicates("doc_a", "doc_b")
+              .withColumn("phase", lit("stream"))
+              .write.mode("append").parquet(pairsDir)
+            // only now does the batch join the index (so its self-pairs
+            // never double-emit through the cross join)
+            nb.select("band", "key", "doc", "h")
+              .write.mode("append").parquet(indexDir)
+            nb.unpersist()
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(pairsDir)
+          .select(col("doc_a"), col("doc_b"), col("hamming"), col("phase"))
+          .orderBy("doc_a", "doc_b")
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -538,6 +629,25 @@ object StreamingQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // the nearline index must emit exactly the batch Hamming-pair set
+    // over the whole corpus; phase derives from which half each pair's
+    // members arrived in (odd ids streamed)
+    "q_stream_neardup" -> {
+      import OracleSql.{simHashExpr, toksCte, tokenHash}
+      s"""WITH $toksCte,
+         |hh AS (SELECT doc_id,
+         |  list_transform(w, t -> ${tokenHash("t")}) AS hs FROM toks),
+         |sv AS (SELECT doc_id, $simHashExpr AS h FROM hh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) AS INTEGER)
+         |    AS hamming,
+         |  CASE WHEN a.doc_id % 2 = 1 OR b.doc_id % 2 = 1 THEN 'stream'
+         |       ELSE 'seed' END AS phase
+         |FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     // final BSE state after both streamed loads + compaction = v2 in
     // closed form: v1 minus deletes, updates applied, inserts added
     "q_stream_warehouse" ->
