@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
 case class CliPlan(
     bulkOrDelta: String = "BULK",
     run: Boolean = false,
+    runOp: Option[String] = None,
     skipStages: Set[Stage] = Set.empty,
     limitData: Option[Int] = None,
     rebuildLayers: Seq[Layer] = Seq.empty,
@@ -50,6 +51,11 @@ object Cli {
       |  rebuildsum              drop a layer's physical tables
       |  bulk | delta            load mode (default bulk)
       |  run                     execute the pipeline
+      |  runop <opId>            execute exactly ONE pipeline op — the
+      |                          per-task entry an external scheduler
+      |                          (e.g. the generated Airflow DAG) invokes
+      |                          in its own process; ordering is the
+      |                          scheduler's job, no stage barriers apply
       |  noextract | notransform | noload | nosummarise
       |                          skip a whole stage
       |  nodmload | noftload     skip just the dimension / fact loads
@@ -63,8 +69,19 @@ object Cli {
       |  help                    this text
       |usage: graft.Main <appConfig.json> [verbs...]""".stripMargin
 
-  def parse(args: Seq[String]): CliPlan =
-    args.foldLeft(CliPlan()) { (p, raw) =>
+  def parse(args: Seq[String]): CliPlan = {
+    // `runop` consumes the NEXT token as its op id (case preserved —
+    // op names are app identifiers, not verbs); everything else is a
+    // single case-insensitive verb
+    val (runOpId, rest) = {
+      val i = args.indexWhere(_.toLowerCase == "runop")
+      if (i < 0) (None, args)
+      else if (i == args.length - 1) throw new IllegalArgumentException(
+        s"runop needs an op id\n$helpText")
+      else (Some(args(i + 1)),
+        args.patch(i, Seq.empty, 2))
+    }
+    rest.foldLeft(CliPlan(runOp = runOpId)) { (p, raw) =>
       raw.toLowerCase match {
         case "bulk"        => p.copy(bulkOrDelta = "BULK")
         case "delta"       => p.copy(bulkOrDelta = "DELTA")
@@ -108,6 +125,7 @@ object Cli {
           s"unknown verb '$other'\n$helpText")
       }
     }
+  }
 
   /** Fold the run-control flags into the conf: `limitdata` beats the
     * config-file cap; `bulk|delta` sets the load mode ops read.
@@ -128,7 +146,7 @@ object Cli {
       schemaFile: Option[String] = None,
       parallelism: Int = 1): GraftConf = {
     val conf = applyToConf(conf0, plan)
-    plan.logLevel.foreach(spark.sparkContext.setLogLevel)
+    plan.logLevel.foreach(l => spark.sparkContext.setLogLevel(l))
     if (plan.reset) Admin.reset(spark, conf)
     if (plan.clearTmpData)
       Admin.rebuild(spark, conf, Seq(Layer.EXT, Layer.TRN, Layer.LOD))
@@ -140,6 +158,11 @@ object Cli {
         case None    => Admin.readSrc(spark, conf, src)
       }
     }
+    // runop: exactly one op in THIS process — the scheduler-task entry
+    // (ordering is the caller's job, so no stage barriers and no
+    // sibling ops execute)
+    plan.runOp.foreach(
+      new Pipeline(conf, ops, parallelism, plan.skipStages).runOp(spark, _))
     if (plan.run)
       new Pipeline(conf, ops, parallelism, plan.skipStages).run(spark)
     conf
@@ -161,7 +184,13 @@ object Cli {
 object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(Cli.helpText); sys.exit(2) }
-    val plan = Cli.parse(args.tail.toSeq)
+    // parse errors are a usage problem, not a crash: message + exit 2,
+    // never a stack trace
+    val plan =
+      try Cli.parse(args.tail.toSeq)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); sys.exit(2); return
+      }
     if (plan.help) { println(Cli.helpText); return }
     val conf = GraftConfIO.fromFile(args.head)
     val spark = SparkSession.builder()
@@ -174,8 +203,14 @@ object Main {
       val schemaFile = Option(java.nio.file.Paths.get(args.head).getParent)
         .getOrElse(java.nio.file.Paths.get("."))
         .resolve("warehouse_schema.json").toString
+      // defaultOps enumerates every source system's tables (opening JDBC
+      // connections for DB sources) — build it only when an op will
+      // actually execute, so admin-only verbs (reset, rebuild*, readsrc)
+      // never block on a slow or unreachable source
+      val ops = if (plan.run || plan.runOp.nonEmpty)
+        Cli.defaultOps(spark, conf) else Seq.empty[PipelineOp]
       Cli.execute(spark, conf, plan,
-        ops = Cli.defaultOps(spark, conf),
+        ops = ops,
         schemaFile = Some(schemaFile),
         parallelism = 4)
     } finally spark.stop()

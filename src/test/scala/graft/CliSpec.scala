@@ -130,4 +130,100 @@ class CliSpec extends SparkSpec {
       ops = Cli.defaultOps(spark, c))
     assert(eff2.bulkOrDelta == "DELTA")
   }
+
+  test("cli parse: runop consumes its op id, case-preserved") {
+    assert(Cli.parse(Seq("bulk", "runop", "extract_People")).runOp
+      .contains("extract_People"))
+    assert(Cli.parse(Seq("RUNOP", "x", "limitdata")) ==
+      CliPlan(runOp = Some("x"), limitData = Some(100)))
+    intercept[IllegalArgumentException](Cli.parse(Seq("runop")))
+  }
+
+  test("cli execute: runop runs exactly the named op, no siblings") {
+    implicit val c: GraftConf = tmpConf()
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def op(name: String, st: Stage) =
+      PipelineOp(name, st, (_, _) => ran.synchronized { ran += name; () })
+    val ops = Seq(op("e", Stage.Extract), op("t", Stage.Transform))
+    Cli.execute(spark, c, Cli.parse(Seq("runop", "t")), ops)
+    assert(ran.toSeq == Seq("t"))
+    intercept[IllegalArgumentException](
+      Cli.execute(spark, c, Cli.parse(Seq("runop", "nope")), ops))
+  }
+
+  private def javaBin: String = java.nio.file.Paths
+    .get(sys.props("java.home"), "bin", "java").toString
+
+  private def runChild(args: Seq[String]): (Int, String) = {
+    val pb = new ProcessBuilder(args: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    (p.waitFor(), out)
+  }
+
+  test("generated DAG tasks execute process-per-task via runop") {
+    import graft.pipeline.AirflowDagGen
+    // the closest sandbox analogue to Airflow's contract
+    // (betl/PipelineClass.py:493-514): the emitted DAG file's OWN edges
+    // drive the ordering, and every task is one `runop <opId>` in its
+    // own JVM process rebinding the app op set (ChildOpMain)
+    val markerDir = java.nio.file.Files
+      .createTempDirectory("cli-proc").toString
+    val ops = ChildOpMain.ops(markerDir)
+    val pipe = new graft.pipeline.Pipeline(tmpConf(), ops)
+    val (stages, edges) =
+      AirflowDagGen.parse(AirflowDagGen.generate(pipe.dagJson, "proc"))
+    // Kahn topological order over the parsed file's edge list
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val remaining = scala.collection.mutable.Set(stages.keys.toSeq: _*)
+    while (remaining.nonEmpty) {
+      val free = remaining.filter(n =>
+        !edges.exists { case (u, d) => d == n && remaining.contains(u) })
+      assert(free.nonEmpty, "cycle in generated DAG")
+      free.toSeq.sorted.foreach { n => order += n; remaining -= n }
+    }
+    val cp = sys.props("java.class.path")
+    order.foreach { name =>
+      val (code, out) = runChild(Seq(
+        javaBin, "-cp", cp, "graft.ChildOpMain", markerDir, name))
+      assert(code == 0, s"child task $name failed:\n$out")
+    }
+    // every op ran exactly once, each in its own (distinct, non-parent)
+    // process
+    val pids = ops.map { o =>
+      val lines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(markerDir, o.name))
+      assert(lines.size == 1, s"${o.name} ran ${lines.size} times")
+      lines.get(0).toLong
+    }
+    assert(pids.distinct.size == ops.size)
+    assert(!pids.contains(ProcessHandle.current().pid()))
+  }
+
+  test("graft.Main runop drives one real extract in a child JVM; usage errors exit 2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cli-main").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .write.parquet(s"$dir/people.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/appConfig.json"),
+      s"""{"warehousePath": "$dir/wh",
+         |"srcSystems": {"SRC": {"type": "parquet", "dir": "$dir"}}}"""
+        .stripMargin)
+    val cp = sys.props("java.class.path")
+    def mainArgs(verbs: String*): Seq[String] = Seq(javaBin, "-cp", cp,
+      "-Dspark.master=local[2]", "-Dspark.ui.enabled=false",
+      s"-Dderby.stream.error.file=$dir/derby.log",
+      "graft.Main", s"$dir/appConfig.json") ++ verbs
+    val (code, out) = runChild(mainArgs("bulk", "runop", "extract_people"))
+    assert(code == 0, s"graft.Main runop failed:\n$out")
+    assert(spark.read.parquet(s"$dir/wh/EXT/people").count() == 2)
+    // unknown verb: help text + exit 2, no stack trace (and no Spark
+    // startup cost — the parse rejects before the session builds)
+    val (code2, out2) = runChild(mainArgs("frobnicate"))
+    assert(code2 == 2, s"expected exit 2, got $code2:\n$out2")
+    assert(out2.contains("unknown verb 'frobnicate'"))
+    assert(!out2.contains("Exception"))
+  }
 }
