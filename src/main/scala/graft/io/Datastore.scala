@@ -341,7 +341,24 @@ case class JdbcDatastore(
     p
   }
 
-  def read(spark: SparkSession, table: String): DataFrame = {
+  /** Resolve a table reference for SQL embedding: uniformly-cased bare
+    * identifiers pass through (the engine's case-fold makes them land —
+    * and hand-written lowercase names keep working against Derby's
+    * up-fold), while mixed-case or exotic names (i.e. tables that can
+    * only have been created QUOTED, like Postgres `"MyTable"`) are
+    * dialect-quoted verbatim so the metadata-reported name from
+    * [[tableNames]] resolves instead of being folded away.
+    */
+  private def quotedIfNeeded(table: String): String = {
+    val bare = table.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+      (table == table.toUpperCase || table == table.toLowerCase)
+    if (bare) table
+    else org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(table)
+  }
+
+  def read(spark: SparkSession, table0: String): DataFrame = {
+    val table = quotedIfNeeded(table0)
     partitionColumn match {
       case Some(pc) =>
         // quote the partition column per dialect: Spark's JDBC writer
@@ -387,16 +404,21 @@ case class JdbcDatastore(
     * (readSrcSystemSchemas reads information_schema.columns /
     * sqlite_master, betl/admin.py:147-357): `Admin.readSrc` over a JDBC
     * source enumerates these and types each by reading its schema.
-    * Names come back lowercased — case-folding engines (Derby up,
-    * Postgres down) would otherwise leak their fold into EXT table
-    * names, and both accept the bare lowercase name in queries.
+    * Names come back VERBATIM as the metadata reports them: lowercasing
+    * here would make a quoted mixed-case source table (Postgres
+    * `"MyTable"`) enumerate as `mytable` but fail to resolve on read,
+    * and would silently collide two tables differing only in case. The
+    * engine's case-fold stays out of EXT names because
+    * [[graft.Admin.cleanTableName]] lowercases the DERIVED name at
+    * registration; [[read]] quotes non-uniformly-cased names so every
+    * enumerated name round-trips.
     */
   override def tableNames(spark: SparkSession): Seq[String] =
     withConnection { conn =>
       val rs = conn.getMetaData.getTables(null, null, "%",
         Array("TABLE"))
       try Iterator.continually(rs).takeWhile(_.next())
-        .map(_.getString("TABLE_NAME").toLowerCase).toSeq.sorted
+        .map(_.getString("TABLE_NAME")).toSeq.sorted
       finally rs.close()
     }
 
@@ -434,11 +456,19 @@ case class JdbcDatastore(
     }
 
   private def isMissingObject(e: java.sql.SQLException): Boolean = {
-    // Derby: 42X65 index, 42X86 constraint, 42Y55/42Y07 table/schema;
-    // Postgres: 42704 undefined object, 42P01 undefined table
-    val states = Set("42X65", "42X86", "42Y55", "42Y07", "42704", "42P01")
-    states.contains(e.getSQLState) ||
-      Option(e.getMessage).exists(_.toLowerCase.contains("does not exist"))
+    // Enumerated SQLSTATEs ONLY (add states per supported dialect) — a
+    // message-substring fallback would also swallow unrelated errors
+    // that happen to phrase as "does not exist" (missing schema from a
+    // misconfigured URL, dialect errors about other objects) and skip
+    // DDL that should have failed loudly.
+    // Derby: 42X65 index, 42X86 constraint, 42Y55/42Y07 table/schema,
+    // X0X05 table (drop), 42X05 view/table not found;
+    // Postgres: 42704 undefined object, 42P01 undefined table;
+    // SQLite (JDBC drivers map sparsely): none — SQLite DDL uses its
+    // native IF EXISTS instead of this path.
+    val states = Set("42X65", "42X86", "42Y55", "42Y07", "X0X05", "42X05",
+      "42704", "42P01")
+    states.contains(e.getSQLState)
   }
 
   private def withConnection[A](f: java.sql.Connection => A): A = {

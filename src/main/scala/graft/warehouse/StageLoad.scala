@@ -134,8 +134,13 @@ object StageLoad {
           jdbc.executeDdl(Seq(JdbcDdl.createTableSql(tdef)))
         jdbc.executeDdl(JdbcDdl.dropIndexSqls(tdef), ignoreMissing = true)
         if (mode == "overwrite")
-          // TRUNCATE restarts Derby/Postgres identity state — the
-          // reference's `TRUNCATE ... RESTART IDENTITY` (dbIO.py:46-52)
+          // The reference truncates with RESTART IDENTITY (dbIO.py:46-52)
+          // because it lets the DB allocate SKs. This engine computes
+          // every SK explicitly (SurrogateKeys) and inserts it, so the
+          // sink's identity counter is never consulted and its state is
+          // irrelevant — plain TRUNCATE is sufficient on every dialect.
+          // (Derby happens to reset identity on TRUNCATE; Postgres does
+          // NOT without RESTART IDENTITY — neither matters here.)
           jdbc.executeDdl(Seq(s"TRUNCATE TABLE $name"))
         jdbc.write(spark, df, name, "append")
         jdbc.executeDdl(JdbcDdl.createIndexSqls(tdef))

@@ -67,13 +67,25 @@ class JdbcSpec extends SparkSpec {
     val ds = JdbcDatastore(url)
     ds.write(spark, Seq((1L, "a")).toDF("id", "v"), "orders_src")
     ds.write(spark, Seq((2L, "b")).toDF("id", "v"), "parts_src")
-    // lowercased despite Derby's upper case-fold, system tables excluded
-    assert(ds.tableNames(spark) == Seq("orders_src", "parts_src"))
+    // metadata-VERBATIM names (Derby's bare DDL up-fold included),
+    // system tables excluded; every enumerated name must resolve on read
+    assert(ds.tableNames(spark) == Seq("ORDERS_SRC", "PARTS_SRC"))
+    ds.tableNames(spark).foreach(t => assert(ds.read(spark, t).count() == 1))
+    // a table that can only exist QUOTED (mixed case) enumerates under
+    // its true name and round-trips through the dialect-quoted read —
+    // the lowercasing regression: it would enumerate as mytable_src and
+    // fail to resolve
+    ds.executeDdl(Seq("""CREATE TABLE "MyTable_src" (id INT)"""))
+    ds.executeDdl(Seq("""INSERT INTO "MyTable_src" VALUES (7)"""))
+    assert(ds.tableNames(spark).contains("MyTable_src"))
+    assert(ds.read(spark, "MyTable_src").head().getInt(0) == 7)
     // the reference readsrc flow: introspect every table into EXT defs
+    // under the cleanTableName-LOWERCASED derived name
     implicit val c: GraftConf = tmpConf().copy(
       srcSystems = Map("DB" -> ds))
     val defs = Admin.readSrc(spark, c, "DB")
-    assert(defs.map(_.name).sorted == Seq("orders_src", "parts_src"))
+    assert(defs.map(_.name).sorted ==
+      Seq("mytable_src", "orders_src", "parts_src"))
     assert(c.catalog.lookup(graft.catalog.Layer.EXT, "orders_src")
       .exists(_.columnNames.take(2) == Seq("id", "v")))
   }
