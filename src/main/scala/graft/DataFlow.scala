@@ -61,6 +61,11 @@ class DataFlow(
     */
   def stepTimings: Seq[StepHistory.StepTiming] = log.timings
 
+  /** This dataflow's job log in the reference's text format
+    * ([[JobLog]]); persist via [[JobLog.writeNumbered]].
+    */
+  def jobLogText: String = log.jobLogText
+
   def datasetNames: Seq[String] = data.keys.toSeq
 
   /** Fetch a dataset's current plan (reference getDataFrames,
@@ -216,7 +221,8 @@ class DataFlow(
     * (reference createDataset, betl/dataflow/dfl_io.py:299-319).
     */
   def createDataset(dataset: String, df: DataFrame): DataFlow =
-    log.step("createDataset", dataset) { put(dataset, df) }(_ => None)
+    log.step("createDataset", dataset) { put(dataset, df) }(
+      r => Some(r.get(dataset)))
 
   /** Create a dataset from literal column→values data (the reference's dict
     * form). All-string values mirror the reference's stringly ingestion.
@@ -259,7 +265,10 @@ class DataFlow(
   def getColumns(dataset: String, columnNames: Seq[String]): DataFrame =
     get(dataset).select(columnNames.map(col): _*)
 
-  def getColumnList(dataset: String): Seq[String] = get(dataset).columns.toSeq
+  def getColumnList(dataset: String): Seq[String] =
+    log.step("getColumnList", dataset) {
+      get(dataset).columns.toSeq
+    }(_ => None)
 
   /** Empty a layer table, preserving schema (reference truncate,
     * dfl_changeRow.py:6-20 + TRUNCATE…RESTART IDENTITY, dbIO.py:47-53).
