@@ -613,6 +613,85 @@ object StreamingQueries {
       }
     },
 
+    // STREAMING SCD2: dimension snapshots arrive as micro-batches and
+    // each batch applies the Kimball close-and-open against the
+    // accumulated history ([[graft.warehouse.Scd2Load]]) — nearline
+    // dimension maintenance, the SCD2 rendering of the
+    // `q_stream_warehouse` lifecycle story. Three arrivals exercise the
+    // full version lifecycle: attribute drift (close + open), soft
+    // delete (close only), and the RE-INSERT of a member deleted one
+    // batch earlier (a fresh version row; the closed history row is
+    // untouched — classify sees no current row for the NK, so the
+    // member returns through the INSERT branch). Inter-batch state is
+    // the BSE dimension itself, not a state store: each application is
+    // O(current + batch) and restart-safe, which is the shape a
+    // 100-TB nearline dimension job needs.
+    "q_stream_scd2" -> { (s, dir) =>
+      withStreamParts(s) {
+        implicit val c: GraftConf = conf(dir, "q_stream_scd2")
+        import graft.catalog.Layer
+        import graft.warehouse.{DimensionSpec, Scd2Load}
+        val spec = DimensionSpec(
+          "dm_customer", Seq("c_custkey"), Seq("c_name", "c_acctbal"))
+        val dates = Map(1L -> "2024-01-01 00:00:00",
+          2L -> "2024-02-01 00:00:00", 3L -> "2024-03-01 00:00:00")
+        val base = s.read.parquet(s"$dir/customer.parquet")
+          .select("c_custkey", "c_name", "c_acctbal")
+        // snapshot 1: some members absent, some balances drifted;
+        // snapshot 2: true values, %7 members gone (soft deletes);
+        // snapshot 3: %11 members gone, %3 balances re-drifted — and
+        // the %7 deletes of snapshot 2 REAPPEAR
+        val snaps = Seq(
+          1L -> base.filter(col("c_custkey") % 11 =!= 3)
+            .withColumn("c_acctbal",
+              when(col("c_custkey") % 5 === 0, col("c_acctbal") * 2)
+                .otherwise(col("c_acctbal"))),
+          2L -> base.filter(col("c_custkey") % 7 =!= 2),
+          3L -> base.filter(col("c_custkey") % 11 =!= 7)
+            .withColumn("c_acctbal",
+              when(col("c_custkey") % 3 === 0, col("c_acctbal") * 3)
+                .otherwise(col("c_acctbal"))))
+        val splitDir = s"${c.warehousePath}/snap_splits"
+        StreamFlow.writeTimeSplits(
+          snaps.map { case (i, df) => df.withColumn("snap_seq", lit(i)) }
+            .reduce(_ unionByName _),
+          "snap_seq", 3, splitDir)
+        val lodPath = c.tablePath(Layer.LOD, spec.name)
+        val splitSchema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_acctbal", DoubleType),
+          StructField("snap_seq", LongType)))
+        val q = s.readStream.schema(splitSchema)
+          .option("maxFilesPerTrigger", "1").parquet(splitDir)
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // one split file per trigger = one snapshot per batch; the
+            // distinct-seq loop is defensive against file coalescing
+            val seqs = b.select("snap_seq").distinct()
+              .collect().map(_.getLong(0)).sorted
+            seqs.foreach { i =>
+              b.where(col("snap_seq") === i).drop("snap_seq")
+                .write.mode("overwrite").parquet(lodPath)
+              Scd2Load.load(s, c, spec, dates(i), initial = i == 1L)
+              ()
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(c.tablePath(Layer.BSE, spec.name))
+          .select(col("sk_customer"), col("c_custkey"), col("c_name"),
+            col("c_acctbal"),
+            date_format(col(Scd2Load.ValidFrom), "yyyy-MM-dd HH:mm:ss")
+              .as("valid_from"),
+            date_format(col(Scd2Load.ValidTo), "yyyy-MM-dd HH:mm:ss")
+              .as("valid_to"),
+            col(Scd2Load.IsCurrent).as("is_current"))
+          .orderBy("c_custkey", "sk_customer")
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -629,6 +708,91 @@ object StreamingQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // three sequential SCD2 applications in closed form: v1 = initial
+    // load; application 2 closes updates/deletes and opens new
+    // versions above the high-water mark; application 3 does the same
+    // against the post-2 current set — including re-inserting members
+    // deleted at 2 (no current row -> INSERT branch, fresh SK)
+    "q_stream_scd2" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |s1 AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM base WHERE c_custkey % 11 <> 3),
+        |s2 AS (SELECT * FROM base WHERE c_custkey % 7 <> 2),
+        |s3 AS (SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 3
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM base WHERE c_custkey % 11 <> 7),
+        |v1 AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk,
+        |    c_custkey, c_name, c_acctbal FROM s1),
+        |m2 AS (SELECT v.sk, v.c_custkey, v.c_name AS p_name,
+        |    v.c_acctbal AS p_bal, s.c_name, s.c_acctbal
+        |  FROM v1 v JOIN s2 s USING (c_custkey)),
+        |unch2 AS (SELECT sk, c_custkey, c_name, c_acctbal FROM m2
+        |  WHERE p_name = c_name AND p_bal = c_acctbal),
+        |upd2 AS (SELECT c_custkey, c_name, c_acctbal FROM m2
+        |  WHERE p_name <> c_name OR p_bal <> c_acctbal),
+        |closedupd2 AS (SELECT sk, c_custkey, p_name AS c_name,
+        |    p_bal AS c_acctbal FROM m2
+        |  WHERE p_name <> c_name OR p_bal <> c_acctbal),
+        |closeddel2 AS (SELECT sk, c_custkey, c_name, c_acctbal FROM v1
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM s2)),
+        |ins2 AS (SELECT c_custkey, c_name, c_acctbal FROM s2
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM s1)),
+        |new2 AS (SELECT (SELECT max(sk) FROM v1)
+        |    + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk,
+        |    c_custkey, c_name, c_acctbal
+        |  FROM (SELECT * FROM upd2 UNION ALL SELECT * FROM ins2)),
+        |cur2 AS (SELECT sk, c_custkey, c_name, c_acctbal, 1 AS vf
+        |    FROM unch2
+        |  UNION ALL SELECT sk, c_custkey, c_name, c_acctbal, 2 FROM new2),
+        |hwm2 AS (SELECT max(sk) AS m FROM
+        |  (SELECT sk FROM v1 UNION ALL SELECT sk FROM new2)),
+        |m3 AS (SELECT v.sk, v.vf, v.c_custkey, v.c_name AS p_name,
+        |    v.c_acctbal AS p_bal, s.c_name, s.c_acctbal
+        |  FROM cur2 v JOIN s3 s USING (c_custkey)),
+        |unch3 AS (SELECT sk, vf, c_custkey, c_name, c_acctbal FROM m3
+        |  WHERE p_name = c_name AND p_bal = c_acctbal),
+        |upd3 AS (SELECT c_custkey, c_name, c_acctbal FROM m3
+        |  WHERE p_name <> c_name OR p_bal <> c_acctbal),
+        |closedupd3 AS (SELECT sk, vf, c_custkey, p_name AS c_name,
+        |    p_bal AS c_acctbal FROM m3
+        |  WHERE p_name <> c_name OR p_bal <> c_acctbal),
+        |closeddel3 AS (SELECT sk, vf, c_custkey, c_name, c_acctbal
+        |  FROM cur2
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM s3)),
+        |ins3 AS (SELECT c_custkey, c_name, c_acctbal FROM s3
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM cur2)),
+        |new3 AS (SELECT (SELECT m FROM hwm2)
+        |    + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk,
+        |    c_custkey, c_name, c_acctbal
+        |  FROM (SELECT * FROM upd3 UNION ALL SELECT * FROM ins3)),
+        |d AS (SELECT '2024-01-01 00:00:00' AS d1,
+        |  '2024-02-01 00:00:00' AS d2, '2024-03-01 00:00:00' AS d3)
+        |SELECT sk AS sk_customer, c_custkey, c_name, c_acctbal,
+        |    (SELECT d1 FROM d) AS valid_from,
+        |    (SELECT d2 FROM d) AS valid_to, FALSE AS is_current
+        |  FROM closedupd2
+        |UNION ALL SELECT sk, c_custkey, c_name, c_acctbal,
+        |  (SELECT d1 FROM d), (SELECT d2 FROM d), FALSE FROM closeddel2
+        |UNION ALL SELECT sk, c_custkey, c_name, c_acctbal,
+        |  CASE WHEN vf = 1 THEN (SELECT d1 FROM d)
+        |       ELSE (SELECT d2 FROM d) END,
+        |  (SELECT d3 FROM d), FALSE FROM closedupd3
+        |UNION ALL SELECT sk, c_custkey, c_name, c_acctbal,
+        |  CASE WHEN vf = 1 THEN (SELECT d1 FROM d)
+        |       ELSE (SELECT d2 FROM d) END,
+        |  (SELECT d3 FROM d), FALSE FROM closeddel3
+        |UNION ALL SELECT sk, c_custkey, c_name, c_acctbal,
+        |  CASE WHEN vf = 1 THEN (SELECT d1 FROM d)
+        |       ELSE (SELECT d2 FROM d) END,
+        |  CAST(NULL AS VARCHAR), TRUE FROM unch3
+        |UNION ALL SELECT sk, c_custkey, c_name, c_acctbal,
+        |  (SELECT d3 FROM d), CAST(NULL AS VARCHAR), TRUE FROM new3
+        |ORDER BY c_custkey, sk_customer""".stripMargin,
+
     // the nearline index must emit exactly the batch Hamming-pair set
     // over the whole corpus; phase derives from which half each pair's
     // members arrived in (odd ids streamed)

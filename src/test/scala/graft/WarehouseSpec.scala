@@ -286,4 +286,43 @@ class WarehouseSpec extends SparkSpec {
       .orderBy("cust_id").collect().map(_.getAs[String]("tier"))
     assert(asOfJan.toSeq == Seq("gold", "silver", "bronze"))
   }
+
+  test("scd2 re-insert after soft delete opens a fresh version, keeps history") {
+    implicit val c: GraftConf = tmpConf()
+    val spec = DimensionSpec("dm_cust", Seq("cust_id"), Seq("tier"))
+    val dfl = flow("scd2r1")
+    dfl.createDataset("s1", Map(
+      "cust_id" -> Seq("10", "20", "30"),
+      "tier" -> Seq("gold", "silver", "bronze")))
+    dfl.write("s1", "dm_cust", Layer.LOD)
+    Scd2Load.load(spark, c, spec, "2024-01-01 00:00:00", initial = true)
+    // 30 vanishes (soft delete closes its version)
+    val dfl2 = flow("scd2r2")
+    dfl2.createDataset("s2", Map(
+      "cust_id" -> Seq("10", "20"), "tier" -> Seq("gold", "silver")))
+    dfl2.write("s2", "dm_cust", Layer.LOD)
+    Scd2Load.load(spark, c, spec, "2024-02-01 00:00:00")
+    // 30 RETURNS with a new attribute: classify sees no current row for
+    // the NK, so it re-enters through the INSERT branch — fresh SK,
+    // fresh open version; the closed [d1,d2) row must stay untouched
+    val dfl3 = flow("scd2r3")
+    dfl3.createDataset("s3", Map(
+      "cust_id" -> Seq("10", "20", "30"),
+      "tier" -> Seq("gold", "silver", "platinum")))
+    dfl3.write("s3", "dm_cust", Layer.LOD)
+    val v3 = Scd2Load.load(spark, c, spec, "2024-03-01 00:00:00")
+    val thirty = v3.where(col("cust_id") === "30")
+      .orderBy("sk_cust").collect().map(r => (
+        r.getAs[Long]("sk_cust"), r.getAs[String]("tier"),
+        r.getAs[Boolean](Scd2Load.IsCurrent),
+        Option(r.getAs[java.sql.Timestamp](Scd2Load.ValidTo))
+          .map(_.toString).getOrElse("open")))
+    assert(thirty.toSeq == Seq(
+      (3L, "bronze", false, "2024-02-01 00:00:00.0"),
+      (4L, "platinum", true, "open")))
+    // the member's timeline has a GAP: no version is valid mid-February
+    assert(Scd2Load.asOf(v3, "2024-02-15 00:00:00")
+      .where(col("cust_id") === "30").count() == 0)
+    assert(v3.count() == 4)
+  }
 }
