@@ -1,0 +1,95 @@
+package graft.dedup
+
+import graft.streaming.StreamFlow
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Nearline near-duplicate detection: a banded Hamming index maintained
+  * ACROSS micro-batches, so each near-dup pair emits exactly once — in
+  * the batch where its LATER member arrives. The batch-mode reference
+  * semantics are [[Dedup.hammingPairs]]; this is its streaming rendering,
+  * and the pair set it emits is identical for ANY batch partitioning of
+  * the stream (property-pinned by NearlineSpec).
+  *
+  * Scale shape per batch: the new rows band-explode and equi-join the
+  * CURRENT index on (band, key) — work is |batch| × bucket-hit sized,
+  * never |batch| × |corpus| — then append their own band rows to the
+  * index. At 100 TB the parquet index/sink swap for a keyed store; the
+  * join shape is unchanged.
+  */
+object Nearline {
+
+  /** Seed the index with `seedPred` rows (their internal pairs emit once
+    * at bootstrap, phase `seed`), stream the remaining rows in
+    * `nBatches` micro-batches, and return every pair with Hamming
+    * distance ≤ `maxHamming` — phase `stream` for pairs completed by a
+    * streamed row. `hashed` must carry (`doc` long id, `h` 60-bit hash).
+    */
+  def hammingPairsNearline(
+      s: SparkSession, hashed: DataFrame, seedPred: Column,
+      nBatches: Int, baseDir: String, maxHamming: Int = 3): DataFrame = {
+    val indexDir = baseDir + "/band_index"
+    val pairsDir = baseDir + "/pairs"
+    val splitDir = baseDir + "/splits"
+    // bootstrap: seed band index + the seed's own pairs
+    val seed = hashed.where(seedPred)
+    seed.select(col("doc"), col("h"),
+      posexplode(Dedup.simHashBands(col("h"))).as(Seq("band", "key")))
+      .write.mode("overwrite").parquet(indexDir)
+    Dedup.hammingPairs(seed, "doc", "h", maxHamming)
+      .withColumn("phase", lit("seed"))
+      .write.mode("overwrite").parquet(pairsDir)
+    StreamFlow.writeTimeSplits(
+      hashed.where(!seedPred), "doc", nBatches, splitDir)
+    val schema = StructType(Seq(
+      StructField("doc", LongType), StructField("h", LongType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(splitDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val nb = b.select(col("doc"), col("h"),
+          posexplode(Dedup.simHashBands(col("h")))
+            .as(Seq("band", "key"))).cache()
+        val idx = s.read.parquet(indexDir)
+        // new-vs-(seed ∪ earlier batches): pair order normalised by id
+        // so the emitted set matches the batch ground truth
+        val cross = nb.select(col("band"), col("key"),
+            col("doc").as("doc_n"), col("h").as("hn"))
+          .join(idx.select(col("band"), col("key"),
+            col("doc").as("doc_o"), col("h").as("ho")),
+            Seq("band", "key"))
+          .withColumn("hamming",
+            bit_count(col("hn").bitwiseXOR(col("ho"))))
+          .where(col("hamming") <= maxHamming)
+          .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+            greatest(col("doc_n"), col("doc_o")).as("doc_b"),
+            col("hamming"))
+        // new-vs-new inside this batch
+        val selfPairs = nb.select(col("band"), col("key"),
+            col("doc").as("doc_a"), col("h").as("ha"))
+          .join(nb.select(col("band"), col("key"),
+            col("doc").as("doc_b"), col("h").as("hb")),
+            Seq("band", "key"))
+          .where(col("doc_a") < col("doc_b"))
+          .withColumn("hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .where(col("hamming") <= maxHamming)
+          .select("doc_a", "doc_b", "hamming")
+        cross.unionByName(selfPairs)
+          .dropDuplicates("doc_a", "doc_b")
+          .withColumn("phase", lit("stream"))
+          .write.mode("append").parquet(pairsDir)
+        // only now does the batch join the index (so its self-pairs
+        // never double-emit through the cross join)
+        nb.select("band", "key", "doc", "h")
+          .write.mode("append").parquet(indexDir)
+        nb.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(pairsDir)
+  }
+}

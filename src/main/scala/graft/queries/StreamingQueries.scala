@@ -537,77 +537,19 @@ object StreamingQueries {
     // corpus, phase-tagged by arrival half.
     "q_stream_neardup" -> { (s, dir) =>
       withStreamParts(s) {
-        import graft.dedup.Dedup
+        import graft.dedup.Nearline
         import graft.text.TextFunctions
         val docs = s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
         val hashed = docs.select(col("doc_id").as("doc"),
           TextFunctions.simHashUdf(
             TextFunctions.tokens(col("text"))).as("h"))
-        val base = tmpDir("graft_neardup")
-        val indexDir = base + "/band_index"
-        val pairsDir = base + "/pairs"
-        val splitDir = base + "/splits"
-        // bootstrap: seed band index + the seed's own pairs
-        val seed = hashed.where(col("doc") % 2 === 0)
-        seed.select(col("doc"), col("h"),
-          posexplode(Dedup.simHashBands(col("h"))).as(Seq("band", "key")))
-          .write.mode("overwrite").parquet(indexDir)
-        Dedup.hammingPairs(seed, "doc", "h", maxHamming = 3)
-          .withColumn("phase", lit("seed"))
-          .write.mode("overwrite").parquet(pairsDir)
-        // stream the odd half in 3 micro-batches
-        StreamFlow.writeTimeSplits(
-          hashed.where(col("doc") % 2 === 1), "doc", 3, splitDir)
-        val schema = StructType(Seq(
-          StructField("doc", LongType), StructField("h", LongType)))
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(splitDir)
-          .writeStream.outputMode("append")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            val nb = b.select(col("doc"), col("h"),
-              posexplode(Dedup.simHashBands(col("h")))
-                .as(Seq("band", "key"))).cache()
-            val idx = s.read.parquet(indexDir)
-            // new-vs-(seed ∪ earlier batches): pair order normalised by
-            // id so the emitted set matches the batch ground truth
-            val cross = nb.select(col("band"), col("key"),
-                col("doc").as("doc_n"), col("h").as("hn"))
-              .join(idx.select(col("band"), col("key"),
-                col("doc").as("doc_o"), col("h").as("ho")),
-                Seq("band", "key"))
-              .withColumn("hamming",
-                bit_count(col("hn").bitwiseXOR(col("ho"))))
-              .where(col("hamming") <= 3)
-              .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
-                greatest(col("doc_n"), col("doc_o")).as("doc_b"),
-                col("hamming"))
-            // new-vs-new inside this batch
-            val selfPairs = nb.select(col("band"), col("key"),
-                col("doc").as("doc_a"), col("h").as("ha"))
-              .join(nb.select(col("band"), col("key"),
-                col("doc").as("doc_b"), col("h").as("hb")),
-                Seq("band", "key"))
-              .where(col("doc_a") < col("doc_b"))
-              .withColumn("hamming",
-                bit_count(col("ha").bitwiseXOR(col("hb"))))
-              .where(col("hamming") <= 3)
-              .select("doc_a", "doc_b", "hamming")
-            cross.unionByName(selfPairs)
-              .dropDuplicates("doc_a", "doc_b")
-              .withColumn("phase", lit("stream"))
-              .write.mode("append").parquet(pairsDir)
-            // only now does the batch join the index (so its self-pairs
-            // never double-emit through the cross join)
-            nb.select("band", "key", "doc", "h")
-              .write.mode("append").parquet(indexDir)
-            nb.unpersist()
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(pairsDir)
+        // even-id half seeds the index; the odd half streams in over 3
+        // micro-batches (the pair set is batch-count invariant —
+        // NearlineSpec pins that property over 1/2/5 batches)
+        Nearline.hammingPairsNearline(s, hashed,
+            col("doc") % 2 === 0, nBatches = 3,
+            baseDir = tmpDir("graft_neardup"), maxHamming = 3)
           .select(col("doc_a"), col("doc_b"), col("hamming"), col("phase"))
           .orderBy("doc_a", "doc_b")
       }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.dedup.{Dedup, Nearline}
+import org.apache.spark.sql.functions._
+
+/** The nearline banded index must emit EXACTLY the batch Hamming-pair
+  * set — no pair lost across a batch boundary, no pair emitted twice —
+  * for ANY partitioning of the stream into micro-batches.
+  */
+class NearlineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // synthetic 60-bit hashes: 20 cluster cores, each with two satellites
+  // within Hamming ≤ 3 (flip up to 3 of the low 60 bits), plus isolated
+  // noise rows. Deterministic seed — the ground truth is stable.
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    val mask = (1L << 60) - 1
+    val rows = (0 until 20).flatMap { c =>
+      val core = rnd.nextLong() & mask
+      val sat1 = core ^ (1L << rnd.nextInt(60))
+      val sat2 = core ^ (1L << rnd.nextInt(60)) ^ (1L << rnd.nextInt(60))
+      Seq(core, sat1, sat2)
+    } ++ (0 until 40).map(_ => rnd.nextLong() & mask)
+    rows.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("nearline pair set is batch-count invariant and exactly-once") {
+    val hashed = corpus.toDF("doc", "h")
+    val truth = pairSet(
+      Dedup.hammingPairs(hashed, "doc", "h", maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming")))
+    assert(truth.nonEmpty, "synthetic corpus must contain near-dup pairs")
+    for (n <- Seq(1, 2, 5)) {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"nearline_$n").toString
+      val got = Nearline.hammingPairsNearline(
+        spark, hashed, col("doc") % 2 === 0, n, base)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"), col("phase"))
+      // exactly-once: no (doc_a, doc_b) appears twice across batches
+      val all = got.collect()
+      assert(all.map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct.size
+        == all.length, s"duplicate pair emitted at nBatches=$n")
+      assert(pairSet(got) == truth,
+        s"pair set diverged from batch ground truth at nBatches=$n")
+      // phase attribution: a pair is 'seed' iff BOTH members are seeds
+      val wrongPhase = all.filter { r =>
+        val bothSeed = r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 0
+        r.getString(3) != (if (bothSeed) "seed" else "stream")
+      }
+      assert(wrongPhase.isEmpty,
+        s"phase misattributed at nBatches=$n: ${wrongPhase.take(3).toSeq}")
+    }
+  }
+}
