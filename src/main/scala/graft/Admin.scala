@@ -151,6 +151,29 @@ object Admin {
     (before, partFileCount(spark, path))
   }
 
+  /** Z-order-cluster a layer table by `zorderCols`
+    * ([[graft.operators.ZOrder]]): [[compact]]'s sizing plus a
+    * multi-dimensional sort, so parquet min/max stats prune range
+    * predicates on any clustered column. Same staging-swap rewrite —
+    * readers never observe a half-clustered table. Returns
+    * (files_before, files_after).
+    */
+  def optimizeLayout(spark: SparkSession, conf: GraftConf, layer: Layer,
+      table: String, zorderCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024, bits: Int = 8): (Long, Long) = {
+    require(zorderCols.nonEmpty, "optimizeLayout needs zorder columns")
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val path = conf.tablePath(layer, table)
+    val bytes = graft.io.ParquetUtil.dirSizeBytes(spark, path)
+    require(bytes >= 0, s"optimizeLayout: no table at $path")
+    val before = partFileCount(spark, path)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    graft.io.ParquetUtil.safeOverwrite(spark,
+      graft.operators.ZOrder.cluster(
+        spark.read.parquet(path), zorderCols, n, bits), path)
+    (before, partFileCount(spark, path))
+  }
+
   private def partFileCount(spark: SparkSession, path: String): Long = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

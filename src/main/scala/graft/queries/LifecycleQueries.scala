@@ -443,6 +443,47 @@ object LifecycleQueries {
         .orderBy("n_nationkey")
     },
 
+    // Z-ORDER layout optimization: cluster a lineitem copy by
+    // (l_partkey, l_suppkey) and prove BOTH halves of data skipping —
+    // values identical to the layout-oblivious oracle, AND the 2-D
+    // range predicate now touches a fraction of the files (parquet
+    // footer min/max pruning; input_file_name only surfaces files
+    // whose row groups survived pushdown). The layout is the operator;
+    // the pruning is stock Spark+parquet.
+    "q_zorder" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_zorder")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_returnflag")
+      val path = c.tablePath(Layer.BSE, "bse_lineitem_z")
+      // round-robin 16 files = the worst layout: every file spans the
+      // full key domain, so stats prune nothing before clustering
+      li.repartition(16).write.mode("overwrite").parquet(path)
+      Admin.optimizeLayout(s, c, Layer.BSE, "bse_lineitem_z",
+        Seq("l_partkey", "l_suppkey"),
+        targetBytes = math.max(1L,
+          graft.io.ParquetUtil.dirSizeBytes(s, path) / 16))
+      val b = li.agg(
+        min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).collect()(0)
+      val pCut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+      val sCut = b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 4
+      val clustered = s.read.parquet(path)
+      val pred =
+        col("l_partkey") <= pCut && col("l_suppkey") <= sCut
+      val totalFiles = clustered
+        .select(input_file_name()).distinct().count()
+      val filesRead = clustered.where(pred)
+        .select(input_file_name()).distinct().count()
+      require(filesRead * 3 <= totalFiles,
+        s"zorder skipping: predicate read $filesRead of $totalFiles files")
+      clustered.where(pred)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // §2.5 dev-mode row cap applied at the source (limitdata)
     "q_limitdata" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir).copy(dataLimitRows = Some(50))
@@ -840,6 +881,22 @@ object LifecycleQueries {
     "q_compact" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // layout-oblivious ground truth: the clustered rewrite must not
+    // change values, only physical order (// is integer division,
+    // matching Spark's long/long)
+    "q_zorder" ->
+      """WITH b AS (SELECT
+        |    min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 8
+        |      AS pcut,
+        |    min(l_suppkey) + (max(l_suppkey) - min(l_suppkey)) // 4
+        |      AS scut
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem, b
+        |WHERE l_partkey <= b.pcut AND l_suppkey <= b.scut
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_orc_source" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

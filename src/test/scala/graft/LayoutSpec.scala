@@ -90,4 +90,38 @@ class LayoutSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("dt"),
       s"expected partition pruning in:\n$scan")
   }
+
+  test("zorder clustering turns 2-D range predicates into file skipping") {
+    implicit val c: GraftConf = tmpConf()
+    // two independent uniform keys: round-robin layout spreads both
+    // domains over every file, so footer stats prune nothing
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 20000).map { i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong,
+        rnd.nextDouble())
+    }.toDF("id", "k1", "k2", "v")
+    val plainPath = c.tablePath(Layer.BSE, "zplain")
+    df.repartition(16).write.mode("overwrite").parquet(plainPath)
+    val zPath = c.tablePath(Layer.BSE, "zclustered")
+    df.repartition(16).write.mode("overwrite").parquet(zPath)
+    Admin.optimizeLayout(spark, c, Layer.BSE, "zclustered",
+      Seq("k1", "k2"),
+      targetBytes = math.max(1L,
+        graft.io.ParquetUtil.dirSizeBytes(spark, zPath) / 16))
+    val pred = col("k1") <= 110 && col("k2") <= 20 // ~1/9 x ~1/5 domain
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path).where(pred)
+        .select(input_file_name()).distinct().count()
+    val (plainFiles, zFiles) = (filesTouched(plainPath), filesTouched(zPath))
+    // round-robin: every file holds the full key range -> all read
+    assert(plainFiles >= 14, s"expected no skipping on plain: $plainFiles")
+    // clustered: the 2-D slice lives in a narrow band of the z-range
+    assert(zFiles <= 4, s"expected file skipping on zorder: $zFiles")
+    // and the layout never changes values
+    val a = spark.read.parquet(plainPath).where(pred)
+      .orderBy("id").collect().toSeq
+    val b = spark.read.parquet(zPath).where(pred)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }
