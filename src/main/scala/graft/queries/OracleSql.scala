@@ -115,6 +115,60 @@ object OracleSql {
        |${asg(iters + 1)}""".stripMargin
   }
 
+  /** Unrolled replay of [[graft.similarity.MiniBatchKMeans]]: points
+    * batch by `vec_id` range exactly as `StreamFlow.writeTimeSplits`
+    * slices them (step = (hi-lo)//n + 1, last slice open-ended — the
+    * LEAST cap), seeds come from batch 0 alone, batch i assigns
+    * against c{i-1}, and state s{i} accumulates (sum, count) per
+    * (cid, dim). Final centroids = s{n} floor-divided.
+    */
+  def miniBatchKmeansCtes(k: Int, nBatches: Int): String = {
+    import graft.similarity.KMeans.{Scale, Offset}
+    val d1 = VectorFunctions.Dim + 1
+    def dist(p: String, c: String) =
+      s"""CAST(list_sum(list_transform(range(1, $d1),
+         |      d -> ($p[d] - $c[d]) * ($p[d] - $c[d]))) AS BIGINT)"""
+        .stripMargin
+    def asg(i: Int) =
+      s"""a$i AS (SELECT vec_id, cid FROM (
+         |  SELECT bp.vec_id, c${i - 1}.cid,
+         |    row_number() OVER (PARTITION BY bp.vec_id
+         |      ORDER BY ${dist("bp.p", s"c${i - 1}.c")}, c${i - 1}.cid)
+         |      AS rn
+         |  FROM bp, c${i - 1} WHERE bp.b = ${i - 1}) WHERE rn = 1)"""
+        .stripMargin
+    def partial(i: Int, name: String) =
+      s"""$name AS (SELECT cid, r.range AS dim,
+         |  CAST(sum(p[r.range]) AS BIGINT) AS s, count(*) AS n
+         |  FROM a$i JOIN pts USING (vec_id), range(1, $d1) r
+         |  GROUP BY 1, 2)""".stripMargin
+    def cent(i: Int) =
+      s"""c$i AS (SELECT cid, list(s // n ORDER BY dim) AS c
+         |  FROM s$i GROUP BY cid)""".stripMargin
+    val rounds = (1 to nBatches).flatMap { i =>
+      val stage =
+        if (i == 1) Seq(asg(1), partial(1, "s1"))
+        else Seq(asg(i), partial(i, s"p$i"),
+          s"""s$i AS (SELECT cid, dim, CAST(sum(s) AS BIGINT) AS s,
+             |  CAST(sum(n) AS BIGINT) AS n
+             |  FROM (SELECT * FROM s${i - 1} UNION ALL
+             |        SELECT * FROM p$i) GROUP BY 1, 2)""".stripMargin)
+      if (i < nBatches) stage :+ cent(i) else stage
+    }.mkString(",\n")
+    s"""pts AS (SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
+       |      AS BIGINT)) AS p
+       |  FROM embeddings),
+       |bb AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM pts),
+       |bp AS (SELECT pts.vec_id, pts.p,
+       |    LEAST(${nBatches - 1}, (pts.vec_id - bb.lo) //
+       |      GREATEST(1, (bb.hi - bb.lo) // $nBatches + 1)) AS b
+       |  FROM pts, bb),
+       |c0 AS (SELECT vec_id AS cid, p AS c FROM bp WHERE b = 0
+       |  ORDER BY vec_id LIMIT $k),
+       |$rounds""".stripMargin
+  }
+
   /** Mirror of [[VectorFunctions.planeBits]]: the 16-char sign-bit
     * signature of an embedding column.
     */

@@ -634,6 +634,25 @@ object StreamingQueries {
       }
     },
 
+    // STREAMING MINI-BATCH K-MEANS: the embeddings-infrastructure
+    // rendering of the nearline pattern — state (per-cluster integer
+    // sums + counts) lives across micro-batches, each arriving batch
+    // is assigned once against the centroids current at its arrival,
+    // and centroids advance as the running integer mean. Bit-exact
+    // fixed-point arithmetic end-to-end, so the whole streamed run
+    // replays in DuckDB (seeds from batch 0, per-batch argmin, state
+    // folds) — the oracle is the unrolled three-batch closed form.
+    "q_stream_kmeans" -> { (s, dir) =>
+      withStreamParts(s) {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        graft.similarity.MiniBatchKMeans.fitStream(s, emb,
+            "vec_id", "embedding", k = SimilarityQueries.KMeansK,
+            nBatches = 3, baseDir = tmpDir("graft_skm"))
+          .orderBy("cid", "dim")
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -650,6 +669,14 @@ object StreamingQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // the streamed mini-batch run replayed batch-by-batch: same seeds,
+    // same per-batch argmin, same integer state folds
+    "q_stream_kmeans" ->
+      s"""WITH ${OracleSql.miniBatchKmeansCtes(
+            SimilarityQueries.KMeansK, 3)}
+         |SELECT cid, dim, n AS n_points, s // n AS centroid_fp
+         |FROM s3 ORDER BY cid, dim""".stripMargin,
+
     // three sequential SCD2 applications in closed form: v1 = initial
     // load; application 2 closes updates/deletes and opens new
     // versions above the high-water mark; application 3 does the same

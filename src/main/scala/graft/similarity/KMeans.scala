@@ -37,7 +37,7 @@ object KMeans {
         floor((v.cast("double") + Offset) * Scale).cast("long")).as("p"))
 
   /** Nearest-centroid assignment: (vec_id, cid). */
-  private def assign(pts: DataFrame, cent: DataFrame): DataFrame =
+  private[similarity] def assign(pts: DataFrame, cent: DataFrame): DataFrame =
     pts.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"),
         aggregate(

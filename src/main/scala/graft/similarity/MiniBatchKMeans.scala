@@ -1,0 +1,88 @@
+package graft.similarity
+
+import graft.streaming.StreamFlow
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming (mini-batch) k-means: embedding vectors arrive in
+  * micro-batches; each point is assigned ONCE, at arrival, against the
+  * centroids current at that moment, and centroids are the running
+  * integer mean over everything assigned so far. Same bit-exact
+  * fixed-point arithmetic as the batch [[KMeans]] (snap once, integer
+  * argmin with ties to the smaller cid, floor division), so the whole
+  * run — seeds from the first batch, per-batch assignment, state
+  * accumulation — replays exactly in any engine (the `q_stream_kmeans`
+  * oracle unrolls it per batch in DuckDB).
+  *
+  * Scale shape per batch: centroids broadcast (k rows) into the batch
+  * scan, the argmin partial-aggregates map-side, and the state merge is
+  * a (k × dim)-row union + sum — the corpus is touched once, state
+  * never exceeds k × dim rows. This is the embeddings-infrastructure
+  * rendering of the nearline pattern ([[graft.dedup.Nearline]]): the
+  * index/state lives across batches, each batch joins it and appends.
+  */
+object MiniBatchKMeans {
+
+  /** Stream `emb` in `nBatches` micro-batches (split by `idCol` range)
+    * and return one row per (cluster, dim): (cid, dim 1-based,
+    * n_points, centroid_fp) — n_points counts the points accumulated
+    * into the cluster across all batches.
+    */
+  def fitStream(
+      s: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBatches: Int, baseDir: String): DataFrame = {
+    require(k >= 1 && nBatches >= 1, "k and nBatches must be >= 1")
+    val pts = KMeans.pointsFp(emb, idCol, vecCol)
+    val splitDir = baseDir + "/splits"
+    val stateDir = baseDir + "/state"
+    val centDir = baseDir + "/centroids"
+    StreamFlow.writeTimeSplits(pts, "vec_id", nBatches, splitDir)
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def exists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(p))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("p", ArrayType(LongType))))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(splitDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        // first batch seeds the centroids: the k smallest ids, exactly
+        // the batch KMeans seed rule restricted to what has arrived
+        if (!exists(centDir))
+          batch.orderBy("vec_id").limit(k)
+            .select(col("vec_id").as("cid"), col("p").as("c"))
+            .write.parquet(centDir)
+        val cent = s.read.parquet(centDir)
+        val partial = KMeans.assign(batch, cent).join(batch, "vec_id")
+          .select(col("cid"), posexplode(col("p")).as(Seq("d0", "v")))
+          .groupBy(col("cid"), (col("d0") + 1).cast("long").as("dim"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        val state =
+          if (!exists(stateDir)) partial
+          else s.read.parquet(stateDir).unionByName(partial)
+            .groupBy("cid", "dim")
+            .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+        graft.io.ParquetUtil.safeOverwrite(s, state, stateDir)
+        // centroids for the NEXT batch: running integer mean
+        graft.io.ParquetUtil.safeOverwrite(s,
+          s.read.parquet(stateDir)
+            .select(col("cid"), col("dim"), expr("s div n").as("cv"))
+            .groupBy("cid")
+            .agg(transform(
+              array_sort(collect_list(struct(col("dim"), col("cv")))),
+              x => x.getField("cv")).as("c")),
+          centDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(stateDir)
+      .select(col("cid"), col("dim"), col("n").as("n_points"),
+        expr("s div n").as("centroid_fp"))
+  }
+}
