@@ -83,6 +83,19 @@ object HllSketch {
     element_at(
       array((0 to MaxRho).map(j => lit(1L << (MaxRho - j))): _*), m + 1)
 
+  /** Merge two full register frames (per-bucket max): THE property that
+    * makes the sketch production-grade — registers built over any
+    * partitioning of the data (executors, micro-batches, days, sites)
+    * merge to exactly the registers of the union, so the streamed /
+    * federated estimate is bit-identical to the batch one
+    * (register-level law pinned by AnalyticsSpec; end-to-end by
+    * `q_stream_hll`'s oracle, which is the BATCH oracle verbatim).
+    */
+  def mergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("m").as("ma"))
+      .join(b.select(col("bucket"), col("m").as("mb")), Seq("bucket"))
+      .select(col("bucket"), greatest(col("ma"), col("mb")).as("m"))
+
   /** Collapse registers to the single-row estimate:
     * (m_buckets, sum_pow, n_zero, estimate) where
     * estimate = alpha·m²·2^31 / Σ 2^(31-M_j), with the standard

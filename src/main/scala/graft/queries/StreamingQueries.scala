@@ -653,6 +653,47 @@ object StreamingQueries {
       }
     },
 
+    // STREAMING HLL: the distinct-count sketch maintained across
+    // micro-batches — per batch, build registers over the batch alone
+    // and fold them into the state with the per-bucket max. Register
+    // merge is associative + commutative and loses nothing, so the
+    // final registers are BIT-IDENTICAL to the batch run over the
+    // whole corpus under any batching — which is why the oracle is the
+    // batch q_hll_distinct oracle verbatim. The same law is what makes
+    // the sketch mergeable across executors, days, or sites at scale.
+    "q_stream_hll" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.functions.HllSketch
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = s.read.schema(EventsSchema)
+          .parquet(s"$dir/events.parquet").select("event_id")
+        val base = tmpDir("graft_shll")
+        val regsDir = base + "/registers"
+        StreamFlow.writeTimeSplits(ev, "event_id", 4, base + "/splits")
+        val schema = StructType(Seq(StructField("event_id", LongType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val regs = HllSketch.registers(s, b, "event_id")
+            val fs = new org.apache.hadoop.fs.Path(regsDir)
+              .getFileSystem(s.sessionState.newHadoopConf())
+            val merged =
+              if (!fs.exists(new org.apache.hadoop.fs.Path(regsDir))) regs
+              else HllSketch.mergeRegisters(
+                s.read.parquet(regsDir), regs)
+            graft.io.ParquetUtil.safeOverwrite(s, merged, regsDir)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        HllSketch.estimate(s.read.parquet(regsDir))
+          .crossJoin(ev.agg(
+            count_distinct(col("event_id")).as("exact_distinct")))
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -669,6 +710,10 @@ object StreamingQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // register merge is lossless, so the streamed sketch equals the
+    // batch sketch exactly — the batch oracle IS the streaming oracle
+    "q_stream_hll" -> AnalyticsQueries.oracles("q_hll_distinct"),
+
     // the streamed mini-batch run replayed batch-by-batch: same seeds,
     // same per-batch argmin, same integer state folds
     "q_stream_kmeans" ->

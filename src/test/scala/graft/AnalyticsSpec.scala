@@ -500,4 +500,24 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy("k").collect()
     assert(wide.toSeq === Seq(Row("r1", 6.0, 3.0), Row("r2", 5.0, null)))
   }
+
+  test("hll register merge law: merge(regs(A), regs(B)) == regs(A ∪ B)") {
+    import spark.implicits._
+    val a = (1 to 400).map(i => s"u$i").toDF("v")
+    val b = (200 to 600).map(i => s"u$i").toDF("v") // overlapping slice
+    val ra = HllSketch.registers(spark, a, "v")
+    val rb = HllSketch.registers(spark, b, "v")
+    val direct = HllSketch.registers(spark, a.union(b), "v")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.get(1).toString.toInt)).toSeq
+    val want = regs(direct)
+    assert(want.size == HllSketch.M)
+    // lossless under union, and commutative — the properties that make
+    // the sketch mergeable across batches/executors/sites
+    assert(regs(HllSketch.mergeRegisters(ra, rb)) == want)
+    assert(regs(HllSketch.mergeRegisters(rb, ra)) == want)
+    // idempotent: re-merging a side changes nothing
+    assert(regs(HllSketch.mergeRegisters(direct, ra)) == want)
+  }
 }
