@@ -48,48 +48,68 @@ object Nearline {
       .option("maxFilesPerTrigger", "1").parquet(splitDir)
       .writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        val nb = b.select(col("doc"), col("h"),
-          posexplode(Dedup.simHashBands(col("h")))
-            .as(Seq("band", "key"))).cache()
-        val idx = s.read.parquet(indexDir)
-        // new-vs-(seed ∪ earlier batches): pair order normalised by id
-        // so the emitted set matches the batch ground truth
-        val cross = nb.select(col("band"), col("key"),
-            col("doc").as("doc_n"), col("h").as("hn"))
-          .join(idx.select(col("band"), col("key"),
-            col("doc").as("doc_o"), col("h").as("ho")),
-            Seq("band", "key"))
-          .withColumn("hamming",
-            bit_count(col("hn").bitwiseXOR(col("ho"))))
-          .where(col("hamming") <= maxHamming)
-          .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
-            greatest(col("doc_n"), col("doc_o")).as("doc_b"),
-            col("hamming"))
-        // new-vs-new inside this batch
-        val selfPairs = nb.select(col("band"), col("key"),
-            col("doc").as("doc_a"), col("h").as("ha"))
-          .join(nb.select(col("band"), col("key"),
-            col("doc").as("doc_b"), col("h").as("hb")),
-            Seq("band", "key"))
-          .where(col("doc_a") < col("doc_b"))
-          .withColumn("hamming",
-            bit_count(col("ha").bitwiseXOR(col("hb"))))
-          .where(col("hamming") <= maxHamming)
-          .select("doc_a", "doc_b", "hamming")
-        cross.unionByName(selfPairs)
-          .dropDuplicates("doc_a", "doc_b")
-          .withColumn("phase", lit("stream"))
-          .write.mode("append").parquet(pairsDir)
-        // only now does the batch join the index (so its self-pairs
-        // never double-emit through the cross join)
-        nb.select("band", "key", "doc", "h")
-          .write.mode("append").parquet(indexDir)
-        nb.unpersist()
-        ()
+        applyBatch(s, b, indexDir, pairsDir, maxHamming)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     s.read.parquet(pairsDir)
+  }
+
+  /** Apply one micro-batch to the (index, pairs) state — IDEMPOTENT
+    * under at-least-once delivery: rows already in the index drop out
+    * before any pairing, and emitted pairs anti-join the pairs already
+    * on disk, so a replayed batch — or a replay after a crash between
+    * the pairs append and the index append — changes nothing
+    * (NearlineSpec pins both). The two guards are id-only joins against
+    * index/result-sized frames.
+    */
+  private[graft] def applyBatch(
+      s: SparkSession, b: DataFrame, indexDir: String, pairsDir: String,
+      maxHamming: Int): Unit = {
+    val idx = s.read.parquet(indexDir)
+    val nb = b.select(col("doc"), col("h"),
+        posexplode(Dedup.simHashBands(col("h")))
+          .as(Seq("band", "key")))
+      // replay guard: already-indexed docs contribute nothing new
+      .join(idx.select("doc").distinct(), Seq("doc"), "left_anti")
+      .cache()
+    // new-vs-(seed ∪ earlier batches): pair order normalised by id
+    // so the emitted set matches the batch ground truth
+    val cross = nb.select(col("band"), col("key"),
+        col("doc").as("doc_n"), col("h").as("hn"))
+      .join(idx.select(col("band"), col("key"),
+        col("doc").as("doc_o"), col("h").as("ho")),
+        Seq("band", "key"))
+      .withColumn("hamming",
+        bit_count(col("hn").bitwiseXOR(col("ho"))))
+      .where(col("hamming") <= maxHamming)
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"),
+        col("hamming"))
+    // new-vs-new inside this batch
+    val selfPairs = nb.select(col("band"), col("key"),
+        col("doc").as("doc_a"), col("h").as("ha"))
+      .join(nb.select(col("band"), col("key"),
+        col("doc").as("doc_b"), col("h").as("hb")),
+        Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+    cross.unionByName(selfPairs)
+      .dropDuplicates("doc_a", "doc_b")
+      // crash-window guard: never re-emit a pair already on disk
+      .join(s.read.parquet(pairsDir).select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .withColumn("phase", lit("stream"))
+      .write.mode("append").parquet(pairsDir)
+    // only now does the batch join the index (so its self-pairs
+    // never double-emit through the cross join)
+    nb.select("band", "key", "doc", "h")
+      .write.mode("append").parquet(indexDir)
+    nb.unpersist()
+    ()
   }
 }

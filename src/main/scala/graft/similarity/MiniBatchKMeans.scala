@@ -36,47 +36,15 @@ object MiniBatchKMeans {
     val pts = KMeans.pointsFp(emb, idCol, vecCol)
     val splitDir = baseDir + "/splits"
     val stateDir = baseDir + "/state"
-    val centDir = baseDir + "/centroids"
     StreamFlow.writeTimeSplits(pts, "vec_id", nBatches, splitDir)
-    val fs = new org.apache.hadoop.fs.Path(baseDir)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    def exists(p: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(p))
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("p", ArrayType(LongType))))
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(splitDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        val batch = b.localCheckpoint()
-        // first batch seeds the centroids: the k smallest ids, exactly
-        // the batch KMeans seed rule restricted to what has arrived
-        if (!exists(centDir))
-          batch.orderBy("vec_id").limit(k)
-            .select(col("vec_id").as("cid"), col("p").as("c"))
-            .write.parquet(centDir)
-        val cent = s.read.parquet(centDir)
-        val partial = KMeans.assign(batch, cent).join(batch, "vec_id")
-          .select(col("cid"), posexplode(col("p")).as(Seq("d0", "v")))
-          .groupBy(col("cid"), (col("d0") + 1).cast("long").as("dim"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        val state =
-          if (!exists(stateDir)) partial
-          else s.read.parquet(stateDir).unionByName(partial)
-            .groupBy("cid", "dim")
-            .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-        graft.io.ParquetUtil.safeOverwrite(s, state, stateDir)
-        // centroids for the NEXT batch: running integer mean
-        graft.io.ParquetUtil.safeOverwrite(s,
-          s.read.parquet(stateDir)
-            .select(col("cid"), col("dim"), expr("s div n").as("cv"))
-            .groupBy("cid")
-            .agg(transform(
-              array_sort(collect_list(struct(col("dim"), col("cv")))),
-              x => x.getField("cv")).as("c")),
-          centDir)
-        ()
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(s, b, id, k, stateDir)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -84,5 +52,54 @@ object MiniBatchKMeans {
     s.read.parquet(stateDir)
       .select(col("cid"), col("dim"), col("n").as("n_points"),
         expr("s div n").as("centroid_fp"))
+  }
+
+  /** Apply one micro-batch to the running state — IDEMPOTENT under
+    * at-least-once delivery. Sums are not naturally idempotent, so the
+    * guard is the standard batch-id watermark: `last_batch` rides as a
+    * column INSIDE the state frame, and the state is the ONLY
+    * persisted artifact (centroids derive from it on read), so the
+    * single staging-swap write leaves no window where state and
+    * watermark — or state and centroids — disagree. A replayed
+    * id ≤ watermark is a no-op (pinned by AnalyticsSpec).
+    */
+  private[graft] def applyBatch(
+      s: SparkSession, b: DataFrame, batchId: Long, k: Int,
+      stateDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(stateDir))
+    if (hasState) {
+      val applied = s.read.parquet(stateDir)
+        .agg(max(col("last_batch"))).collect()(0).getLong(0)
+      if (batchId <= applied) return
+    }
+    val batch = b.localCheckpoint()
+    // centroids current at this batch's arrival: the running integer
+    // mean from state — or, for the very first batch, the k smallest
+    // arrived ids (the batch KMeans seed rule restricted to batch 0)
+    val cent =
+      if (!hasState)
+        batch.orderBy("vec_id").limit(k)
+          .select(col("vec_id").as("cid"), col("p").as("c"))
+      else s.read.parquet(stateDir)
+        .select(col("cid"), col("dim"), expr("s div n").as("cv"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+    val partial = KMeans.assign(batch, cent).join(batch, "vec_id")
+      .select(col("cid"), posexplode(col("p")).as(Seq("d0", "v")))
+      .groupBy(col("cid"), (col("d0") + 1).cast("long").as("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val state =
+      if (!hasState) partial
+      else s.read.parquet(stateDir).drop("last_batch")
+        .unionByName(partial)
+        .groupBy("cid", "dim")
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+    graft.io.ParquetUtil.safeOverwrite(s,
+      state.withColumn("last_batch", lit(batchId)), stateDir)
+    ()
   }
 }

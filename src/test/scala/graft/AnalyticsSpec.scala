@@ -520,4 +520,28 @@ class AnalyticsSpec extends SparkSpec {
     // idempotent: re-merging a side changes nothing
     assert(regs(HllSketch.mergeRegisters(direct, ra)) == want)
   }
+
+  test("mini-batch kmeans: replayed batch is a no-op (batch-id watermark)") {
+    import graft.similarity.{KMeans, MiniBatchKMeans}
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "v")
+    val base = java.nio.file.Files
+      .createTempDirectory("skm_replay").toString
+    val result = MiniBatchKMeans.fitStream(
+      spark, emb, "id", "v", k = 4, nBatches = 3, baseDir = base)
+    val before = result.orderBy("cid", "dim").collect().toSeq
+    // re-deliver the whole corpus under already-applied batch ids —
+    // sums would double without the watermark; state must not move
+    val replay = KMeans.pointsFp(emb, "id", "v")
+    MiniBatchKMeans.applyBatch(spark, replay, 2L, 4, base + "/state")
+    MiniBatchKMeans.applyBatch(spark, replay, 0L, 4, base + "/state")
+    val after = spark.read.parquet(base + "/state")
+      .select(col("cid"), col("dim"), col("n").as("n_points"),
+        expr("s div n").as("centroid_fp"))
+      .orderBy("cid", "dim").collect().toSeq
+    assert(after == before)
+  }
 }

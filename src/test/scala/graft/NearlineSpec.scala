@@ -58,4 +58,22 @@ class NearlineSpec extends SparkSpec {
         s"phase misattributed at nBatches=$n: ${wrongPhase.take(3).toSeq}")
     }
   }
+
+  test("replayed micro-batch is a no-op (at-least-once delivery)") {
+    val hashed = corpus.toDF("doc", "h")
+    val base = java.nio.file.Files
+      .createTempDirectory("nearline_replay").toString
+    val pairs = Nearline.hammingPairsNearline(
+      spark, hashed, col("doc") % 2 === 0, 2, base)
+    val (pairsBefore, idxBefore) =
+      (pairs.count(), spark.read.parquet(base + "/band_index").count())
+    // re-deliver EVERY streamed row at once — a superset of any batch
+    // the source could replay; the already-indexed guard must drop all
+    // of it before pairing, leaving pairs and index untouched
+    Nearline.applyBatch(spark, spark.read.parquet(base + "/splits"),
+      base + "/band_index", base + "/pairs", maxHamming = 3)
+    assert(spark.read.parquet(base + "/pairs").count() == pairsBefore)
+    assert(
+      spark.read.parquet(base + "/band_index").count() == idxBefore)
+  }
 }
