@@ -47,6 +47,37 @@ object CountMinSketch {
       .groupBy("j", "cell")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Fold one micro-batch's terms into a persisted sketch — the
+    * streaming rendering. Counter ADDITION merges the sketch exactly
+    * (cell-wise sum over any partitioning equals the batch sketch),
+    * but addition is not idempotent — the opposite algebra from
+    * [[HllSketch.mergeRegisters]]'s max — so replay protection under
+    * at-least-once delivery is the batch-id watermark, carried as a
+    * column inside the single atomically-swapped state frame (same
+    * pattern as `MiniBatchKMeans.applyBatch`; replay no-op pinned by
+    * AnalyticsSpec). State never exceeds Depth×Width = 4096 rows.
+    */
+  def applyBatch(
+      s: org.apache.spark.sql.SparkSession, terms: DataFrame,
+      termCol: String, batchId: Long, stateDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(stateDir))
+    if (hasState) {
+      val applied = s.read.parquet(stateDir)
+        .agg(max(col("last_batch"))).collect()(0).getLong(0)
+      if (batchId <= applied) return
+    }
+    val partial = sketch(terms, termCol)
+    val merged =
+      if (!hasState) partial
+      else s.read.parquet(stateDir).drop("last_batch")
+        .unionByName(partial)
+        .groupBy("j", "cell").agg(sum(col("cnt")).as("cnt"))
+    graft.io.ParquetUtil.safeOverwrite(s,
+      merged.withColumn("last_batch", lit(batchId)), stateDir)
+  }
+
   /** Point-estimate the frequency of each probe term: min over the
     * Depth probed cells (absent cell = 0).
     */

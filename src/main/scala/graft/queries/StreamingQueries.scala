@@ -694,6 +694,52 @@ object StreamingQueries {
       }
     },
 
+    // STREAMING CMS: the frequency sketch maintained across
+    // micro-batches by cell-wise counter ADDITION — mergeable like the
+    // HLL registers, but addition is not idempotent, so this one
+    // carries the batch-id watermark ([[CountMinSketch.applyBatch]]).
+    // The folded grid equals the batch sketch exactly, so the oracle
+    // is the batch q_cms_freq oracle verbatim.
+    "q_stream_cms" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.functions.CountMinSketch
+        import graft.text.TextFunctions
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val base = tmpDir("graft_scms")
+        val stateDir = base + "/state"
+        StreamFlow.writeTimeSplits(docs, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            CountMinSketch.applyBatch(s,
+              b.select(
+                explode(TextFunctions.tokens(col("text"))).as("term")),
+              "term", id, stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val sk = s.read.parquet(stateDir).drop("last_batch")
+        val toks = docs
+          .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        val probes = {
+          import s.implicits._
+          TextQueries.CmsProbes.toDF("term")
+        }
+        val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_tf"))
+        CountMinSketch.estimate(sk, probes, "term")
+          .join(exact, Seq("term"), "left")
+          .na.fill(0L, Seq("exact_tf"))
+          .select("term", "cms_est", "exact_tf")
+          .orderBy("term")
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -713,6 +759,10 @@ object StreamingQueries {
     // register merge is lossless, so the streamed sketch equals the
     // batch sketch exactly — the batch oracle IS the streaming oracle
     "q_stream_hll" -> AnalyticsQueries.oracles("q_hll_distinct"),
+
+    // cell-wise addition over any batching equals the batch grid —
+    // batch oracle verbatim, like q_stream_hll
+    "q_stream_cms" -> TextQueries.oracles("q_cms_freq"),
 
     // the streamed mini-batch run replayed batch-by-batch: same seeds,
     // same per-batch argmin, same integer state folds

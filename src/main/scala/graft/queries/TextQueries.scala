@@ -319,7 +319,7 @@ object TextQueries {
     * one absent term (the sketch must return a small collision count or
     * zero for it, never a miss).
     */
-  private val CmsProbes = Seq("scan", "column", "window", "join",
+  private[queries] val CmsProbes = Seq("scan", "column", "window", "join",
     "zzz_unseen")
 
   /** Merges trained by q_bpe_merges. */

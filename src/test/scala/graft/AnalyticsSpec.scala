@@ -521,6 +521,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(regs(HllSketch.mergeRegisters(direct, ra)) == want)
   }
 
+  test("cms applyBatch: additive merge equals batch sketch, replay is a no-op") {
+    import graft.functions.CountMinSketch
+    import spark.implicits._
+    val a = Seq("x", "x", "y", "z").toDF("term")
+    val b = Seq("x", "y", "w").toDF("term")
+    val base = java.nio.file.Files
+      .createTempDirectory("cms_replay").toString + "/state"
+    CountMinSketch.applyBatch(spark, a, "term", 0L, base)
+    val afterA = spark.read.parquet(base).drop("last_batch")
+      .orderBy("j", "cell").collect().toSeq
+    // replayed batch id: counters must NOT double
+    CountMinSketch.applyBatch(spark, a, "term", 0L, base)
+    assert(spark.read.parquet(base).drop("last_batch")
+      .orderBy("j", "cell").collect().toSeq == afterA)
+    // a genuinely new batch folds in; the union grid equals the batch
+    // sketch over A ∪ B (cell-wise addition is the sketch's merge)
+    CountMinSketch.applyBatch(spark, b, "term", 1L, base)
+    val streamed = spark.read.parquet(base).drop("last_batch")
+      .orderBy("j", "cell").collect().toSeq
+    val direct = CountMinSketch.sketch(a.union(b), "term")
+      .orderBy("j", "cell").collect().toSeq
+    assert(streamed == direct)
+  }
+
   test("mini-batch kmeans: replayed batch is a no-op (batch-id watermark)") {
     import graft.similarity.{KMeans, MiniBatchKMeans}
     import spark.implicits._
