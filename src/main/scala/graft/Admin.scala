@@ -50,7 +50,7 @@ object Admin {
     val names = ds.tableNames(spark)
     requireNoCleanNameCollisions(names)
     names.map { t =>
-      val srcCols = ds.read(spark, t).schema.fields.toSeq.map { f =>
+      val srcCols = ds.readEnumerated(spark, t).schema.fields.toSeq.map { f =>
         ColumnDef(f.name, f.dataType, nullable = f.nullable)
       }
       val auditCols = Seq(

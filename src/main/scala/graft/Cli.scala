@@ -209,6 +209,14 @@ object Main {
       // never block on a slow or unreachable source
       val ops = if (plan.run || plan.runOp.nonEmpty)
         Cli.defaultOps(spark, conf) else Seq.empty[PipelineOp]
+      // an unknown runop id is a usage error like an unknown verb:
+      // message + exit 2, never a stack trace — validated here, before
+      // execute, because the op set itself needs the session to enumerate
+      plan.runOp.filterNot(id => ops.exists(_.name == id)).foreach { id =>
+        System.err.println(s"runop: unknown op '$id' (known: " +
+          s"${ops.map(_.name).sorted.mkString(", ")})")
+        spark.stop(); sys.exit(2)
+      }
       Cli.execute(spark, conf, plan,
         ops = ops,
         schemaFile = Some(schemaFile),

@@ -208,10 +208,15 @@ class DataFlow(
       tableName: String,
       srcSysID: String,
       srcTableName: Option[String] = None,
-      bulkOrDelta: String = "BULK"): DataFlow =
+      bulkOrDelta: String = "BULK",
+      enumeratedName: Boolean = false): DataFlow =
     log.step("getDataFromSrc", s"$srcSysID/${srcTableName.getOrElse(tableName)}") {
-      val raw = conf.srcSystem(srcSysID)
-        .read(spark, srcTableName.getOrElse(tableName))
+      val ds = conf.srcSystem(srcSysID)
+      val name = srcTableName.getOrElse(tableName)
+      // enumeratedName: the name came from Datastore.tableNames metadata
+      // (exact stored case) rather than a hand-written config entry
+      val raw = if (enumeratedName) ds.readEnumerated(spark, name)
+                else ds.read(spark, name)
       val limited = conf.dataLimitRows.map(raw.limit).getOrElse(raw)
       put(tableName, limited)
       setAuditCols(tableName, bulkOrDelta, srcSysID)

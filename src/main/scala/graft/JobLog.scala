@@ -161,10 +161,22 @@ object JobLog {
   def writeNumbered(logsDir: String, text: String): String = {
     val dir = java.nio.file.Paths.get(logsDir)
     java.nio.file.Files.createDirectories(dir)
-    val next = 1 + Option(dir.toFile.list()).map(_.count(
-      _.matches("""\d{4}_jobLog\.log"""))).getOrElse(0)
-    val p = dir.resolve(f"$next%04d_jobLog.log")
-    java.nio.file.Files.writeString(p, text)
-    p.toString
+    val NumRe = """(\d{4})_jobLog\.log""".r
+    // max+1 (not count+1): a gap in the sequence must never resolve to
+    // an existing file; CREATE_NEW + retry covers concurrent writers.
+    var next = 1 + Option(dir.toFile.list()).map(_.collect {
+      case NumRe(n) => n.toInt
+    }.foldLeft(0)(math.max)).getOrElse(0)
+    while (true) {
+      val p = dir.resolve(f"$next%04d_jobLog.log")
+      try {
+        java.nio.file.Files.write(p, text.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return p.toString
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -18,6 +18,13 @@ trait Datastore extends Serializable {
   def read(spark: SparkSession, table: String): DataFrame
   /** List of table names, when enumerable (for default-extract DAG fan-out). */
   def tableNames(spark: SparkSession): Seq[String] = Seq.empty
+  /** Read a table whose name came from [[tableNames]] — metadata names
+    * are the exact stored identifiers, so engines with name resolution
+    * rules (JDBC case folding) must resolve them verbatim rather than
+    * applying caller-supplied-name heuristics. Default: same as [[read]].
+    */
+  def readEnumerated(spark: SparkSession, table: String): DataFrame =
+    read(spark, table)
   /** Write a table to this datastore (`mode` ∈ overwrite/append) — the
     * sink half of the reference's Datastore contract (its BSE/SUM layers
     * always land in the TRG database, betl/io/dbIO.py:24-44).
@@ -341,13 +348,19 @@ case class JdbcDatastore(
     p
   }
 
-  /** Resolve a table reference for SQL embedding: uniformly-cased bare
-    * identifiers pass through (the engine's case-fold makes them land —
-    * and hand-written lowercase names keep working against Derby's
-    * up-fold), while mixed-case or exotic names (i.e. tables that can
-    * only have been created QUOTED, like Postgres `"MyTable"`) are
-    * dialect-quoted verbatim so the metadata-reported name from
-    * [[tableNames]] resolves instead of being folded away.
+  /** Resolve a CALLER-SUPPLIED table reference for SQL embedding:
+    * uniformly-cased bare identifiers pass through (the engine's
+    * case-fold makes them land — and hand-written lowercase names keep
+    * working against Derby's up-fold), while mixed-case or exotic names
+    * (i.e. tables that can only have been created QUOTED, like Postgres
+    * `"MyTable"`) are dialect-quoted verbatim.
+    *
+    * This heuristic is ONLY for hand-written names: a quoted-created
+    * table whose uniform case opposes the dialect's fold (Postgres
+    * `"MYTABLE"`, Derby `"orders"`) would pass through bare here and be
+    * folded away by the engine — names enumerated from [[tableNames]]
+    * metadata (exact stored case) must go through [[readEnumerated]],
+    * which quotes unconditionally and therefore always resolves.
     */
   private def quotedIfNeeded(table: String): String = {
     val bare = table.matches("[A-Za-z_][A-Za-z0-9_]*") &&
@@ -357,8 +370,19 @@ case class JdbcDatastore(
       .quoteIdentifier(table)
   }
 
-  def read(spark: SparkSession, table0: String): DataFrame = {
-    val table = quotedIfNeeded(table0)
+  /** Metadata-sourced read: the name is the exact stored identifier
+    * (from [[tableNames]]), so quote it verbatim — quoting an exact
+    * stored name always resolves, in every dialect, regardless of fold
+    * direction.
+    */
+  override def readEnumerated(spark: SparkSession, table: String): DataFrame =
+    readResolved(spark, org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(table))
+
+  def read(spark: SparkSession, table0: String): DataFrame =
+    readResolved(spark, quotedIfNeeded(table0))
+
+  private def readResolved(spark: SparkSession, table: String): DataFrame = {
     partitionColumn match {
       case Some(pc) =>
         // quote the partition column per dialect: Spark's JDBC writer

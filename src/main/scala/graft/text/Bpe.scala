@@ -95,13 +95,29 @@ object Bpe {
     * any realistic k in seconds; both trainers are value-exact with
     * each other and with the DuckDB oracle (bit-parity spec pins it).
     */
+  /** Vocab sizes above this train distributed instead of collecting to
+    * the driver. 10M distinct words ≈ hundreds of MB of driver heap —
+    * comfortably safe — while anything larger (noisy/binary corpora
+    * where "distinct words" stops being vocabulary-bounded) stays on
+    * the cluster. Overridable per call for constrained drivers.
+    */
+  val DefaultMaxLocalVocab: Long = 10L * 1000 * 1000
+
   def trainMerges(
       spark: SparkSession, words: DataFrame, k: Int,
-      wordCol: String = "w", countCol: String = "cnt"): Seq[Merge] = {
-    val vocab = words
+      wordCol: String = "w", countCol: String = "cnt",
+      maxLocalVocab: Long = DefaultMaxLocalVocab): Seq[Merge] = {
+    val proj = words
       .select(col(wordCol).cast("string"), col(countCol).cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainMergesLocal(vocab, k)
+    // cheap guard before the collect: a pathological vocabulary (not
+    // actually vocab-bounded) must not OOM the driver — fall back to
+    // the bit-parity distributed trainer instead
+    val vocabSize = proj.count()
+    if (vocabSize > maxLocalVocab)
+      trainMergesDistributed(spark, words, k, wordCol, countCol)
+    else
+      trainMergesLocal(
+        proj.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, k)
   }
 
   /** Unsigned UTF-8 byte-wise `<` — the shared total order of Spark's

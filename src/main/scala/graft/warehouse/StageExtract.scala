@@ -23,11 +23,12 @@ object StageExtract {
   def bulkExtract(
       spark: org.apache.spark.sql.SparkSession, conf: GraftConf,
       srcSysID: String, srcTable: String,
-      bulkOrDelta: String = "BULK"): Unit = {
+      bulkOrDelta: String = "BULK",
+      enumeratedName: Boolean = false): Unit = {
     val table = graft.Admin.cleanTableName(srcTable)
     val dfl = new DataFlow(spark, s"bulkExtract_$table", conf)
     dfl.getDataFromSrc(table, srcSysID, srcTableName = Some(srcTable),
-      bulkOrDelta = bulkOrDelta)
+      bulkOrDelta = bulkOrDelta, enumeratedName = enumeratedName)
     dfl.write(table, table, Layer.EXT, keepDataflowOpen = false)
   }
 
@@ -117,7 +118,8 @@ object StageExtract {
     graft.Admin.requireNoCleanNameCollisions(names)
     names.map { t =>
       PipelineOp(s"extract_${graft.Admin.cleanTableName(t)}", Stage.Extract,
-        (sp, cf) => bulkExtract(sp, cf, srcSysID, t, cf.bulkOrDelta))
+        (sp, cf) => bulkExtract(sp, cf, srcSysID, t, cf.bulkOrDelta,
+          enumeratedName = true))
     }
   }
 }

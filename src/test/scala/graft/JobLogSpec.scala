@@ -9,13 +9,33 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Started/Completed bracket, parseable elapsed seconds, and Output
   * shapes. Sample values / timestamps / box cosmetics are per-run.
   */
+object JobLogSpec {
+  /** Reference checkout root: system property beats env var beats the
+    * sandbox default (kept only when it actually exists on disk).
+    */
+  val referenceDir: Option[String] =
+    sys.props.get("graft.reference.dir")
+      .orElse(sys.env.get("GRAFT_REFERENCE_DIR"))
+      .orElse(Some("/root/reference")
+        .filter(p => new java.io.File(p).isDirectory))
+}
+
 class JobLogSpec extends SparkSpec {
 
-  private val goldenPath =
-    "/root/reference/betl/betl-test/test_app/logs/0001_jobLog.log"
+  // resolved from GRAFT_REFERENCE_DIR (env or system property) so the
+  // spec cancels cleanly on machines without the reference checkout
+  // instead of hard-failing on a hardcoded absolute path
+  private val goldenPath = JobLogSpec.referenceDir
+    .map(_ + "/betl/betl-test/test_app/logs/0001_jobLog.log")
 
-  private def golden: String = new String(java.nio.file.Files
-    .readAllBytes(java.nio.file.Paths.get(goldenPath)), "UTF-8")
+  private def golden: String = {
+    val p = goldenPath.filter(p =>
+      java.nio.file.Files.isReadable(java.nio.file.Paths.get(p)))
+    assume(p.isDefined,
+      "reference golden log not available (set GRAFT_REFERENCE_DIR)")
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p.get)), "UTF-8")
+  }
 
   test("golden log parses into the expected step structure") {
     // first execution section of the golden file: createDataset (2x2),
@@ -69,6 +89,22 @@ class JobLogSpec extends SparkSpec {
     assert(p1.endsWith("0001_jobLog.log") && p2.endsWith("0002_jobLog.log"))
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(p2)), "UTF-8") == "two")
+  }
+
+
+  test("writeNumbered never reuses a number across a gap") {
+    val dir = java.nio.file.Files.createTempDirectory("joblog").toString
+    JobLog.writeNumbered(dir, "one")   // 0001
+    JobLog.writeNumbered(dir, "two")   // 0002
+    JobLog.writeNumbered(dir, "three") // 0003
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "0002_jobLog.log"))
+    // count-based numbering would resolve to 0003 and clobber it;
+    // max+1 must land on 0004
+    val p = JobLog.writeNumbered(dir, "four")
+    assert(p.endsWith("0004_jobLog.log"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "0003_jobLog.log")), "UTF-8") == "three")
   }
 
   test("describe counts audit cols separately and samples first row") {

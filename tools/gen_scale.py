@@ -31,10 +31,13 @@ COPY_ONLY = ["region", "nation"]
 
 
 def scale_table(src, dst, table, n):
+    # Stream one key-shifted copy at a time through a ParquetWriter so
+    # n=100 (sf10) stays bounded at ~one-copy of Arrow memory.
     tbl = pq.read_table(f"{src}/{table}.parquet")
     shifts = SHIFTS.get(table, [])
     strides = {c: pc.max(tbl[c]).as_py() + 1 for c in shifts}
-    parts = []
+    writer = pq.ParquetWriter(f"{dst}/{table}.parquet", tbl.schema)
+    total = 0
     for i in range(n):
         cols = {}
         for name in tbl.column_names:
@@ -48,10 +51,11 @@ def scale_table(src, dst, table, n):
                 cols["text"], pattern=r"(\S+)", replacement=rf"\1x{i}")
             cols["n_chars"] = pc.cast(
                 pc.utf8_length(cols["text"]), tbl.schema.field("n_chars").type)
-        parts.append(pa.table(cols))
-    out = pa.concat_tables(parts)
-    pq.write_table(out, f"{dst}/{table}.parquet")
-    print(f"{table}: {tbl.num_rows} -> {out.num_rows}")
+        part = pa.table(cols).cast(tbl.schema)
+        writer.write_table(part)
+        total += part.num_rows
+    writer.close()
+    print(f"{table}: {tbl.num_rows} -> {total}")
 
 
 def main():
