@@ -21,15 +21,15 @@ import org.apache.spark.sql.types._
 object AnalyticsQueries {
   import Q._
 
-  /** Batch events read off the shared [[Q.EventsSchema]]; DuckDB
-    * truncates the same nanos to micros on read, so
-    * `ts div 1000` == `epoch_us(ts)` exactly.
+  /** Batch events read off the shared [[Q.EventsSchema]]; the µs
+    * derivation is unit-detected ([[Q.eventsTsUs]]) and matches DuckDB's
+    * `epoch_us(ts)` exactly for either testdata generation.
     */
   private def eventsUs(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), expr("ts div 1000").as("ts_us"))
+        col("value"), eventsTsUs(s, dir).as("ts_us"))
   }
 
   private val TwoDaysUs = 2L * 86400L * 1000000L

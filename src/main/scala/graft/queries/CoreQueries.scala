@@ -41,11 +41,14 @@ object Q {
       : org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
-  /** events.parquet carries TIMESTAMP(NANOS) — a parquet type Spark does
-    * not map to a timestamp. Every reader takes it as raw nanos (legacy
-    * nanosAsLong flag) and derives micros with integral `div` (epoch-nano
-    * magnitudes exceed 2^53; a double detour would corrupt them). One
-    * shared definition so streaming and analytics reads cannot desync.
+  /** events.parquet's `ts` has shipped BOTH TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) physical types across driver testdata
+    * generations. Every reader takes it as raw INT64 (this schema +
+    * the legacy nanosAsLong flag) and derives micros with integral
+    * `div` by the footer-detected unit ([[eventsTsUs]]) — epoch-nano
+    * magnitudes exceed 2^53, so a double detour would corrupt them.
+    * One shared definition so streaming and analytics reads cannot
+    * desync.
     */
   private[graft] val EventsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("event_id",
@@ -60,6 +63,30 @@ object Q {
       org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("props",
       org.apache.spark.sql.types.StringType)))
+
+  /** Epoch-µs rendering of the raw events `ts` column, agnostic to the
+    * file's physical timestamp unit. With nanosAsLong on, a NANOS file
+    * infers `ts: bigint` (raw nanos → div 1000) while a MICROS file
+    * infers a timestamp type (raw micros when read through
+    * [[EventsSchema]]'s LongType → div 1). DuckDB's `epoch_us(ts)` is
+    * unit-agnostic the same way, so both engines agree for either
+    * generation of driver testdata. Unit cached per file path — it is
+    * a property of the file, not the session.
+    */
+  private val tsDivCache =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+  private[graft] def eventsTsUs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Column = {
+    val path = s"$dir/events.parquet"
+    val div = tsDivCache.getOrElseUpdate(path, {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(path).schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => 1000L
+        case _                                   => 1L
+      }
+    })
+    expr(s"ts div $div")
+  }
 }
 
 /** Queries exercising the reference's row/schema/data operators

@@ -117,7 +117,7 @@ object StreamingQueries {
       .parquet(s"$dir/events.parquet")
       .where(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        eventsTsUs(s, dir).as("ts_us"))
     val splitDir = tmpDir("graft_sjo_split") + "/splits"
     StreamFlow.writeTimeSplits(batch, "ts_us", 3, splitDir)
     val hiUs = batch.agg(max(col("ts_us"))).collect()(0).getLong(0)
@@ -217,7 +217,7 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = StreamFlow.readParquetStream(
         s, s"$dir/events.parquet", EventsSchema)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", timestamp_micros(eventsTsUs(s, dir)))
       val agg = StreamFlow.windowedAgg(events, "ts",
         windowLength = "1 hour", watermarkDelay = "10 minutes",
         groupCols = Seq("event_type"),
@@ -246,7 +246,7 @@ object StreamingQueries {
     "q_stream_sessionize" -> { (s, dir) =>withStreamParts(s) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batch = s.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .select(col("user_id"), eventsTsUs(s, dir).as("ts_us"))
       // fresh staging dir per run: no cross-session/checkout races on a
       // shared path, and writeTimeSplits' delete can't hit live readers
       val splitDir = tmpDir("graft_sess_split") + "/splits"
@@ -275,7 +275,7 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val events = StreamFlow.readParquetStream(
         s, s"$dir/events.parquet", EventsSchema)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", timestamp_micros(eventsTsUs(s, dir)))
         // prune BEFORE the stateful op: dedup emits whole rows, so every
         // column that reaches it rides the state-store writes and the
         // dedup shuffle — the wide `props` JSON column stays at the scan
@@ -332,7 +332,7 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = StreamFlow.readParquetStream(
         s, s"$dir/events.parquet", EventsSchema)
-        .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .withColumn("tsm", timestamp_micros(eventsTsUs(s, dir)))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("tsm").as("ct"))
@@ -385,7 +385,7 @@ object StreamingQueries {
         val batch = s.read.schema(EventsSchema)
           .parquet(s"$dir/events.parquet")
           .select(col("event_type"), col("value"),
-            expr("ts div 1000").as("ts_us"))
+            eventsTsUs(s, dir).as("ts_us"))
         val base = tmpDir("graft_upsert")
         val splitDir = base + "/splits"
         val target = base + "/bse_event_totals"
