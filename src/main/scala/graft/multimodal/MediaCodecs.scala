@@ -156,6 +156,177 @@ object MediaCodecs {
     }
   }
 
+  // ------------------------------------------------------------------ AVI
+
+  /** Uncompressed RIFF/AVI: LIST hdrl (avih + LIST strl (strh 'vids'/
+    * 'DIB ', strf BITMAPINFOHEADER)) + LIST movi of '00db' frames, each
+    * frame a bottom-up 24bpp DIB raster with 4-byte row strides — the
+    * same raster rules as [[Bmp]] without the 14-byte file header. The
+    * decoder walks the RIFF chunk tree (skipping unknown chunks like
+    * JUNK/idx1), so files from real tools parse too.
+    */
+  object Avi {
+
+    /** Decoded video: frames are top-down row-major B,G,R triplets. */
+    final case class Video(w: Int, h: Int, frames: Array[Array[Byte]])
+
+    def fileSize(w: Int, h: Int, nFrames: Int): Int = {
+      val frameBytes = Bmp.stride(w) * h
+      // RIFF(12) + LIST hdrl(12 + avih 64 + LIST strl(12 + strh 64 +
+      // strf 48)) + LIST movi(12 + n*(8 + frame))
+      12 + 12 + 64 + 12 + 64 + 48 + 12 +
+        nFrames * (8 + frameBytes + (frameBytes & 1))
+    }
+
+    /** Encode top-down row-major frames (each `3*w*h` bytes) as an
+      * uncompressed AVI at `fps` frames/second.
+      */
+    def encode(w: Int, h: Int, frames: Seq[Array[Byte]],
+        fps: Int = 10): Array[Byte] = {
+      require(frames.forall(_.length == 3 * w * h),
+        s"every frame needs ${3 * w * h} pixel bytes")
+      val st = Bmp.stride(w)
+      val frameBytes = st * h
+      val out = new Array[Byte](fileSize(w, h, frames.length))
+      var p = 0
+      def tag4(t: String): Unit = { putTag(out, p, t); p += 4 }
+      def le32w(v: Int): Unit = { putLe32(out, p, v); p += 4 }
+      def le16w(v: Int): Unit = { putLe16(out, p, v); p += 2 }
+      tag4("RIFF"); le32w(out.length - 8); tag4("AVI ")
+      // LIST hdrl
+      tag4("LIST"); le32w(4 + 64 + 12 + 64 + 48); tag4("hdrl")
+      tag4("avih"); le32w(56)
+      le32w(1000000 / fps) // dwMicroSecPerFrame
+      le32w(frameBytes * fps) // dwMaxBytesPerSec
+      le32w(0) // dwPaddingGranularity
+      le32w(0x10) // AVIF_HASINDEX off; 0x10=AVIF_WASCAPTUREFILE-ish flags
+      le32w(frames.length) // dwTotalFrames
+      le32w(0); le32w(1) // dwInitialFrames, dwStreams
+      le32w(frameBytes) // dwSuggestedBufferSize
+      le32w(w); le32w(h)
+      le32w(0); le32w(0); le32w(0); le32w(0) // dwReserved[4]
+      // LIST strl
+      tag4("LIST"); le32w(4 + 64 + 48); tag4("strl")
+      tag4("strh"); le32w(56)
+      tag4("vids"); tag4("DIB ")
+      le32w(0); le16w(0); le16w(0) // flags, priority, language
+      le32w(0) // initial frames
+      le32w(1); le32w(fps) // scale, rate → fps
+      le32w(0); le32w(frames.length) // start, length
+      le32w(frameBytes); le32w(-1) // bufSize, quality
+      le32w(0) // sampleSize
+      le16w(0); le16w(0); le16w(w); le16w(h) // rcFrame
+      // strf = BITMAPINFOHEADER
+      tag4("strf"); le32w(40)
+      le32w(40); le32w(w); le32w(h)
+      le16w(1); le16w(24)
+      le32w(0) // BI_RGB
+      le32w(frameBytes)
+      le32w(0); le32w(0); le32w(0); le32w(0)
+      // LIST movi
+      tag4("LIST")
+      le32w(4 + frames.map(_ => 8 + frameBytes + (frameBytes & 1)).sum)
+      tag4("movi")
+      frames.foreach { fr =>
+        tag4("00db"); le32w(frameBytes)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(fr, y * 3 * w, out, p + (h - 1 - y) * st, 3 * w)
+          y += 1
+        }
+        p += frameBytes + (frameBytes & 1)
+      }
+      out
+    }
+
+    def decode(data: Array[Byte]): Video = {
+      require(data.length >= 12 && tag(data, 0) == "RIFF" &&
+        tag(data, 8) == "AVI ", "not an AVI payload")
+      var w = -1
+      var h = -1
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+
+      def walkList(from: Int, until: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= until) {
+          val id = tag(data, pos)
+          val len = le32(data, pos + 4)
+          id match {
+            case "LIST" =>
+              // list type occupies the first 4 payload bytes
+              walkList(pos + 12, pos + 8 + len)
+            case "strf" =>
+              // BITMAPINFOHEADER: authoritative for the raster layout
+              val bpp = le16(data, pos + 8 + 14)
+              val comp = le32(data, pos + 8 + 16)
+              require(bpp == 24 && comp == 0,
+                s"only 24bpp uncompressed AVI supported (bpp=$bpp comp=$comp)")
+              w = le32(data, pos + 8 + 4)
+              h = le32(data, pos + 8 + 8)
+            case "00db" | "00dd" =>
+              require(w > 0 && h > 0, "AVI frame chunk before strf header")
+              val st = Bmp.stride(w)
+              require(len >= st * h, "truncated AVI frame chunk")
+              val px = new Array[Byte](3 * w * h)
+              var y = 0
+              while (y < h) {
+                // frames are bottom-up like BMP rasters
+                System.arraycopy(data, pos + 8 + (h - 1 - y) * st,
+                  px, y * 3 * w, 3 * w)
+                y += 1
+              }
+              frames += px
+            case _ => // skip avih/strh/JUNK/idx1/...
+          }
+          pos += 8 + len + (len & 1)
+        }
+      }
+      walkList(12, data.length)
+      require(frames.nonEmpty, "AVI has no frame chunks")
+      Video(w, h, frames.toArray)
+    }
+  }
+
+  /** 60-bit temporal-spatial perceptual video hash over the DECODED
+    * frames: grid row r ∈ [0,6) samples frame `r*F/6` at raster row
+    * `r*h/6`, contributing 10 horizontal luminance-gradient bits (the
+    * [[ImageDHash]] comparison on that frame's sampled row) — so the 6
+    * rows of the hash sweep the TIME axis while each row's bits sweep
+    * space. Sized to reuse the 4×15-bit SimHash banding
+    * (recall-exact for Hamming ≤ 3), like the image and audio hashes.
+    *
+    * Gradient bits make the hash exactly invariant to uniform
+    * brightness shifts across the clip, and a frame-local edit only
+    * touches the grid rows that sample that frame.
+    */
+  object VideoTemporalHash {
+    val TimeRows = 6
+    val Cols = 11 // Cols-1 = 10 comparisons per sampled frame
+
+    def hash(v: Avi.Video): Long = {
+      val f = v.frames.length
+      var out = 0L
+      var r = 0
+      while (r < TimeRows) {
+        val frame = v.frames(r * f / TimeRows)
+        val sy = r * v.h / TimeRows
+        def lum(sx: Int): Int = {
+          val p = (sy * v.w + sx) * 3
+          (frame(p) & 0xff) + (frame(p + 1) & 0xff) + (frame(p + 2) & 0xff)
+        }
+        var x = 0
+        while (x < Cols - 1) {
+          val l = lum(x * v.w / Cols)
+          val rt = lum((x + 1) * v.w / Cols)
+          if (rt > l) out |= 1L << (r * (Cols - 1) + x)
+          x += 1
+        }
+        r += 1
+      }
+      out
+    }
+  }
+
   // ------------------------------------------------- feature kernels
 
   /** BMP pixel statistics over the DECODED raster:
@@ -373,6 +544,48 @@ object MediaCodecs {
         j += 1
       }
       Bmp.encode(w, h, px)
+    }
+
+    def aviFrames(docId: Long): Int = (6 + docId % 5).toInt
+
+    /** Textured video frames for the video-dedup queries — the video
+      * sibling of [[bmpTexturedFor]]. A per-frame CONSTANT term (t·37)
+      * would cancel inside the same-frame gradients, so the frame index
+      * also rides a position-interacting term ((id%7+1)·t·j): each
+      * sampled frame's gradients differ, and inter-id differences vary
+      * with position (the quadratic j² term, as for images). Closed
+      * form for the SQL oracle: frame t, byte j =
+      * (id·131 + t·37 + j·31 + (id%13+1)·j² + (id%7+1)·t·j + 7) mod 256.
+      */
+    def aviTexturedFor(docId: Long): Array[Byte] =
+      texturedFrames(docId, perturb = false)
+
+    /** NEAR-DUPLICATE of [[aviTexturedFor]]'s clip: every byte of every
+      * frame brightened by +1, the first frame's top-left pixel by a
+      * further +3, clamped at 255 — frame t, byte j =
+      * min(orig(t,j) + (t=0 AND j<3 ? 4 : 1), 255).
+      */
+    def aviTexturedPerturbedFor(docId: Long): Array[Byte] =
+      texturedFrames(docId, perturb = true)
+
+    private def texturedFrames(docId: Long, perturb: Boolean): Array[Byte] = {
+      val w = bmpWidth(docId)
+      val h = bmpHeight(docId)
+      val frames = (0 until aviFrames(docId)).map { t =>
+        val px = new Array[Byte](3 * w * h)
+        var j = 0
+        while (j < px.length) {
+          val orig = (docId * 131 + t * 37 + j * 31 +
+            (docId % 13 + 1) * j * j + (docId % 7 + 1) * t * j + 7) % 256
+          px(j) =
+            if (perturb)
+              math.min(orig + (if (t == 0 && j < 3) 4 else 1), 255).toByte
+            else orig.toByte
+          j += 1
+        }
+        px
+      }
+      Avi.encode(w, h, frames)
     }
 
     def wavSamples(docId: Long): Int = (64 + docId % 64).toInt

@@ -109,6 +109,34 @@ object MultimodalQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // video near-dup: temporal-spatial hash over genuinely decoded AVI
+    // frames (RIFF chunk walk, strf raster layout, bottom-up strided
+    // frames) — grid row r samples frame r*F/6, contributing 10 spatial
+    // luminance-gradient bits; paired through the same 4x15 banding.
+    // Every 10th document gets a brightened copy (+1 everywhere, +3 on
+    // frame 0's top-left pixel, clamped) under a shifted id; the oracle
+    // replays the hash from the closed-form frame generator and
+    // verifies ALL pairs by brute bit_count — banding must lose nothing.
+    "q_video_dedup" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_video_dedup")
+      val docs = src(dfl, "documents").select("doc_id")
+      val avi = udf((id: Long) => MediaCodecs.Synthetic.aviTexturedFor(id))
+      val aviPert =
+        udf((id: Long) => MediaCodecs.Synthetic.aviTexturedPerturbedFor(id))
+      val orig = docs.select(
+        col("doc_id").as("doc"), avi(col("doc_id")).as("data"))
+      val pert = docs.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + PertIdOffset).as("doc"),
+        aviPert(col("doc_id")).as("data"))
+      val vh = udf((data: Array[Byte]) =>
+        MediaCodecs.VideoTemporalHash.hash(MediaCodecs.Avi.decode(data)))
+      val hashed = orig.unionByName(pert)
+        .select(col("doc"), vh(col("data")).as("h"))
+      graft.dedup.Dedup.hammingPairs(hashed, "doc", "h", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // multimodal retrieval: brute-force cosine top-k over WAV band-energy
     // feature vectors (queries-as-literals like q_ann_brute — no
     // crossJoin; the 5 query vectors explode into the scan). The features
@@ -163,6 +191,28 @@ object MultimodalQueries {
     def bexpr(j: String) = byteExpr.replace("$J", j)
     def g(sx: String): String = {
       // sy: grid row b//10 samples raster row (b//10)*h//6
+      val p = s"((((b // 10) * h // 6) * w + $sx) * 3)"
+      s"(${bexpr(p)} + ${bexpr(s"($p + 1)")} + ${bexpr(s"($p + 2)")})"
+    }
+    val sxl = "((b % 10) * w // 11)"
+    val sxr = "(((b % 10) + 1) * w // 11)"
+    s"""list_sum(list_transform(range(0, 60),
+       |    b -> CASE WHEN ${g(sxr)} > ${g(sxl)}
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"""
+      .stripMargin
+  }
+
+  /** DuckDB replay of [[MediaCodecs.VideoTemporalHash]] over the
+    * closed-form frame generator: 60 bits where grid row b//10 samples
+    * frame `(b//10)*F/6` at raster row `(b//10)*h/6` and bit position
+    * b%10 compares the luminance of spatial columns b%10 / b%10+1 of
+    * the 11-column grid. `byteExpr` carries `$T` (frame index) and `$J`
+    * (byte index) placeholders; `w`/`h`/`f`/`doc_id` come from the CTE.
+    */
+  private def vhashSql(byteExpr: String): String = {
+    val t = "((b // 10) * f // 6)"
+    def bexpr(j: String) = byteExpr.replace("$T", t).replace("$J", j)
+    def g(sx: String): String = {
       val p = s"((((b // 10) * h // 6) * w + $sx) * 3)"
       s"(${bexpr(p)} + ${bexpr(s"($p + 1)")} + ${bexpr(s"($p + 2)")})"
     }
@@ -257,6 +307,29 @@ object MultimodalQueries {
         |  SELECT doc_id AS doc, ${dhashSql(orig)} AS h FROM d
         |  UNION ALL
         |  SELECT doc_id + $PertIdOffset AS doc, ${dhashSql(pert)} AS h
+        |  FROM d WHERE doc_id % 10 = 0)
+        |SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |  CAST(bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) AS INTEGER)
+        |    AS hamming
+        |FROM ha a JOIN ha b ON a.doc < b.doc
+        |WHERE bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // brute-force verification like q_image_dedup: every pair within
+    // Hamming 3 must surface, so the Spark side's banding is recall-pinned
+    "q_video_dedup" -> {
+      val orig = "((doc_id * 131 + ($T) * 37 + ($J) * 31 + " +
+        "(doc_id % 13 + 1) * ($J) * ($J) + " +
+        "(doc_id % 7 + 1) * ($T) * ($J) + 7) % 256)"
+      val pert = s"least($orig + CASE WHEN ($$T) = 0 AND ($$J) < 3 " +
+        "THEN 4 ELSE 1 END, 255)"
+      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |    4 + doc_id % 7 AS h, 6 + doc_id % 5 AS f FROM documents),
+        |ha AS (
+        |  SELECT doc_id AS doc, ${vhashSql(orig)} AS h FROM d
+        |  UNION ALL
+        |  SELECT doc_id + $PertIdOffset AS doc, ${vhashSql(pert)} AS h
         |  FROM d WHERE doc_id % 10 = 0)
         |SELECT a.doc AS doc_a, b.doc AS doc_b,
         |  CAST(bit_count(xor(a.h::UBIGINT, b.h::UBIGINT)) AS INTEGER)

@@ -259,6 +259,69 @@ class MultimodalStreamingSpec extends SparkSpec {
       s"distinct audio should not pair: $far")
   }
 
+  test("Avi encode/decode round-trips frames across stride classes") {
+    import graft.multimodal.MediaCodecs.Avi
+    for (w <- Seq(8, 9, 10, 11); h <- Seq(4, 5)) {
+      val frames = (0 until 4).map(t =>
+        Array.tabulate(3 * w * h)(j => ((t * 41 + j * 13 + 5) % 251).toByte))
+      val v = Avi.decode(Avi.encode(w, h, frames))
+      assert(v.w == w && v.h == h && v.frames.length == 4)
+      frames.zip(v.frames).foreach { case (a, b) =>
+        assert(a.sameElements(b), s"frame mismatch at w=$w h=$h")
+      }
+    }
+  }
+
+  test("Avi.decode skips unknown chunks (JUNK) and honors strf layout") {
+    import graft.multimodal.MediaCodecs.Avi
+    val w = 9; val h = 4
+    val frame = Array.tabulate(3 * w * h)(j => ((j * 7 + 3) % 256).toByte)
+    val enc = Avi.encode(w, h, Seq(frame))
+    // splice a JUNK chunk between hdrl and movi: find the movi LIST and
+    // insert 8+4 bytes of JUNK before it
+    val moviAt = enc.indexOfSlice("movi".getBytes.toSeq) - 8
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 4, 0, 0, 0, 1, 2, 3, 4)
+    val spliced = enc.take(moviAt) ++ junk ++ enc.drop(moviAt)
+    // patch the RIFF size field
+    val sz = spliced.length - 8
+    spliced(4) = (sz & 0xff).toByte; spliced(5) = ((sz >> 8) & 0xff).toByte
+    spliced(6) = ((sz >> 16) & 0xff).toByte
+    spliced(7) = ((sz >> 24) & 0xff).toByte
+    val v = Avi.decode(spliced)
+    assert(v.w == w && v.h == h && v.frames.length == 1)
+    assert(v.frames(0).sameElements(frame))
+  }
+
+  test("VideoTemporalHash: brightness-invariant, 50/50 copies, 0 spurious") {
+    import graft.multimodal.MediaCodecs
+    import graft.multimodal.MediaCodecs.{Avi, VideoTemporalHash}
+    def hashOf(bytes: Array[Byte]): Long =
+      VideoTemporalHash.hash(Avi.decode(bytes))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // exact invariance under a uniform brightness shift across the clip
+    val w = 11; val h = 6
+    val frames = (0 until 6).map(t =>
+      Array.tabulate(3 * w * h)(j => ((t * 31 + j * 37 + 11) % 200).toByte))
+    val brighter = frames.map(_.map(v => ((v & 0xff) + 40).toByte))
+    assert(hashOf(Avi.encode(w, h, frames)) ==
+      hashOf(Avi.encode(w, h, brighter)))
+    // the oracle-facing claim over the full sf0.01 id range: every
+    // perturbed copy pairs with its original and NOTHING else does
+    val ids = (0L until 500L)
+    val hs = ids.map(id => id -> hashOf(
+      MediaCodecs.Synthetic.aviTexturedFor(id))).toMap
+    val copies = ids.filter(_ % 10 == 0).map(id => id -> hashOf(
+      MediaCodecs.Synthetic.aviTexturedPerturbedFor(id)))
+    assert(copies.forall { case (id, ph) => hamming(hs(id), ph) <= 3 },
+      "every perturbed copy must stay within the banding radius")
+    val all = hs.toSeq ++ copies.map { case (id, ph) => (id + 1000000L, ph) }
+    val spurious = for {
+      (a, ha) <- all; (b, hb) <- all
+      if a < b && (b - a != 1000000L) && hamming(ha, hb) <= 3
+    } yield (a, b)
+    assert(spurious.isEmpty, s"spurious pairs: ${spurious.take(5)}")
+  }
+
   test("streaming windowed agg over a parquet file matches batch totals") {
     val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
     val events = Seq(
@@ -335,8 +398,8 @@ class MultimodalStreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.schema(graft.queries.Q.EventsSchema)
       .parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("event_id"),
-        col("event_type"), expr("ts div 1000").as("us"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.queries.Q.eventsTsUs(spark, dir).as("us"))
     val c = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("us").as("cus"))
