@@ -142,12 +142,15 @@ object Admin {
       table: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val path = conf.tablePath(layer, table)
+    // a retry after a mid-swap kill finds the table at __old: restore it
+    // before sizing
+    graft.io.ParquetUtil.recoverInterrupted(spark, path)
     val bytes = graft.io.ParquetUtil.dirSizeBytes(spark, path)
     require(bytes >= 0, s"compact: no table at $path")
     val before = partFileCount(spark, path)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     graft.io.ParquetUtil.safeOverwrite(spark,
-      spark.read.parquet(path).repartition(n), path)
+      graft.io.ParquetUtil.readRecovered(spark, path).repartition(n), path)
     (before, partFileCount(spark, path))
   }
 
@@ -164,13 +167,14 @@ object Admin {
     require(zorderCols.nonEmpty, "optimizeLayout needs zorder columns")
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val path = conf.tablePath(layer, table)
+    graft.io.ParquetUtil.recoverInterrupted(spark, path)
     val bytes = graft.io.ParquetUtil.dirSizeBytes(spark, path)
     require(bytes >= 0, s"optimizeLayout: no table at $path")
     val before = partFileCount(spark, path)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     graft.io.ParquetUtil.safeOverwrite(spark,
       graft.operators.ZOrder.cluster(
-        spark.read.parquet(path), zorderCols, n, bits), path)
+        graft.io.ParquetUtil.readRecovered(spark, path), zorderCols, n, bits), path)
     (before, partFileCount(spark, path))
   }
 

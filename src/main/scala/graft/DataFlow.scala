@@ -97,7 +97,7 @@ class DataFlow(
       targetDataset: Option[String] = None): DataFlow =
     log.step("read", s"$dataLayer/$tableName") {
       put(targetDataset.getOrElse(tableName),
-        spark.read.parquet(conf.tablePath(dataLayer, tableName)))
+        graft.io.ParquetUtil.readRecovered(spark, conf.tablePath(dataLayer, tableName)))
     }(r => Some(r.get(targetDataset.getOrElse(tableName))))
 
   /** Validate + reorder columns against the logical schema, then persist to
@@ -116,7 +116,7 @@ class DataFlow(
       dataLayerID: Layer,
       appendOrReplace: String = "replace",
       keepDataflowOpen: Boolean = true,
-      partitionBy: Seq[String] = Seq.empty): DataFlow =
+      partitionBy: Seq[String] = Seq.empty): DataFlow = {
     log.step("write", s"$dataLayerID/$targetTableName") {
       val df = get(dataset)
       val tdef = conf.catalog.lookup(dataLayerID, targetTableName)
@@ -179,11 +179,11 @@ class DataFlow(
           else orderedNarrow.repartition(targetParts))
         else orderedNarrow
       val path = conf.tablePath(dataLayerID, targetTableName)
-      if (mode == "append") {
-        val w = ordered.write.mode("append")
-        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-          .parquet(path)
-      }
+      // both modes are scheduler-retry-safe: append rides the
+      // pending-marker protocol (no double-landed batch), replace the
+      // recoverable staging-swap
+      if (mode == "append")
+        graft.io.ParquetUtil.safeAppend(spark, ordered, path, partitionBy)
       // overwrite via staging + swap: safe when the dataset's lineage reads
       // the same table (read → transform → write back)
       else graft.io.ParquetUtil.safeOverwrite(spark, ordered, path, partitionBy)
@@ -193,11 +193,17 @@ class DataFlow(
       // would duplicate previously-synced rows in the sink.
       if (dataLayerID.db == "TRG")
         conf.trgSink.foreach(_.write(spark,
-          if (mode == "append") ordered else spark.read.parquet(path),
+          if (mode == "append") ordered else graft.io.ParquetUtil.readRecovered(spark, path),
           targetTableName, mode))
-      if (!keepDataflowOpen) close()
       this
-    }(_ => None)
+      // the written frame is the step's described output (golden write
+      // blocks carry an Output shape, LoggerClass.py:539-554)
+    }(_ => Some(get(dataset)))
+    // close OUTSIDE the step: close() flushes the jobLog to the run file,
+    // which must already contain this write's own step block
+    if (!keepDataflowOpen) close()
+    this
+  }
 
   /** Extract from a configured source system and stamp audit columns
     * (reference getDataFromSrc, betl/dataflow/dfl_io.py:215-296). Row limit
@@ -283,7 +289,7 @@ class DataFlow(
   def truncate(tableName: String, dataLayerID: Layer): DataFlow =
     log.step("truncate", s"$dataLayerID/$tableName") {
       val path = conf.tablePath(dataLayerID, tableName)
-      val schema = spark.read.parquet(path).schema
+      val schema = graft.io.ParquetUtil.readRecovered(spark, path).schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
         .write.mode("overwrite").parquet(path)
@@ -675,7 +681,12 @@ class DataFlow(
   /** Release references (reference close, DataFlowClass.py:105-115 — which
     * frees pandas memory; here plans are lazy so this just clears the map).
     */
-  def close(): Unit = data.clear()
+  def close(): Unit = {
+    // reference parity: a closing dataflow appends its jobLog blocks to
+    // the run's numbered NNNN_jobLog.log when LOG_PATH is configured
+    conf.logsPath.foreach(d => JobLog.appendToRunLog(d, jobLogText))
+    data.clear()
+  }
 }
 
 object DataFlow {

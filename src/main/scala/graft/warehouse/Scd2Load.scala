@@ -51,7 +51,7 @@ object Scd2Load {
       effectiveDate: String, initial: Boolean = false): DataFrame = {
     val bsePath = conf.tablePath(Layer.BSE, spec.name)
     val stamp = to_timestamp(lit(effectiveDate))
-    val snapshot = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+    val snapshot = graft.io.ParquetUtil.readRecovered(spark, conf.tablePath(Layer.LOD, spec.name))
       .select((spec.nkCols ++ spec.attrCols).map(col): _*)
       .dropDuplicates(spec.nkCols)
 
@@ -60,12 +60,12 @@ object Scd2Load {
         .withColumn(ValidFrom, stamp)
         .withColumn(ValidTo, lit(null).cast("timestamp"))
         .withColumn(IsCurrent, lit(true))
-      keyed.write.mode("overwrite").parquet(bsePath)
-      return spark.read.parquet(bsePath)
+      graft.io.ParquetUtil.safeOverwrite(spark, keyed, bsePath)
+      return graft.io.ParquetUtil.readRecovered(spark, bsePath)
     }
 
     import DeltaLoad.OpCol
-    val dim = spark.read.parquet(bsePath)
+    val dim = graft.io.ParquetUtil.readRecovered(spark, bsePath)
     val history = dim.filter(!col(IsCurrent))
     val current = dim.filter(col(IsCurrent))
     // the classify full-outer join feeds three branches (unchanged /
@@ -108,7 +108,7 @@ object Scd2Load {
       .unionByName(closing.select(outCols: _*))
       .unionByName(opened.select(outCols: _*))
     graft.io.ParquetUtil.safeOverwrite(spark, newDim, bsePath)
-    spark.read.parquet(bsePath)
+    graft.io.ParquetUtil.readRecovered(spark, bsePath)
   }
 
   /** Point-in-time lookup: the version of each member valid at `asOf`

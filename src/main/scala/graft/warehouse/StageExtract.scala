@@ -68,7 +68,7 @@ object StageExtract {
     val extPath = conf.tablePath(Layer.EXT, table)
     val deltaPath = conf.tablePath(Layer.EXT, s"${table}_delta")
     val cur = conf.srcSystem(srcSysID).read(spark, srcTable)
-    val prevFull = spark.read.parquet(extPath)
+    val prevFull = graft.io.ParquetUtil.readRecovered(spark, extPath)
     require(nkCols.nonEmpty, s"deltaExtract($table): no natural key — " +
       "cannot run a delta extract (reference stageExtract.py:63-66)")
     val prevAttrs = prevFull.drop(Audit.all: _*)
@@ -104,7 +104,7 @@ object StageExtract {
       graft.io.ParquetUtil.safeOverwrite(spark,
         audited.where(op =!= "DELETE").drop(DeltaLoad.OpCol), extPath)
     } finally audited.unpersist()
-    spark.read.parquet(deltaPath)
+    graft.io.ParquetUtil.readRecovered(spark, deltaPath)
   }
 
   /** One default extract op per table the datastore can enumerate. The

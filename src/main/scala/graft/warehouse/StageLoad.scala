@@ -153,7 +153,7 @@ object StageLoad {
     */
   def bulkLoadDimension(
       spark: SparkSession, conf: GraftConf, spec: DimensionSpec): DataFrame = {
-    val lod = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+    val lod = graft.io.ParquetUtil.readRecovered(spark, conf.tablePath(Layer.LOD, spec.name))
     val deduped = lod
       .select((spec.nkCols ++ spec.attrCols).map(col): _*)
       .dropDuplicates(spec.nkCols)
@@ -182,14 +182,18 @@ object StageLoad {
     }
     val dim = defaults.foldLeft(keyed)(_.unionByName(_))
 
-    dim.write.mode("overwrite").parquet(conf.tablePath(Layer.BSE, spec.name))
+    // staging-swap (not plain overwrite): a scheduler retry killed
+    // mid-write must find the previous table intact, not a half-deleted
+    // directory (rerun-safety contract, betl/PipelineClass.py:456-514)
+    graft.io.ParquetUtil.safeOverwrite(spark, dim,
+      conf.tablePath(Layer.BSE, spec.name))
     // the SK/NK map is just a projection; keep only real members
     val skMap = dim
       .filter(col(spec.skName) > 0)
       .select((spec.skName +: spec.nkCols).map(col): _*)
-    skMap.write.mode("overwrite")
-      .parquet(conf.tablePath(Layer.LOD, spec.mapTableName))
-    val reread = spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
+    graft.io.ParquetUtil.safeOverwrite(spark, skMap,
+      conf.tablePath(Layer.LOD, spec.mapTableName))
+    val reread = graft.io.ParquetUtil.readRecovered(spark, conf.tablePath(Layer.BSE, spec.name))
     syncTrgSink(spark, conf, spec.name, reread, "overwrite", Some(spec.skName))
     reread
   }
@@ -213,14 +217,15 @@ object StageLoad {
   }
 
   /** NK→SK resolution: per-FK left join against the (small) SK/NK maps
-    * with -1 defaulting — shared by bulk and delta fact loads.
+    * with -1 defaulting — shared by bulk and delta fact loads
+    * (graft-visible so PlanGateSpec can assert the join broadcasts).
     */
-  private def resolveFks(
+  private[graft] def resolveFks(
       spark: SparkSession, conf: GraftConf,
       fact: DataFrame, fks: Seq[FkMapping]): DataFrame =
     fks.foldLeft(fact) { (df, fk) =>
       val mapPath = conf.tablePath(Layer.LOD, s"sk_${fk.baseName}")
-      val skMap = spark.read.parquet(mapPath)
+      val skMap = graft.io.ParquetUtil.readRecovered(spark, mapPath)
         .withColumnRenamed(fk.mapNkCol, fk.factNkCol)
       df.join(maybeBroadcast(spark, skMap, mapPath), Seq(fk.factNkCol), "left")
         .withColumn(fk.skName,
@@ -234,11 +239,11 @@ object StageLoad {
     */
   def bulkLoadFact(
       spark: SparkSession, conf: GraftConf, spec: FactSpec): DataFrame = {
-    val lod = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+    val lod = graft.io.ParquetUtil.readRecovered(spark, conf.tablePath(Layer.LOD, spec.name))
     val resolved = resolveFks(spark, conf, lod, spec.fks)
-    resolved.write.mode("overwrite")
-      .parquet(conf.tablePath(Layer.BSE, spec.name))
-    val reread = spark.read.parquet(conf.tablePath(Layer.BSE, spec.name))
+    graft.io.ParquetUtil.safeOverwrite(spark, resolved,
+      conf.tablePath(Layer.BSE, spec.name))
+    val reread = graft.io.ParquetUtil.readRecovered(spark, conf.tablePath(Layer.BSE, spec.name))
     syncTrgSink(spark, conf, spec.name, reread, "overwrite",
       fkDims = spec.fks.map(fk => fk.skName -> fk.dimName).toMap)
     reread
@@ -272,7 +277,7 @@ object StageLoad {
       deltaLoadDate: Option[String] = None): DataFrame = {
     import DeltaLoad.OpCol
     val bsePath = conf.tablePath(Layer.BSE, spec.name)
-    val dim = spark.read.parquet(bsePath)
+    val dim = graft.io.ParquetUtil.readRecovered(spark, bsePath)
     val hasAudit = dim.columns.contains(AuditDeltaDate)
     val members = dim.filter(col(spec.skName) > 0)
     val defaults = {
@@ -281,7 +286,7 @@ object StageLoad {
       else d.withColumn(AuditDeltaDate, lit(null).cast("timestamp"))
         .withColumn(AuditLoadOp, lit(null).cast("string"))
     }
-    val delta = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+    val delta = graft.io.ParquetUtil.readRecovered(spark, conf.tablePath(Layer.LOD, spec.name))
       .select((spec.nkCols ++ spec.attrCols).map(col): _*)
       .dropDuplicates(spec.nkCols)
     val classified = DeltaLoad.classify(
@@ -320,7 +325,7 @@ object StageLoad {
       .unionByName(inserts.select(outCols: _*))
       .unionByName(defaults.select(outCols: _*))
     graft.io.ParquetUtil.safeOverwrite(spark, newDim, bsePath)
-    val reread = spark.read.parquet(bsePath)
+    val reread = graft.io.ParquetUtil.readRecovered(spark, bsePath)
     val skMap = reread.filter(col(spec.skName) > 0)
       .select((spec.skName +: spec.nkCols).map(col): _*)
     graft.io.ParquetUtil.safeOverwrite(
@@ -340,7 +345,7 @@ object StageLoad {
   def deltaLoadFact(
       spark: SparkSession, conf: GraftConf, spec: FactSpec,
       deltaLoadDate: Option[String] = None): DataFrame = {
-    val delta = spark.read.parquet(conf.tablePath(Layer.LOD, spec.name))
+    val delta = graft.io.ParquetUtil.readRecovered(spark, conf.tablePath(Layer.LOD, spec.name))
     val resolved0 = resolveFks(spark, conf, delta, spec.fks)
     val resolved =
       if (resolved0.columns.contains(AuditDeltaDate))
@@ -349,11 +354,13 @@ object StageLoad {
           .withColumn(AuditLoadOp, lit("DELTA_INSERT"))
       else resolved0
     val bsePath = conf.tablePath(Layer.BSE, spec.name)
-    resolved.write.mode("append").parquet(bsePath)
+    // pending-marker append: a retried op must not double-land the batch
+    // even when the crashed attempt's append job had already committed
+    graft.io.ParquetUtil.safeAppend(spark, resolved, bsePath)
     // delta appends push only the new batch to the sink (re-pushing the
     // whole table would duplicate previously-synced rows)
     syncTrgSink(spark, conf, spec.name, resolved, "append",
       fkDims = spec.fks.map(fk => fk.skName -> fk.dimName).toMap)
-    spark.read.parquet(bsePath)
+    graft.io.ParquetUtil.readRecovered(spark, bsePath)
   }
 }
