@@ -53,7 +53,8 @@ case class GraftConf(
     trgSink: Option[Datastore] = None,
     strictSchema: Boolean = false,
     reportsPath: Option[String] = None,
-    bulkOrDelta: String = "BULK") {
+    bulkOrDelta: String = "BULK",
+    logsPath: Option[String] = None) {
 
   def tablePath(layer: graft.catalog.Layer, table: String): String =
     s"$warehousePath/${layer.id}/$table"

@@ -28,10 +28,10 @@ object GraftConfIO {
 
   private val mapper = new ObjectMapper()
 
-  private def datastore(n: JsonNode): Datastore =
+  private def datastore(n: JsonNode, resolve: String => String): Datastore =
     n.get("type").asText() match {
-      case "parquet" => ParquetDatastore(n.get("dir").asText())
-      case "csv" => CsvDatastore(n.get("dir").asText(),
+      case "parquet" => ParquetDatastore(resolve(n.get("dir").asText()))
+      case "csv" => CsvDatastore(resolve(n.get("dir").asText()),
         Option(n.get("delimiter")).map(_.asText()).getOrElse(","))
       case "jdbc" => JdbcDatastore(
         n.get("url").asText(),
@@ -43,7 +43,7 @@ object GraftConfIO {
           Option(n.get("numPartitions")).map(_.asInt()).getOrElse(8),
         emptyStringToNull =
           Option(n.get("emptyStringToNull")).forall(_.asBoolean()))
-      case "excel" => graft.io.ExcelDatastore(n.get("path").asText())
+      case "excel" => graft.io.ExcelDatastore(resolve(n.get("path").asText()))
       case t => throw new IllegalArgumentException(
         s"Unknown datastore type '$t'")
     }
@@ -60,11 +60,14 @@ object GraftConfIO {
     val catalog = Option(root.get("schemaFile"))
       .map(f => CatalogIO.fromJsonFile(resolve(f.asText())))
       .getOrElse(new graft.catalog.Catalog)
+    // every filesystem path in the config resolves against the config
+    // file's own directory (appConfig.ini convention: TMP_DATA_PATH /
+    // LOG_PATH are app-relative) — absolute paths pass through untouched
     GraftConf(
-      warehousePath = root.get("warehousePath").asText(),
+      warehousePath = resolve(root.get("warehousePath").asText()),
       srcSystems = Option(root.get("srcSystems"))
         .map(_.properties().asScala
-          .map(e => e.getKey -> datastore(e.getValue)).toMap)
+          .map(e => e.getKey -> datastore(e.getValue, resolve)).toMap)
         .getOrElse(Map.empty),
       dataLimitRows = Option(root.get("dataLimitRows")).map(_.asInt()),
       debugCounts = Option(root.get("debugCounts")).exists(_.asBoolean()),
@@ -73,8 +76,11 @@ object GraftConfIO {
       latestDateInData = Option(root.get("latestDateInData"))
         .map(_.asText()).getOrElse("2000-12-31"),
       catalog = catalog,
-      trgSink = Option(root.get("trgSink")).map(datastore),
+      trgSink = Option(root.get("trgSink")).map(datastore(_, resolve)),
       strictSchema = Option(root.get("strictSchema")).exists(_.asBoolean()),
-      reportsPath = Option(root.get("reportsPath")).map(_.asText()))
+      reportsPath = Option(root.get("reportsPath")).map(_.asText()),
+      // LOG_PATH equivalent (appConfig.ini [ctrl]): numbered
+      // NNNN_jobLog.log files land here, one per engine run
+      logsPath = Option(root.get("logsPath")).map(f => resolve(f.asText())))
   }
 }

@@ -16,14 +16,18 @@ import org.apache.spark.sql.DataFrame
   */
 object JobLog {
 
-  /** logBETLStart banner (LoggerClass.py:40-48). */
+  /** logBETLStart banner (LoggerClass.py:40-48) — byte-identical to the
+    * reference's committed 0002_jobLog.log (a run that started and
+    * logged nothing else).
+    */
   val betlStartBanner: String =
     """
       |                  *****************************
       |                  *                           *
-      |                  *        BETL Started       *
+      |                  *       BETL Started        *
       |                  *                           *
       |                  *****************************
+      |
       |""".stripMargin
 
   /** logDFStart header box (LoggerClass.py:484-509): 65-char starred
@@ -153,6 +157,35 @@ object JobLog {
     cur.foreach(out += _)
     out.toSeq
   }
+
+  /** Per-JVM run logs: logsDir → the numbered file this run appends to.
+    * The file is created with just the BETL-start banner (exactly the
+    * reference's committed 0002_jobLog.log — a run that started and
+    * logged nothing else), and every closing dataflow appends its
+    * header + step blocks, mirroring the reference's one-file-per-
+    * execution rotation (logger/__init__.py).
+    */
+  private val runFiles =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Append a dataflow's rendered job log to this run's numbered file
+    * under `logsDir`, creating it (banner-first) on first use. Returns
+    * the file path. Thread-safe: pipeline ops close in parallel.
+    */
+  def appendToRunLog(logsDir: String, text: String): String =
+    synchronized {
+      val f = runFiles.getOrElseUpdate(logsDir,
+        writeNumbered(logsDir, betlStartBanner))
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        text.getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+      f
+    }
+
+  /** Drop the run-file binding for `logsDir` so the NEXT append starts a
+    * fresh numbered file — the "new execution" boundary (specs and
+    * long-lived sessions driving several logical runs).
+    */
+  def endRun(logsDir: String): Unit = runFiles.remove(logsDir)
 
   /** Write a job log under the reference's numbered-file convention
     * (`NNNN_jobLog.log`, logger/__init__ file rotation). Returns the

@@ -1,0 +1,138 @@
+package graft
+
+import graft.examples.ExampleApp
+
+/** The reference's committed example application, end-to-end: the
+  * `examples/test_app` fixture (appConfig.json + src_data, mirroring
+  * betl-test/test_app's appConfig.ini + main.py + dfl_example.py) driven
+  * through the REAL CLI surface (`bulk run`), producing numbered jobLog
+  * files that structurally diff against BOTH committed reference logs
+  * (0001 — step blocks; 0002 — the banner-only run).
+  */
+class ExampleAppSpec extends SparkSpec {
+
+  private def goldenLog(n: String): Option[String] =
+    JobLogSpec.referenceDir
+      .map(_ + s"/betl/betl-test/test_app/logs/${n}_jobLog.log")
+      .filter(p => java.nio.file.Files.isReadable(
+        java.nio.file.Paths.get(p)))
+      .map(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+
+  test("example app: CLI 'bulk run' extracts, dedupes, lands TRN, and " +
+      "writes a reference-shaped numbered jobLog") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-example").toString
+    // the committed config uses repo-relative paths; point the volatile
+    // dirs (warehouse, logs) at the sandbox and keep the committed
+    // source data
+    val srcDir = new java.io.File(
+      "examples/test_app/src_data").getAbsolutePath
+    val cfg =
+      s"""{
+         |  "warehousePath": "$tmp/tmp_data",
+         |  "logsPath": "$tmp/logs",
+         |  "srcSystems": {
+         |    "FILESYSTEM_EXAMPLE": {
+         |      "type": "csv", "dir": "$srcDir", "delimiter": ","
+         |    }
+         |  }
+         |}""".stripMargin
+    val cfgPath = s"$tmp/appConfig.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      cfg.getBytes("UTF-8"))
+
+    // main.py: pl = betl.pipeline(appConfigFile, scheduleConfig,
+    // sys.argv); pl.run() — same surface, same verbs
+    val conf = GraftConfIO.fromFile(cfgPath)
+    val plan = Cli.parse(Seq("bulk", "run"))
+    Cli.execute(spark, conf, plan, ops = ExampleApp.ops(spark, conf))
+
+    // the extract landed every source row; the dataflow deduped them
+    val ext = spark.read.parquet(s"$tmp/tmp_data/EXT/example_table_name")
+    assert(ext.count() == 6)
+    val trn = spark.read.parquet(s"$tmp/tmp_data/TRN/trg_dm_example")
+    assert(trn.count() == 4, "dedupe must collapse the duplicate rows")
+
+    // exactly one numbered run log, reference convention
+    val logFile = java.nio.file.Paths.get(s"$tmp/logs/0001_jobLog.log")
+    assert(java.nio.file.Files.isReadable(logFile),
+      "run must write 0001_jobLog.log")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+
+    // --- vs 0002: the banner-only golden is a byte-identical prefix
+    goldenLog("0002").foreach { g2 =>
+      assert(text.startsWith(g2),
+        "run log must begin with the exact 0002 banner bytes")
+    }
+
+    // --- structure: the app's op sequence with full step brackets.
+    // getDataFromSrc + write from the extract op; read + dedupe + write
+    // from dfl_example (dataflows close in pipeline order)
+    val steps = JobLog.parseSteps(text)
+    assert(steps.map(_.op)
+      .containsSlice(Seq("read", "dedupe", "write")),
+      s"expected the dfl_example sequence, got ${steps.map(_.op)}")
+    assert(steps.exists(_.op == "getDataFromSrc"))
+    steps.foreach { s =>
+      assert(s.started && s.seconds.exists(_ >= 0),
+        s"incomplete step bracket: $s")
+    }
+
+    // --- vs 0001: our read and write blocks carry the same structural
+    // bracket as the golden's read/write blocks (op line, Desc line,
+    // Started, parseable Completed)
+    goldenLog("0001").foreach { g1 =>
+      val gold = JobLog.parseSteps(g1)
+      for (op <- Seq("read", "write")) {
+        val g = gold.find(_.op == op).get
+        val o = steps.find(_.op == op).get
+        assert(o.started == g.started && o.seconds.isDefined ==
+          g.seconds.isDefined && o.hasDesc == g.hasDesc,
+          s"$op block structure diverged from golden 0001")
+      }
+    }
+    JobLog.endRun(s"$tmp/logs")
+  }
+
+  test("golden 0001's final execution section replays through the " +
+      "engine op-for-op (createDataset → write → read → getColumnList)") {
+    val g1 = goldenLog("0001")
+    assume(g1.isDefined, "reference golden log not available")
+    // the last BETL-run section of 0001: createDataset(2x2) → write
+    // LOD.dm_test_dimension → read it back → getColumnList
+    val sections = g1.get.split("""BETL Started""")
+    val lastSteps = JobLog.parseSteps(sections.last)
+    assert(lastSteps.map(_.op).endsWith(
+      Seq("createDataset", "write", "read", "getColumnList")))
+
+    implicit val c: GraftConf = tmpConf().copy(debugCounts = true)
+    val dfl = DataFlow(spark, "test dataflow")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("1", "a"),
+        org.apache.spark.sql.Row("2", "b")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("col1",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("col2",
+          org.apache.spark.sql.types.StringType))))
+    dfl.createDataset("dm_test_dimension", df)
+    dfl.write("dm_test_dimension", "dm_test_dimension",
+      graft.catalog.Layer.LOD)
+    dfl.read("dm_test_dimension", graft.catalog.Layer.LOD)
+    dfl.getColumnList("dm_test_dimension")
+
+    val ours = JobLog.parseSteps(dfl.jobLogText)
+    val gold = lastSteps.takeRight(4)
+    assert(ours.map(_.op) == gold.map(_.op))
+    ours.zip(gold).foreach { case (o, g) =>
+      assert(o.started == g.started, s"${o.op}: Started bracket diverged")
+      assert(o.seconds.isDefined == g.seconds.isDefined,
+        s"${o.op}: Completed bracket diverged")
+      assert(o.shape == g.shape,
+        s"${o.op}: output shape diverged (ours ${o.shape}, gold ${g.shape})")
+    }
+  }
+}
