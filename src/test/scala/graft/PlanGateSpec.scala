@@ -1,0 +1,95 @@
+package graft
+
+import graft.plans.PlanGate
+
+/** Noise-immune perf gate: structural assertions over the EXECUTED
+  * physical plan of EVERY SparkEntry query (round-7 verdict item 2 —
+  * wall-clock benches alias host weather; plan shape does not).
+  *
+  * Global invariants (see [[PlanGate.audit]]): no cartesian product, no
+  * broadcast nested-loop join, no globally-unpartitioned window, no
+  * single-partition sort — except where the semantics REQUIRE the shape
+  * and the bounded side is audited (whitelist below, one justification
+  * per entry). Plus positive assertions: the SK-map joins of the load
+  * queries must broadcast.
+  *
+  * Runs at sf0.001 (shape, not speed, is under test — the broadcast
+  * gates are size-driven and dimension tables stay under the threshold
+  * at every SF this engine targets).
+  */
+class PlanGateSpec extends SparkSpec {
+
+  private val sfDir = sys.env.getOrElse(
+    "SPARK_GRAFT_PLANGATE_SF_DIR", "/root/testdata/sf0.001")
+
+  /** query -> rules it is allowed to trip — discovered by
+    * `graft.plans.PlanAudit`, each entry audited bounded:
+    *
+    *  - `q_join_cartesian`: the reference's `cartesianJoin=True` surface
+    *    — the semantics ARE a cartesian (the operator is documented
+    *    dimension-sized-only; renders as BNLJ under a broadcast side).
+    *  - `q_dm_audit`: the reference's intended 4×10 operation/score
+    *    grid (dfl_audit) — both sides are literal enums.
+    *  - corpus-stat cross joins (`q_bm25`, `q_tfidf`, `q_lm_score`,
+    *    `q_collocations`, `q_source_quality`, `q_mix_sources`,
+    *    `q_hll_distinct`, `q_hll_grouped`, `q_weighted_sample`,
+    *    `q_gapfill`, `q_kmeans`): every BNLJ broadcasts a 1-row
+    *    aggregate (corpus totals, sketch estimate + exact control,
+    *    timeline bounds, sample-weight total) or a k-row centroid /
+    *    probe frame — bounded by construction, never corpus-sized.
+    *  - `q_collocations` `global-window`: the rank window runs AFTER
+    *    `.limit(k)` — a k-row (k=20) frame; the top-k itself plans
+    *    TakeOrdered, not a global sort.
+    */
+  private val whitelist: Map[String, Set[String]] = Map(
+    "q_join_cartesian" -> Set("nested-loop", "cartesian"),
+    "q_dm_audit" -> Set("nested-loop", "cartesian"),
+    "q_bm25" -> Set("nested-loop"),
+    "q_tfidf" -> Set("nested-loop"),
+    "q_lm_score" -> Set("nested-loop"),
+    "q_collocations" -> Set("nested-loop", "global-window"),
+    "q_source_quality" -> Set("nested-loop"),
+    "q_mix_sources" -> Set("nested-loop"),
+    "q_hll_distinct" -> Set("nested-loop"),
+    "q_hll_grouped" -> Set("nested-loop"),
+    "q_weighted_sample" -> Set("nested-loop"),
+    "q_gapfill" -> Set("nested-loop"),
+    "q_kmeans" -> Set("nested-loop"))
+
+  test("every query's executed plan passes the global shape gate") {
+    val findings = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val nodes = PlanGate.executedNodes(fn(spark, sfDir))
+        PlanGate.audit(nodes).foreach { f =>
+          if (!whitelist.getOrElse(name, Set.empty).contains(f.rule))
+            findings += s"$name: $f"
+        }
+      } catch {
+        case e: Throwable => findings += s"$name: ERROR ${e.getMessage}"
+      } finally spark.catalog.clearCache()
+    }
+    assert(findings.isEmpty,
+      "plan-shape violations:\n" + findings.mkString("\n"))
+  }
+
+  test("the fact loads' NK→SK resolution joins broadcast the SK maps") {
+    // the load queries RETURN a re-read of the written table, so the
+    // join lives in the write job's plan — assert on the resolve frame
+    // itself (same path bulk and delta fact loads share)
+    import spark.implicits._
+    implicit val c: GraftConf = tmpConf()
+    val dfl = new DataFlow(spark, "gate", c)
+    dfl.createDataset("d", Map(
+      "cust_id" -> Seq("10", "20"), "name" -> Seq("A", "B")))
+    dfl.write("d", "dm_cust", graft.catalog.Layer.LOD)
+    graft.warehouse.StageLoad.bulkLoadDimension(spark, c,
+      graft.warehouse.DimensionSpec("dm_cust", Seq("cust_id"), Seq("name")))
+    val fact = Seq(("10", 5.0), ("99", 7.0)).toDF("cust_id", "amount")
+    val resolved = graft.warehouse.StageLoad.resolveFks(spark, c, fact,
+      Seq(graft.warehouse.FkMapping("cust_id", "dm_cust", "cust_id")))
+    val nodes = PlanGate.executedNodes(resolved)
+    assert(PlanGate.hasBroadcastHashJoin(nodes),
+      "NK→SK resolution lost its broadcast join")
+  }
+}
