@@ -1,0 +1,141 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Recall measurement for the ANN operators — grades LSH (tables ×
+  * hash-bits) and IVF (nprobe) on the axis a 100 TB user actually
+  * tunes: recall@k against the brute-force ground truth vs the work the
+  * index admits (candidates scanned per query).
+  *
+  * The candidate generation is the SAME plan shape as the production
+  * queries (`q_ann_lsh` / `q_ann_ivf` in
+  * [[graft.queries.SimilarityQueries]]): band-key equi-join for LSH,
+  * probed-cluster attach for IVF. Since both score candidates with the
+  * exact cosine, recall@k equals |candidates ∩ true-top-k| / k — no
+  * re-ranking needed for the measurement.
+  */
+object AnnRecall {
+
+  final case class LshPoint(
+      planes: Int, bandBits: Int, tables: Int,
+      recallAt: Double, avgCandidates: Double)
+
+  final case class IvfPoint(
+      nprobe: Int, recallAt: Double, avgScannedFraction: Double)
+
+  /** Brute-force ground truth: true top-k neighbor ids per query id. */
+  def groundTruth(
+      emb: DataFrame, numQueries: Int, k: Int): Map[Long, Seq[Long]] = {
+    val q = emb.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val rank = row_number().over(
+      Window.partitionBy("qid").orderBy(desc("cosine"), asc("vec_id")))
+    emb.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("embedding")))
+      .withColumn("rank", rank)
+      .where(col("rank") <= k)
+      .select("qid", "vec_id", "rank")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+      }
+  }
+
+  /** LSH candidate sets per query for one (planes, bandBits) config —
+    * the q_ann_lsh band-join shape.
+    */
+  private def lshCandidates(
+      emb: DataFrame, numQueries: Int, planes: Int, bandBits: Int)
+      : Map[Long, Set[Long]] = {
+    val keys = VectorFunctions.planeBandKeys(col("embedding"), planes, bandBits)
+    val qb = emb.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"),
+        posexplode(keys).as(Seq("band", "key")))
+    val cb = emb.select(col("vec_id"), posexplode(keys).as(Seq("band", "key")))
+    qb.join(cb, Seq("band", "key"))
+      .where(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+  }
+
+  /** Sweep LSH configurations, returning recall@k + avg candidate count
+    * (the per-query work the index admits — the cost knob).
+    */
+  def lshCurve(
+      emb: DataFrame, configs: Seq[(Int, Int)], numQueries: Int = 50,
+      k: Int = 10): Seq[LshPoint] = {
+    val truth = groundTruth(emb, numQueries, k)
+    configs.map { case (planes, bits) =>
+      val cand = lshCandidates(emb, numQueries, planes, bits)
+      val (recall, avgCand) = scoreCandidates(truth, cand, k)
+      LshPoint(planes, bits, planes / bits, recall, avgCand)
+    }
+  }
+
+  /** Sweep IVF probe counts over the corpus's `label` coarse partition,
+    * returning recall@k + the average fraction of the corpus scanned.
+    */
+  def ivfCurve(
+      emb: DataFrame, nprobes: Seq[Int], numQueries: Int = 50,
+      k: Int = 10): Seq[IvfPoint] = {
+    val truth = groundTruth(emb, numQueries, k)
+    val total = emb.count().toDouble
+    // cluster sizes + centroids, computed once (the q_ann_ivf shape)
+    val sizes = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
+        .cast("double") / count(lit(1))).as("c"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val qRows = emb.where(col("vec_id") < numQueries)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    // membership per cluster (collected once; the corpus is
+    // measurement-sized here — production stays distributed)
+    val members = emb.select("vec_id", "label").collect()
+      .groupBy(_.getInt(1)).map { case (l, rows) =>
+        l -> rows.map(_.getLong(0)).toSet }
+    def cosineLocal(a: Seq[Float], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    nprobes.map { np =>
+      val cand = qRows.map { case (qid, qv, _) =>
+        val probed = cent.toSeq
+          .map { case (l, cv) => (l, cosineLocal(qv, cv)) }
+          .sortBy { case (l, cc) => (-cc, l) }.take(np).map(_._1)
+        qid -> (probed.flatMap(members).toSet - qid,
+          probed.map(sizes).sum.toDouble / total)
+      }.toMap
+      val (recall, _) = scoreCandidates(truth,
+        cand.map { case (q, (c, _)) => q -> c }, k)
+      IvfPoint(np, recall, cand.values.map(_._2).sum / cand.size)
+    }
+  }
+
+  private def scoreCandidates(
+      truth: Map[Long, Seq[Long]], cand: Map[Long, Set[Long]], k: Int)
+      : (Double, Double) = {
+    val per = truth.map { case (q, top) =>
+      val c = cand.getOrElse(q, Set.empty)
+      (top.count(c.contains).toDouble / top.size, c.size.toDouble)
+    }
+    (per.map(_._1).sum / per.size, per.map(_._2).sum / per.size)
+  }
+}

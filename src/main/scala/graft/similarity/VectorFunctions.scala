@@ -46,18 +46,21 @@ object VectorFunctions {
   val NumPlaneBands: Int = NumPlanes / PlaneBandBits
   val Dim = 64
 
-  /** Deterministic pseudo-random hyperplanes: components on a thousandths
-    * grid in [-1, 1] from [[graft.util.SplitMix]] mixing, so the exact
-    * same literals can be embedded in oracle SQL (a 3-decimal literal
-    * parses to the identical double in any engine).
+  /** Deterministic pseudo-random hyperplane `p`: components on a
+    * thousandths grid in [-1, 1] from [[graft.util.SplitMix]] mixing, so
+    * the exact same literals can be embedded in oracle SQL (a 3-decimal
+    * literal parses to the identical double in any engine). Defined for
+    * ANY index — the recall-curve harness sweeps table counts beyond the
+    * default [[NumPlanes]].
     */
-  val Hyperplanes: IndexedSeq[IndexedSeq[Double]] =
-    (0 until NumPlanes).map { p =>
-      (0 until Dim).map { d =>
-        (math.floorMod(graft.util.SplitMix.mix(p.toLong * Dim + d), 2001L)
-          - 1000L) / 1000.0
-      }
+  def hyperplane(p: Int): IndexedSeq[Double] =
+    (0 until Dim).map { d =>
+      (math.floorMod(graft.util.SplitMix.mix(p.toLong * Dim + d), 2001L)
+        - 1000L) / 1000.0
     }
+
+  val Hyperplanes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NumPlanes).map(hyperplane)
 
   /** Render a hyperplane's components as SQL literals (exactly what
     * [[planeLit]] feeds Spark).
@@ -66,11 +69,13 @@ object VectorFunctions {
     Hyperplanes(p).map(v => f"$v%.3f")
 
   private def planeLit(p: Int): Column =
-    array(planeSqlLiterals(p).map(s => lit(s.toDouble)): _*)
+    array(hyperplane(p).map(v => lit(f"$v%.3f".toDouble)): _*)
 
   /** One sign bit per hyperplane: '1' where dot(v, plane) > 0. */
-  def planeBits(v: Column): Column =
-    concat((0 until NumPlanes).map { p =>
+  def planeBits(v: Column): Column = planeBits(v, NumPlanes)
+
+  def planeBits(v: Column, numPlanes: Int): Column =
+    concat((0 until numPlanes).map { p =>
       when(dot(v, planeLit(p)) > 0, "1").otherwise("0")
     }: _*)
 
@@ -79,12 +84,21 @@ object VectorFunctions {
     * pairs sharing (band index, chunk) — an equi-join, never an
     * all-pairs product. More bits per band → higher precision, lower
     * recall; 4 bits suits a weak-similarity corpus, 8-16 bits a
-    * true near-dup corpus at scale.
+    * true near-dup corpus at scale. The (tables × hashes) tradeoff is
+    * MEASURED per configuration by [[AnnRecall.lshCurve]].
     */
-  def planeBandKeys(v: Column): Column = {
-    val bits = planeBits(v)
-    array((0 until NumPlaneBands).map { b =>
-      substring(bits, b * PlaneBandBits + 1, PlaneBandBits)
+  def planeBandKeys(v: Column): Column =
+    planeBandKeys(v, NumPlanes, PlaneBandBits)
+
+  /** Parameterized band keys: `numPlanes / bandBits` tables of
+    * `bandBits`-bit hashes (numPlanes must divide evenly).
+    */
+  def planeBandKeys(v: Column, numPlanes: Int, bandBits: Int): Column = {
+    require(numPlanes % bandBits == 0,
+      s"numPlanes $numPlanes must be a multiple of bandBits $bandBits")
+    val bits = planeBits(v, numPlanes)
+    array((0 until numPlanes / bandBits).map { b =>
+      substring(bits, b * bandBits + 1, bandBits)
     }: _*)
   }
 }
