@@ -22,18 +22,36 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional comma-separated name-prefix filter for profiling one query
+    // optional comma-separated name filter for profiling one query;
+    // SPARK_GRAFT_BENCH_EXACT=1 switches from prefix to exact matching
+    // (needed by the isolated driver: "q_dedup_ngram" must not also
+    // select q_dedup_ngram_prefix)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val exact = sys.env.get("SPARK_GRAFT_BENCH_EXACT").contains("1")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) =>
+        only.forall(_.exists(s => if (exact) s == n else n.startsWith(s)))
+      }
     // untimed warm-up: pay JIT/codegen/page-cache costs once outside the
     // timed loop, so the alphabetically-first query stops absorbing them
-    // and round-over-round per-query deltas stop aliasing warm-up noise
-    selected.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      System.gc()
+    // and round-over-round per-query deltas stop aliasing warm-up noise.
+    // SPARK_GRAFT_BENCH_WARMUP: first (default) = full run of the first
+    // selected query; light = a trivial scan+write that pays session/
+    // codegen startup without re-running a minutes-long heavy query
+    // (the isolated one-query-per-JVM driver uses this); none = skip.
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "first") match {
+      case "none" => ()
+      case "light" =>
+        try spark.read.parquet(s"$sfDir/region.parquet")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      case _ =>
+        selected.headOption.foreach { case (_, fn) =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+          System.gc()
+        }
     }
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -53,12 +71,18 @@ object Bench {
     }
     // sub-2s queries are rerun to a median of 3: their round-over-round
     // deltas otherwise alias machine contention (r4's driver numbers ran
-    // ~1.4x hot under external load)
+    // ~1.4x hot under external load). SPARK_GRAFT_BENCH_RUNS=N forces
+    // exactly N timed runs per query regardless of duration (the
+    // isolated driver medians across JVMs instead of within one).
+    val forcedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
     val results = selected.map { case (name, fn) =>
       val first = timeOnce(name, fn)
-      val runs =
-        if (first < 2.0) Seq(first, timeOnce(name, fn), timeOnce(name, fn))
-        else Seq(first)
+      val runs = forcedRuns match {
+        case Some(n) => first +: Seq.fill(n - 1)(timeOnce(name, fn))
+        case None =>
+          if (first < 2.0) Seq(first, timeOnce(name, fn), timeOnce(name, fn))
+          else Seq(first)
+      }
       (name, runs.sorted.apply(runs.size / 2), runs)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
