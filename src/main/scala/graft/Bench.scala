@@ -14,6 +14,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // spill-aware reducer sizing: with AQE coalescing on (the 4.x
+      // default), SQLConf.numShufflePartitions resolves to
+      // initialPartitionNum, so every shuffle STARTS wide and AQE
+      // coalesces it back to the 64MB advisory target. At sf0.1 that is
+      // indistinguishable from 32 flat; at sf10 it keeps array-carrying
+      // reduce partitions (triangles adjacency attach: ~50GB payload)
+      // under executor memory instead of spilling 1.7GB-per-partition.
+      // Same knob a real cluster sets; env-tunable for A/Bs.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ContextCleaner frees a query's shuffle files only after its RDDs
