@@ -55,6 +55,15 @@ object DedupQueries {
         JaccardThreshold).orderBy("doc_a", "doc_b")
     },
 
+    // exact substring-span dedup (Lee et al. 2022): per-doc repeated-span
+    // coverage via distributed positioned w-gram fingerprints
+    "q_span_dedup" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_span_dedup")
+      graft.dedup.SpanDedup.spanStats(src(dfl, "documents"), "text",
+        "doc_id").orderBy("doc_id")
+    },
+
     // SimHash Hamming ≤ 3 pairs (banding is recall-exact for d < 4)
     "q_dedup_simhash" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -223,6 +232,38 @@ object DedupQueries {
         |  AND quality_score >= 0.5
         |ORDER BY doc_id""".stripMargin
     },
+    // ground truth: every positioned 10-gram, duplicated fingerprints,
+    // interval union per doc (edge-count rendering of the same union the
+    // engine computes with a sorted fold)
+    "q_span_dedup" -> {
+      val w = graft.dedup.SpanDedup.DefaultW
+      s"""WITH $toksCte,
+        |g AS (SELECT doc_id, pos,
+        |    md5(array_to_string(list_slice(w, pos, pos + ${w - 1}), ' '))
+        |      AS fp
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${w - 2}))
+        |      AS pos
+        |    FROM toks WHERE len(w) >= $w)),
+        |c AS (SELECT fp FROM g GROUP BY fp HAVING count(*) > 1),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (fp)),
+        |cover AS (SELECT doc_id,
+        |    list_sort(list_distinct(flatten(list(ps)))) AS cl
+        |  FROM (SELECT doc_id, range(pos, pos + $w) AS ps FROM d)
+        |  GROUP BY doc_id),
+        |m AS (SELECT doc_id, len(cl) AS dup_tokens,
+        |    len(list_filter(cl, p -> NOT list_contains(cl, p - 1)))
+        |      AS dup_spans
+        |  FROM cover)
+        |SELECT t.doc_id, t.n AS n_tokens,
+        |  CAST(coalesce(m.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(coalesce(m.dup_spans, 0) AS BIGINT) AS dup_spans,
+        |  CASE WHEN t.n = 0 THEN 0.0
+        |    ELSE round(CAST(coalesce(m.dup_tokens, 0) AS DOUBLE) / t.n, 6)
+        |  END AS dup_frac
+        |FROM (SELECT doc_id, len(w) AS n FROM toks) t
+        |LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin
+    },
+
     // ground truth is identical to the plain inverted-index rendering
     "q_dedup_ngram_prefix" ->
       s"""WITH $toksCte, ${shinglesCte(3)},

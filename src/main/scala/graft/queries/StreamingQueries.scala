@@ -740,6 +740,72 @@ object StreamingQueries {
       }
     },
 
+    // STREAMING SPAN DEDUP: the gram-fingerprint index maintained
+    // across micro-batches ([[SpanDedup.applyBatch]]); a duplicated
+    // occurrence emits in the batch where its fingerprint's second
+    // occurrence arrives (earlier occurrences emit retroactively from
+    // the index), so the final flagged set — and therefore the
+    // per-document span statistics — equals the batch q_span_dedup
+    // exactly, whose oracle this query reuses verbatim.
+    "q_stream_span_dedup" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.dedup.SpanDedup
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val base = tmpDir("graft_sspan")
+        val indexDir = base + "/gram_index"
+        val dupDir = base + "/dup_occ"
+        SpanDedup.initState(s, indexDir, dupDir)
+        StreamFlow.writeTimeSplits(docs, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            SpanDedup.applyBatch(s, b, "text", "doc_id", indexDir, dupDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        SpanDedup.statsFromState(s, docs, "text", "doc_id", dupDir)
+          .orderBy("doc_id")
+      }
+    },
+
+    // STREAMING DSIR: the hashed-ngram bucket table maintained across
+    // micro-batches by counter ADDITION with a batch-id watermark
+    // ([[Dsir.applyBatch]], the CMS algebra); the folded table equals
+    // the batch table exactly, so the final corpus scoring reuses the
+    // batch q_dsir_select oracle verbatim.
+    "q_stream_dsir" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.text.Dsir
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val base = tmpDir("graft_sdsir")
+        val stateDir = base + "/state"
+        StreamFlow.writeTimeSplits(docs, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            Dsir.applyBatch(s, b, "doc_id", "text",
+              col("lang") === "en", id, stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Dsir.weightsFromState(s, docs, "doc_id", "text",
+          col("lang") === "en", stateDir).orderBy("doc_id")
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -763,6 +829,10 @@ object StreamingQueries {
     // cell-wise addition over any batching equals the batch grid —
     // batch oracle verbatim, like q_stream_hll
     "q_stream_cms" -> TextQueries.oracles("q_cms_freq"),
+    // streamed gram index / bucket table are lossless renderings of the
+    // batch computations — the batch oracles ARE the streaming oracles
+    "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),
+    "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
 
     // the streamed mini-batch run replayed batch-by-batch: same seeds,
     // same per-batch argmin, same integer state folds

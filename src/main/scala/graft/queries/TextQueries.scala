@@ -304,6 +304,17 @@ object TextQueries {
         .select(col("doc_id"), tokenCount(col("text")).as("nt"))
       graft.text.SeqPack.pack(docs, "doc_id", "nt", seqLen = SeqLen)
         .orderBy("seq_id", "doc_id")
+    },
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-ngram bucket
+    // LM ratio of the English slice vs the raw corpus, snapped logs for
+    // order-independent integer sums
+    "q_dsir_select" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dsir_select")
+      src(dfl, "documents")
+      graft.text.Dsir.importanceWeights(dfl.get("documents"), "doc_id",
+        "text", col("lang") === "en").orderBy("doc_id")
     })
 
   /** Eval-split percentage for q_decontaminate. */
@@ -548,6 +559,49 @@ object TextQueries {
          |  round(CAST(sum_fp - n_tokens * ln_n_fp AS DOUBLE)
          |    / (n_tokens * $sc.0), 6) AS avg_logprob
          |FROM d, n ORDER BY doc_id""".stripMargin
+    },
+
+    // DSIR: hashed unigram+bigram buckets, Laplace-smoothed target/raw
+    // log ratio, per-bucket snapped logs so the per-doc sum is an exact
+    // integer in both engines
+    "q_dsir_select" -> {
+      val sc = graft.text.Dsir.LnScale
+      val bN = graft.text.Dsir.NumBuckets
+      import graft.functions.DetLog.lnCtes
+      s"""WITH $toksCte,
+         |f0 AS (SELECT doc_id, lang = 'en' AS is_t,
+         |  unnest(list_concat(w, CASE WHEN len(w) >= 2 THEN
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |    ELSE []::VARCHAR[] END)) AS f
+         |  FROM toks),
+         |fb AS (SELECT doc_id, is_t, (${tokenHash("f")}) % $bN AS b
+         |  FROM f0),
+         |bk AS (SELECT b, count(*) AS cr,
+         |  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM fb GROUP BY 1),
+         |${lnCtes("dlt", "bk", "ct + 1", "lnt", Seq("b"))},
+         |${lnCtes("dlr", "bk", "cr + 1", "lnr", Seq("b"))},
+         |lw AS (SELECT dlt.b,
+         |  CAST(floor(lnt * $sc) AS BIGINT)
+         |    - CAST(floor(lnr * $sc) AS BIGINT) AS lw
+         |  FROM dlt JOIN dlr ON dlt.b = dlr.b),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) + $bN AS tr,
+         |  CAST(sum(ct) AS BIGINT) + $bN AS tt FROM bk),
+         |${lnCtes("dtr", "tot", "tr", "lntr", Nil)},
+         |${lnCtes("dtt", "tot", "tt", "lntt", Nil)},
+         |c0 AS (SELECT CAST(floor(lntr * $sc) AS BIGINT)
+         |  - CAST(floor(lntt * $sc) AS BIGINT) AS c0 FROM dtr, dtt),
+         |d AS (SELECT doc_id, CAST(sum(lw) AS BIGINT) AS s,
+         |  count(*) AS n_feats FROM fb JOIN lw USING (b) GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(coalesce(d.n_feats, 0) AS BIGINT) AS n_feats,
+         |  round(CAST(coalesce(d.s, 0)
+         |    + coalesce(d.n_feats, 0) * c0.c0 AS DOUBLE) / $sc.0, 6)
+         |    AS logw,
+         |  (coalesce(d.s, 0) + coalesce(d.n_feats, 0) * c0.c0) > 0
+         |    AS selected
+         |FROM (SELECT doc_id FROM documents) docs0
+         |LEFT JOIN d USING (doc_id), c0 ORDER BY doc_id""".stripMargin
     },
 
     "q_boilerplate" -> {
