@@ -54,7 +54,11 @@ class PlanGateSpec extends SparkSpec {
     "q_hll_grouped" -> Set("nested-loop"),
     "q_weighted_sample" -> Set("nested-loop"),
     "q_gapfill" -> Set("nested-loop"),
-    "q_kmeans" -> Set("nested-loop"))
+    "q_kmeans" -> Set("nested-loop"),
+    // DSIR: the ln(tot+B) normaliser is a 1-row aggregate crossJoined
+    // back (same bounded shape as the corpus-stat entries above)
+    "q_dsir_select" -> Set("nested-loop"),
+    "q_stream_dsir" -> Set("nested-loop"))
 
   test("every query's executed plan passes the global shape gate") {
     val findings = scala.collection.mutable.ArrayBuffer[String]()
