@@ -79,14 +79,16 @@ object SpanDedup {
       .withColumn("n", size(col("t")))
 
   /** (doc, pos, fp) gram occurrences — corpus-token-sized, one row per
-    * position; fingerprints are full md5 hex.
+    * position; fingerprints are the raw 16-byte md5 digest (unhex'd):
+    * half the shuffle/index payload of the hex rendering and a cheaper
+    * equality compare, with the same 128-bit exactness.
     */
   private[dedup] def positionedOcc(toks: DataFrame, w: Int): DataFrame =
     toks
       .select(col("doc"), posexplode(positionedGrams(col("t"), w))
         .as(Seq("p0", "g")))
       .select(col("doc"), (col("p0") + 1).as("pos"),
-        md5(col("g").cast("binary")).as("fp"))
+        unhex(md5(col("g").cast("binary"))).as("fp"))
 
   /** Fold flagged duplicated-gram start positions into per-document span
     * statistics: sorted starts → one row-local pass unions the
@@ -151,7 +153,10 @@ object SpanDedup {
   def applyBatch(s: org.apache.spark.sql.SparkSession, b: DataFrame,
       textCol: String, idCol: String, indexDir: String, dupDir: String,
       w: Int = DefaultW): Unit = {
-    val idx = s.read.parquet(indexDir)
+    // the index is re-scanned three times below (replay guard, dup-fp
+    // match, retro emission) — cache it for the batch so the parquet
+    // read + decode happens once
+    val idx = s.read.parquet(indexDir).cache()
     val newOcc = positionedOcc(tokenized(b, textCol, idCol), w)
       // replay guard: docs are batch-atomic, so an indexed doc's grams
       // are already fully applied
@@ -176,6 +181,7 @@ object SpanDedup {
     // replays into the anti-join guards above)
     newOcc.select("fp", "doc", "pos").write.mode("append").parquet(indexDir)
     newOcc.unpersist()
+    idx.unpersist()
     ()
   }
 
@@ -185,7 +191,7 @@ object SpanDedup {
     import org.apache.spark.sql.types._
     val empty = (schema: StructType) => s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    empty(StructType(Seq(StructField("fp", StringType),
+    empty(StructType(Seq(StructField("fp", BinaryType),
       StructField("doc", LongType), StructField("pos", IntegerType))))
       .write.mode("overwrite").parquet(indexDir)
     empty(StructType(Seq(StructField("doc", LongType),
