@@ -309,15 +309,32 @@ object Dedup {
     */
   def minHashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, k: Int = 3): DataFrame = {
+      threshold: Double, k: Int = 3): DataFrame =
+    bandedSignaturePairs(df, textCol, idCol, threshold, k,
+      graft.functions.GraftFunctions.minHashBandKeys(df.sparkSession, _))
+
+  /** [[minHashPairs]] with ONE-PERMUTATION hashing (Li/Owen/Zhang 2012,
+    * rotation-densified per Shrivastava/Li 2014,
+    * [[graft.functions.OnePermKernel]]): one multiply-mod per shingle
+    * instead of 64 — the signature pass, which is the corpus-scaling
+    * part of LSH dedup, drops ~64× in hash arithmetic. Banding, the
+    * candidate join, and the exact Jaccard verify are identical.
+    */
+  def onePermPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 3): DataFrame =
+    bandedSignaturePairs(df, textCol, idCol, threshold, k,
+      graft.functions.GraftFunctions.onePermBandKeys(df.sparkSession, _))
+
+  private def bandedSignaturePairs(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      k: Int, bandFn: Column => Column): DataFrame = {
     val sh = shingled(df, textCol, idCol, k)
     // signature kernel is a native codegen Expression (narrow, no
     // shuffle, no Row boxing, no codegen fence): its output carries ONLY
     // (doc, bands) — shingle arrays never enter the candidate join; the
     // verify re-attaches them by id afterwards
-    val withBands = sh.select(col("doc"),
-      graft.functions.GraftFunctions
-        .minHashBandKeys(df.sparkSession, col("s")).as("bands"))
+    val withBands = sh.select(col("doc"), bandFn(col("s")).as("bands"))
     // candidate generation carries ONLY ids: the 16-band self-join and
     // the pair-dedup shuffle move (band, key, doc) rows — never shingle
     // payloads. Caching this id-only frame (not the shingles) is what

@@ -109,6 +109,17 @@ object GraftFunctions {
       MinHashBandKeys(children.head)
     })
 
+  private val onePermBandKeysDescriptor: (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("oneperm_band_keys"),
+    new ExpressionInfo(classOf[OnePermBandKeys].getName,
+      "oneperm_band_keys"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        "oneperm_band_keys expects exactly 1 argument")
+      OnePermBandKeys(children.head)
+    })
+
   private val shinglesDescriptor: (FunctionIdentifier,
       ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("shingles_k"),
@@ -130,6 +141,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       minHashBandKeysDescriptor._1, minHashBandKeysDescriptor._2,
       minHashBandKeysDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      onePermBandKeysDescriptor._1, onePermBandKeysDescriptor._2,
+      onePermBandKeysDescriptor._3)
   }
 
   /** Column-level accessor (registers on the session first). */
@@ -142,6 +156,12 @@ object GraftFunctions {
   def repetitionStats(spark: SparkSession, toks: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_udf("repetition_stats", toks)
+  }
+
+  /** Column-level accessor for [[OnePermBandKeys]]. */
+  def onePermBandKeys(spark: SparkSession, shingles: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("oneperm_band_keys", shingles)
   }
 
   /** Column-level accessor for [[MinHashBandKeys]]. */

@@ -55,6 +55,15 @@ object DedupQueries {
         JaccardThreshold).orderBy("doc_a", "doc_b")
     },
 
+    // one-permutation MinHash (1 multiply-mod per shingle vs 64) with
+    // rotation densification; same banding + exact verify downstream
+    "q_dedup_oneperm" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dedup_oneperm")
+      Dedup.onePermPairs(src(dfl, "documents"), "text", "doc_id",
+        JaccardThreshold).orderBy("doc_a", "doc_b")
+    },
+
     // exact substring-span dedup (Lee et al. 2022): per-doc repeated-span
     // coverage via distributed positioned w-gram fingerprints
     "q_span_dedup" -> { (s, dir) =>
@@ -303,6 +312,52 @@ object DedupQueries {
         |FROM j
         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // bit-identical pipeline mirror of the one-permutation signature:
+    // one permuted hash per shingle, strided bin minima, rotation
+    // densification (t·p offset), classic 16×4 banding + exact verify
+    "q_dedup_oneperm" -> {
+      import graft.functions.OnePermKernel.{C, K}
+      val p = Dedup.MinHashP
+      val a0 = Dedup.HashA(0)
+      val b0 = Dedup.HashB(0)
+      s"""WITH $toksCte, ${shinglesCte(3)},
+        |hh AS (SELECT doc_id, s,
+        |  list_transform(s, g -> ${tokenHash("g")}) AS hs FROM sh),
+        |pv AS (SELECT doc_id, s,
+        |  list_transform(hs, x -> ($a0 * (x % $p) + $b0) % $p) AS ph
+        |  FROM hh),
+        |mm AS (SELECT doc_id, s,
+        |  list_transform(range(0, $K),
+        |    j -> list_min(list_filter(ph, v -> v % $K = j))) AS m0
+        |  FROM pv),
+        |sig AS (SELECT doc_id, s,
+        |  list_transform(range(0, $K), j -> coalesce(
+        |    list_filter(list_transform(range(0, $K), t ->
+        |      CASE WHEN m0[((j + t) % $K) + 1] IS NOT NULL
+        |        THEN m0[((j + t) % $K) + 1] + t * $C END),
+        |      x -> x IS NOT NULL)[1], $p)) AS sg
+        |  FROM mm),
+        |b0 AS (SELECT doc_id, s, sg, unnest(range(0, ${Dedup.NumBands}))
+        |  AS band FROM sig),
+        |bands AS (SELECT doc_id, s, band,
+        |  array_to_string(list_transform(
+        |    sg[band * ${Dedup.BandRows} + 1 : band * ${Dedup.BandRows} + ${Dedup.BandRows}],
+        |    v -> v::VARCHAR), ',') AS key FROM b0),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(x.s, y.s)) AS inter,
+        |    len(x.s) AS na, len(y.s) AS nb
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |            JOIN sh y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM j
+        |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JaccardThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_dedup_simhash" ->
       s"""WITH $toksCte,
         |hh AS (SELECT doc_id,
