@@ -128,6 +128,52 @@ object SpanDedup {
             .cast("double") / col("n"), 6)).as("dup_frac"))
   }
 
+  /** The ACTION counterpart of [[spanStats]] — the corpus rewrite of
+    * Lee et al. 2022: cut every cross-document duplicated span from
+    * every document EXCEPT the earliest (min doc id) document
+    * containing it, which keeps its copy. Within-document repetition is
+    * left to the repetition filters; the keeper rule needs only
+    * `min(doc)` per fingerprint — no global ordering, one extra value
+    * on the fingerprint agg.
+    *
+    * @return (idCol, n_tokens, kept_tokens, cleaned_text) for every
+    *         document; documents fully covered by borrowed spans clean
+    *         to the empty string.
+    */
+  def removeSpans(df: DataFrame, textCol: String, idCol: String,
+      w: Int = DefaultW): DataFrame = {
+    val toks = tokenized(df, textCol, idCol)
+    val occ = positionedOcc(toks, w)
+    // fingerprints seen in >1 document, with the keeper doc
+    val dups = occ.groupBy("fp").agg(
+      count_distinct(col("doc")).as("nd"), min(col("doc")).as("keeper"))
+      .where(col("nd") > 1).select("fp", "keeper")
+    val starts = occ.join(dups, Seq("fp"))
+      .where(col("doc") =!= col("keeper"))
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    // row-local rewrite: covered = union of [s, s+w) intervals,
+    // MATERIALISED as its own column before the per-token lambda (an
+    // inline tree would be re-evaluated per token — the O(n²)/doc trap
+    // the shingle kernels exist to avoid); array_contains per token is
+    // then O(|covered|), bounded by document length, no shuffle
+    toks.join(starts, Seq("doc"), "left")
+      .withColumn("covered",
+        when(col("starts").isNull, array().cast("array<int>"))
+          .otherwise(array_distinct(flatten(transform(col("starts"),
+            s => sequence(s, s + (w - 1)))))))
+      .withColumn("kept",
+        when(col("n") === 0, array().cast("array<string>"))
+          .otherwise(filter(
+            transform(sequence(lit(1), col("n")),
+              i => when(!array_contains(col("covered"), i),
+                element_at(col("t"), i))),
+            x => x.isNotNull)))
+      .select(col("doc").as(idCol), col("n").cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+  }
+
   // ------------------------------------------------------------------
   // nearline: the gram index maintained across micro-batches
   // ------------------------------------------------------------------

@@ -73,6 +73,15 @@ object DedupQueries {
         "doc_id").orderBy("doc_id")
     },
 
+    // the span-dedup ACTION: cut cross-doc duplicated spans, keeping
+    // the earliest document's copy (Lee et al. 2022 corpus rewrite)
+    "q_span_removal" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_span_removal")
+      graft.dedup.SpanDedup.removeSpans(src(dfl, "documents"), "text",
+        "doc_id").orderBy("doc_id")
+    },
+
     // SimHash Hamming ≤ 3 pairs (banding is recall-exact for d < 4)
     "q_dedup_simhash" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
@@ -271,6 +280,39 @@ object DedupQueries {
         |  END AS dup_frac
         |FROM (SELECT doc_id, len(w) AS n FROM toks) t
         |LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin
+    },
+
+    // the rewrite action: same gram table, keeper = min doc per
+    // cross-doc-duplicated fp, positions outside the covered union
+    // survive (DuckDB's 1-based indexed list_filter mirrors the
+    // engine's position filter)
+    "q_span_removal" -> {
+      val w = graft.dedup.SpanDedup.DefaultW
+      s"""WITH $toksCte,
+        |g AS (SELECT doc_id, pos,
+        |    md5(array_to_string(list_slice(w, pos, pos + ${w - 1}), ' '))
+        |      AS fp
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${w - 2}))
+        |      AS pos
+        |    FROM toks WHERE len(w) >= $w)),
+        |c AS (SELECT fp, min(doc_id) AS keeper FROM g GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (fp)
+        |  WHERE g.doc_id <> c.keeper),
+        |cover AS (SELECT doc_id, list_distinct(flatten(list(ps))) AS cl
+        |  FROM (SELECT doc_id, range(pos, pos + $w) AS ps FROM d)
+        |  GROUP BY doc_id),
+        |k AS (SELECT t.doc_id, len(t.w) AS n_tokens,
+        |    CASE WHEN cover.cl IS NULL THEN t.w
+        |      ELSE list_filter(t.w, (x, i) -> NOT list_contains(cover.cl, i))
+        |    END AS kept
+        |  FROM toks t LEFT JOIN cover USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS kept_tokens,
+        |  -- DuckDB's array_to_string of an empty list is NULL, the
+        |  -- engine's concat_ws is '' — normalise to ''
+        |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+        |FROM k ORDER BY doc_id""".stripMargin
     },
 
     // ground truth is identical to the plain inverted-index rendering

@@ -81,6 +81,37 @@ class SpanDedupDsirSpec extends SparkSpec {
     assert(got(0).getLong(2) == 20L && got(0).getLong(3) == 2L)
   }
 
+  // ---- span removal -----------------------------------------------------
+
+  test("removeSpans: the earliest doc keeps its copy, later docs lose it") {
+    val shared = gram(10, "s")
+    val df = docs(
+      1L -> s"${gram(5, "a")} $shared",
+      2L -> s"$shared ${gram(5, "b")}",
+      3L -> gram(8, "c"))
+    val got = graft.dedup.SpanDedup.removeSpans(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(2) == 15L) // keeper: everything survives
+    assert(got(0).getString(3) == s"${gram(5, "a")} $shared")
+    assert(got(1).getLong(2) == 5L)  // the shared run is cut
+    assert(got(1).getString(3) == gram(5, "b"))
+    assert(got(2).getLong(2) == 8L)  // untouched doc
+  }
+
+  test("removeSpans: within-doc repetition is NOT cut (single doc)") {
+    val run = gram(10, "r")
+    val df = docs(1L -> s"$run $run")
+    val got = graft.dedup.SpanDedup.removeSpans(df, "text", "doc_id")
+      .collect()
+    assert(got(0).getLong(2) == 20L)
+  }
+
+  test("removeSpans: empty documents clean to empty") {
+    val got = graft.dedup.SpanDedup.removeSpans(
+      docs(1L -> ""), "text", "doc_id").collect()
+    assert(got(0).getLong(1) == 0L && got(0).getString(3) == "")
+  }
+
   // ---- DSIR -------------------------------------------------------------
 
   private def langDocs(rows: (Long, String, String)*) =
