@@ -135,13 +135,24 @@ object SimilarityQueries {
       .groupBy("label", "d")
       .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
         .cast("double") / count(lit(1))).as("c"))
-    val centroids: Map[Int, Array[Double]] = cent.collect()
+    ivfSearch(s, emb, centroidsOf(cent))
+  }
+
+  /** (label, d, c) centroid frame → driver map (labels × dim — tiny). */
+  private[graft] def centroidsOf(cent: DataFrame): Map[Int, Array[Double]] =
+    cent.collect()
       .groupBy(_.getInt(0))
       .map { case (l, rows) =>
         l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
       }
-    // probe assignment for the (tiny) query set happens driver-side with
-    // the same arithmetic the oracle uses
+
+  /** The IVF probe + scan tail shared by the batch query and the
+    * streamed-index rendering: probe assignment for the (tiny) query
+    * set happens driver-side with the same arithmetic the oracle uses;
+    * only the probed clusters' vectors pay the exact cosine + top-k.
+    */
+  private[graft] def ivfSearch(s: SparkSession, emb: DataFrame,
+      centroids: Map[Int, Array[Double]]): DataFrame = {
     val qRows = emb.filter(col("vec_id") < NumQueries)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
     val probeRows = qRows.flatMap { r =>

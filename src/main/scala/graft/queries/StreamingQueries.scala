@@ -806,6 +806,41 @@ object StreamingQueries {
       }
     },
 
+    // STREAMING IVF ANN INDEX: per-(label, dim) decimal sums fold
+    // additively across micro-batches (exact, associative — the folded
+    // centroids are bit-identical to the batch computation) while the
+    // postings file accumulates the vectors; the final probe + scan is
+    // the batch IVF search verbatim, so the batch q_ann_ivf oracle
+    // applies unchanged.
+    "q_stream_ann_ivf" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.similarity.StreamingIvf
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        val base = tmpDir("graft_sivf")
+        val sumsDir = base + "/sums"
+        val postingsDir = base + "/postings"
+        StreamingIvf.initState(s, postingsDir)
+        StreamFlow.writeTimeSplits(emb, "vec_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("label", IntegerType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            StreamingIvf.applyBatch(s, b, id, sumsDir, postingsDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        SimilarityQueries.ivfSearch(s, s.read.parquet(postingsDir),
+          SimilarityQueries.centroidsOf(
+            StreamingIvf.centroidFrame(s, sumsDir)))
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -833,6 +868,7 @@ object StreamingQueries {
     // batch computations — the batch oracles ARE the streaming oracles
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),
     "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
+    "q_stream_ann_ivf" -> SimilarityQueries.oracles("q_ann_ivf"),
 
     // the streamed mini-batch run replayed batch-by-batch: same seeds,
     // same per-batch argmin, same integer state folds

@@ -1,0 +1,70 @@
+package graft
+
+import graft.similarity.StreamingIvf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The streamed IVF index must answer exactly like the batch IVF: the
+  * decimal centroid fold is associative-exact, so neither the batch
+  * count nor replay may perturb anything.
+  */
+class StreamingIvfSpec extends SparkSpec {
+
+  private lazy val emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+
+  /** Batch ground truth: the same decimal centroid computation the
+    * batch query runs, collected through the shared helpers.
+    */
+  private def batchCentroids: Map[Int, Array[Double]] =
+    graft.queries.SimilarityQueries.centroidsOf(
+      emb.select(col("label"),
+          posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("label", "d")
+        .agg((sum(col("v").cast(DecimalType(38, 15))).cast("double")
+          / count(lit(1))).as("c")))
+
+  private def streamed(nBatches: Int): (String, Map[Int, Array[Double]]) = {
+    val base = java.nio.file.Files
+      .createTempDirectory(s"sivf_$nBatches").toString
+    StreamingIvf.initState(spark, base + "/postings")
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    ids.grouped(math.max(1, ids.length / nBatches)).zipWithIndex
+      .foreach { case (g, i) =>
+        StreamingIvf.applyBatch(spark,
+          emb.where(col("vec_id").isin(g.toSeq: _*)), i.toLong,
+          base + "/sums", base + "/postings")
+      }
+    (base, graft.queries.SimilarityQueries.centroidsOf(
+      StreamingIvf.centroidFrame(spark, base + "/sums")))
+  }
+
+  test("folded centroids are bit-identical to batch for any batching") {
+    val truth = batchCentroids
+    for (n <- Seq(1, 3, 7)) {
+      val (base, got) = streamed(n)
+      assert(got.keySet == truth.keySet)
+      truth.foreach { case (l, cv) =>
+        assert(java.util.Arrays.equals(got(l), cv),
+          s"centroid $l diverged at nBatches=$n")
+      }
+      // postings accumulated the whole corpus exactly once
+      assert(spark.read.parquet(base + "/postings").count() == emb.count())
+    }
+  }
+
+  test("replayed batch is a no-op (watermark + postings anti-join)") {
+    val (base, before) = streamed(3)
+    StreamingIvf.applyBatch(spark, emb, 0L, base + "/sums",
+      base + "/postings")
+    val after = graft.queries.SimilarityQueries.centroidsOf(
+      StreamingIvf.centroidFrame(spark, base + "/sums"))
+    assert(before.keySet == after.keySet)
+    before.foreach { case (l, cv) =>
+      assert(java.util.Arrays.equals(after(l), cv))
+    }
+    assert(spark.read.parquet(base + "/postings").count() == emb.count())
+  }
+}
