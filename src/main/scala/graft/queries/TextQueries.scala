@@ -306,6 +306,26 @@ object TextQueries {
         .orderBy("seq_id", "doc_id")
     },
 
+    // seeded deterministic corpus shuffle — the pre-packing
+    // decorrelation step of every pretraining pipeline: global shuffle
+    // position = rank of md5(seed || doc_id), assigned with the
+    // SurrogateKeys two-phase layout (range partition → per-partition
+    // counts → broadcast offsets), NEVER a single-partition window
+    "q_corpus_shuffle" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_corpus_shuffle")
+      src(dfl, "documents")
+      val keyed = dfl.get("documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .withColumn("shuffle_key", graft.text.TextFunctions.tokenHash60(
+          concat(lit(s"shuffle:$ShuffleSeed:"),
+            col("doc_id").cast("string"))))
+      graft.warehouse.SurrogateKeys
+        .assign(keyed, Seq("shuffle_key", "doc_id"), "shuffle_pos")
+        .select("doc_id", "n_tokens", "shuffle_key", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    },
+
     // DSIR importance resampling (Xie et al. 2023): hashed-ngram bucket
     // LM ratio of the English slice vs the raw corpus, snapped logs for
     // order-independent integer sums
@@ -319,6 +339,8 @@ object TextQueries {
 
   /** Eval-split percentage for q_decontaminate. */
   private val EvalPct = 10
+  /** Seed for q_corpus_shuffle's deterministic permutation. */
+  private val ShuffleSeed = 42
   /** m-estimate pseudo-count for q_source_quality smoothing. */
   private val SmoothM = 20L
   /** Query terms for q_bm25 (common corpus vocabulary). */
@@ -560,6 +582,20 @@ object TextQueries {
          |    / (n_tokens * $sc.0), 6) AS avg_logprob
          |FROM d, n ORDER BY doc_id""".stripMargin
     },
+
+    // the oracle's window is fine AS AN ORACLE (DuckDB, small SF); the
+    // engine side earns its keep by computing the identical permutation
+    // without one
+    "q_corpus_shuffle" ->
+      s"""WITH $toksCte,
+         |k AS (SELECT doc_id, len(w) AS n_tokens,
+         |  ${tokenHash(s"'shuffle:$ShuffleSeed:' || CAST(doc_id AS VARCHAR)")}
+         |    AS shuffle_key
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+         |    AS BIGINT) AS shuffle_pos
+         |FROM k ORDER BY shuffle_pos""".stripMargin,
 
     // DSIR: hashed unigram+bigram buckets, Laplace-smoothed target/raw
     // log ratio, per-bucket snapped logs so the per-doc sum is an exact

@@ -157,6 +157,20 @@ class SpanDedupDsirSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("corpus shuffle is a deterministic permutation of all doc ids") {
+    val a = SparkEntry.queries("q_corpus_shuffle")(
+      spark, "/root/testdata/sf0.001").collect()
+    val b = SparkEntry.queries("q_corpus_shuffle")(
+      spark, "/root/testdata/sf0.001").collect()
+    // permutation: positions are exactly 1..N
+    assert(a.map(_.getLong(3)).sorted.toSeq == (1L to a.length).toSeq)
+    // deterministic: two runs agree row for row
+    assert(a.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(3))).toSeq)
+    // actually shuffled: position order differs from id order
+    assert(a.map(_.getLong(0)).toSeq != a.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("dsir: weights are invariant to input partitioning") {
     val rows = (1L to 20L).map { i =>
       (i, s"tok${i % 5} tok${i % 3} tok${i % 7}",
