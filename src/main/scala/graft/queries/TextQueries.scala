@@ -306,6 +306,68 @@ object TextQueries {
         .orderBy("seq_id", "doc_id")
     },
 
+    // THE FLAGSHIP COMPOSITION — the full LLM corpus-prep pipeline a
+    // pretraining run executes, as ONE dataflow: eval split → exact
+    // dedup → near-dup removal (0.9) → quality filter → decontamination
+    // vs the eval split → DSIR selection → seeded shuffle → sequence
+    // packing. Every stage is an operator with its own oracle-proven
+    // query; this query proves they COMPOSE, against one end-to-end
+    // DuckDB oracle that chains the same stages.
+    "q_pipeline_llm" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      import graft.dedup.Dedup
+      import graft.operators.Sampling
+      val dfl = DataFlow(s, "q_pipeline_llm")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      val bucket = Sampling.hashBucket(col("doc_id"), "eval:")
+      val evalSet = docs.where(bucket < EvalPct)
+      val train0 = docs.where(bucket >= EvalPct)
+      // exact dedup: keep the min doc id of each canonical fingerprint
+      val keep1 = train0
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val train1 = train0.join(keep1, Seq("doc_id"), "left_semi")
+      // near-dup removal: PPJoin-prefix exact pairs at 0.9, drop doc_b
+      val losers = Dedup
+        .jaccardPairsPrefix(train1, "text", "doc_id", 0.9)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val train2 = train1.join(losers, Seq("doc_id"), "left_anti")
+      // quality gate
+      val train3 = train2
+        .withColumn("quality", qualityScore(col("text")))
+        .where(col("quality") >= 0.5)
+      // decontamination: drop docs sharing ANY 5-gram with the eval set
+      val dirty = graft.text.Decontaminate
+        .flag(train3, evalSet, "text", "doc_id", k = 5)
+        .where(col("contaminated")).select("doc_id")
+      val train4 = train3.join(dirty, Seq("doc_id"), "left_anti")
+      // DSIR selection over the survivors (target = the English slice)
+      val sel = graft.text.Dsir
+        .importanceWeights(train4, "doc_id", "text", col("lang") === "en")
+        .where(col("selected")).select("doc_id")
+      val train5 = train4.join(sel, Seq("doc_id"), "left_semi")
+      // seeded shuffle then pack the shuffled stream into sequences
+      val keyed = train5
+        .select(col("doc_id"), tokenCount(col("text")).as("nt"))
+        .where(col("nt") > 0)
+        .withColumn("shuffle_key", tokenHash60(
+          concat(lit(s"shuffle:$ShuffleSeed:"),
+            col("doc_id").cast("string"))))
+      val positioned = graft.warehouse.SurrogateKeys
+        .assign(keyed, Seq("shuffle_key", "doc_id"), "shuffle_pos")
+      val packed = graft.text.SeqPack.pack(
+        positioned.select(col("shuffle_pos"), col("nt")),
+        "shuffle_pos", "nt", seqLen = SeqLen)
+      packed
+        .join(positioned.select("shuffle_pos", "doc_id"),
+          Seq("shuffle_pos"))
+        .select(col("doc_id"), col("shuffle_pos"), col("seq_id"),
+          col("tok_start"), col("n_toks"))
+        .orderBy("shuffle_pos", "seq_id")
+    },
+
     // seeded deterministic corpus shuffle — the pre-packing
     // decorrelation step of every pretraining pipeline: global shuffle
     // position = rank of md5(seed || doc_id), assigned with the
@@ -399,6 +461,20 @@ object TextQueries {
 
   import OracleSql.{toksCte, simHashExpr, tokenHash}
   import OracleSql.{hitsExpr => hitsSql}
+
+  /** [[OracleSql.shinglesCte]] re-rooted at an arbitrary CTE (the
+    * pipeline oracle shingles the SURVIVORS of earlier stages, not the
+    * whole corpus).
+    */
+  private def shingleSel(srcCte: String, k: Int): String = {
+    val gram = (0 until k).map(o => if (o == 0) "w[i]" else s"w[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""SELECT doc_id,
+       |  CASE WHEN len(w) >= $k THEN
+       |    list_distinct(list_transform(range(1, len(w) - ${k - 2}),
+       |      i -> $gram))
+       |  ELSE [array_to_string(w, ' ')] END AS s FROM $srcCte""".stripMargin
+  }
 
   /** Mirror of [[graft.text.TextFunctions.qualityScore]] over the `toks`
     * CTE — shared by q_text_quality and q_quality_filter.
@@ -581,6 +657,90 @@ object TextQueries {
          |  round(CAST(sum_fp - n_tokens * ln_n_fp AS DOUBLE)
          |    / (n_tokens * $sc.0), 6) AS avg_logprob
          |FROM d, n ORDER BY doc_id""".stripMargin
+    },
+
+    // the end-to-end pipeline oracle: the SAME stage chain as the
+    // engine, as one CTE cascade — each fragment is the already-proven
+    // per-stage oracle re-rooted at the previous stage's survivors
+    "q_pipeline_llm" -> {
+      val sc = graft.text.Dsir.LnScale
+      val bN = graft.text.Dsir.NumBuckets
+      import graft.functions.DetLog.lnCtes
+      val evalHash = tokenHash("'eval:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $toksCte,
+         |tr0 AS (SELECT * FROM toks WHERE ($evalHash) % 100 >= $EvalPct),
+         |ev AS (SELECT * FROM toks WHERE ($evalHash) % 100 < $EvalPct),
+         |fp1 AS (SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM tr0),
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM fp1 GROUP BY f),
+         |tr1 AS (SELECT tr0.* FROM tr0 JOIN keep1 USING (doc_id)),
+         |sh1 AS (${shingleSel("tr1", 3)}),
+         |e1 AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh1),
+         |p1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    any_value(a.n) AS na, any_value(b.n) AS nb,
+         |    count(*) AS inter
+         |  FROM e1 a JOIN e1 b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM p1
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9),
+         |tr2 AS (SELECT * FROM tr1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |tr3 AS (SELECT * FROM tr2 WHERE $qualitySql >= 0.5),
+         |evg AS (SELECT DISTINCT g FROM
+         |  (SELECT doc_id, unnest(s) AS g FROM (${shingleSel("ev", 5)}))),
+         |trg AS (SELECT doc_id, unnest(s) AS g
+         |  FROM (${shingleSel("tr3", 5)})),
+         |dirty AS (SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)),
+         |tr4 AS (SELECT * FROM tr3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |f0 AS (SELECT doc_id, lang = 'en' AS is_t,
+         |  unnest(list_concat(w, CASE WHEN len(w) >= 2 THEN
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |    ELSE []::VARCHAR[] END)) AS f
+         |  FROM tr4),
+         |fb AS (SELECT doc_id, is_t, (${tokenHash("f")}) % $bN AS b
+         |  FROM f0),
+         |bk AS (SELECT b, count(*) AS cr,
+         |  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM fb GROUP BY 1),
+         |${lnCtes("plt", "bk", "ct + 1", "lnt", Seq("b"))},
+         |${lnCtes("plr", "bk", "cr + 1", "lnr", Seq("b"))},
+         |lw AS (SELECT plt.b,
+         |  CAST(floor(lnt * $sc) AS BIGINT)
+         |    - CAST(floor(lnr * $sc) AS BIGINT) AS lw
+         |  FROM plt JOIN plr ON plt.b = plr.b),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) + $bN AS tr,
+         |  CAST(sum(ct) AS BIGINT) + $bN AS tt FROM bk),
+         |${lnCtes("ptr", "tot", "tr", "lntr", Nil)},
+         |${lnCtes("ptt", "tot", "tt", "lntt", Nil)},
+         |c0 AS (SELECT CAST(floor(lntr * $sc) AS BIGINT)
+         |  - CAST(floor(lntt * $sc) AS BIGINT) AS c0 FROM ptr, ptt),
+         |dd AS (SELECT doc_id, CAST(sum(lw) AS BIGINT) AS sw,
+         |  count(*) AS nf FROM fb JOIN lw USING (b) GROUP BY 1),
+         |tr5 AS (SELECT tr4.doc_id, tr4.w FROM tr4
+         |  LEFT JOIN dd USING (doc_id), c0
+         |  WHERE coalesce(dd.sw, 0) + coalesce(dd.nf, 0) * c0.c0 > 0),
+         |k6 AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+         |  ${tokenHash(s"'shuffle:$ShuffleSeed:' || CAST(doc_id AS VARCHAR)")}
+         |    AS skey
+         |  FROM tr5 WHERE len(w) > 0),
+         |o6 AS (SELECT doc_id, n, skey,
+         |  CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT)
+         |    AS shuffle_pos,
+         |  CAST(sum(n) OVER (ORDER BY skey, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+         |    AS BIGINT) AS st
+         |  FROM k6),
+         |x6 AS (SELECT doc_id, shuffle_pos, n, st,
+         |  unnest(range(st // $SeqLen, (st + n - 1) // $SeqLen + 1))
+         |    AS seq_id
+         |  FROM o6)
+         |SELECT doc_id, shuffle_pos, seq_id,
+         |  greatest(seq_id * $SeqLen - st, 0) AS tok_start,
+         |  least(st + n, (seq_id + 1) * $SeqLen)
+         |    - greatest(st, seq_id * $SeqLen) AS n_toks
+         |FROM x6 ORDER BY shuffle_pos, seq_id""".stripMargin
     },
 
     // the oracle's window is fine AS AN ORACLE (DuckDB, small SF); the
