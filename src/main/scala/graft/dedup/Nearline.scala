@@ -56,6 +56,101 @@ object Nearline {
     s.read.parquet(pairsDir)
   }
 
+  // ------------------------------------------------------------------
+  // nearline MinHash-LSH pairs (exact Jaccard verify)
+  // ------------------------------------------------------------------
+
+  /** Initialise the MinHash nearline state: an empty (band, key, doc)
+    * band index and an empty (doc, s) shingle store (the verify side —
+    * banding alone cannot confirm a Jaccard threshold).
+    */
+  def initMinHashState(s: SparkSession, indexDir: String,
+      storeDir: String, pairsDir: String): Unit = {
+    val empty = (schema: StructType) => s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    empty(StructType(Seq(StructField("band", IntegerType),
+      StructField("key", StringType), StructField("doc", LongType))))
+      .write.mode("overwrite").parquet(indexDir)
+    empty(StructType(Seq(StructField("doc", LongType),
+      StructField("s", ArrayType(StringType)))))
+      .write.mode("overwrite").parquet(storeDir)
+    empty(StructType(Seq(StructField("doc_a", LongType),
+      StructField("doc_b", LongType),
+      StructField("jaccard", DoubleType))))
+      .write.mode("overwrite").parquet(pairsDir)
+  }
+
+  /** Fold one micro-batch of (doc, s) shingle-set rows into the MinHash
+    * nearline state: the batch's band keys
+    * ([[graft.functions.MinHashBandKeys]], the same native kernel as
+    * the batch query) join the accumulated index for candidates, the
+    * shingle store supplies the historical side of the EXACT Jaccard
+    * verify, and surviving pairs append exactly once. Banding is
+    * deterministic, so the union of emissions over ANY batching equals
+    * the batch [[Dedup.minHashPairs]] output — the batch oracle applies
+    * verbatim to the streamed result.
+    *
+    * Same idempotence contract as [[applyBatch]]: already-indexed docs
+    * drop out first; pair emission anti-joins the pairs on disk.
+    */
+  def applyMinHashBatch(s: SparkSession, b: DataFrame,
+      threshold: Double, indexDir: String, storeDir: String,
+      pairsDir: String): Unit = {
+    val idx = s.read.parquet(indexDir).cache()
+    val nb = b
+      .join(idx.select("doc").distinct(), Seq("doc"), "left_anti")
+      .select(col("doc"), col("s"),
+        posexplode(graft.functions.GraftFunctions
+          .minHashBandKeys(s, col("s"))).as(Seq("band", "key")))
+      .cache()
+    def verify(cand: DataFrame, aS: DataFrame, bS: DataFrame) = cand
+      .join(aS.select(col("doc").as("doc_a"), col("s").as("sa")),
+        Seq("doc_a"))
+      .join(bS.select(col("doc").as("doc_b"), col("s").as("sb")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+    val store = s.read.parquet(storeDir)
+    val newDocs = nb.select("doc", "s").distinct()
+    // new-vs-history: candidates from band hits, shingles from the store
+    val cross = nb.select(col("band"), col("key"), col("doc").as("doc_n"))
+      .join(idx.select(col("band"), col("key"), col("doc").as("doc_o")),
+        Seq("band", "key"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+      .distinct()
+    val crossPairs = verify(cross,
+      newDocs.unionByName(store).dropDuplicates("doc"),
+      newDocs.unionByName(store).dropDuplicates("doc"))
+    // new-vs-new inside the batch
+    val selfCand = nb.select(col("band"), col("key"),
+        col("doc").as("doc_a"))
+      .join(nb.select(col("band"), col("key"), col("doc").as("doc_b")),
+        Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val selfPairs = verify(selfCand, newDocs, newDocs)
+    // write order is the crash contract: store (own anti-join guard),
+    // then pairs (anti-join guard), then the index LAST — the index is
+    // what the replay guard keys on, so a crash before the index append
+    // replays the whole batch into the guards above and changes nothing
+    newDocs
+      .join(store.select("doc"), Seq("doc"), "left_anti")
+      .write.mode("append").parquet(storeDir)
+    crossPairs.unionByName(selfPairs)
+      .dropDuplicates("doc_a", "doc_b")
+      .join(s.read.parquet(pairsDir).select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .write.mode("append").parquet(pairsDir)
+    nb.select("band", "key", "doc").write.mode("append").parquet(indexDir)
+    nb.unpersist()
+    idx.unpersist()
+    ()
+  }
+
   /** Apply one micro-batch to the (index, pairs) state — IDEMPOTENT
     * under at-least-once delivery: rows already in the index drop out
     * before any pairing, and emitted pairs anti-join the pairs already

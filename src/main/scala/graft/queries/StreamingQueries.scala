@@ -806,6 +806,45 @@ object StreamingQueries {
       }
     },
 
+    // NEARLINE MINHASH NEAR-DUP: the MinHash-LSH band index + shingle
+    // store maintained across micro-batches; candidates from band hits
+    // on the accumulated index, EXACT Jaccard verify against the store
+    // (banding is deterministic, so the union of emissions over any
+    // batching equals the batch q_dedup_minhash — its oracle applies
+    // verbatim).
+    "q_stream_minhash_dedup" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.dedup.Nearline
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val shingled = docs.select(col("doc_id").as("doc"),
+          graft.functions.GraftFunctions
+            .shinglesK(s, col("text"), 3).as("s"))
+        val base = tmpDir("graft_smh")
+        val (indexDir, storeDir, pairsDir) =
+          (base + "/band_index", base + "/shingle_store", base + "/pairs")
+        Nearline.initMinHashState(s, indexDir, storeDir, pairsDir)
+        StreamFlow.writeTimeSplits(shingled, "doc", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc", LongType),
+          StructField("s", ArrayType(StringType))))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Nearline.applyMinHashBatch(s, b, threshold = 0.5,
+              indexDir, storeDir, pairsDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(pairsDir)
+          .select(col("doc_a").as("doc_a"), col("doc_b").as("doc_b"),
+            col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }
+    },
+
     // STREAMING IVF ANN INDEX: per-(label, dim) decimal sums fold
     // additively across micro-batches (exact, associative — the folded
     // centroids are bit-identical to the batch computation) while the
@@ -869,6 +908,7 @@ object StreamingQueries {
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),
     "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
     "q_stream_ann_ivf" -> SimilarityQueries.oracles("q_ann_ivf"),
+    "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),
 
     // the streamed mini-batch run replayed batch-by-batch: same seeds,
     // same per-batch argmin, same integer state folds

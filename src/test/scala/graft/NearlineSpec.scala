@@ -59,6 +59,72 @@ class NearlineSpec extends SparkSpec {
     }
   }
 
+  // --- MinHash nearline ---------------------------------------------------
+
+  /** Text corpus with near-identical twins (one token of 20 changed,
+    * jaccard ≈ 0.89 on 3-shingles) plus disjoint noise.
+    */
+  private lazy val textCorpus = {
+    val base = (0 until 24).map { i =>
+      (i.toLong, (0 until 20).map(t => s"w${i}_$t").mkString(" "))
+    }
+    val twins = (0 until 24 by 3).map { i =>
+      (100L + i, (0 until 20).map(t =>
+        if (t == 19) "CHANGED" else s"w${i}_$t").mkString(" "))
+    }
+    base ++ twins
+  }
+
+  private def minhashStream(nBatches: Int): (String,
+      Set[(Long, Long)]) = {
+    val docs = textCorpus.toDF("doc_id", "text")
+    val shingled = docs.select(col("doc_id").as("doc"),
+      graft.functions.GraftFunctions
+        .shinglesK(spark, col("text"), 3).as("s"))
+    val base = java.nio.file.Files
+      .createTempDirectory(s"smh_$nBatches").toString
+    val (idx, store, pairs) =
+      (base + "/idx", base + "/store", base + "/pairs")
+    Nearline.initMinHashState(spark, idx, store, pairs)
+    val ids = shingled.select("doc").collect().map(_.getLong(0)).sorted
+    ids.grouped(math.max(1, ids.length / nBatches)).foreach { g =>
+      Nearline.applyMinHashBatch(spark,
+        shingled.where(col("doc").isin(g.toSeq: _*)), 0.5,
+        idx, store, pairs)
+    }
+    (base, spark.read.parquet(pairs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("minhash nearline pair set is batch-count invariant == batch") {
+    val docs = textCorpus.toDF("doc_id", "text")
+    val truth = Dedup.minHashPairs(docs, "text", "doc_id", 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    for (n <- Seq(1, 2, 5)) {
+      val (_, got) = minhashStream(n)
+      assert(got == truth,
+        s"minhash nearline diverged from batch at nBatches=$n")
+    }
+  }
+
+  test("replayed minhash batch is a no-op") {
+    val (base, before) = minhashStream(3)
+    val docs = textCorpus.toDF("doc_id", "text")
+    val shingled = docs.select(col("doc_id").as("doc"),
+      graft.functions.GraftFunctions
+        .shinglesK(spark, col("text"), 3).as("s"))
+    Nearline.applyMinHashBatch(spark, shingled, 0.5,
+      base + "/idx", base + "/store", base + "/pairs")
+    val after = spark.read.parquet(base + "/pairs")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+    assert(spark.read.parquet(base + "/store").count() ==
+      textCorpus.length)
+  }
+
   test("replayed micro-batch is a no-op (at-least-once delivery)") {
     val hashed = corpus.toDF("doc", "h")
     val base = java.nio.file.Files
