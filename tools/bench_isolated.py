@@ -84,21 +84,24 @@ def main():
         print(f"[isolated] {len(isolate)} queries over "
               f"{args.auto_over}s get their own JVMs: {isolate}", flush=True)
 
-    iso_runs = {}  # name -> [seconds across JVMs]
+    # One JVM per query: an UNTIMED full run of the query itself warms
+    # JIT + whole-stage codegen (a light warm-up leaves the first timed
+    # run paying 3-5x cold-JVM penalty at sf0.1 query sizes — measured
+    # q_bulk_load_fact 26s cold vs 8.5s warm), then --runs timed runs
+    # median inside the same JVM. Positional isolation is preserved
+    # (fresh SPARK_LOCAL_DIRS, no other query's shuffle garbage).
+    iso_runs = {}  # name -> [seconds within the query's own JVM]
     for name in isolate:
-        times = []
-        for i in range(args.runs):
-            env = dict(base_env)
-            env["SPARK_GRAFT_BENCH_ONLY"] = name
-            env["SPARK_GRAFT_BENCH_EXACT"] = "1"
-            env["SPARK_GRAFT_BENCH_WARMUP"] = "light"
-            env["SPARK_GRAFT_BENCH_RUNS"] = "1"
-            out = run_jvm(env, args.xmx, f"{tmp}/{name}_{i}.json")
-            t = out["queries"][name]
-            times.append(t)
-            print(f"[isolated] {name} run {i + 1}/{args.runs}: {t:.2f}s",
-                  flush=True)
+        env = dict(base_env)
+        env["SPARK_GRAFT_BENCH_ONLY"] = name
+        env["SPARK_GRAFT_BENCH_EXACT"] = "1"
+        env["SPARK_GRAFT_BENCH_WARMUP"] = "first"
+        env["SPARK_GRAFT_BENCH_RUNS"] = str(args.runs)
+        out = run_jvm(env, args.xmx, f"{tmp}/{name}.json")
+        times = out["runs"][name]
         iso_runs[name] = times
+        print(f"[isolated] {name}: "
+              + " ".join(f"{t:.2f}s" for t in times), flush=True)
 
     def stats(runs):
         s = sorted(runs)
