@@ -14,16 +14,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // spill-aware reducer sizing: with AQE coalescing on (the 4.x
-      // default), SQLConf.numShufflePartitions resolves to
-      // initialPartitionNum, so every shuffle STARTS wide and AQE
-      // coalesces it back to the 64MB advisory target. At sf0.1 that is
-      // indistinguishable from 32 flat; at sf10 it keeps array-carrying
-      // reduce partitions (triangles adjacency attach: ~50GB payload)
-      // under executor memory instead of spilling 1.7GB-per-partition.
-      // Same knob a real cluster sets; env-tunable for A/Bs.
+      // spill-aware reducer sizing, OPT-IN for big scale factors: with
+      // AQE coalescing on (the 4.x default), numShufflePartitions
+      // resolves to initialPartitionNum, so every shuffle starts wide
+      // and AQE coalesces toward the 64MB advisory target. At sf10 that
+      // keeps array-carrying reduce partitions (triangles adjacency
+      // attach: ~50GB payload) under executor memory instead of
+      // spilling 1.7GB-per-partition — set
+      // SPARK_GRAFT_INITIAL_PARTITIONS=512 there (the sf10 artifacts
+      // were measured with it). The default stays = cores: a 512-wide
+      // start is NOT free at small SF — explicit repartition()s and
+      // write paths bypass AQE coalescing, and a measured same-day A/B
+      // at sf0.1 showed 2.7-4x on the warehouse/graph queries
+      // (q_bulk_load_fact 19.6s vs 6.3s, q_pagerank 22.3s vs 7.4s).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ContextCleaner frees a query's shuffle files only after its RDDs
