@@ -60,14 +60,9 @@ object CountMinSketch {
   def applyBatch(
       s: org.apache.spark.sql.SparkSession, terms: DataFrame,
       termCol: String, batchId: Long, stateDir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    val hasState = fs.exists(new org.apache.hadoop.fs.Path(stateDir))
-    if (hasState) {
-      val applied = s.read.parquet(stateDir)
-        .agg(max(col("last_batch"))).collect()(0).getLong(0)
-      if (batchId <= applied) return
-    }
+    val applied = graft.io.ParquetUtil.lastBatch(s, stateDir)
+    if (applied.exists(batchId <= _)) return
+    val hasState = applied.isDefined
     val partial = sketch(terms, termCol)
     val merged =
       if (!hasState) partial

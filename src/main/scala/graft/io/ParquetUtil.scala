@@ -147,6 +147,24 @@ object ParquetUtil {
     }
   }
 
+  /** Null-safe replay-watermark read for streamed state frames: the max
+    * `last_batch` carried inside the frame, or None when the frame is
+    * absent OR empty. An empty first micro-batch can legally leave a
+    * zero-row state frame, where `max()` is SQL-null — reading it as a
+    * bare long would NPE and wedge every subsequent batch.
+    */
+  def lastBatch(spark: SparkSession, path: String): Option[Long] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val row = spark.read.parquet(path)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("last_batch"))).collect()(0)
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+  }
+
   /** True for the swap/append protocol's sibling dirs (`__staging`,
     * `__old`, `__pending`) — warehouse enumerations must never list
     * these as tables (a crash can leave them behind until recovery).

@@ -832,7 +832,8 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
           .writeStream.outputMode("append")
           .foreachBatch { (b: DataFrame, _: Long) =>
-            Nearline.applyMinHashBatch(s, b, threshold = 0.5,
+            Nearline.applyMinHashBatch(s, b,
+              threshold = DedupQueries.JaccardThreshold,
               indexDir, storeDir, pairsDir)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -66,14 +66,9 @@ object MiniBatchKMeans {
   private[graft] def applyBatch(
       s: SparkSession, b: DataFrame, batchId: Long, k: Int,
       stateDir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    val hasState = fs.exists(new org.apache.hadoop.fs.Path(stateDir))
-    if (hasState) {
-      val applied = s.read.parquet(stateDir)
-        .agg(max(col("last_batch"))).collect()(0).getLong(0)
-      if (batchId <= applied) return
-    }
+    val applied = graft.io.ParquetUtil.lastBatch(s, stateDir)
+    if (applied.exists(batchId <= _)) return
+    val hasState = applied.isDefined
     val batch = b.localCheckpoint()
     // centroids current at this batch's arrival: the running integer
     // mean from state — or, for the very first batch, the k smallest

@@ -18,8 +18,14 @@ import org.apache.spark.sql.types._
   * frame is additive (not idempotent) → batch-id watermark inside the
   * atomically-swapped frame ([[graft.functions.CountMinSketch]]); the
   * postings append is guarded by a vec_id anti-join (ids are
-  * batch-atomic) — so a replayed batch, or a replay after a crash
-  * between the two writes, changes nothing.
+  * batch-atomic). Write ORDER is load-bearing: postings append FIRST
+  * (idempotent under the anti-join), then the watermark-carrying sums
+  * swap LAST — so a crash between the two writes replays into a
+  * skipped append plus a normal sums fold, never a batch that is
+  * counted in the centroids but absent from the scan set. The sums
+  * partial is computed from the RAW batch gated only by the watermark
+  * (not from the anti-joined frame), otherwise the same crash window
+  * would drop the batch from the sums instead.
   *
   * 100 TB stance: the per-batch fold shuffles ≤ labels × dim partial
   * rows (map-side combined); postings appends are batch-sized; the
@@ -42,35 +48,33 @@ object StreamingIvf {
   /** Fold one micro-batch of (vec_id, embedding, label) vectors. */
   def applyBatch(s: SparkSession, b: DataFrame, batchId: Long,
       sumsDir: String, postingsDir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(sumsDir)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    val hasSums = fs.exists(new org.apache.hadoop.fs.Path(sumsDir))
-    if (hasSums) {
-      val applied = s.read.parquet(sumsDir)
-        .agg(max(col("last_batch"))).collect()(0).getLong(0)
-      if (batchId <= applied) return
-    }
-    val newVecs = b
+    val applied = graft.io.ParquetUtil.lastBatch(s, sumsDir)
+    if (applied.exists(batchId <= _)) return
+    val batch = b.select("vec_id", "embedding", "label").cache()
+    // 1. postings FIRST — idempotent under the vec_id anti-join, so a
+    //    crash after this write replays into a skipped append
+    batch
       .join(s.read.parquet(postingsDir).select("vec_id"),
         Seq("vec_id"), "left_anti")
-      .cache()
-    val partial = newVecs
+      .write.mode("append").parquet(postingsDir)
+    // 2. sums partial from the RAW batch (watermark-gated above, NOT
+    //    anti-joined — after the crash the batch is already in postings
+    //    and an anti-joined partial would drop it from the sums)
+    val partial = batch
       .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
       .groupBy("label", "d")
       .agg(sum(col("v").cast(SumT)).as("sv"), count(lit(1)).as("cnt"))
+    val hasSums = applied.isDefined
     val merged =
       if (!hasSums) partial
       else s.read.parquet(sumsDir).drop("last_batch")
         .unionByName(partial)
         .groupBy("label", "d")
         .agg(sum(col("sv")).as("sv"), sum(col("cnt")).as("cnt"))
+    // 3. the watermark-carrying swap LAST — the acknowledge
     graft.io.ParquetUtil.safeOverwrite(s,
       merged.withColumn("last_batch", lit(batchId)), sumsDir)
-    // crash between the sums swap and this append replays into the
-    // watermark (sums untouched) and the anti-join (postings skip)
-    newVecs.select("vec_id", "embedding", "label")
-      .write.mode("append").parquet(postingsDir)
-    newVecs.unpersist()
+    batch.unpersist()
     ()
   }
 

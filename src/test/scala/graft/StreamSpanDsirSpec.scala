@@ -109,6 +109,21 @@ class StreamSpanDsirSpec extends SparkSpec {
     }
   }
 
+  test("empty first DSIR micro-batch does not wedge the stream") {
+    val truth = weights(Dsir.importanceWeights(langDocs, "doc_id",
+      "text", col("lang") === "en"))
+    val base = java.nio.file.Files.createTempDirectory("sdsir_empty").toString
+    // an empty batch leaves a zero-row state frame whose max(last_batch)
+    // is SQL-null — subsequent batches must treat it as "nothing applied"
+    Dsir.applyBatch(spark, langDocs.where(lit(false)), "doc_id", "text",
+      col("lang") === "en", 0L, base + "/state")
+    Dsir.applyBatch(spark, langDocs, "doc_id", "text",
+      col("lang") === "en", 1L, base + "/state")
+    val got = weights(Dsir.weightsFromState(spark, langDocs, "doc_id",
+      "text", col("lang") === "en", base + "/state"))
+    assert(got == truth)
+  }
+
   test("replayed DSIR batch is a no-op (batch-id watermark)") {
     val (base, got) = streamDsir(3)
     val before = weights(got)

@@ -55,6 +55,51 @@ class StreamingIvfSpec extends SparkSpec {
     }
   }
 
+  test("crash between postings append and sums swap: replay heals both") {
+    val truth = batchCentroids
+    val base = java.nio.file.Files.createTempDirectory("sivf_crash").toString
+    StreamingIvf.initState(spark, base + "/postings")
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (half0, half1) = ids.splitAt(ids.length / 2)
+    StreamingIvf.applyBatch(spark, emb.where(col("vec_id").isin(half0.toSeq: _*)),
+      0L, base + "/sums", base + "/postings")
+    // Kill the sums swap AFTER the postings append has committed — the
+    // exact window the write order exists for: batch 1 is in postings
+    // but not yet counted or watermarked.
+    graft.io.ParquetUtil.crashPoint = Some("after-staging")
+    val b1 = emb.where(col("vec_id").isin(half1.toSeq: _*))
+    intercept[RuntimeException] {
+      StreamingIvf.applyBatch(spark, b1, 1L, base + "/sums", base + "/postings")
+    }
+    assert(spark.read.parquet(base + "/postings").count() == emb.count(),
+      "postings must already carry the crashed batch")
+    // replay of the same batch completes the fold exactly once
+    StreamingIvf.applyBatch(spark, b1, 1L, base + "/sums", base + "/postings")
+    val got = graft.queries.SimilarityQueries.centroidsOf(
+      StreamingIvf.centroidFrame(spark, base + "/sums"))
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (l, cv) =>
+      assert(java.util.Arrays.equals(got(l), cv),
+        s"centroid $l diverged after crash+replay")
+    }
+    assert(spark.read.parquet(base + "/postings").count() == emb.count())
+  }
+
+  test("empty first micro-batch does not wedge the stream (null watermark)") {
+    val truth = batchCentroids
+    val base = java.nio.file.Files.createTempDirectory("sivf_empty").toString
+    StreamingIvf.initState(spark, base + "/postings")
+    StreamingIvf.applyBatch(spark, emb.where(lit(false)), 0L,
+      base + "/sums", base + "/postings")
+    StreamingIvf.applyBatch(spark, emb, 1L, base + "/sums", base + "/postings")
+    val got = graft.queries.SimilarityQueries.centroidsOf(
+      StreamingIvf.centroidFrame(spark, base + "/sums"))
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (l, cv) =>
+      assert(java.util.Arrays.equals(got(l), cv))
+    }
+  }
+
   test("replayed batch is a no-op (watermark + postings anti-join)") {
     val (base, before) = streamed(3)
     StreamingIvf.applyBatch(spark, emb, 0L, base + "/sums",
