@@ -323,40 +323,58 @@ object TextQueries {
       val bucket = Sampling.hashBucket(col("doc_id"), "eval:")
       val evalSet = docs.where(bucket < EvalPct)
       val train0 = docs.where(bucket >= EvalPct)
+      // Every stage boundary is PERSISTED — an eager localCheckpoint of
+      // the doc_id-sized survivor frame — so each expensive stage
+      // (PPJoin near-dup, decontamination, DSIR) executes exactly ONCE:
+      // without the cut, train3/train4 sit in the lineage of several
+      // consumers (Decontaminate.flag + its anti-join; DSIR's
+      // multi-pass reads + the semi-join) and the near-dup stage
+      // re-executes inside each of them. Survivor id-frames are tiny at
+      // any corpus scale — the same cut Scd2Load makes for its classify
+      // frame. Each trainN re-derives from the docs scan + one
+      // broadcast-sized semi-join on the checkpointed ids.
+      def cut(ids: DataFrame): DataFrame =
+        ids.select("doc_id").localCheckpoint()
       // exact dedup: keep the min doc id of each canonical fingerprint
-      val keep1 = train0
+      val ids1 = cut(train0
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val train1 = train0.join(keep1, Seq("doc_id"), "left_semi")
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id")))
+      val train1 = train0.join(ids1, Seq("doc_id"), "left_semi")
       // near-dup removal: PPJoin-prefix exact pairs at 0.9, drop doc_b
       val losers = Dedup
         .jaccardPairsPrefix(train1, "text", "doc_id", 0.9)
         .select(col("doc_b").as("doc_id")).distinct()
-      val train2 = train1.join(losers, Seq("doc_id"), "left_anti")
+      val ids2 = cut(train1.join(losers, Seq("doc_id"), "left_anti"))
+      val train2 = train0.join(ids2, Seq("doc_id"), "left_semi")
       // quality gate
-      val train3 = train2
-        .withColumn("quality", qualityScore(col("text")))
-        .where(col("quality") >= 0.5)
+      val ids3 = cut(train2
+        .where(qualityScore(col("text")) >= 0.5))
+      val train3 = train0.join(ids3, Seq("doc_id"), "left_semi")
       // decontamination: drop docs sharing ANY 5-gram with the eval set
       val dirty = graft.text.Decontaminate
         .flag(train3, evalSet, "text", "doc_id", k = 5)
         .where(col("contaminated")).select("doc_id")
-      val train4 = train3.join(dirty, Seq("doc_id"), "left_anti")
+      val ids4 = cut(train3.join(dirty, Seq("doc_id"), "left_anti"))
+      val train4 = train0.join(ids4, Seq("doc_id"), "left_semi")
       // DSIR selection over the survivors (target = the English slice)
-      val sel = graft.text.Dsir
+      val ids5 = cut(graft.text.Dsir
         .importanceWeights(train4, "doc_id", "text", col("lang") === "en")
-        .where(col("selected")).select("doc_id")
-      val train5 = train4.join(sel, Seq("doc_id"), "left_semi")
-      // seeded shuffle then pack the shuffled stream into sequences
+        .where(col("selected")))
+      val train5 = train0.join(ids5, Seq("doc_id"), "left_semi")
+      // seeded shuffle then pack the shuffled stream into sequences.
+      // `keyed` is checkpointed too: it is the last frame that reads
+      // the text column, and it feeds SurrogateKeys' two-phase layout —
+      // the cut means nothing downstream ever rescans the corpus.
       val keyed = train5
         .select(col("doc_id"), tokenCount(col("text")).as("nt"))
         .where(col("nt") > 0)
         .withColumn("shuffle_key", tokenHash60(
           concat(lit(s"shuffle:$ShuffleSeed:"),
             col("doc_id").cast("string"))))
+        .localCheckpoint()
       val positioned = graft.warehouse.SurrogateKeys
         .assign(keyed, Seq("shuffle_key", "doc_id"), "shuffle_pos")
+        .localCheckpoint() // feeds both the pack and the final join
       val packed = graft.text.SeqPack.pack(
         positioned.select(col("shuffle_pos"), col("nt")),
         "shuffle_pos", "nt", seqLen = SeqLen)
