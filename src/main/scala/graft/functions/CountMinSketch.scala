@@ -66,7 +66,7 @@ object CountMinSketch {
     val partial = sketch(terms, termCol)
     val merged =
       if (!hasState) partial
-      else s.read.parquet(stateDir).drop("last_batch")
+      else graft.io.ParquetUtil.readRecovered(s, stateDir).drop("last_batch")
         .unionByName(partial)
         .groupBy("j", "cell").agg(sum(col("cnt")).as("cnt"))
     graft.io.ParquetUtil.safeOverwrite(s,

@@ -154,6 +154,11 @@ object ParquetUtil {
     * bare long would NPE and wedge every subsequent batch.
     */
   def lastBatch(spark: SparkSession, path: String): Option[Long] = {
+    // A safeOverwrite can die mid-swap (state renamed to __old, staging
+    // not yet promoted). Without recovery the watermark read would see
+    // "no state" and the fold would rebuild from the current batch only,
+    // silently dropping all accumulated state. Roll the swap back first.
+    recoverInterrupted(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None

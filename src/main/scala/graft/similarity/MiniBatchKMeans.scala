@@ -77,7 +77,7 @@ object MiniBatchKMeans {
       if (!hasState)
         batch.orderBy("vec_id").limit(k)
           .select(col("vec_id").as("cid"), col("p").as("c"))
-      else s.read.parquet(stateDir)
+      else graft.io.ParquetUtil.readRecovered(s, stateDir)
         .select(col("cid"), col("dim"), expr("s div n").as("cv"))
         .groupBy("cid")
         .agg(transform(
@@ -89,7 +89,7 @@ object MiniBatchKMeans {
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
     val state =
       if (!hasState) partial
-      else s.read.parquet(stateDir).drop("last_batch")
+      else graft.io.ParquetUtil.readRecovered(s, stateDir).drop("last_batch")
         .unionByName(partial)
         .groupBy("cid", "dim")
         .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))

@@ -51,31 +51,47 @@ object StreamingIvf {
     val applied = graft.io.ParquetUtil.lastBatch(s, sumsDir)
     if (applied.exists(batchId <= _)) return
     val batch = b.select("vec_id", "embedding", "label").cache()
-    // 1. postings FIRST — idempotent under the vec_id anti-join, so a
-    //    crash after this write replays into a skipped append
-    batch
-      .join(s.read.parquet(postingsDir).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      .write.mode("append").parquet(postingsDir)
-    // 2. sums partial from the RAW batch (watermark-gated above, NOT
-    //    anti-joined — after the crash the batch is already in postings
-    //    and an anti-joined partial would drop it from the sums)
-    val partial = batch
-      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .groupBy("label", "d")
-      .agg(sum(col("v").cast(SumT)).as("sv"), count(lit(1)).as("cnt"))
-    val hasSums = applied.isDefined
-    val merged =
-      if (!hasSums) partial
-      else s.read.parquet(sumsDir).drop("last_batch")
-        .unionByName(partial)
+    try {
+      val batchCnt = batch.count()
+      // 1. postings FIRST — idempotent under the vec_id anti-join, so a
+      //    crash after this write replays into a skipped append
+      val fresh = batch
+        .join(s.read.parquet(postingsDir).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        .cache()
+      val freshCnt = fresh.count()
+      // Enforce the batch-atomicity invariant the sums fold rests on:
+      // either every vec_id is new (normal batch) or none is (a whole-
+      // batch replay of the crash window between the two writes). A
+      // PARTIAL re-delivery would be excluded from postings by the
+      // anti-join but double-counted into the centroid sums below —
+      // fail loudly instead of diverging silently.
+      if (freshCnt != 0L && freshCnt != batchCnt)
+        throw new IllegalStateException(
+          s"StreamingIvf batch $batchId re-delivers ${batchCnt - freshCnt} " +
+            s"of $batchCnt vec_ids already in the postings: batches must " +
+            "be atomic (all-new or an exact replay)")
+      fresh.write.mode("append").parquet(postingsDir)
+      fresh.unpersist()
+      // 2. sums partial from the RAW batch (watermark-gated above, NOT
+      //    anti-joined — after the crash the batch is already in postings
+      //    and an anti-joined partial would drop it from the sums)
+      val partial = batch
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
         .groupBy("label", "d")
-        .agg(sum(col("sv")).as("sv"), sum(col("cnt")).as("cnt"))
-    // 3. the watermark-carrying swap LAST — the acknowledge
-    graft.io.ParquetUtil.safeOverwrite(s,
-      merged.withColumn("last_batch", lit(batchId)), sumsDir)
-    batch.unpersist()
-    ()
+        .agg(sum(col("v").cast(SumT)).as("sv"), count(lit(1)).as("cnt"))
+      val hasSums = applied.isDefined
+      val merged =
+        if (!hasSums) partial
+        else graft.io.ParquetUtil.readRecovered(s, sumsDir).drop("last_batch")
+          .unionByName(partial)
+          .groupBy("label", "d")
+          .agg(sum(col("sv")).as("sv"), sum(col("cnt")).as("cnt"))
+      // 3. the watermark-carrying swap LAST — the acknowledge
+      graft.io.ParquetUtil.safeOverwrite(s,
+        merged.withColumn("last_batch", lit(batchId)), sumsDir)
+      ()
+    } finally batch.unpersist()
   }
 
   /** (label, d, c) centroid frame from the folded sums — the same

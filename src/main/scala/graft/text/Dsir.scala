@@ -145,7 +145,7 @@ object Dsir {
       featureBuckets(b, idCol, textCol, targetPred))
     val merged =
       if (!hasState) partial
-      else s.read.parquet(stateDir).drop("last_batch")
+      else graft.io.ParquetUtil.readRecovered(s, stateDir).drop("last_batch")
         .unionByName(partial)
         .groupBy("b")
         .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))

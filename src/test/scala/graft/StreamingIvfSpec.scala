@@ -85,6 +85,55 @@ class StreamingIvfSpec extends SparkSpec {
     assert(spark.read.parquet(base + "/postings").count() == emb.count())
   }
 
+  test("crash MID-SWAP (state aside as __old, staging unpromoted): replay heals") {
+    // The window ParquetUtil.lastBatch's recovery call exists for: the
+    // sums frame is renamed to __old but the staging dir is not yet
+    // promoted. A watermark read that only checked fs.exists would see
+    // "no state", rebuild from the current batch alone, and the swap's
+    // own recovery would restore __old just to overwrite it — silently
+    // dropping every previously folded batch.
+    val truth = batchCentroids
+    val base = java.nio.file.Files.createTempDirectory("sivf_midswap").toString
+    StreamingIvf.initState(spark, base + "/postings")
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (half0, half1) = ids.splitAt(ids.length / 2)
+    StreamingIvf.applyBatch(spark, emb.where(col("vec_id").isin(half0.toSeq: _*)),
+      0L, base + "/sums", base + "/postings")
+    graft.io.ParquetUtil.crashPoint = Some("mid-swap")
+    val b1 = emb.where(col("vec_id").isin(half1.toSeq: _*))
+    intercept[RuntimeException] {
+      StreamingIvf.applyBatch(spark, b1, 1L, base + "/sums", base + "/postings")
+    }
+    // replay must fold batch 1 into the RECOVERED batch-0 state
+    StreamingIvf.applyBatch(spark, b1, 1L, base + "/sums", base + "/postings")
+    val got = graft.queries.SimilarityQueries.centroidsOf(
+      StreamingIvf.centroidFrame(spark, base + "/sums"))
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (l, cv) =>
+      assert(java.util.Arrays.equals(got(l), cv),
+        s"centroid $l diverged after mid-swap crash+replay")
+    }
+    assert(spark.read.parquet(base + "/postings").count() == emb.count())
+  }
+
+  test("partial re-delivery of already-indexed vec_ids fails loudly") {
+    val base = java.nio.file.Files.createTempDirectory("sivf_partial").toString
+    StreamingIvf.initState(spark, base + "/postings")
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val (half0, half1) = ids.splitAt(ids.length / 2)
+    StreamingIvf.applyBatch(spark, emb.where(col("vec_id").isin(half0.toSeq: _*)),
+      0L, base + "/sums", base + "/postings")
+    // batch 1 mixes one already-indexed id with fresh ids: the anti-join
+    // would exclude it from postings while the raw-batch sums partial
+    // double-counts it — the fold must refuse instead of diverging
+    val mixed = (half1 :+ half0.head).toSeq
+    val ex = intercept[IllegalStateException] {
+      StreamingIvf.applyBatch(spark, emb.where(col("vec_id").isin(mixed: _*)),
+        1L, base + "/sums", base + "/postings")
+    }
+    assert(ex.getMessage.contains("re-delivers"))
+  }
+
   test("empty first micro-batch does not wedge the stream (null watermark)") {
     val truth = batchCentroids
     val base = java.nio.file.Files.createTempDirectory("sivf_empty").toString
