@@ -83,7 +83,15 @@ object OracleSql {
     * (assignments; `a${iters + 1}` is the final assignment against the
     * last centroids). Compose with `WITH $chain, ...`.
     */
-  def kmeansCtes(k: Int, iters: Int): String = {
+  def kmeansCtes(k: Int, iters: Int): String =
+    kmeansCtes(k.toString, iters)
+
+  /** As [[kmeansCtes]], but `k` is an arbitrary SQL expression for the
+    * seed count — e.g. a subquery computing floor(sqrt(count(*))) so
+    * the oracle's cluster count adapts to the corpus exactly as the
+    * engine's does (trained-IVF default).
+    */
+  def kmeansCtes(k: String, iters: Int): String = {
     import graft.similarity.KMeans.{Scale, Offset}
     val d1 = VectorFunctions.Dim + 1
     def dist(p: String, c: String) =

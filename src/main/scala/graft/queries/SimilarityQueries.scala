@@ -101,6 +101,21 @@ object SimilarityQueries {
 
   private val NProbe = 3
 
+  /** Trained-IVF defaults, chosen from the measured recall frontier
+    * (target/RECALL_r10.json, sf0.1 embeddings): k = floor(sqrt(n))
+    * clusters (the classic IVF sizing — cluster count and cluster size
+    * both grow as sqrt(n), so probe cost and scan cost balance), probed
+    * at nprobe = ceil(0.22·k), which measures recall@10 ≥ 0.9 while
+    * scanning ≤ 0.3 of the corpus — vs 0.35 recall for the label
+    * partition at the same scan budget. Both are mirrored as SQL
+    * expressions in the oracle so the replay adapts with the corpus.
+    */
+  val IvfIters = 3
+  def ivfK(n: Long): Int =
+    math.max(1, math.floor(math.sqrt(n.toDouble)).toInt)
+  def ivfNProbe(k: Int): Int =
+    math.max(1, math.ceil(0.22 * k).toInt)
+
   /** Driver-side cosine mirroring the SQL fold exactly: three separate
     * accumulators, strict left-to-right adds.
     */
@@ -116,26 +131,36 @@ object SimilarityQueries {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** IVF-style ANN: the coarse quantizer is the corpus's cluster label —
-    * per-cluster centroids are computed distributed (decimal-exact sums so
-    * the reduction order cannot perturb them), each query probes its
-    * [[NProbe]] nearest centroids, and only those clusters' vectors pay
-    * the exact cosine + top-k. At 100 TB this is the classic IVF shape:
-    * centroid table tiny and broadcast, per-query work bounded by the
-    * probed partitions instead of the corpus.
+  /** IVF ANN with a TRAINED coarse quantizer — the shipped default. A
+    * k-means model is fit on the corpus itself (k = [[ivfK]] ≈ sqrt(n)
+    * clusters, [[IvfIters]] bit-exact Lloyd rounds —
+    * [[graft.similarity.KMeans]], oracle-replayable via the unrolled
+    * CTE chain), replacing the synthetic `label` partition whose
+    * defaults measured only 0.35 recall@10. Each query probes its
+    * [[ivfNProbe]] nearest trained centroids; only those clusters'
+    * vectors pay the exact cosine + top-k. At 100 TB this is the
+    * classic IVF shape: train on a sample, broadcast the k-row centroid
+    * table, pre-partition the corpus by assigned cluster — per-query
+    * work is bounded by the probed partitions, never the corpus.
     */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     implicit val c: GraftConf = conf(dir)
     val dfl = DataFlow(s, "q_ann_ivf")
-    val emb = src(dfl, "embeddings")
-      .select(col("vec_id"), col("embedding"), col("label"))
-    // distributed centroid computation; decimal sums are order-insensitive
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .groupBy("label", "d")
-      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 15)))
-        .cast("double") / count(lit(1))).as("c"))
-    ivfSearch(s, emb, centroidsOf(cent))
+    val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
+    val k = ivfK(emb.count())
+    val (centFp, asg) = graft.similarity.KMeans.fitModel(
+      emb, "vec_id", "embedding", k, IvfIters)
+    // fixed-point centroids back to raw float space for the cosine
+    // probe: x / Scale - Offset — the identical IEEE ops the oracle runs
+    val centroids: Map[Int, Array[Double]] = centFp.collect().map { r =>
+      r.getLong(0).toInt ->
+        r.getSeq[Long](1).map(_.toDouble / graft.similarity.KMeans.Scale
+          - graft.similarity.KMeans.Offset).toArray
+    }.toMap
+    val emb2 = emb.join(asg, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        col("cid").cast("int").as("label"))
+    ivfSearch(s, emb2, centroids, ivfNProbe(k))
   }
 
   /** (label, d, c) centroid frame → driver map (labels × dim — tiny). */
@@ -152,7 +177,8 @@ object SimilarityQueries {
     * only the probed clusters' vectors pay the exact cosine + top-k.
     */
   private[graft] def ivfSearch(s: SparkSession, emb: DataFrame,
-      centroids: Map[Int, Array[Double]]): DataFrame = {
+      centroids: Map[Int, Array[Double]],
+      nprobe: Int = NProbe): DataFrame = {
     val qRows = emb.filter(col("vec_id") < NumQueries)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
     val probeRows = qRows.flatMap { r =>
@@ -161,7 +187,7 @@ object SimilarityQueries {
       centroids.toSeq
         .map { case (l, cv) => (l, cosineLocal(qv, cv)) }
         .sortBy { case (l, cc) => (-cc, l) }
-        .take(NProbe)
+        .take(nprobe)
         .map { case (l, _) => org.apache.spark.sql.Row(qid, qv, l) }
     }
     val probeSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -255,6 +281,79 @@ object SimilarityQueries {
        |ORDER BY ct.cid, r.range""".stripMargin
   }
 
+  /** Replay of the TRAINED-quantizer IVF: the unrolled k-means CTE
+    * chain trains the identical model (k and nprobe as SQL expressions
+    * of count(*), so the oracle adapts with the corpus exactly as
+    * [[ivfK]]/[[ivfNProbe]] do), then probes and scans with the same
+    * double arithmetic.
+    */
+  private def ivfTrainedOracle: String = {
+    val t = IvfIters
+    val kExpr =
+      "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+    val npExpr =
+      """(SELECT greatest(1, CAST(ceil(0.22 * floor(sqrt(count(*))))
+        |  AS BIGINT)) FROM embeddings)""".stripMargin
+    s"""WITH ${OracleSql.kmeansCtes(kExpr, t)},
+      |cent AS (SELECT cid, list_transform(c,
+      |  x -> x / ${graft.similarity.KMeans.Scale}.0
+      |    - ${graft.similarity.KMeans.Offset}) AS cv FROM c$t),
+      |e AS (SELECT emb.vec_id, emb.embedding, asg.cid
+      |  FROM embeddings emb JOIN a${t + 1} asg
+      |    ON emb.vec_id = asg.vec_id),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id < $NumQueries),
+      |pr AS (SELECT qid, qv, cid, ${cosineExpr("qv", "cv")} AS cc
+      |  FROM q CROSS JOIN cent),
+      |p AS (SELECT qid, qv, cid FROM (
+      |    SELECT qid, qv, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid)
+      |        AS rn
+      |    FROM pr) WHERE rn <= $npExpr),
+      |cand AS (SELECT p.qid, p.qv, e.vec_id, e.embedding
+      |  FROM p JOIN e ON e.cid = p.cid WHERE e.vec_id <> p.qid),
+      |sc AS (SELECT qid, vec_id, ${cosineExpr("qv", "embedding")} AS cosine
+      |  FROM cand),
+      |r AS (SELECT qid, vec_id, cosine, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+      |SELECT qid, vec_id AS neighbor, cosine, rank
+      |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Label-partition IVF replay — retained as the STREAMING index's
+    * oracle: [[graft.similarity.StreamingIvf]] folds per-LABEL decimal
+    * sums across micro-batches, so the streamed search equals this
+    * computation exactly (the batch default moved to the trained
+    * quantizer above).
+    */
+  private[queries] val labelIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+      |cd AS (
+      |  SELECT label, d,
+      |    CAST(SUM(CAST(embedding[d] AS DECIMAL(38,15))) AS DOUBLE)
+      |      / count(*) AS c
+      |  FROM e, range(1, ${graft.similarity.VectorFunctions.Dim + 1}) t(d)
+      |  GROUP BY label, d),
+      |cent AS (SELECT label, list(c ORDER BY d) AS cv FROM cd
+      |  GROUP BY label),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM e
+      |  WHERE vec_id < $NumQueries),
+      |a AS (SELECT qid, qv, label, ${cosineExpr("qv", "cv")} AS cc
+      |  FROM q CROSS JOIN cent),
+      |p AS (SELECT qid, qv, label FROM (
+      |    SELECT qid, qv, label,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, label)
+      |        AS rn
+      |    FROM a) WHERE rn <= $NProbe),
+      |cand AS (SELECT p.qid, p.qv, e.vec_id, e.embedding
+      |  FROM p JOIN e ON e.label = p.label WHERE e.vec_id <> p.qid),
+      |sc AS (SELECT qid, vec_id, ${cosineExpr("qv", "embedding")} AS cosine
+      |  FROM cand),
+      |r AS (SELECT qid, vec_id, cosine, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+      |SELECT qid, vec_id AS neighbor, cosine, rank
+      |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle,
     "q_ann_brute" ->
@@ -282,33 +381,7 @@ object SimilarityQueries {
         |  (PARTITION BY qid ORDER BY cosq DESC, vec_id) AS rank FROM p)
         |SELECT qid, vec_id AS neighbor, cosq, rank
         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
-    "q_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
-        |cd AS (
-        |  SELECT label, d,
-        |    CAST(SUM(CAST(embedding[d] AS DECIMAL(38,15))) AS DOUBLE)
-        |      / count(*) AS c
-        |  FROM e, range(1, ${graft.similarity.VectorFunctions.Dim + 1}) t(d)
-        |  GROUP BY label, d),
-        |cent AS (SELECT label, list(c ORDER BY d) AS cv FROM cd
-        |  GROUP BY label),
-        |q AS (SELECT vec_id AS qid, embedding AS qv FROM e
-        |  WHERE vec_id < $NumQueries),
-        |a AS (SELECT qid, qv, label, ${cosineExpr("qv", "cv")} AS cc
-        |  FROM q CROSS JOIN cent),
-        |p AS (SELECT qid, qv, label FROM (
-        |    SELECT qid, qv, label,
-        |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, label)
-        |        AS rn
-        |    FROM a) WHERE rn <= $NProbe),
-        |cand AS (SELECT p.qid, p.qv, e.vec_id, e.embedding
-        |  FROM p JOIN e ON e.label = p.label WHERE e.vec_id <> p.qid),
-        |sc AS (SELECT qid, vec_id, ${cosineExpr("qv", "embedding")} AS cosine
-        |  FROM cand),
-        |r AS (SELECT qid, vec_id, cosine, row_number() OVER
-        |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM sc)
-        |SELECT qid, vec_id AS neighbor, cosine, rank
-        |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+    "q_ann_ivf" -> ivfTrainedOracle,
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |bits AS (SELECT vec_id, embedding,

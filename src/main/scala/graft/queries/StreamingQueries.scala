@@ -848,10 +848,12 @@ object StreamingQueries {
 
     // STREAMING IVF ANN INDEX: per-(label, dim) decimal sums fold
     // additively across micro-batches (exact, associative — the folded
-    // centroids are bit-identical to the batch computation) while the
-    // postings file accumulates the vectors; the final probe + scan is
-    // the batch IVF search verbatim, so the batch q_ann_ivf oracle
-    // applies unchanged.
+    // centroids are bit-identical to the batch label-partition
+    // computation) while the postings file accumulates the vectors; the
+    // final probe + scan is the shared ivfSearch tail, checked against
+    // the label-IVF oracle (the BATCH q_ann_ivf default moved to a
+    // trained k-means quantizer; the streamed index keeps the label
+    // coarse partition, whose sums fold additively without retraining).
     "q_stream_ann_ivf" -> { (s, dir) =>
       withStreamParts(s) {
         import graft.similarity.StreamingIvf
@@ -908,7 +910,7 @@ object StreamingQueries {
     // batch computations — the batch oracles ARE the streaming oracles
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),
     "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
-    "q_stream_ann_ivf" -> SimilarityQueries.oracles("q_ann_ivf"),
+    "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,
     "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),
 
     // the streamed mini-batch run replayed batch-by-batch: same seeds,

@@ -78,6 +78,55 @@ object AnnRecall {
     }
   }
 
+  private def cosineLocalA(a: Seq[Float], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < math.min(a.length, b.length)) {
+      val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sweep IVF probe counts over a TRAINED k-means coarse quantizer —
+    * the production `q_ann_ivf` shape ([[KMeans.fitModel]], centroids
+    * probed in raw float space). Returns recall@k + avg corpus fraction
+    * scanned per nprobe.
+    */
+  def ivfCurveTrained(
+      emb: DataFrame, k: Int, iters: Int, nprobes: Seq[Int],
+      numQueries: Int = 50, kAt: Int = 10): Seq[IvfPoint] = {
+    val truth = groundTruth(emb, numQueries, kAt)
+    val total = emb.count().toDouble
+    val (centFp, asg) = KMeans.fitModel(emb, "vec_id", "embedding", k, iters)
+    val cent: Map[Int, Array[Double]] = centFp.collect().map { r =>
+      r.getLong(0).toInt ->
+        r.getSeq[Long](1).map(_.toDouble / KMeans.Scale - KMeans.Offset)
+          .toArray
+    }.toMap
+    val members: Map[Int, Set[Long]] = asg.collect()
+      .groupBy(_.getLong(1).toInt)
+      .map { case (c, rows) => c -> rows.map(_.getLong(0)).toSet }
+    val sizes: Map[Int, Int] = members.map { case (c, m) => c -> m.size }
+    val qRows = emb.where(col("vec_id") < numQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    nprobes.map { np =>
+      val cand = qRows.map { case (qid, qv) =>
+        val probed = cent.toSeq
+          .map { case (l, cv) => (l, cosineLocalA(qv, cv)) }
+          .sortBy { case (l, cc) => (-cc, l) }.take(np).map(_._1)
+        qid -> (probed.flatMap(c => members.getOrElse(c, Set.empty))
+          .toSet - qid,
+          probed.map(c => sizes.getOrElse(c, 0)).sum.toDouble / total)
+      }.toMap
+      val (recall, _) = scoreCandidates(truth,
+        cand.map { case (q, (c, _)) => q -> c }, kAt)
+      IvfPoint(np, recall, cand.values.map(_._2).sum / cand.size)
+    }
+  }
+
   /** Sweep IVF probe counts over the corpus's `label` coarse partition,
     * returning recall@k + the average fraction of the corpus scanned.
     */

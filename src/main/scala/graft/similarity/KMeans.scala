@@ -84,6 +84,25 @@ object KMeans {
     } finally pts.unpersist()
   }
 
+  /** One Lloyd run, BOTH outputs: the final centroid frame
+    * (cid, c: array&lt;long&gt; fixed-point) and the final assignment
+    * (vec_id, cid) against those centroids — the IVF training shape,
+    * where the same model must serve as coarse quantizer (centroids,
+    * probed per query) and as partition map (assignment, shards the
+    * candidate scan). Both frames are materialised (localCheckpoint) so
+    * the caller can reference them repeatedly without re-running Lloyd.
+    */
+  def fitModel(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
+    require(k >= 1 && iterations >= 1, "k and iterations must be >= 1")
+    val pts = pointsFp(df, idCol, vecCol).persist()
+    try {
+      pts.count()
+      val cent = lloyd(pts, k, iterations)
+      (cent, assign(pts, cent).localCheckpoint())
+    } finally pts.unpersist()
+  }
+
   /** Run `iterations` Lloyd rounds; output one row per (cluster, dim):
     * (cid, dim 1-based, n_points, centroid_fp) where n_points counts the
     * FINAL assignment against the last centroids.

@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** ANN graded as an ANN: recall@10 vs brute-force ground truth on the
   * sf0.1 embeddings, swept over the knobs a 100 TB user tunes — LSH
-  * tables × hash-bits, IVF nprobe. Asserts the qualitative shape of the
-  * tradeoff (more tables → recall up; more bits per hash → recall down,
-  * candidates down; more probes → recall up, monotonically, reaching
-  * 1.0 at a full probe) and writes the measured curve to
-  * `target/RECALL_r08.json` for SURVEY §6.
+  * tables × hash-bits, IVF nprobe (label partition AND the trained
+  * k-means quantizer q_ann_ivf ships). Asserts the qualitative knob
+  * tradeoffs, pins the SHIPPED trained default on the recall frontier
+  * (recall@10 ≥ 0.9 at ≤ 0.3 of the corpus scanned), and writes the
+  * measured curves to `target/RECALL_r10.json` for SURVEY §6.
   */
 class AnnRecallSpec extends SparkSpec {
 
@@ -22,17 +22,32 @@ class AnnRecallSpec extends SparkSpec {
     val emb = spark.read.parquet(path)
       .select(col("vec_id"), col("embedding"), col("label"))
 
+    // bandBits ∈ {8, 16} stay in the sweep as DOCUMENTED dead water on
+    // this corpus: the embeddings are weak-similarity (near-random), so
+    // 8-bit bands measure 0.15-0.25 recall and 16-bit bands collapse to
+    // zero candidates — the shipped default is the 4-bit banding
+    // (VectorFunctions.PlaneBandBits), whose row is graded below.
     val lsh = AnnRecall.lshCurve(emb,
       configs = Seq((16, 4), (32, 4), (64, 4), (16, 8), (32, 8), (64, 8),
         (64, 16)))
     val byCfg = lsh.map(p => (p.planes, p.bandBits) -> p).toMap
 
     val nLabels = emb.select("label").distinct().count().toInt
-    val ivf = AnnRecall.ivfCurve(emb, nprobes = Seq(1, 2, 3, 5, nLabels))
+    val ivfLabel = AnnRecall.ivfCurve(emb, nprobes = Seq(1, 2, 3, 5, nLabels))
+
+    // the TRAINED quantizer q_ann_ivf actually ships: k = floor(sqrt(n))
+    // clusters, default nprobe = ceil(0.22 k) — swept around the default
+    val n = emb.count()
+    val k = graft.queries.SimilarityQueries.ivfK(n)
+    val npDefault = graft.queries.SimilarityQueries.ivfNProbe(k)
+    val sweep = (Seq(1, 3, 5, 8, npDefault, 12, 16, k)
+      .filter(_ <= k)).distinct.sorted
+    val ivfTrained = AnnRecall.ivfCurveTrained(emb, k,
+      graft.queries.SimilarityQueries.IvfIters, sweep)
 
     // artifact first — the measurement is the deliverable even when a
     // shape assertion below catches a regression
-    writeArtifact(lsh, ivf)
+    writeArtifact(lsh, ivfLabel, ivfTrained, k, npDefault)
 
     // more bits per hash (fixed plane count): precision up →
     // candidates down, recall down-or-equal
@@ -54,21 +69,40 @@ class AnnRecallSpec extends SparkSpec {
     // the knob direction is pinned by the monotonicity asserts above.
     assert(byCfg((16, 4)).recallAt >= 0.3,
       s"default LSH config recall collapsed: ${byCfg((16, 4))}")
-    // monotone in nprobe; full probe is exact
-    ivf.sliding(2).foreach {
+    // monotone in nprobe; full probe is exact — label partition
+    ivfLabel.sliding(2).foreach {
       case Seq(a, b) => assert(b.recallAt >= a.recallAt - 1e-9,
-        s"IVF recall not monotone: $a -> $b")
+        s"IVF(label) recall not monotone: $a -> $b")
       case _ => ()
     }
-    assert(math.abs(ivf.last.recallAt - 1.0) < 1e-9,
-      s"full probe must be exact: ${ivf.last}")
-    assert(ivf.head.avgScannedFraction < 0.35,
-      s"nprobe=1 should scan a small corpus fraction: ${ivf.head}")
+    assert(math.abs(ivfLabel.last.recallAt - 1.0) < 1e-9,
+      s"full probe must be exact: ${ivfLabel.last}")
+    // trained quantizer: monotone in nprobe, full probe exact, and the
+    // SHIPPED default sits on the recall frontier
+    ivfTrained.sliding(2).foreach {
+      case Seq(a, b) => assert(b.recallAt >= a.recallAt - 1e-9,
+        s"IVF(trained) recall not monotone: $a -> $b")
+      case _ => ()
+    }
+    assert(math.abs(ivfTrained.last.recallAt - 1.0) < 1e-9,
+      s"full trained probe must be exact: ${ivfTrained.last}")
+    val shipped = ivfTrained.find(_.nprobe == npDefault).get
+    assert(shipped.recallAt >= 0.9,
+      s"shipped trained-IVF default off the recall frontier: $shipped")
+    assert(shipped.avgScannedFraction <= 0.3,
+      s"shipped trained-IVF default scans too much: $shipped")
   }
 
   private def writeArtifact(
       lsh: Seq[graft.similarity.AnnRecall.LshPoint],
-      ivf: Seq[graft.similarity.AnnRecall.IvfPoint]): Unit = {
+      ivfLabel: Seq[graft.similarity.AnnRecall.IvfPoint],
+      ivfTrained: Seq[graft.similarity.AnnRecall.IvfPoint],
+      k: Int, npDefault: Int): Unit = {
+    def ivfJson(ps: Seq[graft.similarity.AnnRecall.IvfPoint]): String =
+      "[" + ps.map(p =>
+        s"""{"nprobe":${p.nprobe},"recall_at_10":${f"${p.recallAt}%.4f"},""" +
+          s""""avg_scanned_fraction":${f"${p.avgScannedFraction}%.4f"}}""")
+        .mkString(",") + "]"
     val json =
       "{\"sf\":\"" + sfDir + "\",\"k\":10,\"queries\":50," +
         "\"lsh\":[" + lsh.map(p =>
@@ -76,12 +110,11 @@ class AnnRecallSpec extends SparkSpec {
             s""""tables":${p.tables},"recall_at_10":${f"${p.recallAt}%.4f"},""" +
             s""""avg_candidates":${f"${p.avgCandidates}%.1f"}}""")
           .mkString(",") + "]," +
-        "\"ivf\":[" + ivf.map(p =>
-          s"""{"nprobe":${p.nprobe},"recall_at_10":${f"${p.recallAt}%.4f"},""" +
-            s""""avg_scanned_fraction":${f"${p.avgScannedFraction}%.4f"}}""")
-          .mkString(",") + "]}"
+        "\"ivf_label\":" + ivfJson(ivfLabel) + "," +
+        s""""ivf_trained_k":$k,"ivf_trained_default_nprobe":$npDefault,""" +
+        "\"ivf_trained\":" + ivfJson(ivfTrained) + "}"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/RECALL_r08.json"),
+      java.nio.file.Paths.get("target/RECALL_r10.json"),
       json.getBytes("UTF-8"))
   }
 }
