@@ -6,11 +6,20 @@ import org.apache.spark.sql.SparkSession
   * the sink, so projection/UDF-shaped queries measure real operator work
   * (a bare `.count()` lets Catalyst prune computed columns to a metadata
   * read — see VERDICT.md round 1 "What's wrong").
+  *
+  * DISTORTION-PROOFING (rounds 7-9 measured >2x positional inflation in
+  * single-session sequences — q_triangles 82.3s in-sequence vs 37.3s
+  * isolated at sf1): every query now runs in its OWN SparkContext with
+  * its OWN `spark.local.dir`, created outside the timed window and torn
+  * down (dir swept) before the next query starts. No query is ever timed
+  * under a prior query's accumulated shuffle files, pinned broadcast
+  * blocks, or ContextCleaner backlog. JIT + whole-stage-codegen caches
+  * are JVM-global, so the one-time warm-up still pays those for the
+  * whole run; per-context startup (~1s) is excluded from every timing.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  private def newSession(cpus: String, localDir: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,12 +40,44 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // ContextCleaner frees a query's shuffle files only after its RDDs
-      // are garbage-collected; the default 30min periodic GC lets dozens
-      // of queries' shuffle data pile up and drag late queries down
+      // per-query shuffle/spill space — swept after the context stops.
+      // (When the caller exports SPARK_LOCAL_DIRS — the per-JVM isolated
+      // driver — the env wins and this config is inert, which is fine:
+      // that driver already gives each JVM a fresh dir.)
+      .config("spark.local.dir", localDir)
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Run `body` inside a fresh single-query session, then stop the
+    * context and sweep its local dir so nothing leaks into the next
+    * query's timing.
+    */
+  private def withFreshSession[A](cpus: String)(body: SparkSession => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_q_")
+    val spark = newSession(cpus, dir.toString)
+    try body(spark)
+    finally {
+      spark.stop()
+      // SparkContext.stop removes its blockmgr subdirs; remove the root
+      // (and anything a crashed task left) so dirs never accumulate
+      // across the 140+ per-query contexts of one invocation.
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(dir) catch { case _: Throwable => () }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional comma-separated name filter for profiling one query;
     // SPARK_GRAFT_BENCH_EXACT=1 switches from prefix to exact matching
     // (needed by the isolated driver: "q_dedup_ngram" must not also
@@ -47,9 +88,9 @@ object Bench {
       .filter { case (n, _) =>
         only.forall(_.exists(s => if (exact) s == n else n.startsWith(s)))
       }
-    // untimed warm-up: pay JIT/codegen/page-cache costs once outside the
-    // timed loop, so the alphabetically-first query stops absorbing them
-    // and round-over-round per-query deltas stop aliasing warm-up noise.
+    // untimed warm-up in a THROWAWAY session: pay JVM-global JIT/codegen/
+    // page-cache costs once outside every timed window, so the
+    // alphabetically-first query stops absorbing them.
     // SPARK_GRAFT_BENCH_WARMUP: first (default) = full run of the first
     // selected query; light = a trivial scan+write that pays session/
     // codegen startup without re-running a minutes-long heavy query
@@ -57,18 +98,20 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "first") match {
       case "none" => ()
       case "light" =>
-        try spark.read.parquet(s"$sfDir/region.parquet")
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        withFreshSession(cpus) { spark =>
+          try spark.read.parquet(s"$sfDir/region.parquet")
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
       case _ =>
         selected.headOption.foreach { case (_, fn) =>
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-          spark.catalog.clearCache()
-          System.gc()
+          withFreshSession(cpus) { spark =>
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+          }
         }
     }
-    def timeOnce(name: String,
+    def timeOnce(spark: SparkSession, name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
@@ -77,26 +120,28 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // between runs: drop cached intermediates (LSH bands, signatures)
-      // and nudge the ContextCleaner so the next query isn't timed under
-      // this one's pinned storage / shuffle files
+      // between in-session reruns: drop cached intermediates (LSH bands,
+      // signatures) so rerun 2 doesn't read rerun 1's pinned storage
       spark.catalog.clearCache()
       System.gc()
       elapsed
     }
-    // sub-2s queries are rerun to a median of 3: their round-over-round
-    // deltas otherwise alias machine contention (r4's driver numbers ran
-    // ~1.4x hot under external load). SPARK_GRAFT_BENCH_RUNS=N forces
-    // exactly N timed runs per query regardless of duration (the
-    // isolated driver medians across JVMs instead of within one).
+    // sub-2s queries are rerun to a median of 3 INSIDE their own session
+    // (their round-over-round deltas otherwise alias machine contention;
+    // r4's driver numbers ran ~1.4x hot under external load).
+    // SPARK_GRAFT_BENCH_RUNS=N forces exactly N timed runs per query
+    // regardless of duration (the isolated driver medians across JVMs).
     val forcedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
     val results = selected.map { case (name, fn) =>
-      val first = timeOnce(name, fn)
-      val runs = forcedRuns match {
-        case Some(n) => first +: Seq.fill(n - 1)(timeOnce(name, fn))
-        case None =>
-          if (first < 2.0) Seq(first, timeOnce(name, fn), timeOnce(name, fn))
-          else Seq(first)
+      val runs = withFreshSession(cpus) { spark =>
+        val first = timeOnce(spark, name, fn)
+        forcedRuns match {
+          case Some(n) => first +: Seq.fill(n - 1)(timeOnce(spark, name, fn))
+          case None =>
+            if (first < 2.0)
+              Seq(first, timeOnce(spark, name, fn), timeOnce(spark, name, fn))
+            else Seq(first)
+        }
       }
       (name, runs.sorted.apply(runs.size / 2), runs)
     }
@@ -118,6 +163,5 @@ object Bench {
     java.nio.file.Files.write(p,
       (line.dropRight(1) + s""","runs":$runsJson}""" + "\n")
         .getBytes("UTF-8"))
-    spark.stop()
   }
 }

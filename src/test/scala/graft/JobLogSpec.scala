@@ -28,13 +28,25 @@ class JobLogSpec extends SparkSpec {
   private val goldenPath = JobLogSpec.referenceDir
     .map(_ + "/betl/betl-test/test_app/logs/0001_jobLog.log")
 
+  /** The golden log: a live reference checkout wins (GRAFT_REFERENCE_DIR
+    * / graft.reference.dir), else the VENDORED copy under
+    * src/test/resources/golden — so the parity gate runs on clean
+    * checkouts instead of silently cancelling (VERDICT r9 task 7).
+    */
   private def golden: String = {
-    val p = goldenPath.filter(p =>
+    val fromRef = goldenPath.filter(p =>
       java.nio.file.Files.isReadable(java.nio.file.Paths.get(p)))
-    assume(p.isDefined,
-      "reference golden log not available (set GRAFT_REFERENCE_DIR)")
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(p.get)), "UTF-8")
+    fromRef match {
+      case Some(p) =>
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+      case None =>
+        val in = getClass.getResourceAsStream("/golden/0001_jobLog.log")
+        assert(in != null,
+          "vendored golden log missing from test resources")
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+    }
   }
 
   test("golden log parses into the expected step structure") {
