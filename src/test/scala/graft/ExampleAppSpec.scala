@@ -146,4 +146,81 @@ class ExampleAppSpec extends SparkSpec {
         s"${o.op}: output shape diverged (ours ${o.shape}, gold ${g.shape})")
     }
   }
+
+  test("example app: MDM leg maps segments on 'bulk run', and a second " +
+      "'delta run' classifies source changes through the CLI") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-example-delta").toString
+    // copy the committed source data so the delta leg can mutate it
+    val committed = new java.io.File(
+      "examples/test_app/src_data").getAbsolutePath
+    val srcDir = s"$tmp/src_data"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(srcDir))
+    for (f <- new java.io.File(committed).listFiles())
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(srcDir, f.getName))
+    val cfg =
+      s"""{
+         |  "warehousePath": "$tmp/tmp_data",
+         |  "logsPath": "$tmp/logs",
+         |  "srcSystems": {
+         |    "FILESYSTEM_EXAMPLE": {
+         |      "type": "csv", "dir": "$srcDir", "delimiter": ","
+         |    }
+         |  }
+         |}""".stripMargin
+    val cfgPath = s"$tmp/appConfig.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      cfg.getBytes("UTF-8"))
+    val conf = GraftConfIO.fromFile(cfgPath)
+
+    // ---- first invocation: bulk run (stages everything, runs MDM)
+    Cli.execute(spark, conf, Cli.parse(Seq("bulk", "run")),
+      ops = ExampleApp.ops(spark, conf))
+
+    val mapped = spark.read.parquet(
+      s"$tmp/tmp_data/TRN/trg_dm_example_mapped")
+    val bySeg = mapped.select("segment", "master_segment").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bySeg("retail") == "Retail" && bySeg("wholesale") == "Wholesale")
+    // 'direct' has no mapping row: master blanks to '' (GSheet parity)
+    assert(bySeg("direct") == "")
+    // write-back carries the distinct combos with occurrence counts —
+    // including the unmapped 'direct' combo the user would fill in
+    val wb = spark.read.parquet(s"$tmp/tmp_data/TRN/mdm_segment_writeback")
+    assert(wb.columns.toSeq ==
+      Seq("segment", "master_segment", "count"))
+    assert(wb.where(org.apache.spark.sql.functions.col("segment")
+      === "direct").count() == 1)
+
+    // one CLI invocation = one execution = one numbered log; in-JVM the
+    // boundary is explicit (a real app's JVM exits here)
+    JobLog.endRun(s"$tmp/logs")
+
+    // ---- mutate the delta source: id 2 changes, id 4 appears
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(srcDir, "example_delta_table.csv"),
+      "id,code\n1,AA\n2,B2\n3,CC\n4,DD\n".getBytes("UTF-8"))
+
+    // ---- second invocation: delta run through the same CLI surface
+    Cli.execute(spark, conf, Cli.parse(Seq("delta", "run")),
+      ops = ExampleApp.ops(spark, conf))
+
+    import org.apache.spark.sql.functions.col
+    val ext = spark.read.parquet(s"$tmp/tmp_data/EXT/example_delta_table")
+    assert(ext.count() == 4, "staged state must carry the inserted row")
+    assert(ext.where(col("id") === 2).select("code").collect()
+      .head.getString(0) == "B2", "staged state must take the update")
+    val delta = spark.read.parquet(
+      s"$tmp/tmp_data/EXT/example_delta_table_delta")
+    val opsById = delta.select("id", "delta_op").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(opsById == Map("2" -> "UPDATE", "4" -> "INSERT"),
+      s"delta slices diverged: $opsById")
+    // the second run appended its own numbered log
+    assert(java.nio.file.Files.isReadable(
+      java.nio.file.Paths.get(s"$tmp/logs/0002_jobLog.log")),
+      "delta run must write 0002_jobLog.log")
+  }
 }
