@@ -20,7 +20,7 @@ object DedupQueries {
 
   // Shared with q_stream_minhash_dedup (StreamingQueries), whose oracle
   // is this module's q_dedup_minhash — one constant keeps them in step.
-  private[queries] val JaccardThreshold = 0.5
+  private[graft] val JaccardThreshold = 0.5
   private val CosineThreshold = 0.4
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

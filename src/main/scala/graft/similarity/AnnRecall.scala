@@ -181,7 +181,10 @@ object AnnRecall {
   private def scoreCandidates(
       truth: Map[Long, Seq[Long]], cand: Map[Long, Set[Long]], k: Int)
       : (Double, Double) = {
-    val per = truth.map { case (q, top) =>
+    // toSeq FIRST: mapping the Map directly to (recall, candCount)
+    // tuples would rebuild a Map KEYED BY RECALL, silently collapsing
+    // every pair of queries with equal recall before the average
+    val per = truth.toSeq.map { case (q, top) =>
       val c = cand.getOrElse(q, Set.empty)
       (top.count(c.contains).toDouble / top.size, c.size.toDouble)
     }

@@ -1,0 +1,161 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Nearline soak harness: drives the three cross-micro-batch dedup
+  * folds (SimHash band index, MinHash band index + shingle store,
+  * span-dedup gram index) over MANY batches and records per-batch wall
+  * time plus accumulated state size — the question a long-lived
+  * nearline deployment actually asks: does per-batch latency stay
+  * O(batch × bucket-hit) flat, or does it creep with index size?
+  *
+  * Batches replay through the same applyBatch entry points the
+  * streaming queries use, sliced by the same id-range rule as
+  * `StreamFlow.writeTimeSplits`, but invoked directly so the
+  * measurement isolates fold cost from structured-streaming harness
+  * overhead.
+  *
+  * Usage: runMain graft.tools.NearlineSoak <docs.parquet> <nBatches>
+  *          <outJson> [families]
+  * families: comma list of simhash,minhash,span (default all).
+  */
+object NearlineSoak {
+
+  private case class BatchPoint(batch: Int, secs: Double, stateRows: Long)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: NearlineSoak <docs.parquet> <nBatches> <outJson> [families]")
+    val docsPath = args(0)
+    val nBatches = args(1).toInt
+    val outJson = args(2)
+    val families = if (args.length > 3) args(3).split(',').toSet
+      else Set("simhash", "minhash", "span")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // the streaming queries run their folds at ~8 shuffle partitions
+      // (state-store setup dominates bounded runs); the soak mirrors
+      // that so per-batch numbers transfer
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(docsPath)
+      .select(col("doc_id"), col("text"))
+
+    def slices(df: DataFrame, idCol: String): Seq[DataFrame] = {
+      val b = df.agg(min(col(idCol)), max(col(idCol))).collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val step = math.max(1L, (hi - lo) / nBatches + 1)
+      (0 until nBatches).map { i =>
+        df.where(col(idCol) >= lo + i * step &&
+          (if (i == nBatches - 1) lit(true)
+           else col(idCol) < lo + (i + 1) * step))
+      }
+    }
+
+    def soak(name: String, batches: Seq[DataFrame],
+        apply: (DataFrame, Int) => Unit,
+        stateRows: () => Long): Seq[BatchPoint] = {
+      val pts = batches.zipWithIndex.map { case (b, i) =>
+        val mat = b.localCheckpoint() // slice cost out of the timing
+        val t0 = System.nanoTime()
+        apply(mat, i)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val p = BatchPoint(i, secs, stateRows())
+        println(f"[soak] $name batch $i%3d: ${p.secs}%6.2fs  " +
+          f"state=${p.stateRows}%,d rows")
+        p
+      }
+      pts
+    }
+
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[BatchPoint]]()
+
+    if (families("simhash")) {
+      val base = tmp("soak_simhash")
+      val (indexDir, pairsDir) = (base + "/idx", base + "/pairs")
+      val hashed = docs.select(col("doc_id").as("doc"),
+        graft.text.TextFunctions.simHashUdf(
+          graft.text.TextFunctions.tokens(col("text"))).as("h"))
+        .localCheckpoint()
+      // empty seed: every batch goes through the streamed path (column
+      // order matches what applyBatch appends)
+      hashed.where(lit(false))
+        .select(lit(0).as("band"), lit(0L).as("key"), col("doc"), col("h"))
+        .write.mode("overwrite").parquet(indexDir)
+      hashed.where(lit(false))
+        .select(col("doc").as("doc_a"), col("doc").as("doc_b"),
+          lit(0).as("hamming"), lit("seed").as("phase"))
+        .write.mode("overwrite").parquet(pairsDir)
+      results("simhash") = soak("simhash", slices(hashed, "doc"),
+        (b, _) => graft.dedup.Nearline.applyBatch(
+          spark, b, indexDir, pairsDir, maxHamming = 3),
+        () => spark.read.parquet(indexDir).count())
+    }
+
+    if (families("minhash")) {
+      val base = tmp("soak_minhash")
+      val (indexDir, storeDir, pairsDir) =
+        (base + "/idx", base + "/store", base + "/pairs")
+      graft.dedup.Nearline.initMinHashState(
+        spark, indexDir, storeDir, pairsDir)
+      val shingled = docs.select(col("doc_id").as("doc"),
+        graft.functions.GraftFunctions.shinglesK(spark, col("text"), 3)
+          .as("s")).localCheckpoint()
+      results("minhash") = soak("minhash", slices(shingled, "doc"),
+        (b, _) => graft.dedup.Nearline.applyMinHashBatch(spark, b,
+          graft.queries.DedupQueries.JaccardThreshold,
+          indexDir, storeDir, pairsDir),
+        () => spark.read.parquet(indexDir).count())
+    }
+
+    if (families("span")) {
+      val base = tmp("soak_span")
+      val (indexDir, dupDir) = (base + "/idx", base + "/dup")
+      graft.dedup.SpanDedup.initState(spark, indexDir, dupDir)
+      results("span") = soak("span", slices(docs, "doc_id"),
+        (b, _) => graft.dedup.SpanDedup.applyBatch(
+          spark, b, "text", "doc_id", indexDir, dupDir),
+        () => spark.read.parquet(indexDir).count())
+    }
+
+    // flatness: mean of the last fifth vs the mean of the second fifth
+    // (the first fifth warms JIT/codegen). A latency creep that tracks
+    // index size shows up as late/early >> 1.
+    def fifth(pts: Seq[BatchPoint], k: Int): Double = {
+      val n = pts.size
+      val sl = pts.slice(n * k / 5, n * (k + 1) / 5)
+      sl.map(_.secs).sum / math.max(1, sl.size)
+    }
+    val json = new StringBuilder
+    json.append("{\"docs\":\"").append(docsPath)
+      .append("\",\"n_batches\":").append(nBatches).append(",")
+    json.append(results.map { case (name, pts) =>
+      val early = fifth(pts, 1)
+      val late = fifth(pts, 4)
+      "\"" + name + "\":{" +
+        s""""early_fifth_mean_secs":${f"$early%.3f"},""" +
+        s""""late_fifth_mean_secs":${f"$late%.3f"},""" +
+        s""""late_over_early":${f"${late / early}%.3f"},""" +
+        s""""final_state_rows":${pts.last.stateRows},""" +
+        "\"batches\":[" + pts.map(p =>
+          s"""{"b":${p.batch},"secs":${f"${p.secs}%.3f"},""" +
+            s""""state_rows":${p.stateRows}}""").mkString(",") + "]}"
+    }.mkString(","))
+    json.append("}")
+    val p = java.nio.file.Paths.get(outJson)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, json.toString.getBytes("UTF-8"))
+    println(json.toString.take(400))
+    spark.stop()
+  }
+}
