@@ -172,13 +172,25 @@ object Dedup {
     // whole inverted-index + window pipeline runs twice (measured 12.4s
     // vs 7.5s at sf0.1)
     val pidx = prefix.cache()
-    // PPJoin filters on each collision, BEFORE the pair-distinct shuffle:
-    //  - length: jaccard >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
-    //  - position: at the pair's FIRST common token (positions i, j in
-    //    the shared global order) every other common token sits strictly
-    //    after both, so overlap <= 1 + min(na-i, nb-j); a good pair's
-    //    first common token is inside both prefixes and passes, so
-    //    keeping pairs with ANY passing collision is recall-EXACT.
+    // PPJoin filters, applied around the pair aggregation:
+    //  - length (per collision row, BEFORE the shuffle): jaccard >= t
+    //    forces t*max(|A|,|B|) <= min(|A|,|B|) — pair-level property,
+    //    identical on every collision row, so pre-filtering is safe;
+    //  - aggregate position bound (the REAL PPJoin bound, per pair):
+    //    the pair's collisions aggregate to (cnt, max pa, max pb).
+    //    Positions are ranks in the SHARED (df, g) global order, so the
+    //    collision with the highest order has the max position in BOTH
+    //    docs — max(pa) and max(pb) come from the same token t*. Every
+    //    common token NOT collision-counted is missing from at least
+    //    one prefix, hence ranks after every collision token, hence
+    //    sits strictly after (max_pa, max_pb) in both docs. Therefore
+    //    overlap <= cnt + min(na - max_pa, nb - max_pb): an EXACT
+    //    upper bound, strictly tighter than the old any-collision
+    //    single-position test (which admitted every pair whose first
+    //    common token passed) — at sf10 the tighter bound is what keeps
+    //    the exact-verify join candidate-sized instead of fanout-sized.
+    //    The groupBy costs the same shuffle the old .distinct() paid
+    //    (both partial-aggregate map-side), carrying three small ints.
     // Overlap target alpha = t*(na+nb)/(1+t) (jaccard>=t <=> inter>=alpha);
     // comparisons use a 1e-9 slack instead of ceil so double rounding can
     // only under-prune, never drop a boundary pair.
@@ -191,9 +203,13 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .where(least(col("na"), col("nb")).cast("double")
         >= lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
-      .where((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
-        .cast("double") >= alpha)
-      .select("doc_a", "doc_b").distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("cnt"), max(col("pa")).as("pa"),
+        max(col("pb")).as("pb"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+      .where((col("cnt") + least(col("na") - col("pa"),
+        col("nb") - col("pb"))).cast("double") >= alpha)
+      .select("doc_a", "doc_b")
     // the verify joins re-shingle (narrow scan+project, ReuseExchange
     // dedupes the two sides) rather than pinning shingle arrays in a
     // cache; a candidate-id pre-filter before the shingling was

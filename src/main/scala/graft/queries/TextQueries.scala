@@ -333,6 +333,13 @@ object TextQueries {
       // any corpus scale — the same cut Scd2Load makes for its classify
       // frame. Each trainN re-derives from the docs scan + one
       // broadcast-sized semi-join on the checkpointed ids.
+      // Accepted tradeoff: eager cuts make CONSTRUCTION of this frame
+      // run the whole pipeline (plan-only callers like Explain pay the
+      // full execution), and the returned plan shows only the
+      // post-checkpoint RDD leaves — plan-shape audits of the heavy
+      // stages live on the per-stage queries (q_dedup_ngram_prefix,
+      // q_decontaminate, q_dsir_select), while FlagshipPipelineSpec
+      // gates this frame's only structural property: no file rescans.
       def cut(ids: DataFrame): DataFrame =
         ids.select("doc_id").localCheckpoint()
       // exact dedup: keep the min doc id of each canonical fingerprint
