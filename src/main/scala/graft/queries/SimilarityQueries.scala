@@ -152,11 +152,17 @@ object SimilarityQueries {
       emb, "vec_id", "embedding", k, IvfIters)
     // fixed-point centroids back to raw float space for the cosine
     // probe: x / Scale - Offset — the identical IEEE ops the oracle runs
-    val centroids: Map[Int, Array[Double]] = centFp.collect().map { r =>
+    val centRows = centFp.collect()
+    val centroids: Map[Int, Array[Double]] = centRows.map { r =>
       r.getLong(0).toInt ->
         r.getSeq[Long](1).map(_.toDouble / graft.similarity.KMeans.Scale
           - graft.similarity.KMeans.Offset).toArray
     }.toMap
+    // cids are the k smallest vec_ids; the int narrowing below is safe
+    // unless two seeds collide mod 2^32 (a >4B-doc corpus would need a
+    // dense id re-map first) — fail loudly rather than mis-probe
+    require(centroids.size == centRows.length,
+      "annIvf: centroid ids collide after int narrowing — re-densify ids")
     val emb2 = emb.join(asg, "vec_id")
       .select(col("vec_id"), col("embedding"),
         col("cid").cast("int").as("label"))
