@@ -484,6 +484,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(reshuffled.toSeq === out.toSeq)
   }
 
+  test("kmeans assign kernel is bit-identical to the declarative rendering") {
+    import graft.similarity.KMeans
+    // adversarial layout: duplicated points (exact distance ties between
+    // centroids), centroids with identical coordinates (cid tie-break),
+    // and a wide value range stressing the integer fixed-point math
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 64L).map { i =>
+      i -> Seq.fill(8)((rnd.nextInt(4001) - 2000) / 1000.0f)
+    }
+    val withDups = vecs ++ vecs.take(8).map { case (i, v) => (i + 100L, v) }
+    val df = withDups.toDF("vec_id", "embedding")
+    val pts = KMeans.pointsFp(df, "vec_id", "embedding")
+    // centroid frame: first 5 points' coordinates, TWO of them identical
+    // (cids 0 and 1 share coords -> every point ties between them)
+    val cent = pts.orderBy("vec_id").limit(5)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i.toLong, if (i == 1) pts.orderBy("vec_id").limit(1)
+          .collect()(0).getSeq[Long](1) else r.getSeq[Long](1))
+      }
+    val centDf = spark.createDataFrame(cent.toSeq.map {
+      case (cid, c) => (cid, c)
+    }).toDF("cid", "c")
+    val kernel = KMeans.assign(pts, centDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decl = KMeans.assignDeclarative(pts, centDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === decl)
+    // the engineered coordinate tie resolves to the smaller cid
+    assert(kernel.values.forall(_ != 1L),
+      "cid 1 duplicates cid 0's coordinates and must never win a tie")
+  }
+
   // ---------------------------------------------------- pivotRowsToCols
 
   test("pivotRowsToCols is the inverse of pivotColsToRows on sums") {
