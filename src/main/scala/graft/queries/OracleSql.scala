@@ -89,9 +89,11 @@ object OracleSql {
   /** As [[kmeansCtes]], but `k` is an arbitrary SQL expression for the
     * seed count — e.g. a subquery computing floor(sqrt(count(*))) so
     * the oracle's cluster count adapts to the corpus exactly as the
-    * engine's does (trained-IVF default).
+    * engine's does (trained-IVF default) — and `ptsWhere` optionally
+    * restricts the TRAINING points (the streamed frozen-quantizer
+    * rendering trains on batch 0 only).
     */
-  def kmeansCtes(k: String, iters: Int): String = {
+  def kmeansCtes(k: String, iters: Int, ptsWhere: String = ""): String = {
     import graft.similarity.KMeans.{Scale, Offset}
     val d1 = VectorFunctions.Dim + 1
     def dist(p: String, c: String) =
@@ -113,10 +115,11 @@ object OracleSql {
          |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
     val rounds = (1 to iters).flatMap(i => Seq(asg(i), cent(i)))
       .mkString(",\n")
+    val whereClause = if (ptsWhere.isEmpty) "" else s" WHERE $ptsWhere"
     s"""pts AS (SELECT vec_id, list_transform(embedding,
        |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
        |      AS BIGINT)) AS p
-       |  FROM embeddings),
+       |  FROM embeddings$whereClause),
        |c0 AS (SELECT vec_id AS cid, p AS c FROM pts
        |  ORDER BY vec_id LIMIT $k),
        |$rounds,

@@ -152,21 +152,31 @@ object SimilarityQueries {
       emb, "vec_id", "embedding", k, IvfIters)
     // fixed-point centroids back to raw float space for the cosine
     // probe: x / Scale - Offset — the identical IEEE ops the oracle runs
-    val centRows = centFp.collect()
-    val centroids: Map[Int, Array[Double]] = centRows.map { r =>
-      r.getLong(0).toInt ->
-        r.getSeq[Long](1).map(_.toDouble / graft.similarity.KMeans.Scale
-          - graft.similarity.KMeans.Offset).toArray
-    }.toMap
-    // cids are the k smallest vec_ids; the int narrowing below is safe
-    // unless two seeds collide mod 2^32 (a >4B-doc corpus would need a
-    // dense id re-map first) — fail loudly rather than mis-probe
-    require(centroids.size == centRows.length,
-      "annIvf: centroid ids collide after int narrowing — re-densify ids")
+    val centroids = trainedCentroids(centFp)
     val emb2 = emb.join(asg, "vec_id")
       .select(col("vec_id"), col("embedding"),
         col("cid").cast("int").as("label"))
     ivfSearch(s, emb2, centroids, ivfNProbe(k))
+  }
+
+  /** Trained fixed-point centroid frame (cid, c: array&lt;long&gt;) →
+    * probe map in raw float space: x / Scale − Offset, the identical
+    * IEEE ops the oracle runs. cids are the k smallest vec_ids; the
+    * int narrowing is safe unless two seeds collide mod 2^32 (a >4B-doc
+    * corpus would need a dense id re-map first) — fail loudly rather
+    * than mis-probe.
+    */
+  private[graft] def trainedCentroids(
+      centFp: org.apache.spark.sql.DataFrame): Map[Int, Array[Double]] = {
+    val rows = centFp.collect()
+    val m: Map[Int, Array[Double]] = rows.map { r =>
+      r.getLong(0).toInt ->
+        r.getSeq[Long](1).map(_.toDouble / graft.similarity.KMeans.Scale
+          - graft.similarity.KMeans.Offset).toArray
+    }.toMap
+    require(m.size == rows.length,
+      "trainedCentroids: ids collide after int narrowing — re-densify ids")
+    m
   }
 
   /** (label, d, c) centroid frame → driver map (labels × dim — tiny). */
@@ -307,6 +317,68 @@ object SimilarityQueries {
       |e AS (SELECT emb.vec_id, emb.embedding, asg.cid
       |  FROM embeddings emb JOIN a${t + 1} asg
       |    ON emb.vec_id = asg.vec_id),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id < $NumQueries),
+      |pr AS (SELECT qid, qv, cid, ${cosineExpr("qv", "cv")} AS cc
+      |  FROM q CROSS JOIN cent),
+      |p AS (SELECT qid, qv, cid FROM (
+      |    SELECT qid, qv, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid)
+      |        AS rn
+      |    FROM pr) WHERE rn <= $npExpr),
+      |cand AS (SELECT p.qid, p.qv, e.vec_id, e.embedding
+      |  FROM p JOIN e ON e.cid = p.cid WHERE e.vec_id <> p.qid),
+      |sc AS (SELECT qid, vec_id, ${cosineExpr("qv", "embedding")} AS cosine
+      |  FROM cand),
+      |r AS (SELECT qid, vec_id, cosine, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+      |SELECT qid, vec_id AS neighbor, cosine, rank
+      |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Replay of the FROZEN-quantizer streamed IVF
+    * (`q_stream_ann_ivf_trained`): the k-means chain trains on BATCH 0
+    * only (the stream's id-range slicing rule, nBatches = 3), then ALL
+    * vectors assign against the frozen final centroids (the same
+    * integer argmin, ties to the smaller cid), and the probe + scan
+    * mirror the trained batch search. k and nprobe derive from the
+    * batch-0 count exactly as the engine computes them.
+    */
+  private[graft] def frozenStreamIvfOracle: String = {
+    val t = IvfIters
+    val d1 = graft.similarity.VectorFunctions.Dim + 1
+    val scale = graft.similarity.KMeans.Scale
+    val offset = graft.similarity.KMeans.Offset
+    // batch 0 of writeTimeSplits' slicing: step = (hi-lo)/3 + 1 (floor,
+    // non-negative operands so Spark's truncation == DuckDB's //)
+    val b0Where =
+      """vec_id < (SELECT min(vec_id)
+        |  + ((max(vec_id) - min(vec_id)) // 3 + 1) FROM embeddings)"""
+        .stripMargin
+    val kExpr =
+      s"""(SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+        |  FROM embeddings WHERE $b0Where)""".stripMargin
+    val npExpr =
+      s"""(SELECT greatest(1, CAST(ceil(0.22 * floor(sqrt(count(*))))
+        |  AS BIGINT)) FROM embeddings WHERE $b0Where)""".stripMargin
+    val dist =
+      s"""CAST(list_sum(list_transform(range(1, $d1),
+        |      d -> (ptsall.p[d] - c$t.c[d]) * (ptsall.p[d] - c$t.c[d])))
+        |  AS BIGINT)""".stripMargin
+    s"""WITH ${OracleSql.kmeansCtes(kExpr, t, b0Where)},
+      |ptsall AS (SELECT vec_id, list_transform(embedding,
+      |    v -> CAST(floor((CAST(v AS DOUBLE) + $offset) * $scale)
+      |      AS BIGINT)) AS p
+      |  FROM embeddings),
+      |asgall AS (SELECT vec_id, cid FROM (
+      |  SELECT ptsall.vec_id, c$t.cid,
+      |    row_number() OVER (PARTITION BY ptsall.vec_id
+      |      ORDER BY $dist, c$t.cid) AS rn
+      |  FROM ptsall, c$t) WHERE rn = 1),
+      |cent AS (SELECT cid, list_transform(c,
+      |  x -> x / $scale.0 - $offset) AS cv FROM c$t),
+      |e AS (SELECT emb.vec_id, emb.embedding, asgall.cid
+      |  FROM embeddings emb JOIN asgall ON emb.vec_id = asgall.vec_id),
       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
       |  WHERE vec_id < $NumQueries),
       |pr AS (SELECT qid, qv, cid, ${cosineExpr("qv", "cv")} AS cc

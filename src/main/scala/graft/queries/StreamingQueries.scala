@@ -883,6 +883,53 @@ object StreamingQueries {
       }
     },
 
+    // STREAMING IVF WITH A FROZEN TRAINED QUANTIZER: the streamed
+    // rendering of the trained batch default — the k-means model is
+    // trained ONCE on the bootstrap batch (batch 0 of the same
+    // id-range slicing the stream uses), then every arriving batch
+    // assigns its vectors to the frozen centroids by the bit-exact
+    // integer argmin and appends postings. The postings append is the
+    // ONLY state write — idempotent under the vec_id anti-join, so no
+    // watermark is needed (nothing is additive). Probe + scan is the
+    // trained ivfSearch tail; the oracle replays the batch-0 training,
+    // the frozen assignment of the whole corpus, and the probe.
+    "q_stream_ann_ivf_trained" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.similarity.{KMeans, StreamingIvf}
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val base = tmpDir("graft_sivft")
+        val postingsDir = base + "/postings"
+        StreamingIvf.initState(s, postingsDir)
+        StreamFlow.writeTimeSplits(emb, "vec_id", 3, base + "/splits")
+        // frozen quantizer from batch 0 — the same id-range rule the
+        // splits use (step = (hi-lo)/3 + 1, floor on non-negatives)
+        val bRow = emb.agg(min(col("vec_id")), max(col("vec_id")))
+          .collect()(0)
+        val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+        val step = math.max(1L, (hi - lo) / 3 + 1)
+        val b0 = emb.where(col("vec_id") < lo + step)
+        val k = SimilarityQueries.ivfK(b0.count())
+        val (centFp, _) = KMeans.fitModel(
+          b0, "vec_id", "embedding", k, SimilarityQueries.IvfIters)
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            StreamingIvf.applyFrozenBatch(s, b, centFp, postingsDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        SimilarityQueries.ivfSearch(s, s.read.parquet(postingsDir),
+          SimilarityQueries.trainedCentroids(centFp),
+          SimilarityQueries.ivfNProbe(k))
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -911,6 +958,7 @@ object StreamingQueries {
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),
     "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
     "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,
+    "q_stream_ann_ivf_trained" -> SimilarityQueries.frozenStreamIvfOracle,
     "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),
 
     // the streamed mini-batch run replayed batch-by-batch: same seeds,

@@ -102,4 +102,36 @@ object StreamingIvf {
     s.read.parquet(sumsDir)
       .select(col("label"), col("d"),
         (col("sv").cast("double") / col("cnt")).as("c"))
+
+  /** Fold one micro-batch into a FROZEN-quantizer IVF index — the
+    * streamed rendering of the trained batch default: the coarse
+    * quantizer is a k-means model trained ONCE (on the bootstrap
+    * batch), and each arriving vector is assigned to its nearest
+    * frozen centroid by the bit-exact integer argmin
+    * ([[KMeans.assign]]) before joining the postings.
+    *
+    * Replay algebra is SIMPLER than the additive-sums variant: the
+    * quantizer never changes, so the postings append is the ONLY
+    * state write — idempotent under the vec_id anti-join. No
+    * watermark, no ordering window: a replayed batch (whole or
+    * partial) drops out entirely. At 100 TB the centroid table is
+    * k×dim and rides in the task closure; per-batch work is
+    * |batch| scan + the k-way argmin, nothing corpus-sized.
+    *
+    * `centFp` is the trained (cid, c: array&lt;long&gt; fixed-point)
+    * centroid frame from [[KMeans.fitModel]].
+    */
+  def applyFrozenBatch(s: SparkSession, b: DataFrame,
+      centFp: DataFrame, postingsDir: String): Unit = {
+    val batch = b.select("vec_id", "embedding")
+    val fresh = batch
+      .join(s.read.parquet(postingsDir).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    val asg = KMeans.assign(
+      KMeans.pointsFp(fresh, "vec_id", "embedding"), centFp)
+    fresh.join(asg, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        col("cid").cast("int").as("label"))
+      .write.mode("append").parquet(postingsDir)
+  }
 }

@@ -149,6 +149,43 @@ class StreamingIvfSpec extends SparkSpec {
     }
   }
 
+  test("frozen-quantizer fold: postings are batching-invariant and " +
+      "replay is a no-op") {
+    import graft.similarity.KMeans
+    val k = graft.queries.SimilarityQueries.ivfK(emb.count())
+    val (centFp, _) = KMeans.fitModel(
+      emb.select("vec_id", "embedding"), "vec_id", "embedding", k,
+      graft.queries.SimilarityQueries.IvfIters)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    def run(nBatches: Int): Map[Long, Int] = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"sivf_frozen_$nBatches").toString
+      StreamingIvf.initState(spark, base + "/postings")
+      ids.grouped(math.max(1, ids.length / nBatches)).foreach { g =>
+        StreamingIvf.applyFrozenBatch(spark,
+          emb.where(col("vec_id").isin(g.toSeq: _*)), centFp,
+          base + "/postings")
+      }
+      // replaying the ENTIRE corpus afterwards must change nothing
+      StreamingIvf.applyFrozenBatch(spark, emb, centFp, base + "/postings")
+      spark.read.parquet(base + "/postings")
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    val one = run(1)
+    assert(one.size == ids.length, "every vector must be indexed once")
+    for (n <- Seq(3, 7)) {
+      assert(run(n) == one, s"postings diverged at nBatches=$n")
+    }
+    // the frozen assignment equals the batch model's own assignment
+    val (_, asg) = KMeans.fitModel(
+      emb.select("vec_id", "embedding"), "vec_id", "embedding", k,
+      graft.queries.SimilarityQueries.IvfIters)
+    val batchAsg = asg.collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(one == batchAsg)
+  }
+
   test("replayed batch is a no-op (watermark + postings anti-join)") {
     val (base, before) = streamed(3)
     StreamingIvf.applyBatch(spark, emb, 0L, base + "/sums",
