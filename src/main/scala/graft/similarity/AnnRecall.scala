@@ -97,9 +97,36 @@ object AnnRecall {
   def ivfCurveTrained(
       emb: DataFrame, k: Int, iters: Int, nprobes: Seq[Int],
       numQueries: Int = 50, kAt: Int = 10): Seq[IvfPoint] = {
+    val (centFp, asg) = KMeans.fitModel(emb, "vec_id", "embedding", k, iters)
+    sweepKmeansIvf(emb, centFp, asg, nprobes, numQueries, kAt)
+  }
+
+  /** As [[ivfCurveTrained]], but the quantizer trains on `train` ONLY
+    * (the streamed index's bootstrap batch) and is then FROZEN: the
+    * whole corpus assigns to the fixed centroids by the bit-exact
+    * integer argmin — the `q_stream_ann_ivf_trained` shape. Grades the
+    * recall cost of bootstrap-only training, the question a 100 TB
+    * streamed deployment actually faces (the model sees the first
+    * arrivals, never retrains).
+    */
+  def ivfCurveFrozen(
+      emb: DataFrame, train: DataFrame, k: Int, iters: Int,
+      nprobes: Seq[Int], numQueries: Int = 50, kAt: Int = 10)
+      : Seq[IvfPoint] = {
+    val (centFp, _) = KMeans.fitModel(train, "vec_id", "embedding", k, iters)
+    val asg = KMeans.assign(
+      KMeans.pointsFp(emb, "vec_id", "embedding"), centFp)
+    sweepKmeansIvf(emb, centFp, asg, nprobes, numQueries, kAt)
+  }
+
+  /** Shared sweep: probe the fixed-point centroid frame in raw float
+    * space, score the probed clusters' members against ground truth.
+    */
+  private def sweepKmeansIvf(
+      emb: DataFrame, centFp: DataFrame, asg: DataFrame,
+      nprobes: Seq[Int], numQueries: Int, kAt: Int): Seq[IvfPoint] = {
     val truth = groundTruth(emb, numQueries, kAt)
     val total = emb.count().toDouble
-    val (centFp, asg) = KMeans.fitModel(emb, "vec_id", "embedding", k, iters)
     val cent: Map[Int, Array[Double]] = centFp.collect().map { r =>
       r.getLong(0).toInt ->
         r.getSeq[Long](1).map(_.toDouble / KMeans.Scale - KMeans.Offset)

@@ -45,9 +45,24 @@ class AnnRecallSpec extends SparkSpec {
     val ivfTrained = AnnRecall.ivfCurveTrained(emb, k,
       graft.queries.SimilarityQueries.IvfIters, sweep)
 
+    // the FROZEN bootstrap-trained quantizer q_stream_ann_ivf_trained
+    // ships: k-means fit on batch 0 of the stream's id-range slicing
+    // (1/3 of the corpus), whole corpus frozen-assigned — grades the
+    // recall cost of never retraining as vectors arrive
+    val bRow = emb.agg(min(col("vec_id")), max(col("vec_id"))).collect()(0)
+    val step = math.max(1L, (bRow.getLong(1) - bRow.getLong(0)) / 3 + 1)
+    val b0 = emb.where(col("vec_id") < bRow.getLong(0) + step)
+    val kF = graft.queries.SimilarityQueries.ivfK(b0.count())
+    val npF = graft.queries.SimilarityQueries.ivfNProbe(kF)
+    val sweepF = (Seq(1, 3, 5, npF, 12, 16, kF).filter(_ <= kF))
+      .distinct.sorted
+    val ivfFrozen = AnnRecall.ivfCurveFrozen(emb, b0, kF,
+      graft.queries.SimilarityQueries.IvfIters, sweepF)
+
     // artifact first — the measurement is the deliverable even when a
     // shape assertion below catches a regression
-    writeArtifact(lsh, ivfLabel, ivfTrained, k, npDefault)
+    writeArtifact(lsh, ivfLabel, ivfTrained, ivfFrozen, k, npDefault,
+      kF, npF)
 
     // more bits per hash (fixed plane count): precision up →
     // candidates down, recall down-or-equal
@@ -91,13 +106,29 @@ class AnnRecallSpec extends SparkSpec {
       s"shipped trained-IVF default off the recall frontier: $shipped")
     assert(shipped.avgScannedFraction <= 0.3,
       s"shipped trained-IVF default scans too much: $shipped")
+    // frozen bootstrap quantizer: monotone, full probe exact (probing
+    // every cluster scans the whole corpus regardless of where the
+    // centroids trained), and the streamed default must not collapse —
+    // the precise recall gap vs full-corpus training is the artifact's
+    // to report, not a fixed bound's
+    ivfFrozen.sliding(2).foreach {
+      case Seq(a, b) => assert(b.recallAt >= a.recallAt - 1e-9,
+        s"IVF(frozen) recall not monotone: $a -> $b")
+      case _ => ()
+    }
+    assert(math.abs(ivfFrozen.last.recallAt - 1.0) < 1e-9,
+      s"full frozen probe must be exact: ${ivfFrozen.last}")
+    val shippedF = ivfFrozen.find(_.nprobe == npF).get
+    assert(shippedF.recallAt >= 0.6,
+      s"streamed frozen-IVF default collapsed: $shippedF")
   }
 
   private def writeArtifact(
       lsh: Seq[graft.similarity.AnnRecall.LshPoint],
       ivfLabel: Seq[graft.similarity.AnnRecall.IvfPoint],
       ivfTrained: Seq[graft.similarity.AnnRecall.IvfPoint],
-      k: Int, npDefault: Int): Unit = {
+      ivfFrozen: Seq[graft.similarity.AnnRecall.IvfPoint],
+      k: Int, npDefault: Int, kFrozen: Int, npFrozen: Int): Unit = {
     def ivfJson(ps: Seq[graft.similarity.AnnRecall.IvfPoint]): String =
       "[" + ps.map(p =>
         s"""{"nprobe":${p.nprobe},"recall_at_10":${f"${p.recallAt}%.4f"},""" +
@@ -112,7 +143,10 @@ class AnnRecallSpec extends SparkSpec {
           .mkString(",") + "]," +
         "\"ivf_label\":" + ivfJson(ivfLabel) + "," +
         s""""ivf_trained_k":$k,"ivf_trained_default_nprobe":$npDefault,""" +
-        "\"ivf_trained\":" + ivfJson(ivfTrained) + "}"
+        "\"ivf_trained\":" + ivfJson(ivfTrained) + "," +
+        s""""ivf_frozen_bootstrap_k":$kFrozen,""" +
+        s""""ivf_frozen_bootstrap_default_nprobe":$npFrozen,""" +
+        "\"ivf_frozen_bootstrap\":" + ivfJson(ivfFrozen) + "}"
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/RECALL_r10.json"),
       json.getBytes("UTF-8"))
