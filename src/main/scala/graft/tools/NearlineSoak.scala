@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Nearline soak harness: drives the three cross-micro-batch dedup
-  * folds (SimHash band index, MinHash band index + shingle store,
-  * span-dedup gram index) over MANY batches and records per-batch wall
+/** Nearline soak harness: drives the cross-micro-batch folds (SimHash
+  * band index, MinHash band index + shingle store, span-dedup gram
+  * index, frozen-quantizer IVF postings) over MANY batches and records per-batch wall
   * time plus accumulated state size — the question a long-lived
   * nearline deployment actually asks: does per-batch latency stay
   * O(batch × bucket-hit) flat, or does it creep with index size?
@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   *
   * Usage: runMain graft.tools.NearlineSoak <docs.parquet> <nBatches>
   *          <outJson> [families]
-  * families: comma list of simhash,minhash,span (default all).
+  * families: comma list of simhash,minhash,span,ivf (default all).
+  * The ivf family (frozen-quantizer streamed IVF) reads the sibling
+  * `embeddings.parquet` of the docs path.
   */
 object NearlineSoak {
 
@@ -32,7 +34,7 @@ object NearlineSoak {
     val nBatches = args(1).toInt
     val outJson = args(2)
     val families = if (args.length > 3) args(3).split(',').toSet
-      else Set("simhash", "minhash", "span")
+      else Set("simhash", "minhash", "span", "ivf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -126,6 +128,27 @@ object NearlineSoak {
         (b, _) => graft.dedup.SpanDedup.applyBatch(
           spark, b, "text", "doc_id", indexDir, dupDir),
         () => spark.read.parquet(indexDir).count())
+    }
+
+    if (families("ivf")) {
+      // frozen-quantizer streamed IVF: per-batch cost is the argmin
+      // kernel + an anti-join against the GROWING postings index — the
+      // same creep question as the dedup folds
+      val embPath =
+        new java.io.File(docsPath).getParent + "/embeddings.parquet"
+      val emb = spark.read.parquet(embPath)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val base = tmp("soak_ivf")
+      val postingsDir = base + "/postings"
+      graft.similarity.StreamingIvf.initState(spark, postingsDir)
+      val sl = slices(emb, "vec_id")
+      val k = graft.queries.SimilarityQueries.ivfK(sl.head.count())
+      val (centFp, _) = graft.similarity.KMeans.fitModel(sl.head,
+        "vec_id", "embedding", k, graft.queries.SimilarityQueries.IvfIters)
+      results("ivf_frozen") = soak("ivf_frozen", sl,
+        (b, _) => graft.similarity.StreamingIvf.applyFrozenBatch(
+          spark, b, centFp, postingsDir),
+        () => spark.read.parquet(postingsDir).count())
     }
 
     // flatness: mean of the last fifth vs the mean of the second fifth
