@@ -254,6 +254,74 @@ object SimilarityQueries {
     bruteTopK(s, v, "qv", "cosq")
   }
 
+  /** Trained-IVF probe over an int8-quantized candidate scan — the two
+    * scale levers COMPOSED, the memory-bound production shape: the
+    * coarse quantizer bounds WHICH vectors are scanned (nprobe clusters
+    * ≈ 0.22 of the corpus) and the int8 payload shrinks the scanned
+    * bytes 4× on top. Probe decisions use the raw queries against the
+    * float centroids (k rows — precision is free there); candidate
+    * scoring runs entirely in quantized space, where per-vector scales
+    * cancel out of cosine and the integer arithmetic is bit-exact in
+    * any engine. At 100 TB this is the standard IVF deployment: the
+    * float corpus never ships to the scan at all.
+    */
+  private def annIvfQuantized(s: SparkSession, dir: String): DataFrame = {
+    implicit val c: GraftConf = conf(dir)
+    val dfl = DataFlow(s, "q_ann_ivf_quantized")
+    val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
+    val k = ivfK(emb.count())
+    val (centFp, asg) = graft.similarity.KMeans.fitModel(
+      emb, "vec_id", "embedding", k, IvfIters)
+    val centroids = trainedCentroids(centFp)
+    val np = ivfNProbe(k)
+    // int8 scan payload (same quantization as q_ann_quantized)
+    val v = emb
+      .withColumn("maxabs", aggregate(col("embedding"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double")))))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * (lit(127.0) / col("maxabs"))
+          + lit(0.5)).cast("float")))
+      .select("vec_id", "qv")
+    // raw queries probe the float centroids; their QUANTIZED vectors
+    // ride along for the candidate scoring
+    val qRaw = emb.filter(col("vec_id") < NumQueries)
+      .join(v, "vec_id").select("vec_id", "embedding", "qv")
+      .orderBy("vec_id").collect()
+    val probeRows = qRaw.flatMap { r =>
+      val qid = r.getLong(0)
+      val raw = r.getSeq[Float](1)
+      val pqv = r.getSeq[Float](2)
+      centroids.toSeq
+        .map { case (l, cv) => (l, cosineLocal(raw, cv)) }
+        .sortBy { case (l, cc) => (-cc, l) }
+        .take(np)
+        .map { case (l, _) => org.apache.spark.sql.Row(qid, pqv, l) }
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pqv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val probes = s.createDataFrame(
+      s.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
+    val scan = v.join(asg, "vec_id")
+      .select(col("vec_id"), col("qv"), col("cid").cast("int").as("label"))
+    val rank = row_number().over(
+      Window.partitionBy("qid").orderBy(desc("cosq"), asc("vec_id")))
+    scan.join(broadcast(probes), Seq("label"))
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("cosq",
+        graft.functions.GraftFunctions.cosineSim(s, col("pqv"), col("qv")))
+      .withColumn("rank", rank.cast("bigint"))
+      .where(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosq"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   val KMeansK = 8
   val KMeansIters = 3
 
@@ -275,6 +343,7 @@ object SimilarityQueries {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_quantized" -> (annQuantized _),
+    "q_ann_ivf_quantized" -> (annIvfQuantized _),
     "q_kmeans" -> (kmeans _))
 
   import OracleSql._
@@ -333,6 +402,52 @@ object SimilarityQueries {
       |r AS (SELECT qid, vec_id, cosine, row_number() OVER
       |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM sc)
       |SELECT qid, vec_id AS neighbor, cosine, rank
+      |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Replay of the trained-IVF probe over the int8-quantized scan:
+    * the [[ivfTrainedOracle]] training + probe (raw queries vs float
+    * centroids) with the candidate scoring swapped to the
+    * [[annQuantized]] quantized cosine — scales cancel, integer
+    * arithmetic, bit-exact.
+    */
+  private def ivfQuantizedOracle: String = {
+    val t = IvfIters
+    val kExpr =
+      "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+    val npExpr =
+      """(SELECT greatest(1, CAST(ceil(0.22 * floor(sqrt(count(*))))
+        |  AS BIGINT)) FROM embeddings)""".stripMargin
+    s"""WITH ${OracleSql.kmeansCtes(kExpr, t)},
+      |qe AS (SELECT vec_id,
+      |    127.0 / list_aggregate(
+      |      list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS s,
+      |    embedding FROM embeddings),
+      |v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> floor(x::DOUBLE * s + 0.5))
+      |      AS qv FROM qe),
+      |cent AS (SELECT cid, list_transform(c,
+      |  x -> x / ${graft.similarity.KMeans.Scale}.0
+      |    - ${graft.similarity.KMeans.Offset}) AS cv FROM c$t),
+      |e AS (SELECT v.vec_id, v.qv, asg.cid
+      |  FROM v JOIN a${t + 1} asg ON v.vec_id = asg.vec_id),
+      |q AS (SELECT emb.vec_id AS qid, emb.embedding AS qraw, v.qv AS pqv
+      |  FROM embeddings emb JOIN v ON emb.vec_id = v.vec_id
+      |  WHERE emb.vec_id < $NumQueries),
+      |pr AS (SELECT qid, pqv, cid, ${cosineExpr("qraw", "cv")} AS cc
+      |  FROM q CROSS JOIN cent),
+      |p AS (SELECT qid, pqv, cid FROM (
+      |    SELECT qid, pqv, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid)
+      |        AS rn
+      |    FROM pr) WHERE rn <= $npExpr),
+      |cand AS (SELECT p.qid, p.pqv, e.vec_id, e.qv
+      |  FROM p JOIN e ON e.cid = p.cid WHERE e.vec_id <> p.qid),
+      |sc AS (SELECT qid, vec_id, ${cosineExpr("pqv", "qv")} AS cosq
+      |  FROM cand),
+      |r AS (SELECT qid, vec_id, cosq, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosq DESC, vec_id) AS rank FROM sc)
+      |SELECT qid, vec_id AS neighbor, cosq, rank
       |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
@@ -460,6 +575,7 @@ object SimilarityQueries {
         |SELECT qid, vec_id AS neighbor, cosq, rank
         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
     "q_ann_ivf" -> ivfTrainedOracle,
+    "q_ann_ivf_quantized" -> ivfQuantizedOracle,
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |bits AS (SELECT vec_id, embedding,
