@@ -145,14 +145,24 @@ object Bench {
       }
       (name, runs.sorted.apply(runs.size / 2), runs)
     }
+    val total = results.map(_._2).sum
+    // stdout line: per-query medians at 3 decimals (the full-precision
+    // values live in the artifact file below), and the headline
+    // metric/value/sf fields LAST — the driver captures only the final
+    // ~2000 chars of output, so leading fields of a 4KB+ line vanish
+    // from the round artifact while trailing ones always survive
+    val qsShort = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"queries":$qsShort,"n_queries":${results.size},""" +
+        s""""sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    println(line)
+    // artifact FILE with full precision and every run per query:
+    // stdout's head gets truncated by the driver's tail-capture; this
+    // file never does
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // artifact FILE with every run per query: stdout's head gets
-    // truncated by the driver's tail-capture; this file never does
     val runsJson = results.map { case (k, _, rs) =>
       s"\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -161,7 +171,8 @@ object Bench {
     val p = java.nio.file.Paths.get(outPath)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p,
-      (line.dropRight(1) + s""","runs":$runsJson}""" + "\n")
+      (s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","runs":$runsJson}""" + "\n")
         .getBytes("UTF-8"))
   }
 }

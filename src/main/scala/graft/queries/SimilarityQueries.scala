@@ -243,8 +243,12 @@ object SimilarityQueries {
     val dfl = DataFlow(s, "q_ann_quantized")
     val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
     val v = emb
-      .withColumn("maxabs", aggregate(col("embedding"), lit(0.0),
-        (acc, x) => greatest(acc, abs(x.cast("double")))))
+      // clamped away from 0 so an all-zero embedding quantizes to the
+      // zero vector instead of NaN (oracle applies the same clamp)
+      .withColumn("maxabs", greatest(
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))),
+        lit(1e-30)))
       // int8 range is tiny — float carries it exactly, feeding the
       // native codegen'd cosine expression unchanged
       .withColumn("qv", transform(col("embedding"),
@@ -276,8 +280,12 @@ object SimilarityQueries {
     val np = ivfNProbe(k)
     // int8 scan payload (same quantization as q_ann_quantized)
     val v = emb
-      .withColumn("maxabs", aggregate(col("embedding"), lit(0.0),
-        (acc, x) => greatest(acc, abs(x.cast("double")))))
+      // clamped away from 0 so an all-zero embedding quantizes to the
+      // zero vector instead of NaN (oracle applies the same clamp)
+      .withColumn("maxabs", greatest(
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))),
+        lit(1e-30)))
       .withColumn("qv", transform(col("embedding"),
         x => floor(x.cast("double") * (lit(127.0) / col("maxabs"))
           + lit(0.5)).cast("float")))
@@ -420,8 +428,9 @@ object SimilarityQueries {
         |  AS BIGINT)) FROM embeddings)""".stripMargin
     s"""WITH ${OracleSql.kmeansCtes(kExpr, t)},
       |qe AS (SELECT vec_id,
-      |    127.0 / list_aggregate(
-      |      list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS s,
+      |    127.0 / greatest(list_aggregate(
+      |      list_transform(embedding, x -> abs(x::DOUBLE)), 'max'),
+      |      1e-30) AS s,
       |    embedding FROM embeddings),
       |v AS (SELECT vec_id,
       |    list_transform(embedding, x -> floor(x::DOUBLE * s + 0.5))
@@ -560,8 +569,9 @@ object SimilarityQueries {
         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
     "q_ann_quantized" ->
       s"""WITH qe AS (SELECT vec_id,
-        |    127.0 / list_aggregate(
-        |      list_transform(embedding, x -> abs(x::DOUBLE)), 'max') AS s,
+        |    127.0 / greatest(list_aggregate(
+        |      list_transform(embedding, x -> abs(x::DOUBLE)), 'max'),
+        |      1e-30) AS s,
         |    embedding FROM embeddings),
         |v AS (SELECT vec_id,
         |    list_transform(embedding, x -> floor(x::DOUBLE * s + 0.5))

@@ -127,15 +127,17 @@ object AnnRecall {
       nprobes: Seq[Int], numQueries: Int, kAt: Int): Seq[IvfPoint] = {
     val truth = groundTruth(emb, numQueries, kAt)
     val total = emb.count().toDouble
-    val cent: Map[Int, Array[Double]] = centFp.collect().map { r =>
-      r.getLong(0).toInt ->
+    // cids stay Long end-to-end: a narrowing here could silently merge
+    // clusters on collision and misreport recall/scanned-fraction
+    val cent: Map[Long, Array[Double]] = centFp.collect().map { r =>
+      r.getLong(0) ->
         r.getSeq[Long](1).map(_.toDouble / KMeans.Scale - KMeans.Offset)
           .toArray
     }.toMap
-    val members: Map[Int, Set[Long]] = asg.collect()
-      .groupBy(_.getLong(1).toInt)
+    val members: Map[Long, Set[Long]] = asg.collect()
+      .groupBy(_.getLong(1))
       .map { case (c, rows) => c -> rows.map(_.getLong(0)).toSet }
-    val sizes: Map[Int, Int] = members.map { case (c, m) => c -> m.size }
+    val sizes: Map[Long, Int] = members.map { case (c, m) => c -> m.size }
     val qRows = emb.where(col("vec_id") < numQueries)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))

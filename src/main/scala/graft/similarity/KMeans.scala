@@ -51,19 +51,25 @@ object KMeans {
     val cents: Array[(Long, Array[Long])] = cent.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
+    // broadcast, not closure-capture: with the trained-IVF sizing
+    // k ≈ √n the centroid table grows with the corpus, and a captured
+    // array would ship inside EVERY task closure instead of once per
+    // executor
+    val bc = pts.sparkSession.sparkContext.broadcast(cents)
     val argmin = udf { (p: Seq[Long]) =>
+      val cs = bc.value
       val pa = p.toArray
       var bestCid = 0L
       var bestD = Long.MaxValue
       var i = 0
-      while (i < cents.length) {
-        val c = cents(i)._2
+      while (i < cs.length) {
+        val c = cs(i)._2
         var d = 0L
         var j = 0
         val n = math.min(pa.length, c.length)
         while (j < n) { val x = pa(j) - c(j); d += x * x; j += 1 }
         // strict <: ascending-cid iteration keeps the smallest cid on ties
-        if (d < bestD) { bestD = d; bestCid = cents(i)._1 }
+        if (d < bestD) { bestD = d; bestCid = cs(i)._1 }
         i += 1
       }
       bestCid

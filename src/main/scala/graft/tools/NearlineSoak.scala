@@ -165,10 +165,14 @@ object NearlineSoak {
     json.append(results.map { case (name, pts) =>
       val early = fifth(pts, 1)
       val late = fifth(pts, 4)
+      // with nBatches < 5 the early-fifth slice is empty (mean 0.0):
+      // emit null rather than Infinity/NaN, which is invalid JSON
+      val ratio =
+        if (early > 0.0) f"${late / early}%.3f" else "null"
       "\"" + name + "\":{" +
         s""""early_fifth_mean_secs":${f"$early%.3f"},""" +
         s""""late_fifth_mean_secs":${f"$late%.3f"},""" +
-        s""""late_over_early":${f"${late / early}%.3f"},""" +
+        s""""late_over_early":$ratio,""" +
         s""""final_state_rows":${pts.last.stateRows},""" +
         "\"batches\":[" + pts.map(p =>
           s"""{"b":${p.batch},"secs":${f"${p.secs}%.3f"},""" +
