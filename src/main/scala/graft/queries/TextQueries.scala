@@ -175,6 +175,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // bigram Stupid-Backoff LM scoring (Brants et al. 2007): the
+    // sequence-aware quality signal — common words in nonsense order
+    // score high on unigrams but low here. Trains on the even-doc_id
+    // split and scores the whole corpus (the CCNet shape: train on the
+    // trusted reference, score the crawl), so unseen bigrams and OOV
+    // tokens genuinely exercise the backoff path
+    "q_lm_perplexity" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_lm_perplexity")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      graft.text.BigramLm.score(
+        docs, docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // boilerplate removal over an HTML wrapper derived from each doc
     // (tags → URLs → whitespace, all RE2/java-portable patterns)
     "q_boilerplate" -> { (s, dir) =>
@@ -682,6 +698,63 @@ object TextQueries {
          |  round(CAST(sum_fp - n_tokens * ln_n_fp AS DOUBLE)
          |    / (n_tokens * $sc.0), 6) AS avg_logprob
          |FROM d, n ORDER BY doc_id""".stripMargin
+    },
+
+    // bigram Stupid-Backoff: per-table fixed-point snaps (unigram,
+    // bigram, corpus total — all from the even-doc_id train split)
+    // mirror graft.text.BigramLm exactly; the alpha literal is the
+    // SAME driver-computed integer in both engines, and OOV terms
+    // coalesce to fp 0 = floor(lnInt(1)·scale), the count-1 smoothing
+    "q_lm_perplexity" -> {
+      val sc = graft.text.BigramLm.LnScale
+      val alpha = graft.text.BigramLm.AlphaFp
+      s"""WITH $toksCte,
+         |tw AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+         |twt AS (SELECT doc_id, w FROM tw WHERE doc_id % 2 = 0),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM twt),
+         |u AS (SELECT term, count(*) AS c1 FROM t GROUP BY 1),
+         |${graft.functions.DetLog.lnCtes("lu", "u", "c1", "lnc1",
+             Seq("term"))},
+         |fpu AS (SELECT term,
+         |  CAST(floor(lnc1 * $sc) AS BIGINT) AS fp1 FROM lu),
+         |un AS (SELECT CAST(sum(c1) AS BIGINT) AS ntot FROM u),
+         |${graft.functions.DetLog.lnCtes("lun", "un", "ntot", "lnn", Nil)},
+         |fpn AS (SELECT CAST(floor(lnn * $sc) AS BIGINT) AS fpn FROM lun),
+         |bgt AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    list_slice(w, 1, len(w) - 1),
+         |    (x, i) -> {'w1': x, 'w2': w[i + 1]})) AS p
+         |  FROM twt WHERE len(w) >= 2)),
+         |b AS (SELECT w1, w2, count(*) AS c2 FROM bgt GROUP BY 1, 2),
+         |${graft.functions.DetLog.lnCtes("lb", "b", "c2", "lnc2",
+             Seq("w1", "w2"))},
+         |fpb AS (SELECT w1, w2,
+         |  CAST(floor(lnc2 * $sc) AS BIGINT) AS fp2 FROM lb),
+         |bgf AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    list_slice(w, 1, len(w) - 1),
+         |    (x, i) -> {'w1': x, 'w2': w[i + 1]})) AS p
+         |  FROM tw WHERE len(w) >= 2)),
+         |sfirst AS (SELECT f.doc_id,
+         |    coalesce(u1.fp1, 0) - fpn.fpn AS fp
+         |  FROM (SELECT doc_id, w[1] AS w1 FROM tw) f
+         |  LEFT JOIN fpu u1 ON f.w1 = u1.term, fpn),
+         |sbg AS (SELECT g.doc_id,
+         |    CASE WHEN fb.fp2 IS NOT NULL THEN fb.fp2 - u1.fp1
+         |         ELSE coalesce(u2.fp1, 0) - fpn.fpn + ($alpha) END AS fp
+         |  FROM bgf g
+         |  LEFT JOIN fpu u1 ON g.w1 = u1.term
+         |  LEFT JOIN fpu u2 ON g.w2 = u2.term
+         |  LEFT JOIN fpb fb ON g.w1 = fb.w1 AND g.w2 = fb.w2, fpn),
+         |alls AS (SELECT * FROM sfirst UNION ALL SELECT * FROM sbg),
+         |d AS (SELECT doc_id, CAST(sum(fp) AS BIGINT) AS sum_fp
+         |  FROM alls GROUP BY 1),
+         |dl AS (SELECT doc_id, len(w) AS n_tokens FROM tw)
+         |SELECT d.doc_id, dl.n_tokens,
+         |  round(CAST(sum_fp AS DOUBLE) / (dl.n_tokens * $sc.0), 6)
+         |    AS avg_logprob
+         |FROM d JOIN dl ON d.doc_id = dl.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // the end-to-end pipeline oracle: the SAME stage chain as the

@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model scoring with Stupid Backoff (Brants et al.
+  * 2007, "Large Language Models in Machine Translation") — the
+  * web-scale LM-quality signal a curation pipeline uses where the
+  * unigram score ([[Vocabulary.lmScore]]) is too blunt: a document of
+  * common words in nonsense order scores high on unigrams but low here.
+  * The model trains on a REFERENCE split and scores the whole corpus —
+  * the CCNet deployment shape (train on the trusted corpus, score the
+  * crawl) — so unseen bigrams and out-of-vocabulary tokens genuinely
+  * occur and the backoff path is live. Extension category (no reference
+  * counterpart; nearest surface is dfl_customCode.py's function hook).
+  *
+  * Model: S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1}) when the
+  * bigram was seen in training, else alpha * c(w_i) / N with
+  * alpha = 0.4 — the unnormalised backoff score that needs NO
+  * discounting pass, which is exactly why it is the one LM that stays
+  * a pure counting problem at 100 TB (Brants et al. run it at 2e12
+  * tokens). The first token of each document scores as a unigram
+  * c(w_1) / N, and an out-of-vocabulary token smooths to c = 1.
+  *
+  * Determinism: every count is an integer; each ln goes through
+  * [[graft.functions.DetLog]] and is snapped to 2^-20 fixed point
+  * PER TABLE ROW (unigram table, bigram table, corpus total, and the
+  * alpha literal), so per-token scores are integer sums of table
+  * lookups — bit-identical across engines and partitionings; the OOV
+  * smoothing constant is floor(lnInt(1)·2^20) = 0, the exact value the
+  * unigram table would carry for a count-1 term. Only the final
+  * per-document average divides — exact integers into a double.
+  *
+  * Scale shape: two train-split counting aggregations (unigram and
+  * bigram vocabularies, map-side combined); the corpus token and
+  * bigram streams then left-join the vocab-sized fixed-point tables on
+  * their term keys (shuffle hash joins, AQE-coalesced) and reduce
+  * straight back to one row per document. The corpus-total frame is
+  * 1 row and broadcasts. No window, no driver-side loop, nothing
+  * pairwise — the same shape as TF-IDF/BM25, linear in corpus tokens.
+  */
+object BigramLm {
+
+  /** Fixed-point scale for log scores, shared with the unigram LM. */
+  val LnScale: Long = Vocabulary.LnScale
+
+  /** floor(ln(0.4) * 2^20) with ln(0.4) = lnInt(2) - lnInt(5) through
+    * the DetLog reference DAG — computed once on the driver, emitted
+    * into BOTH renderings as the same integer literal.
+    */
+  val AlphaFp: Long =
+    math.floor(graft.functions.DetLog.lnRatioRef(2, 5) * LnScale).toLong
+
+  /** Adjacent (w1, w2) pairs straight off a token-array column: one
+    * generate per document, no self-join, no window.
+    */
+  private def bigramPairs(tw: DataFrame, idCol: String): DataFrame =
+    tw.where(size(col("w")) >= 2)
+      .select(col(idCol), explode(
+        transform(slice(col("w"), lit(1), size(col("w")) - 1),
+          (x, i) => struct(x.as("w1"),
+            element_at(col("w"), i + lit(2)).as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Score every non-empty document of `docs` under a Stupid-Backoff
+    * bigram LM trained on `train` (normally a split of the same
+    * corpus). Output: (idCol, n_tokens, avg_logprob), the mean
+    * log-score over all `n_tokens` positions (position 1 scored as a
+    * unigram).
+    */
+  def score(docs: DataFrame, train: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lnFp: Column => Column =
+      c => floor(graft.functions.DetLog.lnInt(c) * LnScale).cast("long")
+    def tokenized(df: DataFrame): DataFrame = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+    val tw = tokenized(docs)
+    val twTrain = tokenized(train)
+    val u = twTrain.select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val fpu = u.select(col("term"), lnFp(col("c1")).as("fp1"))
+    // ln N over the per-term partials (1-row frame, broadcasts)
+    val fpn = u.agg(lnFp(sum(col("c1"))).as("fpn"))
+    val fpb = bigramPairs(twTrain, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .select(col("w1"), col("w2"), lnFp(col("c2")).as("fp2"))
+    // position 1: unigram ln(c(w_1)/N); OOV smooths to c = 1 (fp 0)
+    val sFirst = tw.select(col(idCol), element_at(col("w"), 1).as("w1"))
+      .join(fpu.select(col("term").as("w1"), col("fp1")), Seq("w1"), "left")
+      .crossJoin(broadcast(fpn))
+      .select(col(idCol),
+        (coalesce(col("fp1"), lit(0L)) - col("fpn")).as("fp"))
+    // positions 2..n: seen bigram ln(c2/c1(w1)) — w1 is in-vocabulary
+    // whenever the bigram hit — else backoff ln(0.4) + ln(c1(w2)/N)
+    val sBigram = bigramPairs(tw, idCol)
+      .join(fpu.select(col("term").as("w1"), col("fp1").as("fp1a")),
+        Seq("w1"), "left")
+      .join(fpu.select(col("term").as("w2"), col("fp1").as("fp1b")),
+        Seq("w2"), "left")
+      .join(fpb, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(fpn))
+      .select(col(idCol),
+        when(col("fp2").isNotNull, col("fp2") - col("fp1a"))
+          .otherwise(coalesce(col("fp1b"), lit(0L)) - col("fpn")
+            + lit(AlphaFp)).as("fp"))
+    val dl = tw.select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
+    sFirst.unionByName(sBigram)
+      .groupBy(col(idCol))
+      .agg(sum(col("fp")).as("sum_fp"))
+      .join(dl, idCol)
+      .select(col(idCol), col("n_tokens"),
+        round(col("sum_fp").cast("double") /
+          (col("n_tokens").cast("double") * lit(LnScale.toDouble)), 6)
+          .as("avg_logprob"))
+  }
+}

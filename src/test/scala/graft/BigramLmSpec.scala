@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.DetLog
+import graft.text.BigramLm
+import org.apache.spark.sql.functions._
+
+/** Pins the Stupid-Backoff bigram LM against an independent plain-Scala
+  * replay of the fixed-point algebra on a corpus built so all three
+  * scoring paths fire: seen bigram, unseen bigram of in-vocabulary
+  * words, and out-of-vocabulary backoff.
+  */
+class BigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = BigramLm.LnScale
+
+  private def fp(n: Long): Long =
+    math.floor(DetLog.lnIntRef(n) * S).toLong
+
+  // train split (even ids): unigrams a:2 b:3 x:1 (N=6),
+  // bigrams (a,b):2 (b,a):1 (b,x):1
+  private val docs = Seq(
+    0L -> "a b a b",
+    2L -> "b x",
+    1L -> "a b z x", // seen (a,b); (b,z) OOV-backoff; (z,x) backoff
+    3L -> "b a b",   // unigram b; seen (b,a); seen (a,b)
+    5L -> "")        // blank: absent from the output
+    .toDF("doc_id", "text")
+
+  private def run() = BigramLm.score(
+    docs, docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+    .orderBy("doc_id")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+  test("all three scoring paths match the hand-replayed fixed point") {
+    val got = run()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val n = fp(6)
+    val a = BigramLm.AlphaFp
+    // doc 1: first 'a' = fp(2)-N; (a,b) seen = fp(2)-fp(2);
+    // (b,z) z OOV = 0-N+alpha; (z,x) unseen, x in vocab c=1 = 0-N+alpha
+    val d1 = (fp(2) - n) + (fp(2) - fp(2)) + (0 - n + a) + (fp(1) - n + a)
+    // doc 3: first 'b' = fp(3)-N; (b,a) seen = fp(1)-fp(3);
+    // (a,b) seen = fp(2)-fp(2)
+    val d3 = (fp(3) - n) + (fp(1) - fp(3)) + (fp(2) - fp(2))
+    // doc 0 (self-scored train doc): a b a b
+    val d0 = (fp(2) - n) + (fp(2) - fp(2)) + (fp(1) - fp(3)) + (fp(2) - fp(2))
+    // doc 2: b x
+    val d2 = (fp(3) - n) + (fp(1) - fp(3))
+    def avg(sum: Long, nTok: Long): Double =
+      BigDecimal(sum.toDouble / (nTok.toDouble * S.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((0L, 4L, avg(d0, 4))))
+    assert(got(1) == ((1L, 4L, avg(d1, 4))))
+    assert(got(2) == ((2L, 2L, avg(d2, 2))))
+    assert(got(3) == ((3L, 3L, avg(d3, 3))))
+  }
+
+  test("backoff alpha constant is floor(ln(2/5) * 2^20)") {
+    assert(BigramLm.AlphaFp ==
+      math.floor(DetLog.lnRatioRef(2, 5) * S).toLong)
+    assert(BigramLm.AlphaFp < 0L)
+  }
+
+  test("a document of train-seen bigrams outscores its scrambled twin") {
+    val d = Seq(
+      0L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      1L -> "the cat sat on the mat",
+      3L -> "mat the on sat cat the")
+      .toDF("doc_id", "text")
+    val got = BigramLm.score(
+      d, d.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(3L))
+  }
+}

@@ -47,6 +47,9 @@ class PlanGateSpec extends SparkSpec {
     "q_bm25" -> Set("nested-loop"),
     "q_tfidf" -> Set("nested-loop"),
     "q_lm_score" -> Set("nested-loop"),
+    // bigram LM: the ln(N) corpus-total frame is a 1-row aggregate
+    // crossJoined into both the first-token and bigram score streams
+    "q_lm_perplexity" -> Set("nested-loop"),
     "q_collocations" -> Set("nested-loop", "global-window"),
     "q_source_quality" -> Set("nested-loop"),
     "q_mix_sources" -> Set("nested-loop"),
