@@ -352,7 +352,20 @@ object SimilarityQueries {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_quantized" -> (annQuantized _),
     "q_ann_ivf_quantized" -> (annIvfQuantized _),
-    "q_kmeans" -> (kmeans _))
+    "q_kmeans" -> (kmeans _),
+
+    // hybrid lexical+vector retrieval: BM25 and brute-cosine rankings
+    // fused by Reciprocal Rank Fusion over the corpus slice carrying
+    // both text and an embedding (doc_id = vec_id)
+    "q_hybrid_rrf" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_hybrid_rrf")
+      val docs = src(dfl, "documents").select(col("doc_id"), col("text"))
+      val emb = src(dfl, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      graft.similarity.HybridRrf.fuse(s, docs, emb, "doc_id", "text",
+        "embedding", NumQueries, TopK)
+    })
 
   import OracleSql._
 
@@ -558,6 +571,67 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle,
+    // BM25 replay (the q_bm25 CTE chain re-rooted at the corpus join +
+    // per-query fan-out), brute-cosine replay, then the RRF sum — two
+    // exact integer divisions, lexical term first in both engines
+    "q_hybrid_rrf" -> {
+      import graft.text.Bm25.{B, K1, K1Plus1, OneMinusB, Scale}
+      import graft.similarity.HybridRrf.{KEach, QueryTerms, RrfK}
+      s"""WITH corpus AS (SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |tw AS (SELECT doc_id, embedding,
+        |  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |       ELSE string_split_regex(trim(text), '\\s+') END AS w
+        |  FROM corpus),
+        |qt AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(list_slice(w, 1, $QueryTerms))) AS term
+        |  FROM tw WHERE doc_id < $NumQueries),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM tw),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |nn AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+        |  FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |${graft.functions.DetLog.lnRatioCtes("idfq", "dfq, nn",
+            "2 * n_docs - 2 * df + 1", "2 * df + 1", "idf",
+            Seq("term", "df"))},
+        |sc AS (SELECT doc_id, term, CAST(floor(
+        |    idf
+        |      * (CAST(tf AS DOUBLE) * $K1Plus1)
+        |      / (CAST(tf AS DOUBLE) + $K1 * ($OneMinusB
+        |        + $B * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |          / CAST(tot AS DOUBLE)))
+        |      * ${Scale.toDouble}) AS BIGINT) AS c
+        |  FROM tf JOIN idfq USING (term) JOIN dl USING (doc_id), nn),
+        |lexall AS (SELECT qt.qid, s.doc_id,
+        |    CAST(sum(s.c) AS BIGINT) AS score_fp
+        |  FROM sc s JOIN qt ON s.term = qt.term
+        |  WHERE s.doc_id <> qt.qid GROUP BY 1, 2),
+        |lex AS (SELECT qid, doc_id, r1 FROM (
+        |    SELECT qid, doc_id, row_number() OVER
+        |      (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS r1
+        |    FROM lexall) WHERE r1 <= $KEach),
+        |q AS (SELECT doc_id AS qid, embedding AS qv FROM tw
+        |  WHERE doc_id < $NumQueries),
+        |vs AS (SELECT q.qid, c.doc_id,
+        |    ${cosineExpr("qv", "embedding")} AS cosine
+        |  FROM q CROSS JOIN tw c WHERE c.doc_id <> q.qid),
+        |vec AS (SELECT qid, doc_id, r2 FROM (
+        |    SELECT qid, doc_id, row_number() OVER
+        |      (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS r2
+        |    FROM vs) WHERE r2 <= $KEach),
+        |fused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    coalesce(1.0 / ($RrfK + CAST(l.r1 AS DOUBLE)), 0.0)
+        |      + coalesce(1.0 / ($RrfK + CAST(v.r2 AS DOUBLE)), 0.0) AS rrf
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        |r AS (SELECT qid, doc_id, rrf, row_number() OVER
+        |  (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+        |SELECT qid, doc_id, round(rrf, 6) AS rrf_score, rank
+        |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+    },
     "q_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
         |  WHERE vec_id < $NumQueries),

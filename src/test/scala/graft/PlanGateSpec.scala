@@ -45,6 +45,10 @@ class PlanGateSpec extends SparkSpec {
     "q_join_cartesian" -> Set("nested-loop", "cartesian"),
     "q_dm_audit" -> Set("nested-loop", "cartesian"),
     "q_bm25" -> Set("nested-loop"),
+    // hybrid RRF: the BM25 leg's 1-row corpus-totals frame crossJoins
+    // into the per-(doc, term) contribution stream (same bounded shape
+    // as q_bm25); the vector leg is literal-parameter explode, no BNLJ
+    "q_hybrid_rrf" -> Set("nested-loop"),
     "q_tfidf" -> Set("nested-loop"),
     "q_lm_score" -> Set("nested-loop"),
     // bigram LM: the ln(N) corpus-total frame is a 1-row aggregate
