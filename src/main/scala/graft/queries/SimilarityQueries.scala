@@ -354,6 +354,17 @@ object SimilarityQueries {
     "q_ann_ivf_quantized" -> (annIvfQuantized _),
     "q_kmeans" -> (kmeans _),
 
+    // product-quantization ANN: per-subspace bit-exact k-means
+    // codebooks, candidates scored by asymmetric-distance lookup
+    // tables — the 4-codes-per-vector memory-scale path
+    "q_ann_pq" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_ann_pq")
+      val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
+      graft.similarity.ProductQuantizer.adcTopK(
+        s, emb, "vec_id", "embedding", NumQueries, TopK)
+    },
+
     // hybrid lexical+vector retrieval: BM25 and brute-cosine rankings
     // fused by Reciprocal Rank Fusion over the corpus slice carrying
     // both text and an embedding (doc_id = vec_id)
@@ -569,8 +580,96 @@ object SimilarityQueries {
       |SELECT qid, vec_id AS neighbor, cosine, rank
       |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  /** One subspace's unrolled PQ training chain: the [[OracleSql.kmeansCtes]]
+    * replay re-rooted at a [[graft.similarity.ProductQuantizer.SubDim]]-wide
+    * slice of the embedding, CTE names suffixed `_m<m>`.
+    */
+  private def pqChain(m: Int): String = {
+    import graft.similarity.KMeans.{Offset, Scale}
+    import graft.similarity.ProductQuantizer.{CodebookK, Iters, SubDim}
+    val d1 = SubDim + 1
+    val p = s"m$m"
+    def dist(pp: String, cc: String) =
+      s"""CAST(list_sum(list_transform(range(1, $d1),
+         |      d -> ($pp[d] - $cc[d]) * ($pp[d] - $cc[d]))) AS BIGINT)"""
+        .stripMargin
+    def asg(i: Int) =
+      s"""a${i}_$p AS (SELECT vec_id, cid FROM (
+         |  SELECT pts_$p.vec_id, c${i - 1}_$p.cid,
+         |    row_number() OVER (PARTITION BY pts_$p.vec_id
+         |      ORDER BY ${dist(s"pts_$p.p", s"c${i - 1}_$p.c")},
+         |        c${i - 1}_$p.cid) AS rn
+         |  FROM pts_$p, c${i - 1}_$p) WHERE rn = 1)""".stripMargin
+    def cent(i: Int) =
+      s"""c${i}_$p AS (SELECT cid, list(cv ORDER BY dim) AS c FROM (
+         |  SELECT cid, r.range AS dim,
+         |    CAST(sum(p[r.range]) AS BIGINT) // count(*) AS cv
+         |  FROM a${i}_$p JOIN pts_$p USING (vec_id), range(1, $d1) r
+         |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+    val rounds = (1 to Iters).flatMap(i => Seq(asg(i), cent(i)))
+      .mkString(",\n")
+    s"""pts_$p AS (SELECT vec_id, list_transform(
+       |    list_slice(embedding, ${m * SubDim + 1}, ${(m + 1) * SubDim}),
+       |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
+       |      AS BIGINT)) AS p
+       |  FROM embeddings),
+       |c0_$p AS (SELECT vec_id AS cid, p AS c FROM pts_$p
+       |  ORDER BY vec_id LIMIT $CodebookK),
+       |$rounds,
+       |${asg(Iters + 1)},
+       |crec_$p AS (SELECT cid, list_transform(c,
+       |  x -> CAST(CAST(x AS DOUBLE) / $Scale.0 - $Offset AS FLOAT))
+       |  AS cv FROM c${Iters}_$p),
+       |qs_$p AS (SELECT qid,
+       |  list_slice(qv, ${m * SubDim + 1}, ${(m + 1) * SubDim}) AS qs
+       |  FROM q),
+       |lut_$p AS (SELECT qs_$p.qid, crec_$p.cid,
+       |  ${OracleSql.dotExpr("qs", "cv", SubDim)} AS dot,
+       |  ${OracleSql.dotExpr("cv", "cv", SubDim)} AS nsq
+       |  FROM qs_$p CROSS JOIN crec_$p)""".stripMargin
+  }
+
+  /** ADC replay: four subspace chains, codes joined on vec_id, the
+    * blocked sums assembled in the engine's pinned association.
+    */
+  private def annPqOracle: String = {
+    import graft.similarity.ProductQuantizer.Iters
+    val f = Iters + 1
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id < $NumQueries),
+      |qn AS (SELECT qid, sqrt(${cosDot("qv", "qv")}) AS qnorm FROM q),
+      |${(0 until graft.similarity.ProductQuantizer.NumSubspaces)
+          .map(pqChain).mkString(",\n")},
+      |codes AS (SELECT a${f}_m0.vec_id, a${f}_m0.cid AS k0,
+      |    a${f}_m1.cid AS k1, a${f}_m2.cid AS k2, a${f}_m3.cid AS k3
+      |  FROM a${f}_m0 JOIN a${f}_m1 USING (vec_id)
+      |    JOIN a${f}_m2 USING (vec_id) JOIN a${f}_m3 USING (vec_id)),
+      |sc AS (SELECT l0.qid, codes.vec_id,
+      |    ((l0.dot + l1.dot) + l2.dot) + l3.dot AS num,
+      |    ((l0.nsq + l1.nsq) + l2.nsq) + l3.nsq AS nsq
+      |  FROM codes
+      |  JOIN lut_m0 l0 ON l0.cid = codes.k0
+      |  JOIN lut_m1 l1 ON l1.qid = l0.qid AND l1.cid = codes.k1
+      |  JOIN lut_m2 l2 ON l2.qid = l0.qid AND l2.cid = codes.k2
+      |  JOIN lut_m3 l3 ON l3.qid = l0.qid AND l3.cid = codes.k3
+      |  WHERE codes.vec_id <> l0.qid),
+      |fin AS (SELECT sc.qid, vec_id,
+      |    num / (qn.qnorm * sqrt(nsq)) AS cosine_pq
+      |  FROM sc JOIN qn ON sc.qid = qn.qid),
+      |r AS (SELECT qid, vec_id, cosine_pq, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine_pq DESC, vec_id) AS rank
+      |  FROM fin)
+      |SELECT qid, vec_id AS neighbor, cosine_pq, rank
+      |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Full-width dot for the query norm (the oracle's list_reduce). */
+  private def cosDot(a: String, b: String): String =
+    OracleSql.dotExpr(a, b)
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle,
+    "q_ann_pq" -> annPqOracle,
     // BM25 replay (the q_bm25 CTE chain re-rooted at the corpus join +
     // per-query fan-out), brute-cosine replay, then the RRF sum — two
     // exact integer divisions, lexical term first in both engines

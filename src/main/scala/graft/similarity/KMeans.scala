@@ -130,6 +130,24 @@ object KMeans {
     } finally pts.unpersist()
   }
 
+  /** As [[fitModel]], but over an ALREADY fixed-point points frame
+    * (vec_id, p: array&lt;long&gt;) — the product-quantizer training
+    * shape, where each subspace trains on a slice of the one shared
+    * [[pointsFp]] projection (slicing fixed-point coordinates is
+    * identical to fixing the sliced floats, so sub-chains replay
+    * bit-exactly).
+    */
+  def fitModelFp(pts: DataFrame, k: Int, iterations: Int)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1 && iterations >= 1, "k and iterations must be >= 1")
+    val p = pts.persist()
+    try {
+      p.count()
+      val cent = lloyd(p, k, iterations)
+      (cent, assign(p, cent).localCheckpoint())
+    } finally p.unpersist()
+  }
+
   /** One Lloyd run, BOTH outputs: the final centroid frame
     * (cid, c: array&lt;long&gt; fixed-point) and the final assignment
     * (vec_id, cid) against those centroids — the IVF training shape,

@@ -1,0 +1,135 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization ANN (Jégou et al. 2011, "Product Quantization
+  * for Nearest Neighbor Search"): the embedding space splits into
+  * [[NumSubspaces]] contiguous subspaces, each trained with its own
+  * bit-exact [[KMeans]] codebook, and every vector compresses to one
+  * code per subspace. Queries score candidates by ASYMMETRIC DISTANCE
+  * COMPUTATION: per-query lookup tables carry the query-subvector ·
+  * sub-centroid inner products (and sub-centroid norms), so a
+  * candidate's approximate cosine is [[NumSubspaces]] table lookups —
+  * the candidate scan never touches a float vector.
+  *
+  * THIS is the ANN memory-scale path: at 100 TB a 64-dim float corpus
+  * is 256 B/vector; int8 ([[graft.queries.SimilarityQueries]]'
+  * q_ann_quantized) reads 64 B; PQ reads [[NumSubspaces]]
+  * codes ≈ 4-32 B, and the scan side of the plan is a narrow
+  * integer-column parquet read joined against broadcast codebook
+  * tables of [[CodebookK]] rows — nothing vector-sized shuffles or
+  * broadcasts besides the query parameters themselves.
+  *
+  * Determinism: codebooks and code assignments come from the shared
+  * all-integer [[KMeans]] chain on SLICED fixed-point points (slicing
+  * commutes with the fixed-point snap). The LUT doubles are computed
+  * ON THE DRIVER with the same strict left-fold the DuckDB oracle's
+  * `list_reduce` performs, reconstruction float-rounds identically in
+  * both engines (exact power-of-two division, exact offset, IEEE
+  * nearest cast), and the per-candidate assembly is four adds in
+  * pinned association + one division — so scores replay bit-exactly.
+  *
+  * The score is DEFINED by the ADC decomposition
+  * `cos_pq(q, x) = (Σ_m q_m·c_m[code_m]) / (‖q‖ · sqrt(Σ_m ‖c_m[code_m]‖²))`
+  * — the subspace-blocked association, not the flat 64-term fold (the
+  * two differ in ulps; both engines compute the blocked form).
+  */
+object ProductQuantizer {
+
+  /** Subspaces (M): 4 blocks of 16 dims over the 64-dim corpus. */
+  val NumSubspaces = 4
+
+  /** Codes per subspace codebook (K). */
+  val CodebookK = 16
+
+  /** Lloyd iterations per subspace chain. */
+  val Iters = 2
+
+  val SubDim: Int = VectorFunctions.Dim / NumSubspaces
+
+  /** Train the M codebooks and assign codes: returns the centroid
+    * frames (cid, c fixed-point) per subspace plus the codes frame
+    * (vec_id, code_0..code_{M-1}).
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String)
+      : (Seq[DataFrame], DataFrame) = {
+    val pts = KMeans.pointsFp(emb, idCol, vecCol)
+    val chains = (0 until NumSubspaces).map { m =>
+      val sub = pts.select(col("vec_id"),
+        slice(col("p"), m * SubDim + 1, SubDim).as("p"))
+      KMeans.fitModelFp(sub, CodebookK, Iters)
+    }
+    val codes = chains.zipWithIndex.map { case ((_, asg), m) =>
+      asg.select(col("vec_id"), col("cid").as(s"code_$m"))
+    }.reduce(_.join(_, "vec_id"))
+    (chains.map(_._1), codes)
+  }
+
+  /** Strict left-fold double dot — the driver mirror of the oracle's
+    * `list_reduce` and of [[VectorFunctions.dot]].
+    */
+  private def dotRef(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Fixed-point centroid → float reconstruction (exact power-of-two
+    * division, exact offset subtraction, IEEE nearest float cast —
+    * identical in both engines).
+    */
+  private def reconstruct(cfp: Seq[Long]): Array[Float] =
+    cfp.map(x => (x.toDouble / KMeans.Scale - KMeans.Offset).toFloat).toArray
+
+  /** Top-`topK` ADC-scored neighbours for the first `numQueries` ids:
+    * (qid, neighbor, cosine_pq, rank).
+    */
+  def adcTopK(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, numQueries: Int, topK: Int): DataFrame = {
+    import s.implicits._
+    val (cents, codes) = train(emb, idCol, vecCol)
+    // parameters: query vectors and codebooks are both tiny — LUTs are
+    // computed on the driver with the reference fold and broadcast
+    val qRows = emb.where(col(idCol) < numQueries)
+      .select(col(idCol), col(vecCol)).orderBy(idCol).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val books: Seq[Array[(Long, Array[Float])]] = cents.map(_.collect()
+      .map(r => (r.getLong(0), reconstruct(r.getSeq[Long](1)))).sortBy(_._1))
+    val luts: Seq[DataFrame] = (0 until NumSubspaces).map { m =>
+      val rows = for {
+        (qid, qv) <- qRows.toSeq
+        qs = qv.slice(m * SubDim, (m + 1) * SubDim).toSeq
+        (cid, cv) <- books(m)
+      } yield (qid, cid, dotRef(qs, cv.toSeq), dotRef(cv.toSeq, cv.toSeq))
+      rows.toDF("qid", s"code_$m", s"dot_$m", s"nsq_$m")
+    }
+    val qnorm = qRows.toSeq
+      .map { case (qid, qv) => (qid, math.sqrt(dotRef(qv.toSeq, qv.toSeq))) }
+      .toDF("qid", "qnorm")
+    // candidate side: the integer codes frame fans out per query id
+    // via a literal explode (generate, not a join), then each subspace
+    // resolves through one broadcast hash join against its 16-row LUT
+    val qids = array(qRows.map(q => lit(q._1)): _*)
+    val num = ((col("dot_0") + col("dot_1")) + col("dot_2")) + col("dot_3")
+    val nsq = ((col("nsq_0") + col("nsq_1")) + col("nsq_2")) + col("nsq_3")
+    val rank = row_number().over(
+      Window.partitionBy("qid").orderBy(desc("cosine_pq"), asc("vec_id")))
+    (0 until NumSubspaces).foldLeft(
+      codes.select(col("vec_id"), explode(qids).as("qid"),
+        col("code_0"), col("code_1"), col("code_2"), col("code_3"))
+        .where(col("qid") =!= col("vec_id"))) {
+      case (df, m) => df.join(broadcast(luts(m)), Seq("qid", s"code_$m"))
+    }
+      .join(broadcast(qnorm), "qid")
+      .withColumn("cosine_pq", num / (col("qnorm") * sqrt(nsq)))
+      .withColumn("rank", rank.cast("bigint"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine_pq"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.similarity.{KMeans, ProductQuantizer, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Pins the PQ/ADC contract: codes compress to the codebook size, and
+  * every emitted score equals an independent driver-side replay of the
+  * blocked ADC formula over the trained codebooks. The cross-engine
+  * value identity is pinned by the q_ann_pq DuckDB oracle.
+  */
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = VectorFunctions.Dim
+
+  // 40 vectors in 4 well-separated patterns plus per-id jitter
+  private def vec(i: Long): Seq[Float] = {
+    val base = (i % 4).toInt
+    (0 until Dim).map { d =>
+      val centre = if (d % 4 == base) 1.0f else -0.25f
+      centre + 0.001f * ((i * 31 + d * 7) % 11).toInt
+    }
+  }
+  private lazy val emb = (0L until 40L).map(i => (i, vec(i)))
+    .toDF("vec_id", "embedding")
+
+  test("every vector compresses to one code per subspace") {
+    val (cents, codes) = ProductQuantizer.train(emb, "vec_id", "embedding")
+    assert(cents.size == ProductQuantizer.NumSubspaces)
+    assert(codes.count() == 40)
+    (0 until ProductQuantizer.NumSubspaces).foreach { m =>
+      val distinct = codes.select(s"code_$m").distinct().count()
+      assert(distinct <= ProductQuantizer.CodebookK)
+      val valid = cents(m).select(col("cid")).as[Long].collect().toSet
+      val used = codes.select(s"code_$m").as[Long].collect().toSet
+      assert(used.subsetOf(valid), s"subspace $m codes outside codebook")
+    }
+  }
+
+  test("ADC scores equal the driver-replayed blocked cosine") {
+    val topK = 5
+    val got = ProductQuantizer.adcTopK(
+      spark, emb, "vec_id", "embedding", numQueries = 3, topK = topK)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 3 * topK)
+    // independent replay from the trained model
+    val (cents, codesDf) = ProductQuantizer.train(emb, "vec_id", "embedding")
+    val books = cents.map(_.collect().map(r => r.getLong(0) ->
+      r.getSeq[Long](1).map(x =>
+        (x.toDouble / KMeans.Scale - KMeans.Offset).toFloat).toArray).toMap)
+    val codes = codesDf.collect().map(r =>
+      r.getLong(0) -> (1 to ProductQuantizer.NumSubspaces)
+        .map(m => r.getLong(m)).toArray).toMap
+    val vs = (0L until 40L).map(i => i -> vec(i)).toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
+    }
+    got.foreach { case ((qid, nid), score) =>
+      val qv = vs(qid)
+      val sub = ProductQuantizer.SubDim
+      val parts = (0 until ProductQuantizer.NumSubspaces).map { m =>
+        val cv = books(m)(codes(nid)(m)).toSeq
+        (dot(qv.slice(m * sub, (m + 1) * sub), cv), dot(cv, cv))
+      }
+      val num = ((parts(0)._1 + parts(1)._1) + parts(2)._1) + parts(3)._1
+      val nsq = ((parts(0)._2 + parts(1)._2) + parts(2)._2) + parts(3)._2
+      val expect = num / (math.sqrt(dot(qv, qv)) * math.sqrt(nsq))
+      assert(score == expect, s"($qid, $nid)")
+    }
+  }
+
+  test("an exact duplicate shares all codes and fuses to the same score") {
+    val dup = emb.union(Seq((100L, vec(1L))).toDF("vec_id", "embedding"))
+    val (_, codes) = ProductQuantizer.train(dup, "vec_id", "embedding")
+    val rows = codes.where(col("vec_id").isin(1L, 100L))
+      .orderBy("vec_id").collect()
+    assert(rows.length == 2)
+    (1 to ProductQuantizer.NumSubspaces).foreach { m =>
+      assert(rows(0).getLong(m) == rows(1).getLong(m))
+    }
+  }
+}
