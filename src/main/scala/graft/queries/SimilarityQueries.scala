@@ -355,14 +355,18 @@ object SimilarityQueries {
     "q_kmeans" -> (kmeans _),
 
     // product-quantization ANN: per-subspace bit-exact k-means
-    // codebooks, candidates scored by asymmetric-distance lookup
-    // tables — the 4-codes-per-vector memory-scale path
+    // codebooks, the corpus scan reads integer codes only (ADC lookup
+    // tables), and the float vectors re-attach for just the
+    // 10%-of-corpus shortlist the codes nominate (exact rerank) — the
+    // Jégou ADC+rerank deployment; recall measured in RECALL_r11.json
     "q_ann_pq" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_ann_pq")
       val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
-      graft.similarity.ProductQuantizer.adcTopK(
-        s, emb, "vec_id", "embedding", NumQueries, TopK)
+      val shortlist = math.max(TopK,
+        math.ceil(0.1 * emb.count()).toInt)
+      graft.similarity.ProductQuantizer.adcRerankTopK(
+        s, emb, "vec_id", "embedding", NumQueries, TopK, shortlist)
     },
 
     // hybrid lexical+vector retrieval: BM25 and brute-cosine rankings
@@ -593,74 +597,94 @@ object SimilarityQueries {
       s"""CAST(list_sum(list_transform(range(1, $d1),
          |      d -> ($pp[d] - $cc[d]) * ($pp[d] - $cc[d]))) AS BIGINT)"""
         .stripMargin
+    // every chain CTE is MATERIALIZED: DuckDB 1.0 inlines
+    // single-reference CTEs, and the final 2M-way join of inlined
+    // window subtrees sends the optimizer into a multi-minute plan —
+    // materialization pins each 500-to-n-row stage to one evaluation
     def asg(i: Int) =
-      s"""a${i}_$p AS (SELECT vec_id, cid FROM (
+      s"""a${i}_$p AS MATERIALIZED (SELECT vec_id, cid FROM (
          |  SELECT pts_$p.vec_id, c${i - 1}_$p.cid,
          |    row_number() OVER (PARTITION BY pts_$p.vec_id
          |      ORDER BY ${dist(s"pts_$p.p", s"c${i - 1}_$p.c")},
          |        c${i - 1}_$p.cid) AS rn
          |  FROM pts_$p, c${i - 1}_$p) WHERE rn = 1)""".stripMargin
     def cent(i: Int) =
-      s"""c${i}_$p AS (SELECT cid, list(cv ORDER BY dim) AS c FROM (
+      s"""c${i}_$p AS MATERIALIZED (SELECT cid, list(cv ORDER BY dim) AS c
+         |  FROM (
          |  SELECT cid, r.range AS dim,
          |    CAST(sum(p[r.range]) AS BIGINT) // count(*) AS cv
          |  FROM a${i}_$p JOIN pts_$p USING (vec_id), range(1, $d1) r
          |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
     val rounds = (1 to Iters).flatMap(i => Seq(asg(i), cent(i)))
       .mkString(",\n")
-    s"""pts_$p AS (SELECT vec_id, list_transform(
+    s"""pts_$p AS MATERIALIZED (SELECT vec_id, list_transform(
        |    list_slice(embedding, ${m * SubDim + 1}, ${(m + 1) * SubDim}),
        |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
        |      AS BIGINT)) AS p
        |  FROM embeddings),
-       |c0_$p AS (SELECT vec_id AS cid, p AS c FROM pts_$p
+       |c0_$p AS MATERIALIZED (SELECT vec_id AS cid, p AS c FROM pts_$p
        |  ORDER BY vec_id LIMIT $CodebookK),
        |$rounds,
        |${asg(Iters + 1)},
-       |crec_$p AS (SELECT cid, list_transform(c,
+       |crec_$p AS MATERIALIZED (SELECT cid, list_transform(c,
        |  x -> CAST(CAST(x AS DOUBLE) / $Scale.0 - $Offset AS FLOAT))
        |  AS cv FROM c${Iters}_$p),
-       |qs_$p AS (SELECT qid,
+       |qs_$p AS MATERIALIZED (SELECT qid,
        |  list_slice(qv, ${m * SubDim + 1}, ${(m + 1) * SubDim}) AS qs
        |  FROM q),
-       |lut_$p AS (SELECT qs_$p.qid, crec_$p.cid,
+       |lut_$p AS MATERIALIZED (SELECT qs_$p.qid, crec_$p.cid,
        |  ${OracleSql.dotExpr("qs", "cv", SubDim)} AS dot,
        |  ${OracleSql.dotExpr("cv", "cv", SubDim)} AS nsq
        |  FROM qs_$p CROSS JOIN crec_$p)""".stripMargin
   }
 
-  /** ADC replay: four subspace chains, codes joined on vec_id, the
-    * blocked sums assembled in the engine's pinned association.
+  /** ADC replay: one training chain per subspace, codes joined on
+    * vec_id, the blocked sums assembled in the engine's strict-left
+    * association.
     */
   private def annPqOracle: String = {
-    import graft.similarity.ProductQuantizer.Iters
+    import graft.similarity.ProductQuantizer.{Iters, NumSubspaces}
     val f = Iters + 1
+    val ms = 0 until NumSubspaces
+    val codesCols = ms.map(i => s"a${f}_m$i.cid AS k$i").mkString(", ")
+    val codesJoins = ms.tail
+      .map(i => s"JOIN a${f}_m$i USING (vec_id)").mkString(" ")
+    val lutJoins = ms.map { i =>
+      if (i == 0) s"JOIN lut_m0 l0 ON l0.cid = codes.k0"
+      else s"JOIN lut_m$i l$i ON l$i.qid = l0.qid AND l$i.cid = codes.k$i"
+    }.mkString("\n  ")
+    def blocked(f0: String): String =
+      ms.map(i => s"l$i.$f0").reduceLeft((a, b) => s"($a + $b)")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
       |  WHERE vec_id < $NumQueries),
       |qn AS (SELECT qid, sqrt(${cosDot("qv", "qv")}) AS qnorm FROM q),
-      |${(0 until graft.similarity.ProductQuantizer.NumSubspaces)
-          .map(pqChain).mkString(",\n")},
-      |codes AS (SELECT a${f}_m0.vec_id, a${f}_m0.cid AS k0,
-      |    a${f}_m1.cid AS k1, a${f}_m2.cid AS k2, a${f}_m3.cid AS k3
-      |  FROM a${f}_m0 JOIN a${f}_m1 USING (vec_id)
-      |    JOIN a${f}_m2 USING (vec_id) JOIN a${f}_m3 USING (vec_id)),
+      |${ms.map(pqChain).mkString(",\n")},
+      |codes AS MATERIALIZED (SELECT a${f}_m0.vec_id, $codesCols
+      |  FROM a${f}_m0 $codesJoins),
       |sc AS (SELECT l0.qid, codes.vec_id,
-      |    ((l0.dot + l1.dot) + l2.dot) + l3.dot AS num,
-      |    ((l0.nsq + l1.nsq) + l2.nsq) + l3.nsq AS nsq
+      |    ${blocked("dot")} AS num,
+      |    ${blocked("nsq")} AS nsq
       |  FROM codes
-      |  JOIN lut_m0 l0 ON l0.cid = codes.k0
-      |  JOIN lut_m1 l1 ON l1.qid = l0.qid AND l1.cid = codes.k1
-      |  JOIN lut_m2 l2 ON l2.qid = l0.qid AND l2.cid = codes.k2
-      |  JOIN lut_m3 l3 ON l3.qid = l0.qid AND l3.cid = codes.k3
+      |  $lutJoins
       |  WHERE codes.vec_id <> l0.qid),
       |fin AS (SELECT sc.qid, vec_id,
       |    num / (qn.qnorm * sqrt(nsq)) AS cosine_pq
       |  FROM sc JOIN qn ON sc.qid = qn.qid),
-      |r AS (SELECT qid, vec_id, cosine_pq, row_number() OVER
-      |  (PARTITION BY qid ORDER BY cosine_pq DESC, vec_id) AS rank
-      |  FROM fin)
-      |SELECT qid, vec_id AS neighbor, cosine_pq, rank
-      |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+      |r AS MATERIALIZED (SELECT qid, vec_id, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine_pq DESC, vec_id) AS adcrank
+      |  FROM fin),
+      |sl AS (SELECT qid, vec_id FROM r WHERE adcrank <=
+      |  (SELECT greatest($TopK, CAST(ceil(0.1 * count(*)) AS BIGINT))
+      |   FROM embeddings)),
+      |rr AS (SELECT sl.qid, sl.vec_id,
+      |    ${cosineExpr("qv", "embedding")} AS cosine
+      |  FROM sl JOIN embeddings e ON sl.vec_id = e.vec_id
+      |    JOIN q ON sl.qid = q.qid),
+      |rk AS (SELECT qid, vec_id, cosine, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM rr)
+      |SELECT qid, vec_id AS neighbor, cosine, rank
+      |FROM rk WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
   /** Full-width dot for the query norm (the oracle's list_reduce). */

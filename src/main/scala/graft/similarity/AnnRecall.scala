@@ -156,6 +156,33 @@ object AnnRecall {
     }
   }
 
+  /** Recall@k of the PQ/ADC ranking ([[ProductQuantizer.adcTopK]])
+    * against brute-force truth. PQ reranks the WHOLE corpus through
+    * its lookup tables (the knob is code budget, not scan fraction),
+    * so the grade is top-k agreement of the approximate scores.
+    */
+  /** With `shortlist` > kAt this grades the ADC-shortlist-then-exact-
+    * rerank deployment: recall@kAt equals the truth coverage of the
+    * depth-`shortlist` ADC candidate list (the exact rerank recovers
+    * any true neighbour the shortlist admits).
+    */
+  def pqRecall(s: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      m: Int = ProductQuantizer.NumSubspaces,
+      k: Int = ProductQuantizer.CodebookK,
+      numQueries: Int = 50, kAt: Int = 10,
+      shortlist: Int = 10): Double = {
+    val truth = groundTruth(emb, numQueries, kAt)
+    val got = ProductQuantizer.adcTopK(
+      s, emb.select("vec_id", "embedding"), "vec_id", "embedding",
+      numQueries, math.max(kAt, shortlist), m, k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val per = truth.toSeq.map { case (q, top) =>
+      top.count(got.getOrElse(q, Set.empty).contains).toDouble / top.size
+    }
+    per.sum / per.size
+  }
+
   /** Sweep IVF probe counts over the corpus's `label` coarse partition,
     * returning recall@k + the average fraction of the corpus scanned.
     */

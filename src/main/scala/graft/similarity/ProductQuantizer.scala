@@ -38,31 +38,37 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantizer {
 
-  /** Subspaces (M): 4 blocks of 16 dims over the 64-dim corpus. */
-  val NumSubspaces = 4
+  /** Subspaces (M), shipped default: 8 blocks of 8 dims over the
+    * 64-dim corpus (chosen from the measured sf0.1 recall sweep in
+    * AnnRecallSpec — see RECALL_r11.json).
+    */
+  val NumSubspaces = 8
 
-  /** Codes per subspace codebook (K). */
-  val CodebookK = 16
+  /** Codes per subspace codebook (K), shipped default. */
+  val CodebookK = 64
 
   /** Lloyd iterations per subspace chain. */
   val Iters = 2
 
-  val SubDim: Int = VectorFunctions.Dim / NumSubspaces
+  def subDim(m: Int): Int = VectorFunctions.Dim / m
+  def SubDim: Int = subDim(NumSubspaces)
 
   /** Train the M codebooks and assign codes: returns the centroid
     * frames (cid, c fixed-point) per subspace plus the codes frame
     * (vec_id, code_0..code_{M-1}).
     */
-  def train(emb: DataFrame, idCol: String, vecCol: String)
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = NumSubspaces, k: Int = CodebookK)
       : (Seq[DataFrame], DataFrame) = {
+    val sd = subDim(m)
     val pts = KMeans.pointsFp(emb, idCol, vecCol)
-    val chains = (0 until NumSubspaces).map { m =>
+    val chains = (0 until m).map { i =>
       val sub = pts.select(col("vec_id"),
-        slice(col("p"), m * SubDim + 1, SubDim).as("p"))
-      KMeans.fitModelFp(sub, CodebookK, Iters)
+        slice(col("p"), i * sd + 1, sd).as("p"))
+      KMeans.fitModelFp(sub, k, Iters)
     }
-    val codes = chains.zipWithIndex.map { case ((_, asg), m) =>
-      asg.select(col("vec_id"), col("cid").as(s"code_$m"))
+    val codes = chains.zipWithIndex.map { case ((_, asg), i) =>
+      asg.select(col("vec_id"), col("cid").as(s"code_$i"))
     }.reduce(_.join(_, "vec_id"))
     (chains.map(_._1), codes)
   }
@@ -89,9 +95,11 @@ object ProductQuantizer {
     * (qid, neighbor, cosine_pq, rank).
     */
   def adcTopK(s: SparkSession, emb: DataFrame, idCol: String,
-      vecCol: String, numQueries: Int, topK: Int): DataFrame = {
+      vecCol: String, numQueries: Int, topK: Int,
+      m: Int = NumSubspaces, k: Int = CodebookK): DataFrame = {
     import s.implicits._
-    val (cents, codes) = train(emb, idCol, vecCol)
+    val sd = subDim(m)
+    val (cents, codes) = train(emb, idCol, vecCol, m, k)
     // parameters: query vectors and codebooks are both tiny — LUTs are
     // computed on the driver with the reference fold and broadcast
     val qRows = emb.where(col(idCol) < numQueries)
@@ -99,36 +107,68 @@ object ProductQuantizer {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val books: Seq[Array[(Long, Array[Float])]] = cents.map(_.collect()
       .map(r => (r.getLong(0), reconstruct(r.getSeq[Long](1)))).sortBy(_._1))
-    val luts: Seq[DataFrame] = (0 until NumSubspaces).map { m =>
+    val luts: Seq[DataFrame] = (0 until m).map { i =>
       val rows = for {
         (qid, qv) <- qRows.toSeq
-        qs = qv.slice(m * SubDim, (m + 1) * SubDim).toSeq
-        (cid, cv) <- books(m)
+        qs = qv.slice(i * sd, (i + 1) * sd).toSeq
+        (cid, cv) <- books(i)
       } yield (qid, cid, dotRef(qs, cv.toSeq), dotRef(cv.toSeq, cv.toSeq))
-      rows.toDF("qid", s"code_$m", s"dot_$m", s"nsq_$m")
+      rows.toDF("qid", s"code_$i", s"dot_$i", s"nsq_$i")
     }
     val qnorm = qRows.toSeq
       .map { case (qid, qv) => (qid, math.sqrt(dotRef(qv.toSeq, qv.toSeq))) }
       .toDF("qid", "qnorm")
     // candidate side: the integer codes frame fans out per query id
     // via a literal explode (generate, not a join), then each subspace
-    // resolves through one broadcast hash join against its 16-row LUT
+    // resolves through one broadcast hash join against its k-row LUT
     val qids = array(qRows.map(q => lit(q._1)): _*)
-    val num = ((col("dot_0") + col("dot_1")) + col("dot_2")) + col("dot_3")
-    val nsq = ((col("nsq_0") + col("nsq_1")) + col("nsq_2")) + col("nsq_3")
+    // strict left association — the oracle assembles identically
+    val num = (0 until m).map(i => col(s"dot_$i")).reduceLeft(_ + _)
+    val nsq = (0 until m).map(i => col(s"nsq_$i")).reduceLeft(_ + _)
     val rank = row_number().over(
       Window.partitionBy("qid").orderBy(desc("cosine_pq"), asc("vec_id")))
-    (0 until NumSubspaces).foldLeft(
-      codes.select(col("vec_id"), explode(qids).as("qid"),
-        col("code_0"), col("code_1"), col("code_2"), col("code_3"))
+    (0 until m).foldLeft(
+      codes.select(
+        col("vec_id") +: explode(qids).as("qid") +:
+          (0 until m).map(i => col(s"code_$i")): _*)
         .where(col("qid") =!= col("vec_id"))) {
-      case (df, m) => df.join(broadcast(luts(m)), Seq("qid", s"code_$m"))
+      case (df, i) => df.join(broadcast(luts(i)), Seq("qid", s"code_$i"))
     }
       .join(broadcast(qnorm), "qid")
       .withColumn("cosine_pq", num / (col("qnorm") * sqrt(nsq)))
       .withColumn("rank", rank.cast("bigint"))
       .where(col("rank") <= topK)
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine_pq"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The production deployment (Jégou et al.'s ADC + rerank): the
+    * code-only ADC scan nominates a `shortlist`-deep candidate list
+    * per query, then ONLY those candidates re-attach their float
+    * vectors (an id equi-join, shortlist×queries rows) and rerank by
+    * exact cosine. Output: (qid, neighbor, cosine, rank ≤ topK) — the
+    * q_ann_brute output contract over the PQ-nominated candidates.
+    * At 100 TB the corpus-wide scan still reads only integer codes;
+    * the float fetch is output-sized.
+    */
+  def adcRerankTopK(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, numQueries: Int, topK: Int, shortlist: Int,
+      m: Int = NumSubspaces, k: Int = CodebookK): DataFrame = {
+    val sl = adcTopK(s, emb, idCol, vecCol, numQueries,
+      math.max(topK, shortlist), m, k)
+      .select(col("qid"), col("neighbor").as(idCol))
+    val qv = emb.where(col(idCol) < numQueries)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val rank = row_number().over(
+      Window.partitionBy("qid").orderBy(desc("cosine"), asc(idCol)))
+    sl.join(emb.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(qv), "qid")
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.cosineSim(s, col("qv"), col(vecCol)))
+      .withColumn("rank", rank.cast("bigint"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col(idCol).as("neighbor"), col("cosine"),
         col("rank"))
       .orderBy("qid", "rank")
   }

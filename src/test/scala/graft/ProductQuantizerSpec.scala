@@ -68,10 +68,41 @@ class ProductQuantizerSpec extends SparkSpec {
         val cv = books(m)(codes(nid)(m)).toSeq
         (dot(qv.slice(m * sub, (m + 1) * sub), cv), dot(cv, cv))
       }
-      val num = ((parts(0)._1 + parts(1)._1) + parts(2)._1) + parts(3)._1
-      val nsq = ((parts(0)._2 + parts(1)._2) + parts(2)._2) + parts(3)._2
+      // strict left association, matching the engine's reduceLeft
+      val num = parts.map(_._1).reduceLeft(_ + _)
+      val nsq = parts.map(_._2).reduceLeft(_ + _)
       val expect = num / (math.sqrt(dot(qv, qv)) * math.sqrt(nsq))
       assert(score == expect, s"($qid, $nid)")
+    }
+  }
+
+  test("rerank emits exact cosines over the ADC-nominated shortlist") {
+    val topK = 5
+    val shortlist = 15
+    val got = ProductQuantizer.adcRerankTopK(
+      spark, emb, "vec_id", "embedding", numQueries = 2, topK = topK,
+      shortlist = shortlist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == 2 * topK)
+    val shortlists = ProductQuantizer.adcTopK(
+      spark, emb, "vec_id", "embedding", 2, shortlist).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val vs = (0L until 40L).map(i => i -> vec(i)).toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
+    }
+    got.foreach { case (qid, nid, cosine, _) =>
+      assert(shortlists(qid).contains(nid),
+        s"reranked neighbor $nid not in $qid's ADC shortlist")
+      val exact = dot(vs(qid), vs(nid)) /
+        (math.sqrt(dot(vs(qid), vs(qid))) * math.sqrt(dot(vs(nid), vs(nid))))
+      assert(cosine == exact, s"($qid, $nid)")
     }
   }
 
