@@ -191,6 +191,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // learned quality filter (the GPT-3/WebText recipe): +1-smoothed
+    // multinomial NB trained on the even-doc_id split with lang='en'
+    // as the trusted positive class, scoring the whole corpus by
+    // log-odds
+    "q_quality_classifier" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_quality_classifier")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      graft.text.NaiveBayes.scoreBinary(
+        docs, docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy("doc_id")
+    },
+
     // boilerplate removal over an HTML wrapper derived from each doc
     // (tags → URLs → whitespace, all RE2/java-portable patterns)
     "q_boilerplate" -> { (s, dir) =>
@@ -755,6 +770,52 @@ object TextQueries {
          |    AS avg_logprob
          |FROM d JOIN dl ON d.doc_id = dl.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // NB quality classifier: one fixed-point snap per log-ratio
+    // (lnRatioCtes), trained on the even split, lang='en' positive
+    "q_quality_classifier" -> {
+      val sc = graft.text.NaiveBayes.LnScale
+      s"""WITH $toksCte,
+         |tw AS (SELECT doc_id, lang, w FROM toks WHERE len(w) > 0),
+         |twt AS (SELECT doc_id, (lang = 'en') AS pos, w FROM tw
+         |  WHERE doc_id % 2 = 0),
+         |t AS (SELECT unnest(w) AS term, pos FROM twt),
+         |cnts AS (SELECT term,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+         |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+         |  FROM t GROUP BY 1),
+         |${graft.functions.DetLog.lnRatioCtes("lt", "cnts",
+             "cpos + 1", "cneg + 1", "lnr", Seq("term"))},
+         |fpt AS (SELECT term,
+         |  CAST(floor(lnr * $sc) AS BIGINT) AS fp FROM lt),
+         |tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+         |  CAST(sum(cneg) AS BIGINT) AS nneg,
+         |  count(*) AS v FROM cnts),
+         |${graft.functions.DetLog.lnRatioCtes("ln1", "tot",
+             "npos + v", "nneg + v", "lnn", Nil)},
+         |dcnt AS (SELECT
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dpos,
+         |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS dneg
+         |  FROM twt),
+         |${graft.functions.DetLog.lnRatioCtes("ln2", "dcnt",
+             "dpos", "dneg", "lnp", Nil)},
+         |norm AS (SELECT CAST(floor(lnn * $sc) AS BIGINT) AS fpn,
+         |  CAST(floor(lnp * $sc) AS BIGINT) AS fprior FROM ln1, ln2),
+         |td AS (SELECT doc_id, unnest(w) AS term FROM tw),
+         |d AS (SELECT doc_id,
+         |    CAST(sum(coalesce(fpt.fp, 0)) AS BIGINT) AS sum_fp,
+         |    count(*) AS n
+         |  FROM td LEFT JOIN fpt ON td.term = fpt.term GROUP BY 1),
+         |lo AS (SELECT doc_id,
+         |  sum_fp - n * norm.fpn + norm.fprior AS logodds_fp
+         |  FROM d, norm),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM tw)
+         |SELECT lo.doc_id, dl.n_tokens,
+         |  round(CAST(logodds_fp AS DOUBLE) / $sc.0, 6) AS nb_logodds,
+         |  logodds_fp > 0 AS pred_pos
+         |FROM lo JOIN dl ON lo.doc_id = dl.doc_id
+         |ORDER BY lo.doc_id""".stripMargin
     },
 
     // the end-to-end pipeline oracle: the SAME stage chain as the

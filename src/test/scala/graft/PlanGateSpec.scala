@@ -54,6 +54,9 @@ class PlanGateSpec extends SparkSpec {
     // bigram LM: the ln(N) corpus-total frame is a 1-row aggregate
     // crossJoined into both the first-token and bigram score streams
     "q_lm_perplexity" -> Set("nested-loop"),
+    // NB classifier: the 1-row model frame (class normaliser + prior)
+    // crossJoins into the per-doc score stream
+    "q_quality_classifier" -> Set("nested-loop"),
     "q_collocations" -> Set("nested-loop", "global-window"),
     "q_source_quality" -> Set("nested-loop"),
     "q_mix_sources" -> Set("nested-loop"),
