@@ -369,6 +369,36 @@ object SimilarityQueries {
         s, emb, "vec_id", "embedding", NumQueries, TopK, shortlist)
     },
 
+    // JL random projection + brute ANN in the 16-dim projected space:
+    // 64 float dims -> 16 doubles (the deterministic LSH hyperplanes,
+    // values kept instead of sign bits), 4x less candidate compute
+    // and shuffle width; recall measured in RECALL_r11.json
+    "q_ann_projected" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_ann_projected")
+      val emb = src(dfl, "embeddings").select(col("vec_id"),
+        graft.similarity.VectorFunctions.project(col("embedding")).as("pv"))
+      val qRows = emb.filter(col("vec_id") < NumQueries)
+        .orderBy("vec_id").collect()
+      val qLit = array(qRows.map { r =>
+        struct(lit(r.getLong(0)).as("qid"),
+          array(r.getSeq[Double](1).map(d => lit(d)): _*).as("pqv"))
+      }: _*)
+      val rank = row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine_proj"), asc("vec_id")))
+      emb.select(col("vec_id"), col("pv"), explode(qLit).as("p"))
+        .select(col("p.qid").as("qid"), col("vec_id"), col("pv"),
+          col("p.pqv").as("pqv"))
+        .where(col("qid") =!= col("vec_id"))
+        .withColumn("cosine_proj",
+          graft.similarity.VectorFunctions.cosine(col("pqv"), col("pv")))
+        .withColumn("rank", rank.cast("bigint"))
+        .where(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("neighbor"),
+          col("cosine_proj"), col("rank"))
+        .orderBy("qid", "rank")
+    },
+
     // hybrid lexical+vector retrieval: BM25 and brute-cosine rankings
     // fused by Reciprocal Rank Fusion over the corpus slice carrying
     // both text and an embedding (doc_id = vec_id)
@@ -691,9 +721,37 @@ object SimilarityQueries {
   private def cosDot(a: String, b: String): String =
     OracleSql.dotExpr(a, b)
 
+  /** JL projection replay: the same 3-decimal plane literals the
+    * engine's planeLit parses, folded by the oracle's list_reduce.
+    */
+  private def annProjectedOracle: String = {
+    import graft.similarity.VectorFunctions.NumPlanes
+    val proj = (0 until NumPlanes).map { p =>
+      val plane = graft.similarity.VectorFunctions.planeSqlLiterals(p)
+        .mkString("([", ", ", "]::DOUBLE[])")
+      s"(${OracleSql.dotExpr("embedding", plane)})"
+    }.mkString("[", ",\n", "]")
+    def cos16(a: String, b: String): String =
+      s"(${OracleSql.dotExpr(a, b, NumPlanes)}) / " +
+        s"(sqrt(${OracleSql.dotExpr(a, a, NumPlanes)}) * " +
+        s"sqrt(${OracleSql.dotExpr(b, b, NumPlanes)}))"
+    s"""WITH pr AS MATERIALIZED (SELECT vec_id, $proj AS pv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, pv AS qv FROM pr
+      |  WHERE vec_id < $NumQueries),
+      |sc AS (SELECT qid, vec_id, ${cos16("qv", "pv")} AS cosine_proj
+      |  FROM q JOIN pr ON vec_id <> qid),
+      |r AS (SELECT qid, vec_id, cosine_proj, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine_proj DESC, vec_id) AS rank
+      |  FROM sc)
+      |SELECT qid, vec_id AS neighbor, cosine_proj, rank
+      |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_projected" -> annProjectedOracle,
     // BM25 replay (the q_bm25 CTE chain re-rooted at the corpus join +
     // per-query fan-out), brute-cosine replay, then the RRF sum — two
     // exact integer divisions, lexical term first in both engines

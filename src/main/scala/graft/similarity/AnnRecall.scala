@@ -183,6 +183,38 @@ object AnnRecall {
     per.sum / per.size
   }
 
+  /** Recall@k of the JL-projected-space cosine ranking (q_ann_projected)
+    * against full-dimension truth; with `shortlist` > kAt this grades
+    * the project-shortlist-then-exact-rerank deployment (like
+    * [[pqRecall]]). The measurement ranks driver-side — the corpus at
+    * measurement scale collects; production stays the distributed
+    * q_ann_projected plan.
+    */
+  def projRecall(emb: DataFrame, numQueries: Int = 50, kAt: Int = 10,
+      shortlist: Int = 10): Double = {
+    val truth = groundTruth(emb, numQueries, kAt)
+    val pv = emb.select(col("vec_id"),
+      VectorFunctions.project(col("embedding")).as("pv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = pv.filter(_._1 < numQueries)
+    val depth = math.max(kAt, shortlist)
+    val per = qs.map { case (qid, qv) =>
+      val top = pv.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(depth).map(_._1).toSet
+      truth.get(qid).map(t =>
+        t.count(top.contains).toDouble / t.size).getOrElse(0.0)
+    }
+    per.sum / per.length
+  }
+
   /** Sweep IVF probe counts over the corpus's `label` coarse partition,
     * returning recall@k + the average fraction of the corpus scanned.
     */

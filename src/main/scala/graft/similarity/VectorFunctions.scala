@@ -71,6 +71,19 @@ object VectorFunctions {
   private def planeLit(p: Int): Column =
     array(hyperplane(p).map(v => lit(f"$v%.3f".toDouble)): _*)
 
+  /** Johnson–Lindenstrauss-style deterministic random projection: the
+    * REAL-VALUED dots against the first `k` hyperplanes (the LSH sign
+    * bits keep only `sign(dot)`; this keeps the value). The classic
+    * third embedding-compression axis next to int8 (coarser values)
+    * and PQ (codes): 64 float dims become `k` doubles, shrinking ANN
+    * candidate-generation compute and shuffle width 64/k-fold, with
+    * recall measured (not assumed) by the AnnRecall harness. Same
+    * 3-decimal plane literals as the LSH — the oracle replays the
+    * projection exactly.
+    */
+  def project(v: Column, k: Int = NumPlanes): Column =
+    array((0 until k).map(p => dot(v, planeLit(p))): _*)
+
   /** One sign bit per hyperplane: '1' where dot(v, plane) > 0. */
   def planeBits(v: Column): Column = planeBits(v, NumPlanes)
 

@@ -74,10 +74,15 @@ class AnnRecallSpec extends SparkSpec {
     val pqShipped = AnnRecall.pqRecall(spark, emb,
       shortlist = pqShortlist)
 
+    // JL 16-dim projected-space ranking (q_ann_projected): top-10
+    // agreement, plus the same 10%-shortlist rerank deployment
+    val projTop = AnnRecall.projRecall(emb)
+    val projRerank = AnnRecall.projRecall(emb, shortlist = pqShortlist)
+
     // artifact first — the measurement is the deliverable even when a
     // shape assertion below catches a regression
     writeArtifact(lsh, ivfLabel, ivfTrained, ivfFrozen, k, npDefault,
-      kF, npF, pqSweep, pqShortlist, pqShipped)
+      kF, npF, pqSweep, pqShortlist, pqShipped, projTop, projRerank)
 
     // more bits per hash (fixed plane count): precision up →
     // candidates down, recall down-or-equal
@@ -156,7 +161,7 @@ class AnnRecallSpec extends SparkSpec {
       ivfFrozen: Seq[graft.similarity.AnnRecall.IvfPoint],
       k: Int, npDefault: Int, kFrozen: Int, npFrozen: Int,
       pqSweep: Seq[(Int, Int, Double)], pqShortlist: Int,
-      pqShipped: Double): Unit = {
+      pqShipped: Double, projTop: Double, projRerank: Double): Unit = {
     def ivfJson(ps: Seq[graft.similarity.AnnRecall.IvfPoint]): String =
       "[" + ps.map(p =>
         s"""{"nprobe":${p.nprobe},"recall_at_10":${f"${p.recallAt}%.4f"},""" +
@@ -185,7 +190,12 @@ class AnnRecallSpec extends SparkSpec {
         }.mkString(",") + "]," +
         s""""pq_shipped_rerank":{"shortlist":$pqShortlist,""" +
         s""""shortlist_fraction":0.1,""" +
-        s""""recall_at_10":${f"$pqShipped%.4f"}}}"""
+        s""""recall_at_10":${f"$pqShipped%.4f"}},""" +
+        s""""projected":{"dims":""" +
+        graft.similarity.VectorFunctions.NumPlanes + "," +
+        s""""recall_at_10":${f"$projTop%.4f"},""" +
+        s""""rerank_shortlist":$pqShortlist,""" +
+        s""""rerank_recall_at_10":${f"$projRerank%.4f"}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/RECALL_r11.json"),
       json.getBytes("UTF-8"))
