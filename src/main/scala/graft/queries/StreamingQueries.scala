@@ -700,6 +700,40 @@ object StreamingQueries {
     // carries the batch-id watermark ([[CountMinSketch.applyBatch]]).
     // The folded grid equals the batch sketch exactly, so the oracle
     // is the batch q_cms_freq oracle verbatim.
+    // STREAMING NB QUALITY CLASSIFIER: the labelled train split
+    // arrives in micro-batches and folds additively into the
+    // (term, cpos, cneg) + doc-count state; the whole corpus then
+    // scores against the accumulated model. Additive integer counts
+    // fold to the identical model under ANY batching, so the batch
+    // q_quality_classifier oracle replays this query verbatim.
+    "q_stream_quality_classifier" -> { (s, dir) =>
+      withStreamParts(s) {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val base = tmpDir("graft_snb")
+        val stateDir = base + "/state"
+        StreamFlow.writeTimeSplits(train, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.text.NaiveBayes.applyBatch(s, b, "doc_id", "text",
+              col("lang") === "en", id, stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.text.NaiveBayes.scoreFromState(s, docs, "doc_id", "text",
+          stateDir)
+          .orderBy("doc_id")
+      }
+    },
+
     "q_stream_cms" -> { (s, dir) =>
       withStreamParts(s) {
         import graft.functions.CountMinSketch
@@ -953,6 +987,9 @@ object StreamingQueries {
     // cell-wise addition over any batching equals the batch grid —
     // batch oracle verbatim, like q_stream_hll
     "q_stream_cms" -> TextQueries.oracles("q_cms_freq"),
+    // additive count model ⇒ the batch classifier oracle is exact
+    "q_stream_quality_classifier" ->
+      TextQueries.oracles("q_quality_classifier"),
     // streamed gram index / bucket table are lossless renderings of the
     // batch computations — the batch oracles ARE the streaming oracles
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),

@@ -37,27 +37,41 @@ object NaiveBayes {
     * `isPos` labels the training rows. Output:
     * (idCol, n_tokens, nb_logodds, pred_pos).
     */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String,
+      extra: Seq[Column]): DataFrame = df
+    .select((col(idCol) +: TextFunctions.tokens(col(textCol)).as("w") +:
+      extra): _*)
+    .where(size(col("w")) > 0)
+
   def scoreBinary(docs: DataFrame, train: DataFrame, idCol: String,
       textCol: String, isPos: Column): DataFrame = {
-    // ONE fixed-point snap per log-RATIO (the BM25-idf convention —
-    // the oracle replays it through DetLog.lnRatioCtes verbatim)
-    val lnFpRatio: (Column, Column) => Column = (a, b) =>
-      floor(graft.functions.DetLog.lnRatio(a, b) * LnScale).cast("long")
-    def tokenized(df: DataFrame, extra: Seq[Column]): DataFrame = df
-      .select((col(idCol) +: TextFunctions.tokens(col(textCol)).as("w") +:
-        extra): _*)
-      .where(size(col("w")) > 0)
-    val twTrain = tokenized(train, Seq(isPos.as("pos")))
+    val twTrain = tokenized(train, idCol, textCol, Seq(isPos.as("pos")))
     val t = twTrain.select(explode(col("w")).as("term"), col("pos"))
     val counts = t.groupBy("term").agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("cneg"))
-    val fpt = counts.select(col("term"),
-      lnFpRatio(col("cpos") + 1, col("cneg") + 1).as("fp"))
-    // 1-row model frame: per-token class normaliser and the doc prior
     val docCounts = twTrain.agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("dpos"),
       sum(when(col("pos"), 0L).otherwise(1L)).as("dneg"))
+    scoreWithModel(docs, idCol, textCol, counts, docCounts)
+  }
+
+  /** Score against an externally-maintained count model — the entry
+    * the streamed fold shares with the batch path, so the streamed
+    * query's oracle IS the batch oracle (additive integer counts fold
+    * to the identical model under any batching).
+    * `counts`: (term, cpos, cneg); `docCounts`: 1 row (dpos, dneg).
+    */
+  private[graft] def scoreWithModel(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame, docCounts: DataFrame)
+      : DataFrame = {
+    // ONE fixed-point snap per log-RATIO (the BM25-idf convention —
+    // the oracle replays it through DetLog.lnRatioCtes verbatim)
+    val lnFpRatio: (Column, Column) => Column = (a, b) =>
+      floor(graft.functions.DetLog.lnRatio(a, b) * LnScale).cast("long")
+    val fpt = counts.select(col("term"),
+      lnFpRatio(col("cpos") + 1, col("cneg") + 1).as("fp"))
+    // 1-row model frame: per-token class normaliser and the doc prior
     val norm = counts.agg(
       sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
       count(lit(1)).as("v"))
@@ -66,7 +80,7 @@ object NaiveBayes {
         lnFpRatio(col("npos") + col("v"), col("nneg") + col("v"))
           .as("fpn"),
         lnFpRatio(col("dpos"), col("dneg")).as("fprior"))
-    val tw = tokenized(docs, Nil)
+    val tw = tokenized(docs, idCol, textCol, Nil)
     val dl = tw.select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
     tw.select(col(idCol), explode(col("w")).as("term"))
       .join(fpt, Seq("term"), "left")
@@ -82,5 +96,62 @@ object NaiveBayes {
         round(col("logodds_fp").cast("double") / lit(LnScale.toDouble), 6)
           .as("nb_logodds"),
         (col("logodds_fp") > 0L).as("pred_pos"))
+  }
+
+  // ------------------------------------------------------------------
+  // nearline model maintenance
+  // ------------------------------------------------------------------
+
+  /** Fold one micro-batch of labelled training documents into the
+    * persisted count model. The state is ONE atomically-swapped frame
+    * (kind, term, cpos, cneg, last_batch): `kind` 't' rows are the
+    * per-term class counts, the single 'd' row carries the class
+    * document counts — all additive integers, so any batching folds
+    * to the identical model and the batch oracle replays the streamed
+    * query exactly. At-least-once delivery is absorbed by the
+    * batch-id watermark INSIDE the swapped frame (the
+    * `CountMinSketch.applyBatch` crash contract).
+    */
+  def applyBatch(s: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, isPos: Column, batchId: Long,
+      stateDir: String): Unit = {
+    val applied = graft.io.ParquetUtil.lastBatch(s, stateDir)
+    if (applied.exists(batchId <= _)) return
+    val hasState = applied.isDefined
+    val tw = tokenized(batch, idCol, textCol, Seq(isPos.as("pos")))
+    val termPart = tw.select(explode(col("w")).as("term"), col("pos"))
+      .groupBy("term").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cneg"))
+      .select(lit("t").as("kind"), col("term"), col("cpos"), col("cneg"))
+    // coalesce: an all-empty batch aggregates to one NULL row
+    val docPart = tw.agg(
+      coalesce(sum(when(col("pos"), 1L).otherwise(0L)), lit(0L))
+        .as("cpos"),
+      coalesce(sum(when(col("pos"), 0L).otherwise(1L)), lit(0L))
+        .as("cneg"))
+      .select(lit("d").as("kind"), lit("").as("term"), col("cpos"),
+        col("cneg"))
+    val partial = termPart.unionByName(docPart)
+    val merged =
+      if (!hasState) partial
+      else graft.io.ParquetUtil.readRecovered(s, stateDir)
+        .drop("last_batch")
+        .unionByName(partial)
+        .groupBy("kind", "term")
+        .agg(sum(col("cpos")).as("cpos"), sum(col("cneg")).as("cneg"))
+    graft.io.ParquetUtil.safeOverwrite(s,
+      merged.withColumn("last_batch", lit(batchId)), stateDir)
+  }
+
+  /** Score a corpus against the streamed count model. */
+  def scoreFromState(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String, stateDir: String)
+      : DataFrame = {
+    val st = s.read.parquet(stateDir).drop("last_batch")
+    scoreWithModel(docs, idCol, textCol,
+      st.where(col("kind") === "t").select("term", "cpos", "cneg"),
+      st.where(col("kind") === "d")
+        .select(col("cpos").as("dpos"), col("cneg").as("dneg")))
   }
 }

@@ -57,6 +57,7 @@ class PlanGateSpec extends SparkSpec {
     // NB classifier: the 1-row model frame (class normaliser + prior)
     // crossJoins into the per-doc score stream
     "q_quality_classifier" -> Set("nested-loop"),
+    "q_stream_quality_classifier" -> Set("nested-loop"),
     "q_collocations" -> Set("nested-loop", "global-window"),
     "q_source_quality" -> Set("nested-loop"),
     "q_mix_sources" -> Set("nested-loop"),
