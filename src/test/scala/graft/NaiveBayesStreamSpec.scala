@@ -51,6 +51,30 @@ class NaiveBayesStreamSpec extends SparkSpec {
     assert(s1 == batch)
   }
 
+  test("crash mid-swap: replay folds the batch exactly once") {
+    val dir = tmp()
+    NaiveBayes.applyBatch(spark, docs.where(col("doc_id") < 2),
+      "doc_id", "text", col("lang") === "en", 0L, dir)
+    // clean reference: both batches applied without any crash
+    val ref = tmp()
+    NaiveBayes.applyBatch(spark, docs.where(col("doc_id") < 2),
+      "doc_id", "text", col("lang") === "en", 0L, ref)
+    NaiveBayes.applyBatch(spark, docs.where(col("doc_id") >= 2),
+      "doc_id", "text", col("lang") === "en", 1L, ref)
+    // crash inside batch 1's state swap (state moved aside, staging
+    // unpromoted), then replay: must equal the clean run — the
+    // watermark lives INSIDE the swapped frame, so recovery and the
+    // idempotence guard agree
+    graft.io.ParquetUtil.crashPoint = Some("mid-swap")
+    intercept[RuntimeException] {
+      NaiveBayes.applyBatch(spark, docs.where(col("doc_id") >= 2),
+        "doc_id", "text", col("lang") === "en", 1L, dir)
+    }
+    NaiveBayes.applyBatch(spark, docs.where(col("doc_id") >= 2),
+      "doc_id", "text", col("lang") === "en", 1L, dir)
+    assert(state(dir) == state(ref))
+  }
+
   test("replayed batch id is a no-op; empty batch folds harmlessly") {
     val dir = tmp()
     NaiveBayes.applyBatch(spark, docs.where(col("doc_id") < 3),
