@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   *
   * Usage: runMain graft.tools.NearlineSoak <docs.parquet> <nBatches>
   *          <outJson> [families]
-  * families: comma list of simhash,minhash,span,ivf (default all).
+  * families: comma list of simhash,minhash,span,ivf,nb (default all).
   * The ivf family (frozen-quantizer streamed IVF) reads the sibling
   * `embeddings.parquet` of the docs path.
   */
@@ -34,7 +34,7 @@ object NearlineSoak {
     val nBatches = args(1).toInt
     val outJson = args(2)
     val families = if (args.length > 3) args(3).split(',').toSet
-      else Set("simhash", "minhash", "span", "ivf")
+      else Set("simhash", "minhash", "span", "ivf", "nb")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -149,6 +149,20 @@ object NearlineSoak {
         (b, _) => graft.similarity.StreamingIvf.applyFrozenBatch(
           spark, b, centFp, postingsDir),
         () => spark.read.parquet(postingsDir).count())
+    }
+
+    if (families("nb")) {
+      // streamed NB count fold: per-batch cost is the batch token agg
+      // + a vocab-sized merge against the GROWING count table — the
+      // creep question is whether the merge tracks vocab growth
+      val labelled = spark.read.parquet(docsPath)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val stateDir = tmp("soak_nb") + "/state"
+      results("nb") = soak("nb",
+        slices(labelled.localCheckpoint(), "doc_id"),
+        (b, i) => graft.text.NaiveBayes.applyBatch(spark, b,
+          "doc_id", "text", col("lang") === "en", i.toLong, stateDir),
+        () => spark.read.parquet(stateDir).count())
     }
 
     // flatness: mean of the last fifth vs the mean of the second fifth
