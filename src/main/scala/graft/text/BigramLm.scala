@@ -82,26 +82,32 @@ object BigramLm {
     val fpu = u.select(col("term"), lnFp(col("c1")).as("fp1"))
     // ln N over the per-term partials (1-row frame, broadcasts)
     val fpn = u.agg(lnFp(sum(col("c1"))).as("fpn"))
+    // the seen-bigram SCORE ln(c2/c1(w1)) is precomputed INSIDE the
+    // bigram table — its rows know their w1, so the unigram snap joins
+    // the vocab-sized table here, not the corpus-sized token stream;
+    // the scoring stream below then pays TWO lookups per position
+    // instead of three (w1 is in-vocabulary whenever the bigram hit)
     val fpb = bigramPairs(twTrain, idCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .select(col("w1"), col("w2"), lnFp(col("c2")).as("fp2"))
+      .join(fpu.select(col("term").as("w1"), col("fp1")), "w1")
+      .select(col("w1"), col("w2"),
+        (col("fp2") - col("fp1")).as("fpseen"))
     // position 1: unigram ln(c(w_1)/N); OOV smooths to c = 1 (fp 0)
     val sFirst = tw.select(col(idCol), element_at(col("w"), 1).as("w1"))
       .join(fpu.select(col("term").as("w1"), col("fp1")), Seq("w1"), "left")
       .crossJoin(broadcast(fpn))
       .select(col(idCol),
         (coalesce(col("fp1"), lit(0L)) - col("fpn")).as("fp"))
-    // positions 2..n: seen bigram ln(c2/c1(w1)) — w1 is in-vocabulary
-    // whenever the bigram hit — else backoff ln(0.4) + ln(c1(w2)/N)
+    // positions 2..n: the precomputed seen score, else backoff
+    // ln(0.4) + ln(c1(w2)/N)
     val sBigram = bigramPairs(tw, idCol)
-      .join(fpu.select(col("term").as("w1"), col("fp1").as("fp1a")),
-        Seq("w1"), "left")
       .join(fpu.select(col("term").as("w2"), col("fp1").as("fp1b")),
         Seq("w2"), "left")
       .join(fpb, Seq("w1", "w2"), "left")
       .crossJoin(broadcast(fpn))
       .select(col(idCol),
-        when(col("fp2").isNotNull, col("fp2") - col("fp1a"))
+        when(col("fpseen").isNotNull, col("fpseen"))
           .otherwise(coalesce(col("fp1b"), lit(0L)) - col("fpn")
             + lit(AlphaFp)).as("fp"))
     val dl = tw.select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
