@@ -152,7 +152,7 @@ object Bench {
     // ~2000 chars of output, so leading fields of a 4KB+ line vanish
     // from the round artifact while trailing ones always survive
     val qsShort = results.map { case (k, v, _) =>
-      s"\"" + k + "\":" + f"$v%.3f"
+      s"\"" + k + "\":" + graft.util.Fmt.fixed(v, 3)
     }.mkString("{", ",", "}")
     val line =
       s"""{"queries":$qsShort,"n_queries":${results.size},""" +

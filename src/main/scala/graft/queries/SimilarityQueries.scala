@@ -356,15 +356,15 @@ object SimilarityQueries {
 
     // product-quantization ANN: per-subspace bit-exact k-means
     // codebooks, the corpus scan reads integer codes only (ADC lookup
-    // tables), and the float vectors re-attach for just the
-    // 10%-of-corpus shortlist the codes nominate (exact rerank) — the
-    // Jégou ADC+rerank deployment; recall measured in RECALL_r11.json
+    // tables), and the float vectors re-attach for just the FIXED
+    // RerankFactor×k shortlist the codes nominate (exact rerank) — the
+    // Jégou ADC+rerank deployment with a genuinely output-sized float
+    // fetch; recall swept over the factor in RECALL_SF1_r12.json
     "q_ann_pq" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_ann_pq")
       val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
-      val shortlist = math.max(TopK,
-        math.ceil(0.1 * emb.count()).toInt)
+      val shortlist = graft.similarity.ProductQuantizer.RerankFactor * TopK
       graft.similarity.ProductQuantizer.adcRerankTopK(
         s, emb, "vec_id", "embedding", NumQueries, TopK, shortlist)
     },
@@ -372,7 +372,7 @@ object SimilarityQueries {
     // JL random projection + brute ANN in the 16-dim projected space:
     // 64 float dims -> 16 doubles (the deterministic LSH hyperplanes,
     // values kept instead of sign bits), 4x less candidate compute
-    // and shuffle width; recall measured in RECALL_r11.json
+    // and shuffle width; recall measured in RECALL_r12.json
     "q_ann_projected" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_ann_projected")
@@ -673,7 +673,7 @@ object SimilarityQueries {
     * association.
     */
   private def annPqOracle: String = {
-    import graft.similarity.ProductQuantizer.{Iters, NumSubspaces}
+    import graft.similarity.ProductQuantizer.{Iters, NumSubspaces, RerankFactor}
     val f = Iters + 1
     val ms = 0 until NumSubspaces
     val codesCols = ms.map(i => s"a${f}_m$i.cid AS k$i").mkString(", ")
@@ -703,9 +703,8 @@ object SimilarityQueries {
       |r AS MATERIALIZED (SELECT qid, vec_id, row_number() OVER
       |  (PARTITION BY qid ORDER BY cosine_pq DESC, vec_id) AS adcrank
       |  FROM fin),
-      |sl AS (SELECT qid, vec_id FROM r WHERE adcrank <=
-      |  (SELECT greatest($TopK, CAST(ceil(0.1 * count(*)) AS BIGINT))
-      |   FROM embeddings)),
+      |sl AS (SELECT qid, vec_id FROM r
+      |  WHERE adcrank <= ${RerankFactor * TopK}),
       |rr AS (SELECT sl.qid, sl.vec_id,
       |    ${cosineExpr("qv", "embedding")} AS cosine
       |  FROM sl JOIN embeddings e ON sl.vec_id = e.vec_id

@@ -206,6 +206,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // trained char-bigram language ID (the fastText/CCNet-style
+    // component): multiclass +1-smoothed NB over character n-grams,
+    // trained on the even-doc_id split; the class set is a query
+    // parameter (the corpus's five languages), accuracy proven on
+    // synthetic separable corpora in LangIdNbSpec (the testdata lang
+    // column is near-independent of its text — this oracle checks
+    // engine parity, the spec checks learning)
+    "q_langid_trained" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_langid_trained")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      graft.text.LangIdNb.score(
+        docs, docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        "lang", LangIdClasses)
+        .orderBy("doc_id")
+    },
+
     // boilerplate removal over an HTML wrapper derived from each doc
     // (tags → URLs → whitespace, all RE2/java-portable patterns)
     "q_boilerplate" -> { (s, dir) =>
@@ -457,6 +475,11 @@ object TextQueries {
 
   /** Eval-split percentage for q_decontaminate. */
   private val EvalPct = 10
+  /** q_langid_trained's class set — a sorted query parameter (the
+    * [[graft.text.LangIdNb.score]] contract): the testdata corpus's
+    * five languages, fixed so the static oracle replays the same model.
+    */
+  private val LangIdClasses = Seq("de", "en", "es", "fr", "zh")
   /** Seed for q_corpus_shuffle's deterministic permutation. */
   private val ShuffleSeed = 42
   /** m-estimate pseudo-count for q_source_quality smoothing. */
@@ -816,6 +839,93 @@ object TextQueries {
          |  logodds_fp > 0 AS pred_pos
          |FROM lo JOIN dl ON lo.doc_id = dl.doc_id
          |ORDER BY lo.doc_id""".stripMargin
+    },
+
+    // trained char-bigram langid: ONE lnRatio chain over the
+    // (term × class) long frame (then pivoted wide), one over the
+    // 5-row OOV frame, one over the 5-row prior frame — the engine's
+    // per-class fixed-point algebra replayed verbatim
+    "q_langid_trained" -> {
+      val sc = graft.text.LangIdNb.LnScale
+      val cls = LangIdClasses
+      val n = graft.text.LangIdNb.NGram
+      val langsRel =
+        cls.map(l => s"('$l')").mkString("(VALUES ", ", ", ") l(lang)")
+      def wideSum(src2: String): String = cls.map(l =>
+        s"CAST(sum(CASE WHEN $src2 = '$l' THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS c_$l").mkString(",\n  ")
+      val caseC = "CASE l.lang " + cls.map(l =>
+        s"WHEN '$l' THEN c_$l").mkString(" ") + " END"
+      val caseN = "CASE l.lang " + cls.map(l =>
+        s"WHEN '$l' THEN n_$l").mkString(" ") + " END"
+      val caseD = "CASE l.lang " + cls.map(l =>
+        s"WHEN '$l' THEN d_$l").mkString(" ") + " END"
+      def pivot(v: String, pfx: String): String = cls.map(l =>
+        s"max(CASE WHEN lbl = '$l' THEN $v END) AS $pfx$l")
+        .mkString(",\n  ")
+      val inList = cls.map(l => s"'$l'").mkString(", ")
+      s"""WITH g0 AS (SELECT doc_id, lang,
+         |  CASE WHEN len(text) >= $n THEN list_transform(
+         |    range(1, len(text) - ${n - 2}), i -> substr(text, i, $n))
+         |  ELSE []::VARCHAR[] END AS w
+         |  FROM documents),
+         |gg AS (SELECT * FROM g0 WHERE len(w) > 0),
+         |twt AS (SELECT doc_id, lang AS lbl, w FROM gg
+         |  WHERE doc_id % 2 = 0 AND lang IN ($inList)),
+         |t AS (SELECT unnest(w) AS term, lbl FROM twt),
+         |cnts AS (SELECT term, ${wideSum("lbl")}
+         |  FROM t GROUP BY 1),
+         |tot AS (SELECT ${cls.map(l =>
+            s"CAST(sum(c_$l) AS BIGINT) AS n_$l").mkString(", ")},
+         |  count(*) AS v FROM cnts),
+         |dcnt AS (SELECT ${cls.map(l =>
+            "CAST(sum(CASE WHEN lbl = '" + l +
+              s"' THEN 1 ELSE 0 END) AS BIGINT) AS d_$l").mkString(", ")},
+         |  count(*) AS dd FROM twt),
+         |cl AS (SELECT term, l.lang AS lbl, $caseC AS cw, $caseN AS nw, v
+         |  FROM cnts CROSS JOIN tot CROSS JOIN $langsRel),
+         |${graft.functions.DetLog.lnRatioCtes("lt", "cl",
+             "cw + 1", "nw + v", "lnr", Seq("term", "lbl"))},
+         |fptl AS (SELECT term, lbl,
+         |  CAST(floor(lnr * $sc) AS BIGINT) AS fp FROM lt),
+         |fpt AS (SELECT term, ${pivot("fp", "fp_")}
+         |  FROM fptl GROUP BY term),
+         |ov AS (SELECT l.lang AS lbl, $caseN AS nw, v
+         |  FROM tot CROSS JOIN $langsRel),
+         |${graft.functions.DetLog.lnRatioCtes("lo", "ov",
+             "1", "nw + v", "lnr", Seq("lbl"))},
+         |fpoov AS (SELECT ${pivot(
+            s"CAST(floor(lnr * $sc) AS BIGINT)", "fpoov_")} FROM lo),
+         |pr AS (SELECT l.lang AS lbl, $caseD AS dw, dd
+         |  FROM dcnt CROSS JOIN $langsRel),
+         |${graft.functions.DetLog.lnRatioCtes("lp", "pr",
+             "dw", "dd", "lnr", Seq("lbl"))},
+         |fpr AS (SELECT ${pivot(
+            s"CAST(floor(lnr * $sc) AS BIGINT)", "fprior_")} FROM lp),
+         |td AS (SELECT doc_id, unnest(w) AS term FROM gg),
+         |d AS (SELECT doc_id,
+         |  ${cls.map(l =>
+            s"CAST(sum(coalesce(fp_$l, 0)) AS BIGINT) AS sum_$l")
+            .mkString(",\n  ")},
+         |  CAST(sum(CASE WHEN fp_${cls.head} IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_oov,
+         |  count(*) AS n_ngrams
+         |  FROM td LEFT JOIN fpt USING (term) GROUP BY 1),
+         |scr AS (SELECT doc_id, n_ngrams,
+         |  ${cls.map(l =>
+            s"sum_$l + n_oov * fpoov_$l + fprior_$l AS score_$l")
+            .mkString(",\n  ")}
+         |  FROM d, fpoov, fpr),
+         |fin AS (SELECT doc_id, n_ngrams,
+         |  ${cls.map(l => s"score_$l").mkString("greatest(", ", ", ")")}
+         |    AS best, ${cls.map(l => s"score_$l").mkString(", ")}
+         |  FROM scr)
+         |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+         |  CASE ${cls.map(l =>
+            s"WHEN score_$l = best THEN '$l'").mkString(" ")}
+         |    ELSE 'und' END AS lang_pred,
+         |  round(CAST(best AS DOUBLE) / $sc.0, 6) AS nb_score
+         |FROM fin ORDER BY doc_id""".stripMargin
     },
 
     // the end-to-end pipeline oracle: the SAME stage chain as the

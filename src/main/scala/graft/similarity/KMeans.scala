@@ -74,7 +74,16 @@ object KMeans {
       }
       bestCid
     }
-    pts.select(col("vec_id"), argmin(col("p")).as("cid"))
+    // materialize (eager localCheckpoint), then destroy the broadcast:
+    // PQ training runs M subspaces × (iters+1) assigns per query and
+    // the nearline soaks run one per batch — without the destroy every
+    // centroid table stays pinned on the executors until its plan is
+    // GC'd. The checkpoint is a 2-long-column frame, write cost noise
+    // next to the point scan it caps.
+    val out = pts.select(col("vec_id"), argmin(col("p")).as("cid"))
+      .localCheckpoint()
+    bc.destroy()
+    out
   }
 
   /** The declarative Column rendering of [[assign]] — the form the
@@ -123,10 +132,9 @@ object KMeans {
     val pts = pointsFp(df, idCol, vecCol).persist()
     try {
       pts.count()
-      // materialise BEFORE the finally unpersists pts: the caller will
-      // reference the assignment several times (pair-join sides), and a
-      // lazy result would recompute the scan + argmin per reference
-      assign(pts, lloyd(pts, k, iterations)).localCheckpoint()
+      // assign() materialises its output, so the caller can reference
+      // the assignment repeatedly (pair-join sides) after pts unpersists
+      assign(pts, lloyd(pts, k, iterations))
     } finally pts.unpersist()
   }
 
@@ -144,7 +152,7 @@ object KMeans {
     try {
       p.count()
       val cent = lloyd(p, k, iterations)
-      (cent, assign(p, cent).localCheckpoint())
+      (cent, assign(p, cent))
     } finally p.unpersist()
   }
 
@@ -163,7 +171,7 @@ object KMeans {
     try {
       pts.count()
       val cent = lloyd(pts, k, iterations)
-      (cent, assign(pts, cent).localCheckpoint())
+      (cent, assign(pts, cent))
     } finally pts.unpersist()
   }
 

@@ -40,12 +40,26 @@ object ProductQuantizer {
 
   /** Subspaces (M), shipped default: 8 blocks of 8 dims over the
     * 64-dim corpus (chosen from the measured sf0.1 recall sweep in
-    * AnnRecallSpec — see RECALL_r11.json).
+    * AnnRecallSpec — see RECALL_r12.json).
     */
   val NumSubspaces = 8
 
   /** Codes per subspace codebook (K), shipped default. */
   val CodebookK = 64
+
+  /** Shipped rerank shortlist depth as a multiple of top-k: the ADC
+    * scan nominates `RerankFactor × k` candidates per query and ONLY
+    * those re-attach float vectors. FIXED, not corpus-proportional —
+    * the float fetch stays output-sized at any corpus scale (a
+    * fraction-of-n shortlist would make the rerank IVF-scan-sized at
+    * 100×). Chosen from the sf1 sweep over c ∈ {10, 50, 100, 200} in
+    * AnnRecallSpec (RECALL_SF1_r12.json: 0.960/0.982/0.990/0.998) —
+    * c = 200 is the smallest factor matching the old 10%-of-corpus
+    * shortlist's 0.998 recall@10 at sf1, and at sf1 the two operating
+    * points coincide (2,000 rows/query), so this pins the proven
+    * recall while capping the float fetch at 200·k rows FOREVER.
+    */
+  val RerankFactor = 200
 
   /** Lloyd iterations per subspace chain. */
   val Iters = 2

@@ -66,10 +66,11 @@ object VectorFunctions {
     * [[planeLit]] feeds Spark).
     */
   def planeSqlLiterals(p: Int): Seq[String] =
-    Hyperplanes(p).map(v => f"$v%.3f")
+    Hyperplanes(p).map(v => graft.util.Fmt.fixed(v, 3))
 
   private def planeLit(p: Int): Column =
-    array(hyperplane(p).map(v => lit(f"$v%.3f".toDouble)): _*)
+    array(hyperplane(p).map(v =>
+      lit(graft.util.Fmt.fixed(v, 3).toDouble)): _*)
 
   /** Johnson–Lindenstrauss-style deterministic random projection: the
     * REAL-VALUED dots against the first `k` hyperplanes (the LSH sign

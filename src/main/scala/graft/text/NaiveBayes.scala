@@ -72,12 +72,22 @@ object NaiveBayes {
     val fpt = counts.select(col("term"),
       lnFpRatio(col("cpos") + 1, col("cneg") + 1).as("fp"))
     // 1-row model frame: per-token class normaliser and the doc prior
+    // degenerate-model guard, evaluated IN-PLAN on the 1-row frame (no
+    // extra pass over train): a single-class split or empty vocabulary
+    // would feed lnRatio a zero argument, whose Column series silently
+    // evaluates to a meaningless prior instead of throwing like the
+    // scalar lnIntRef — fail loudly instead. coalesce(assert_true, 0)
+    // adds exactly 0 when the model is sane, so scores are unchanged.
+    val guard = coalesce(assert_true(
+      col("dpos") >= 1 && col("dneg") >= 1 && col("v") >= 1,
+      lit("NaiveBayes: degenerate model — training needs >=1 positive " +
+        "doc, >=1 negative doc and a nonempty vocabulary")), lit(0L))
     val norm = counts.agg(
       sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
       count(lit(1)).as("v"))
       .crossJoin(docCounts)
       .select(
-        lnFpRatio(col("npos") + col("v"), col("nneg") + col("v"))
+        (lnFpRatio(col("npos") + col("v"), col("nneg") + col("v")) + guard)
           .as("fpn"),
         lnFpRatio(col("dpos"), col("dneg")).as("fprior"))
     val tw = tokenized(docs, idCol, textCol, Nil)

@@ -182,14 +182,14 @@ object NearlineSoak {
       // with nBatches < 5 the early-fifth slice is empty (mean 0.0):
       // emit null rather than Infinity/NaN, which is invalid JSON
       val ratio =
-        if (early > 0.0) f"${late / early}%.3f" else "null"
+        if (early > 0.0) graft.util.Fmt.fixed(late / early, 3) else "null"
       "\"" + name + "\":{" +
-        s""""early_fifth_mean_secs":${f"$early%.3f"},""" +
-        s""""late_fifth_mean_secs":${f"$late%.3f"},""" +
+        s""""early_fifth_mean_secs":${graft.util.Fmt.fixed(early, 3)},""" +
+        s""""late_fifth_mean_secs":${graft.util.Fmt.fixed(late, 3)},""" +
         s""""late_over_early":$ratio,""" +
         s""""final_state_rows":${pts.last.stateRows},""" +
         "\"batches\":[" + pts.map(p =>
-          s"""{"b":${p.batch},"secs":${f"${p.secs}%.3f"},""" +
+          s"""{"b":${p.batch},"secs":${graft.util.Fmt.fixed(p.secs, 3)},""" +
             s""""state_rows":${p.stateRows}}""").mkString(",") + "]}"
     }.mkString(","))
     json.append("}")

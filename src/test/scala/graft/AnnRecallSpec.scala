@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * tradeoffs, pins the SHIPPED trained default on the recall frontier
   * (recall@10 ≥ 0.9 at ≤ 0.3 of the corpus scanned), measures the
   * PQ/ADC top-k agreement, and writes the measured curves to
-  * `target/RECALL_r11.json` for SURVEY §6.
+  * `target/RECALL_r12.json` for SURVEY §6.
   */
 class AnnRecallSpec extends SparkSpec {
 
@@ -68,21 +68,31 @@ class AnnRecallSpec extends SparkSpec {
     val pqSweep = pqConfigs.map { case (m, kk) =>
       (m, kk, AnnRecall.pqRecall(spark, emb, m, kk))
     }
-    // the SHIPPED q_ann_pq operating point: default codebooks, ADC
-    // shortlist at 10% of the corpus, exact rerank
-    val pqShortlist = math.max(10, math.ceil(0.1 * n).toInt)
-    val pqShipped = AnnRecall.pqRecall(spark, emb,
-      shortlist = pqShortlist)
+    // the SHIPPED q_ann_pq operating point: default codebooks, FIXED
+    // RerankFactor×k ADC shortlist (output-sized at any corpus scale),
+    // exact rerank — the factor swept so the shipped choice is the
+    // smallest c whose recall matches the old corpus-proportional
+    // shortlist
+    val rerankFactors =
+      Seq(10, 50, graft.similarity.ProductQuantizer.RerankFactor, 100, 200)
+        .distinct.sorted
+    val pqRerankSweep = rerankFactors.map { c =>
+      (c, AnnRecall.pqRecall(spark, emb, shortlist = c * 10))
+    }
+    val shippedFactor = graft.similarity.ProductQuantizer.RerankFactor
+    val pqShipped = pqRerankSweep.find(_._1 == shippedFactor).get._2
+    val pqShortlist = shippedFactor * 10
 
     // JL 16-dim projected-space ranking (q_ann_projected): top-10
-    // agreement, plus the same 10%-shortlist rerank deployment
+    // agreement, plus the same fixed-factor rerank deployment
     val projTop = AnnRecall.projRecall(emb)
     val projRerank = AnnRecall.projRecall(emb, shortlist = pqShortlist)
 
     // artifact first — the measurement is the deliverable even when a
     // shape assertion below catches a regression
     writeArtifact(lsh, ivfLabel, ivfTrained, ivfFrozen, k, npDefault,
-      kF, npF, pqSweep, pqShortlist, pqShipped, projTop, projRerank)
+      kF, npF, pqSweep, pqRerankSweep, pqShortlist, pqShipped,
+      projTop, projRerank)
 
     // more bits per hash (fixed plane count): precision up →
     // candidates down, recall down-or-equal
@@ -150,6 +160,13 @@ class AnnRecallSpec extends SparkSpec {
     val bySweep = pqSweep.map { case (m, kk, r) => (m, kk) -> r }.toMap
     assert(bySweep((4, 64)) >= bySweep((4, 16)) - 1e-9)
     assert(bySweep((8, 64)) >= bySweep((8, 16)) - 1e-9)
+    // fixed-factor rerank: a deeper shortlist can only admit more true
+    // neighbours, so recall is monotone in the factor
+    pqRerankSweep.sliding(2).foreach {
+      case Seq((ca, ra), (cb, rb)) => assert(rb >= ra - 1e-9,
+        s"PQ rerank recall not monotone in factor: ($ca,$ra) -> ($cb,$rb)")
+      case _ => ()
+    }
     assert(pqShipped >= 0.8,
       s"shipped PQ rerank recall collapsed: $pqShipped")
   }
@@ -160,19 +177,21 @@ class AnnRecallSpec extends SparkSpec {
       ivfTrained: Seq[graft.similarity.AnnRecall.IvfPoint],
       ivfFrozen: Seq[graft.similarity.AnnRecall.IvfPoint],
       k: Int, npDefault: Int, kFrozen: Int, npFrozen: Int,
-      pqSweep: Seq[(Int, Int, Double)], pqShortlist: Int,
+      pqSweep: Seq[(Int, Int, Double)],
+      pqRerankSweep: Seq[(Int, Double)], pqShortlist: Int,
       pqShipped: Double, projTop: Double, projRerank: Double): Unit = {
+    def n4(v: Double): String = graft.util.Fmt.fixed(v, 4)
     def ivfJson(ps: Seq[graft.similarity.AnnRecall.IvfPoint]): String =
       "[" + ps.map(p =>
-        s"""{"nprobe":${p.nprobe},"recall_at_10":${f"${p.recallAt}%.4f"},""" +
-          s""""avg_scanned_fraction":${f"${p.avgScannedFraction}%.4f"}}""")
+        s"""{"nprobe":${p.nprobe},"recall_at_10":${n4(p.recallAt)},""" +
+          s""""avg_scanned_fraction":${n4(p.avgScannedFraction)}}""")
         .mkString(",") + "]"
     val json =
       "{\"sf\":\"" + sfDir + "\",\"k\":10,\"queries\":50," +
         "\"lsh\":[" + lsh.map(p =>
           s"""{"planes":${p.planes},"bandBits":${p.bandBits},""" +
-            s""""tables":${p.tables},"recall_at_10":${f"${p.recallAt}%.4f"},""" +
-            s""""avg_candidates":${f"${p.avgCandidates}%.1f"}}""")
+            s""""tables":${p.tables},"recall_at_10":${n4(p.recallAt)},""" +
+            s""""avg_candidates":${graft.util.Fmt.fixed(p.avgCandidates, 1)}}""")
           .mkString(",") + "]," +
         "\"ivf_label\":" + ivfJson(ivfLabel) + "," +
         s""""ivf_trained_k":$k,"ivf_trained_default_nprobe":$npDefault,""" +
@@ -186,18 +205,23 @@ class AnnRecallSpec extends SparkSpec {
         graft.similarity.ProductQuantizer.CodebookK + "," +
         "\"pq_adc\":[" + pqSweep.map { case (m, kk, r) =>
           s"""{"subspaces":$m,"codebook_k":$kk,""" +
-            s""""recall_at_10":${f"$r%.4f"}}"""
+            s""""recall_at_10":${n4(r)}}"""
         }.mkString(",") + "]," +
-        s""""pq_shipped_rerank":{"shortlist":$pqShortlist,""" +
-        s""""shortlist_fraction":0.1,""" +
-        s""""recall_at_10":${f"$pqShipped%.4f"}},""" +
+        "\"pq_rerank_factor_sweep\":[" + pqRerankSweep.map { case (c, r) =>
+          s"""{"factor":$c,"shortlist":${c * 10},""" +
+            s""""recall_at_10":${n4(r)}}"""
+        }.mkString(",") + "]," +
+        s""""pq_shipped_rerank":{"factor":""" +
+        graft.similarity.ProductQuantizer.RerankFactor + "," +
+        s""""shortlist":$pqShortlist,""" +
+        s""""recall_at_10":${n4(pqShipped)}},""" +
         s""""projected":{"dims":""" +
         graft.similarity.VectorFunctions.NumPlanes + "," +
-        s""""recall_at_10":${f"$projTop%.4f"},""" +
+        s""""recall_at_10":${n4(projTop)},""" +
         s""""rerank_shortlist":$pqShortlist,""" +
-        s""""rerank_recall_at_10":${f"$projRerank%.4f"}}}"""
+        s""""rerank_recall_at_10":${n4(projRerank)}}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/RECALL_r11.json"),
+      java.nio.file.Paths.get("target/RECALL_r12.json"),
       json.getBytes("UTF-8"))
   }
 }
