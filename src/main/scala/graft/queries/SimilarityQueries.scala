@@ -194,8 +194,9 @@ object SimilarityQueries {
     */
   private[graft] def ivfSearch(s: SparkSession, emb: DataFrame,
       centroids: Map[Int, Array[Double]],
-      nprobe: Int = NProbe): DataFrame = {
-    val qRows = emb.filter(col("vec_id") < NumQueries)
+      nprobe: Int = NProbe, numQueries: Int = NumQueries,
+      topK: Int = TopK): DataFrame = {
+    val qRows = emb.filter(col("vec_id") < numQueries)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
     val probeRows = qRows.flatMap { r =>
       val qid = r.getLong(0)
@@ -223,10 +224,27 @@ object SimilarityQueries {
       .withColumn("cosine",
         graft.functions.GraftFunctions.cosineSim(s, col("qv"), col("embedding")))
       .withColumn("rank", rank.cast("bigint"))
-      .where(col("rank") <= TopK)
+      .where(col("rank") <= topK)
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"),
         col("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** The streamed-PQ query tail shared with the batch contract: ADC +
+    * fixed-RerankFactor rerank over a postings frame
+    * (vec_id, embedding, code_0..code_{M-1}) against FROZEN books —
+    * output is the q_ann_pq contract (qid, neighbor, cosine, rank).
+    */
+  private[graft] def pqSearchFromPostings(s: SparkSession,
+      post: DataFrame, books: Seq[DataFrame]): DataFrame = {
+    import graft.similarity.ProductQuantizer
+    val m = ProductQuantizer.NumSubspaces
+    ProductQuantizer.adcRerankTopKWith(s,
+      post.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      books,
+      post.select(
+        col("vec_id") +: (0 until m).map(i => col(s"code_$i")): _*),
+      NumQueries, TopK, ProductQuantizer.RerankFactor * TopK, m)
   }
 
   /** int8-quantized brute-force ANN: per-vector symmetric quantization
@@ -410,6 +428,40 @@ object SimilarityQueries {
         .select(col("vec_id").as("doc_id"), col("embedding"))
       graft.similarity.HybridRrf.fuse(s, docs, emb, "doc_id", "text",
         "embedding", NumQueries, TopK)
+    },
+
+    // the production hybrid deployment: same lexical leg + RRF fusion,
+    // vector leg swapped from the brute corpus scan to the trained-IVF
+    // probe (q_ann_ivf's k = ⌊√n⌋ quantizer, nprobe = ⌈0.22k⌉) — the
+    // per-query vector cost drops from the whole corpus to the probed
+    // clusters, the fusion layer is unchanged
+    "q_hybrid_rrf_ivf" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_hybrid_rrf_ivf")
+      val docs = src(dfl, "documents").select(col("doc_id"), col("text"))
+      val embT = src(dfl, "embeddings")
+      val emb = embT.select(col("vec_id").as("doc_id"), col("embedding"))
+      val corpus = graft.similarity.HybridRrf.corpusOf(
+        docs, emb, "doc_id", "text", "embedding")
+      val lex = graft.similarity.HybridRrf.lexicalLeg(
+        corpus, "doc_id", "text", NumQueries)
+      // coarse quantizer trained on the FULL embeddings frame (the
+      // q_ann_ivf chain — oracle-replayable); candidates restricted to
+      // corpus members so both legs rank the same item universe
+      val embV = embT.select(col("vec_id"), col("embedding"))
+      val k = ivfK(embV.count())
+      val (centFp, asg) = graft.similarity.KMeans.fitModel(
+        embV, "vec_id", "embedding", k, IvfIters)
+      val corpusEmb = corpus
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .join(asg, "vec_id")
+        .select(col("vec_id"), col("embedding"),
+          col("cid").cast("int").as("label"))
+      val vec = ivfSearch(s, corpusEmb, trainedCentroids(centFp),
+        ivfNProbe(k), NumQueries, graft.similarity.HybridRrf.KEach)
+        .select(col("qid"), col("neighbor").as("doc_id"),
+          col("rank").as("r2"))
+      graft.similarity.HybridRrf.fuseRanked(lex, vec, "doc_id", TopK)
     })
 
   import OracleSql._
@@ -618,11 +670,20 @@ object SimilarityQueries {
     * replay re-rooted at a [[graft.similarity.ProductQuantizer.SubDim]]-wide
     * slice of the embedding, CTE names suffixed `_m<m>`.
     */
-  private def pqChain(m: Int): String = {
+  private def pqChain(m: Int, trainWhere: String = ""): String = {
     import graft.similarity.KMeans.{Offset, Scale}
     import graft.similarity.ProductQuantizer.{CodebookK, Iters, SubDim}
     val d1 = SubDim + 1
     val p = s"m$m"
+    // training points: the full slice frame, or (frozen-quantizer
+    // streamed rendering) only the bootstrap-batch rows — the FINAL
+    // assignment below always runs over the full frame
+    val trainSrc = if (trainWhere.isEmpty) s"pts_$p" else s"ptst_$p"
+    val ptstCte =
+      if (trainWhere.isEmpty) ""
+      else s"""ptst_$p AS MATERIALIZED (SELECT * FROM pts_$p
+              |  WHERE $trainWhere),
+              |""".stripMargin
     def dist(pp: String, cc: String) =
       s"""CAST(list_sum(list_transform(range(1, $d1),
          |      d -> ($pp[d] - $cc[d]) * ($pp[d] - $cc[d]))) AS BIGINT)"""
@@ -631,31 +692,32 @@ object SimilarityQueries {
     // single-reference CTEs, and the final 2M-way join of inlined
     // window subtrees sends the optimizer into a multi-minute plan —
     // materialization pins each 500-to-n-row stage to one evaluation
-    def asg(i: Int) =
+    def asg(i: Int, src: String) =
       s"""a${i}_$p AS MATERIALIZED (SELECT vec_id, cid FROM (
-         |  SELECT pts_$p.vec_id, c${i - 1}_$p.cid,
-         |    row_number() OVER (PARTITION BY pts_$p.vec_id
-         |      ORDER BY ${dist(s"pts_$p.p", s"c${i - 1}_$p.c")},
+         |  SELECT $src.vec_id, c${i - 1}_$p.cid,
+         |    row_number() OVER (PARTITION BY $src.vec_id
+         |      ORDER BY ${dist(s"$src.p", s"c${i - 1}_$p.c")},
          |        c${i - 1}_$p.cid) AS rn
-         |  FROM pts_$p, c${i - 1}_$p) WHERE rn = 1)""".stripMargin
+         |  FROM $src, c${i - 1}_$p) WHERE rn = 1)""".stripMargin
     def cent(i: Int) =
       s"""c${i}_$p AS MATERIALIZED (SELECT cid, list(cv ORDER BY dim) AS c
          |  FROM (
          |  SELECT cid, r.range AS dim,
          |    CAST(sum(p[r.range]) AS BIGINT) // count(*) AS cv
-         |  FROM a${i}_$p JOIN pts_$p USING (vec_id), range(1, $d1) r
+         |  FROM a${i}_$p JOIN $trainSrc USING (vec_id), range(1, $d1) r
          |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
-    val rounds = (1 to Iters).flatMap(i => Seq(asg(i), cent(i)))
+    val rounds = (1 to Iters).flatMap(i => Seq(asg(i, trainSrc), cent(i)))
       .mkString(",\n")
     s"""pts_$p AS MATERIALIZED (SELECT vec_id, list_transform(
        |    list_slice(embedding, ${m * SubDim + 1}, ${(m + 1) * SubDim}),
        |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
        |      AS BIGINT)) AS p
        |  FROM embeddings),
-       |c0_$p AS MATERIALIZED (SELECT vec_id AS cid, p AS c FROM pts_$p
+       |${ptstCte}c0_$p AS MATERIALIZED (SELECT vec_id AS cid, p AS c
+       |  FROM $trainSrc
        |  ORDER BY vec_id LIMIT $CodebookK),
        |$rounds,
-       |${asg(Iters + 1)},
+       |${asg(Iters + 1, s"pts_$p")},
        |crec_$p AS MATERIALIZED (SELECT cid, list_transform(c,
        |  x -> CAST(CAST(x AS DOUBLE) / $Scale.0 - $Offset AS FLOAT))
        |  AS cv FROM c${Iters}_$p),
@@ -672,7 +734,20 @@ object SimilarityQueries {
     * vec_id, the blocked sums assembled in the engine's strict-left
     * association.
     */
-  private def annPqOracle: String = {
+  private def annPqOracle: String = pqOracle("")
+
+  /** Replay of the FROZEN-book streamed PQ (`q_stream_ann_pq`): each
+    * subspace chain trains on batch 0 of the stream's id-range slicing
+    * only, the final code assignment runs over the whole corpus — the
+    * [[frozenStreamIvfOracle]] rule applied to the PQ chains.
+    */
+  private[graft] def frozenStreamPqOracle: String =
+    pqOracle(
+      """vec_id < (SELECT min(vec_id)
+        |  + ((max(vec_id) - min(vec_id)) // 3 + 1) FROM embeddings)"""
+        .stripMargin)
+
+  private def pqOracle(trainWhere: String): String = {
     import graft.similarity.ProductQuantizer.{Iters, NumSubspaces, RerankFactor}
     val f = Iters + 1
     val ms = 0 until NumSubspaces
@@ -688,7 +763,7 @@ object SimilarityQueries {
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
       |  WHERE vec_id < $NumQueries),
       |qn AS (SELECT qid, sqrt(${cosDot("qv", "qv")}) AS qnorm FROM q),
-      |${ms.map(pqChain).mkString(",\n")},
+      |${ms.map(i => pqChain(i, trainWhere)).mkString(",\n")},
       |codes AS MATERIALIZED (SELECT a${f}_m0.vec_id, $codesCols
       |  FROM a${f}_m0 $codesJoins),
       |sc AS (SELECT l0.qid, codes.vec_id,
@@ -747,51 +822,114 @@ object SimilarityQueries {
       |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
+  /** The hybrid retriever's shared CTE prefix (corpus join + tokenised
+    * text + the BM25 lexical leg ending in `lex(qid, doc_id, r1)`) and
+    * its shared fusion tail — both hybrid oracles are these around a
+    * different vector leg named `vec(qid, doc_id, r2)`.
+    */
+  private def hybridLexCtes: String = {
+    import graft.text.Bm25.{B, K1, K1Plus1, OneMinusB, Scale}
+    import graft.similarity.HybridRrf.{KEach, QueryTerms}
+    s"""corpus AS (SELECT d.doc_id, d.text, e.embedding
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      |tw AS (SELECT doc_id, embedding,
+      |  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |       ELSE string_split_regex(trim(text), '\\s+') END AS w
+      |  FROM corpus),
+      |qt AS (SELECT doc_id AS qid,
+      |    unnest(list_distinct(list_slice(w, 1, $QueryTerms))) AS term
+      |  FROM tw WHERE doc_id < $NumQueries),
+      |t AS (SELECT doc_id, unnest(w) AS term FROM tw),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+      |nn AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
+      |  FROM dl),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |${graft.functions.DetLog.lnRatioCtes("idfq", "dfq, nn",
+          "2 * n_docs - 2 * df + 1", "2 * df + 1", "idf",
+          Seq("term", "df"))},
+      |sc AS (SELECT doc_id, term, CAST(floor(
+      |    idf
+      |      * (CAST(tf AS DOUBLE) * $K1Plus1)
+      |      / (CAST(tf AS DOUBLE) + $K1 * ($OneMinusB
+      |        + $B * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+      |          / CAST(tot AS DOUBLE)))
+      |      * ${Scale.toDouble}) AS BIGINT) AS c
+      |  FROM tf JOIN idfq USING (term) JOIN dl USING (doc_id), nn),
+      |lexall AS (SELECT qt.qid, s.doc_id,
+      |    CAST(sum(s.c) AS BIGINT) AS score_fp
+      |  FROM sc s JOIN qt ON s.term = qt.term
+      |  WHERE s.doc_id <> qt.qid GROUP BY 1, 2),
+      |lex AS (SELECT qid, doc_id, r1 FROM (
+      |    SELECT qid, doc_id, row_number() OVER
+      |      (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS r1
+      |    FROM lexall) WHERE r1 <= $KEach)""".stripMargin
+  }
+
+  private def hybridFusionTail: String = {
+    import graft.similarity.HybridRrf.RrfK
+    s"""fused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+      |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |    coalesce(1.0 / ($RrfK + CAST(l.r1 AS DOUBLE)), 0.0)
+      |      + coalesce(1.0 / ($RrfK + CAST(v.r2 AS DOUBLE)), 0.0) AS rrf
+      |  FROM lex l FULL OUTER JOIN vec v
+      |    ON l.qid = v.qid AND l.doc_id = v.doc_id),
+      |r AS (SELECT qid, doc_id, rrf, row_number() OVER
+      |  (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+      |SELECT qid, doc_id, round(rrf, 6) AS rrf_score, rank
+      |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
+  /** The production hybrid: the [[hybridLexCtes]] lexical leg, the
+    * [[ivfTrainedOracle]] training + probe as the vector leg
+    * (candidates restricted to corpus members), the same fusion tail.
+    */
+  private def hybridRrfIvfOracle: String = {
+    import graft.similarity.HybridRrf.KEach
+    val t = IvfIters
+    val kExpr =
+      "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+    val npExpr =
+      """(SELECT greatest(1, CAST(ceil(0.22 * floor(sqrt(count(*))))
+        |  AS BIGINT)) FROM embeddings)""".stripMargin
+    s"""WITH ${OracleSql.kmeansCtes(kExpr, t)},
+      |$hybridLexCtes,
+      |cent AS (SELECT cid, list_transform(c,
+      |  x -> x / ${graft.similarity.KMeans.Scale}.0
+      |    - ${graft.similarity.KMeans.Offset}) AS cv FROM c$t),
+      |ce AS (SELECT tw.doc_id, tw.embedding, asg.cid
+      |  FROM tw JOIN a${t + 1} asg ON tw.doc_id = asg.vec_id),
+      |q AS (SELECT doc_id AS qid, embedding AS qv FROM tw
+      |  WHERE doc_id < $NumQueries),
+      |pr AS (SELECT qid, qv, cid, ${cosineExpr("qv", "cv")} AS cc
+      |  FROM q CROSS JOIN cent),
+      |p AS (SELECT qid, qv, cid FROM (
+      |    SELECT qid, qv, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid)
+      |        AS rn
+      |    FROM pr) WHERE rn <= $npExpr),
+      |vsc AS (SELECT p.qid, ce.doc_id,
+      |    ${cosineExpr("qv", "embedding")} AS cosine
+      |  FROM p JOIN ce ON ce.cid = p.cid WHERE ce.doc_id <> p.qid),
+      |vec AS (SELECT qid, doc_id, r2 FROM (
+      |    SELECT qid, doc_id, row_number() OVER
+      |      (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS r2
+      |    FROM vsc) WHERE r2 <= $KEach),
+      |$hybridFusionTail""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_projected" -> annProjectedOracle,
+    "q_hybrid_rrf_ivf" -> hybridRrfIvfOracle,
     // BM25 replay (the q_bm25 CTE chain re-rooted at the corpus join +
     // per-query fan-out), brute-cosine replay, then the RRF sum — two
     // exact integer divisions, lexical term first in both engines
     "q_hybrid_rrf" -> {
-      import graft.text.Bm25.{B, K1, K1Plus1, OneMinusB, Scale}
-      import graft.similarity.HybridRrf.{KEach, QueryTerms, RrfK}
-      s"""WITH corpus AS (SELECT d.doc_id, d.text, e.embedding
-        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-        |tw AS (SELECT doc_id, embedding,
-        |  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |       ELSE string_split_regex(trim(text), '\\s+') END AS w
-        |  FROM corpus),
-        |qt AS (SELECT doc_id AS qid,
-        |    unnest(list_distinct(list_slice(w, 1, $QueryTerms))) AS term
-        |  FROM tw WHERE doc_id < $NumQueries),
-        |t AS (SELECT doc_id, unnest(w) AS term FROM tw),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-        |nn AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot
-        |  FROM dl),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |${graft.functions.DetLog.lnRatioCtes("idfq", "dfq, nn",
-            "2 * n_docs - 2 * df + 1", "2 * df + 1", "idf",
-            Seq("term", "df"))},
-        |sc AS (SELECT doc_id, term, CAST(floor(
-        |    idf
-        |      * (CAST(tf AS DOUBLE) * $K1Plus1)
-        |      / (CAST(tf AS DOUBLE) + $K1 * ($OneMinusB
-        |        + $B * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
-        |          / CAST(tot AS DOUBLE)))
-        |      * ${Scale.toDouble}) AS BIGINT) AS c
-        |  FROM tf JOIN idfq USING (term) JOIN dl USING (doc_id), nn),
-        |lexall AS (SELECT qt.qid, s.doc_id,
-        |    CAST(sum(s.c) AS BIGINT) AS score_fp
-        |  FROM sc s JOIN qt ON s.term = qt.term
-        |  WHERE s.doc_id <> qt.qid GROUP BY 1, 2),
-        |lex AS (SELECT qid, doc_id, r1 FROM (
-        |    SELECT qid, doc_id, row_number() OVER
-        |      (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS r1
-        |    FROM lexall) WHERE r1 <= $KEach),
+      import graft.similarity.HybridRrf.KEach
+      s"""WITH $hybridLexCtes,
         |q AS (SELECT doc_id AS qid, embedding AS qv FROM tw
         |  WHERE doc_id < $NumQueries),
         |vs AS (SELECT q.qid, c.doc_id,
@@ -801,16 +939,7 @@ object SimilarityQueries {
         |    SELECT qid, doc_id, row_number() OVER
         |      (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS r2
         |    FROM vs) WHERE r2 <= $KEach),
-        |fused AS (SELECT coalesce(l.qid, v.qid) AS qid,
-        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
-        |    coalesce(1.0 / ($RrfK + CAST(l.r1 AS DOUBLE)), 0.0)
-        |      + coalesce(1.0 / ($RrfK + CAST(v.r2 AS DOUBLE)), 0.0) AS rrf
-        |  FROM lex l FULL OUTER JOIN vec v
-        |    ON l.qid = v.qid AND l.doc_id = v.doc_id),
-        |r AS (SELECT qid, doc_id, rrf, row_number() OVER
-        |  (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rank FROM fused)
-        |SELECT qid, doc_id, round(rrf, 6) AS rrf_score, rank
-        |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+        |$hybridFusionTail""".stripMargin
     },
     "q_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

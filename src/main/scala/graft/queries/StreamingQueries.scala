@@ -964,6 +964,47 @@ object StreamingQueries {
       }
     },
 
+    // STREAMED PQ CODES: the frozen-quantizer precedent applied to the
+    // product quantizer — codebooks train ONCE on the bootstrap batch,
+    // every arriving vector appends (vec_id, embedding, code_0..7)
+    // under the vec_id anti-join guard (append-only, idempotent: no
+    // watermark needed), and the query tail is the batch ADC +
+    // fixed-factor rerank over the drained postings. Oracle = the
+    // batch q_ann_pq chain re-rooted at the bootstrap training set.
+    "q_stream_ann_pq" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.similarity.{ProductQuantizer, StreamingPq}
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val base = tmpDir("graft_spq")
+        val postingsDir = base + "/postings"
+        StreamingPq.initState(s, postingsDir)
+        StreamFlow.writeTimeSplits(emb, "vec_id", 3, base + "/splits")
+        // frozen books from batch 0 — the same id-range rule the
+        // splits use (step = (hi-lo)/3 + 1, floor on non-negatives)
+        val bRow = emb.agg(min(col("vec_id")), max(col("vec_id")))
+          .collect()(0)
+        val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+        val step = math.max(1L, (hi - lo) / 3 + 1)
+        val books = ProductQuantizer.trainBooks(
+          emb.where(col("vec_id") < lo + step), "vec_id", "embedding")
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            StreamingPq.applyFrozenBatch(s, b, books, postingsDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        SimilarityQueries.pqSearchFromPostings(
+          s, s.read.parquet(postingsDir), books)
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -996,6 +1037,7 @@ object StreamingQueries {
     "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
     "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,
     "q_stream_ann_ivf_trained" -> SimilarityQueries.frozenStreamIvfOracle,
+    "q_stream_ann_pq" -> SimilarityQueries.frozenStreamPqOracle,
     "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),
 
     // the streamed mini-batch run replayed batch-by-batch: same seeds,

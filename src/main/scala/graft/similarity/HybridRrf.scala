@@ -38,18 +38,23 @@ object HybridRrf {
   /** Depth of each per-system ranking fed into the fusion. */
   val KEach = 50
 
-  /** (qid, doc_id, rrf_score, rank): top-`topK` fused results per
-    * query. `docs` carries (idCol, textCol); `emb` carries
-    * (idCol, vecCol); the corpus is their inner join on id — items
-    * with both modalities. The first `numQueries` ids are the queries
-    * (scored against everything but themselves).
+  /** The corpus a hybrid retriever runs over: items carrying BOTH
+    * modalities — `docs`(idCol, textCol) inner-joined with
+    * `emb`(idCol, vecCol) on id.
     */
-  def fuse(s: SparkSession, docs: DataFrame, emb: DataFrame,
-      idCol: String, textCol: String, vecCol: String,
-      numQueries: Int, topK: Int): DataFrame = {
-    import graft.text.Bm25.{B, K1, K1Plus1, OneMinusB, Scale}
-    val corpus = docs.select(col(idCol), col(textCol))
+  def corpusOf(docs: DataFrame, emb: DataFrame, idCol: String,
+      textCol: String, vecCol: String): DataFrame =
+    docs.select(col(idCol), col(textCol))
       .join(emb.select(col(idCol), col(vecCol)), idCol)
+
+  /** The lexical BM25 leg: (qid, idCol, r1 ≤ [[KEach]]) — each query
+    * document's first [[QueryTerms]] distinct tokens as its
+    * bag-of-terms query, scored with the q_bm25 fixed-point
+    * contribution, ranked per query with doc-id tie-break.
+    */
+  def lexicalLeg(corpus: DataFrame, idCol: String, textCol: String,
+      numQueries: Int): DataFrame = {
+    import graft.text.Bm25.{B, K1, K1Plus1, OneMinusB, Scale}
     // token array materialised as its own column (inlining tokens()
     // into per-element lambdas re-tokenises per element)
     val tw = corpus.select(col(idCol),
@@ -80,13 +85,54 @@ object HybridRrf {
       .select(col(idCol), col("term"), contrib.as("c"))
     val r1w = row_number().over(
       Window.partitionBy("qid").orderBy(col("score_fp").desc, col(idCol)))
-    val lex = perDocTerm.join(broadcast(qt), "term")
+    perDocTerm.join(broadcast(qt), "term")
       .where(col(idCol) =!= col("qid"))
       .groupBy(col("qid"), col(idCol))
       .agg(sum(col("c")).as("score_fp"))
       .withColumn("r1", r1w.cast("bigint"))
       .where(col("r1") <= KEach)
       .select(col("qid"), col(idCol), col("r1"))
+  }
+
+  /** Fuse two per-query rank lists `lex`(qid, idCol, r1) and
+    * `vec`(qid, idCol, r2): rrf = Σ 1/(k0 + rank) with absent-system
+    * terms 0, ranked on the UNROUNDED score with doc-id tie-break,
+    * rounded for output. Output: (qid, idCol, rrf_score, rank ≤ topK).
+    */
+  def fuseRanked(lex: DataFrame, vec: DataFrame, idCol: String,
+      topK: Int): DataFrame = {
+    // fuse: two exact divisions of integers, summed lexical-first in
+    // both engines
+    val rrf =
+      coalesce(lit(1.0) / (lit(RrfK) + col("r1").cast("double")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("r2").cast("double")), lit(0.0))
+    val rankW = row_number().over(
+      Window.partitionBy("qid").orderBy(col("rrf").desc, col(idCol)))
+    lex.join(vec, Seq("qid", idCol), "full")
+      .withColumn("rrf", rrf)
+      .withColumn("rank", rankW.cast("bigint"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col(idCol), round(col("rrf"), 6).as("rrf_score"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** (qid, doc_id, rrf_score, rank): top-`topK` fused results per
+    * query. `docs` carries (idCol, textCol); `emb` carries
+    * (idCol, vecCol); the corpus is their inner join on id — items
+    * with both modalities. The first `numQueries` ids are the queries
+    * (scored against everything but themselves). The vector leg here
+    * is the EXACT brute cosine (the q_ann_brute literal-parameter
+    * shape); the production deployment swaps in the trained-IVF probe
+    * — see q_hybrid_rrf_ivf in
+    * [[graft.queries.SimilarityQueries]], which reuses [[lexicalLeg]]
+    * and [[fuseRanked]] around the probed leg.
+    */
+  def fuse(s: SparkSession, docs: DataFrame, emb: DataFrame,
+      idCol: String, textCol: String, vecCol: String,
+      numQueries: Int, topK: Int): DataFrame = {
+    val corpus = corpusOf(docs, emb, idCol, textCol, vecCol)
+    val lex = lexicalLeg(corpus, idCol, textCol, numQueries)
     // vector side: query vectors collected as parameters (the
     // q_ann_brute plan shape — scan → generate → window, no crossJoin)
     val qRows = corpus.where(col(idCol) < numQueries)
@@ -106,19 +152,6 @@ object HybridRrf {
       .withColumn("r2", r2w.cast("bigint"))
       .where(col("r2") <= KEach)
       .select(col("qid"), col(idCol), col("r2"))
-    // fuse: two exact divisions of integers, summed lexical-first in
-    // both engines; rank on the UNROUNDED score, round for output
-    val rrf =
-      coalesce(lit(1.0) / (lit(RrfK) + col("r1").cast("double")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(RrfK) + col("r2").cast("double")), lit(0.0))
-    val rankW = row_number().over(
-      Window.partitionBy("qid").orderBy(col("rrf").desc, col(idCol)))
-    lex.join(vec, Seq("qid", idCol), "full")
-      .withColumn("rrf", rrf)
-      .withColumn("rank", rankW.cast("bigint"))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col(idCol), round(col("rrf"), 6).as("rrf_score"),
-        col("rank"))
-      .orderBy("qid", "rank")
+    fuseRanked(lex, vec, idCol, topK)
   }
 }

@@ -156,6 +156,21 @@ object KMeans {
     } finally p.unpersist()
   }
 
+  /** Centroids ONLY from `iterations` Lloyd rounds over an
+    * already-fixed-point points frame — the frozen-codebook training
+    * shape (the caller assigns OTHER frames against these centroids
+    * later, so computing the training frame's own assignment here
+    * would be wasted work).
+    */
+  def fitCentroidsFp(pts: DataFrame, k: Int, iterations: Int): DataFrame = {
+    require(k >= 1 && iterations >= 1, "k and iterations must be >= 1")
+    val p = pts.persist()
+    try {
+      p.count()
+      lloyd(p, k, iterations)
+    } finally p.unpersist()
+  }
+
   /** One Lloyd run, BOTH outputs: the final centroid frame
     * (cid, c: array&lt;long&gt; fixed-point) and the final assignment
     * (vec_id, cid) against those centroids — the IVF training shape,

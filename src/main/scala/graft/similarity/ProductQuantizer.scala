@@ -87,6 +87,39 @@ object ProductQuantizer {
     (chains.map(_._1), codes)
   }
 
+  /** Codebooks ONLY, trained on `train` — the frozen-quantizer shape
+    * (the streamed index trains on the bootstrap batch and assigns
+    * every later arrival against these fixed books via
+    * [[assignCodes]]).
+    */
+  def trainBooks(train: DataFrame, idCol: String, vecCol: String,
+      m: Int = NumSubspaces, k: Int = CodebookK): Seq[DataFrame] = {
+    val sd = subDim(m)
+    val pts = KMeans.pointsFp(train, idCol, vecCol)
+    (0 until m).map { i =>
+      KMeans.fitCentroidsFp(
+        pts.select(col("vec_id"), slice(col("p"), i * sd + 1, sd).as("p")),
+        k, Iters)
+    }
+  }
+
+  /** Assign every vector of `emb` to its nearest sub-centroid per
+    * subspace against FROZEN codebooks (the bit-exact integer argmin,
+    * ties to the smaller cid — identical to the training-time
+    * assignment): (vec_id, code_0..code_{m-1}).
+    */
+  def assignCodes(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[DataFrame], m: Int = NumSubspaces): DataFrame = {
+    val sd = subDim(m)
+    val pts = KMeans.pointsFp(emb, idCol, vecCol)
+    (0 until m).map { i =>
+      KMeans.assign(
+        pts.select(col("vec_id"), slice(col("p"), i * sd + 1, sd).as("p")),
+        cents(i))
+        .select(col("vec_id"), col("cid").as(s"code_$i"))
+    }.reduce(_.join(_, "vec_id"))
+  }
+
   /** Strict left-fold double dot — the driver mirror of the oracle's
     * `list_reduce` and of [[VectorFunctions.dot]].
     */
@@ -111,9 +144,20 @@ object ProductQuantizer {
   def adcTopK(s: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, numQueries: Int, topK: Int,
       m: Int = NumSubspaces, k: Int = CodebookK): DataFrame = {
+    val (cents, codes) = train(emb, idCol, vecCol, m, k)
+    adcTopKWith(s, emb, idCol, vecCol, cents, codes, numQueries, topK, m)
+  }
+
+  /** [[adcTopK]] against an EXTERNALLY-maintained model — frozen
+    * codebooks `cents` and a codes frame (vec_id, code_0..code_{m-1}),
+    * the entry the streamed index shares with the batch path. `emb`
+    * supplies only the query vectors (ids &lt; numQueries).
+    */
+  def adcTopKWith(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[DataFrame], codes: DataFrame,
+      numQueries: Int, topK: Int, m: Int = NumSubspaces): DataFrame = {
     import s.implicits._
     val sd = subDim(m)
-    val (cents, codes) = train(emb, idCol, vecCol, m, k)
     // parameters: query vectors and codebooks are both tiny — LUTs are
     // computed on the driver with the reference fold and broadcast
     val qRows = emb.where(col(idCol) < numQueries)
@@ -169,8 +213,21 @@ object ProductQuantizer {
   def adcRerankTopK(s: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, numQueries: Int, topK: Int, shortlist: Int,
       m: Int = NumSubspaces, k: Int = CodebookK): DataFrame = {
-    val sl = adcTopK(s, emb, idCol, vecCol, numQueries,
-      math.max(topK, shortlist), m, k)
+    val (cents, codes) = train(emb, idCol, vecCol, m, k)
+    adcRerankTopKWith(s, emb, idCol, vecCol, cents, codes, numQueries,
+      topK, shortlist, m)
+  }
+
+  /** [[adcRerankTopK]] against an externally-maintained frozen model
+    * (see [[adcTopKWith]]); `emb` supplies the query vectors AND the
+    * shortlist's float re-attach.
+    */
+  def adcRerankTopKWith(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[DataFrame], codes: DataFrame,
+      numQueries: Int, topK: Int, shortlist: Int,
+      m: Int = NumSubspaces): DataFrame = {
+    val sl = adcTopKWith(s, emb, idCol, vecCol, cents, codes, numQueries,
+      math.max(topK, shortlist), m)
       .select(col("qid"), col("neighbor").as(idCol))
     val qv = emb.where(col(idCol) < numQueries)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
