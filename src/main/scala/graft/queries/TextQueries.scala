@@ -191,6 +191,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet perplexity buckets: per-language head/middle/tail split by
+    // bigram-LM score terciles (thresholds off the 1e-3-grid histogram,
+    // broadcast back into the probe scan)
+    "q_perplexity_buckets" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_perplexity_buckets")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      graft.text.PerplexityBuckets.bucket(
+        docs, docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        Seq("lang"))
+        .orderBy("doc_id")
+    },
+
     // learned quality filter (the GPT-3/WebText recipe): +1-smoothed
     // multinomial NB trained on the even-doc_id split with lang='en'
     // as the trusted positive class, scoring the whole corpus by
@@ -357,11 +371,13 @@ object TextQueries {
 
     // THE FLAGSHIP COMPOSITION — the full LLM corpus-prep pipeline a
     // pretraining run executes, as ONE dataflow: eval split → exact
-    // dedup → near-dup removal (0.9) → quality filter → decontamination
-    // vs the eval split → DSIR selection → seeded shuffle → sequence
-    // packing. Every stage is an operator with its own oracle-proven
-    // query; this query proves they COMPOSE, against one end-to-end
-    // DuckDB oracle that chains the same stages.
+    // dedup → near-dup removal (0.9) → heuristic quality gate →
+    // LEARNED NB quality classifier (the GPT-3/WebText gate) → CCNet
+    // perplexity band (bigram-LM terciles per language, tail dropped)
+    // → decontamination vs the eval split → DSIR selection → seeded
+    // shuffle → sequence packing. Every stage is an operator with its
+    // own oracle-proven query; this query proves they COMPOSE, against
+    // one end-to-end DuckDB oracle that chains the same stages.
     "q_pipeline_llm" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
       import graft.dedup.Dedup
@@ -374,11 +390,11 @@ object TextQueries {
       val train0 = docs.where(bucket >= EvalPct)
       // Every stage boundary is PERSISTED — an eager localCheckpoint of
       // the doc_id-sized survivor frame — so each expensive stage
-      // (PPJoin near-dup, decontamination, DSIR) executes exactly ONCE:
-      // without the cut, train3/train4 sit in the lineage of several
-      // consumers (Decontaminate.flag + its anti-join; DSIR's
-      // multi-pass reads + the semi-join) and the near-dup stage
-      // re-executes inside each of them. Survivor id-frames are tiny at
+      // (PPJoin near-dup, NB scoring, the LM band, decontamination,
+      // DSIR) executes exactly ONCE: without the cut, each trainN sits
+      // in the lineage of several consumers (Decontaminate.flag + its
+      // anti-join; DSIR's multi-pass reads + the semi-join) and the
+      // near-dup stage re-executes inside each of them. Survivor id-frames are tiny at
       // any corpus scale — the same cut Scd2Load makes for its classify
       // frame. Each trainN re-derives from the docs scan + one
       // broadcast-sized semi-join on the checkpointed ids.
@@ -402,26 +418,43 @@ object TextQueries {
         .select(col("doc_b").as("doc_id")).distinct()
       val ids2 = cut(train1.join(losers, Seq("doc_id"), "left_anti"))
       val train2 = train0.join(ids2, Seq("doc_id"), "left_semi")
-      // quality gate
+      // heuristic quality gate (cheap first pass)
       val ids3 = cut(train2
         .where(qualityScore(col("text")) >= 0.5))
       val train3 = train0.join(ids3, Seq("doc_id"), "left_semi")
+      // LEARNED quality gate (GPT-3/WebText): NB log-odds classifier
+      // trained on the raw training corpus's even-doc_id split with
+      // lang='en' as the trusted class, keeping predicted-positive
+      // survivors — the q_quality_classifier model re-rooted at train0
+      val ids4 = cut(graft.text.NaiveBayes.scoreBinary(
+          train3, train0.where(col("doc_id") % 2 === 0), "doc_id",
+          "text", col("lang") === "en")
+        .where(col("pred_pos")))
+      val train4 = train0.join(ids4, Seq("doc_id"), "left_semi")
+      // CCNet perplexity band: bigram-LM (trained on the same even
+      // split) score terciles per language over the survivors, the
+      // tail third dropped
+      val ids5 = cut(graft.text.PerplexityBuckets.bucket(
+          train4, train0.where(col("doc_id") % 2 === 0), "doc_id",
+          "text", Seq("lang"))
+        .where(col("ppl_bucket") =!= "tail"))
+      val train5 = train0.join(ids5, Seq("doc_id"), "left_semi")
       // decontamination: drop docs sharing ANY 5-gram with the eval set
       val dirty = graft.text.Decontaminate
-        .flag(train3, evalSet, "text", "doc_id", k = 5)
+        .flag(train5, evalSet, "text", "doc_id", k = 5)
         .where(col("contaminated")).select("doc_id")
-      val ids4 = cut(train3.join(dirty, Seq("doc_id"), "left_anti"))
-      val train4 = train0.join(ids4, Seq("doc_id"), "left_semi")
+      val ids6 = cut(train5.join(dirty, Seq("doc_id"), "left_anti"))
+      val train6 = train0.join(ids6, Seq("doc_id"), "left_semi")
       // DSIR selection over the survivors (target = the English slice)
-      val ids5 = cut(graft.text.Dsir
-        .importanceWeights(train4, "doc_id", "text", col("lang") === "en")
+      val ids7 = cut(graft.text.Dsir
+        .importanceWeights(train6, "doc_id", "text", col("lang") === "en")
         .where(col("selected")))
-      val train5 = train0.join(ids5, Seq("doc_id"), "left_semi")
+      val train7 = train0.join(ids7, Seq("doc_id"), "left_semi")
       // seeded shuffle then pack the shuffled stream into sequences.
       // `keyed` is checkpointed too: it is the last frame that reads
       // the text column, and it feeds SurrogateKeys' two-phase layout —
       // the cut means nothing downstream ever rescans the corpus.
-      val keyed = train5
+      val keyed = train7
         .select(col("doc_id"), tokenCount(col("text")).as("nt"))
         .where(col("nt") > 0)
         .withColumn("shuffle_key", tokenHash60(
@@ -567,6 +600,66 @@ object TextQueries {
        |  + least((CASE WHEN len(w) = 0 THEN 0.0 ELSE
        |      CAST(${hitsSql(EnglishStopwords)} AS DOUBLE) / len(w) END) * 5,
        |      1.0) * 0.3, 6)""".stripMargin
+
+  /** The bigram Stupid-Backoff scoring chain (graft.text.BigramLm
+    * replayed: per-table fixed-point snaps off the even-doc_id train
+    * split, OOV coalesced to fp 0, the driver-computed alpha literal)
+    * as a CTE-body fragment ending in
+    * `lmscore(doc_id, n_tokens, avg_logprob)` — shared by
+    * q_lm_perplexity, q_perplexity_buckets and the flagship funnel
+    * (which re-roots it at the eval-split survivors). `root` is the
+    * in-scope CTE carrying (doc_id, w); training is always its
+    * even-doc_id split.
+    */
+  private def lmScoreCtes(root: String = "toks"): String = {
+    val sc = graft.text.BigramLm.LnScale
+    val alpha = graft.text.BigramLm.AlphaFp
+    s"""tw AS (SELECT doc_id, w FROM $root WHERE len(w) > 0),
+       |twt AS (SELECT doc_id, w FROM tw WHERE doc_id % 2 = 0),
+       |t AS (SELECT doc_id, unnest(w) AS term FROM twt),
+       |u AS (SELECT term, count(*) AS c1 FROM t GROUP BY 1),
+       |${graft.functions.DetLog.lnCtes("lu", "u", "c1", "lnc1",
+           Seq("term"))},
+       |fpu AS (SELECT term,
+       |  CAST(floor(lnc1 * $sc) AS BIGINT) AS fp1 FROM lu),
+       |un AS (SELECT CAST(sum(c1) AS BIGINT) AS ntot FROM u),
+       |${graft.functions.DetLog.lnCtes("lun", "un", "ntot", "lnn", Nil)},
+       |fpn AS (SELECT CAST(floor(lnn * $sc) AS BIGINT) AS fpn FROM lun),
+       |bgt AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    list_slice(w, 1, len(w) - 1),
+       |    (x, i) -> {'w1': x, 'w2': w[i + 1]})) AS p
+       |  FROM twt WHERE len(w) >= 2)),
+       |b AS (SELECT w1, w2, count(*) AS c2 FROM bgt GROUP BY 1, 2),
+       |${graft.functions.DetLog.lnCtes("lb", "b", "c2", "lnc2",
+           Seq("w1", "w2"))},
+       |fpb AS (SELECT w1, w2,
+       |  CAST(floor(lnc2 * $sc) AS BIGINT) AS fp2 FROM lb),
+       |bgf AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    list_slice(w, 1, len(w) - 1),
+       |    (x, i) -> {'w1': x, 'w2': w[i + 1]})) AS p
+       |  FROM tw WHERE len(w) >= 2)),
+       |sfirst AS (SELECT f.doc_id,
+       |    coalesce(u1.fp1, 0) - fpn.fpn AS fp
+       |  FROM (SELECT doc_id, w[1] AS w1 FROM tw) f
+       |  LEFT JOIN fpu u1 ON f.w1 = u1.term, fpn),
+       |sbg AS (SELECT g.doc_id,
+       |    CASE WHEN fb.fp2 IS NOT NULL THEN fb.fp2 - u1.fp1
+       |         ELSE coalesce(u2.fp1, 0) - fpn.fpn + ($alpha) END AS fp
+       |  FROM bgf g
+       |  LEFT JOIN fpu u1 ON g.w1 = u1.term
+       |  LEFT JOIN fpu u2 ON g.w2 = u2.term
+       |  LEFT JOIN fpb fb ON g.w1 = fb.w1 AND g.w2 = fb.w2, fpn),
+       |alls AS (SELECT * FROM sfirst UNION ALL SELECT * FROM sbg),
+       |d AS (SELECT doc_id, CAST(sum(fp) AS BIGINT) AS sum_fp
+       |  FROM alls GROUP BY 1),
+       |dl AS (SELECT doc_id, len(w) AS n_tokens FROM tw),
+       |lmscore AS (SELECT d.doc_id, dl.n_tokens,
+       |  round(CAST(sum_fp AS DOUBLE) / (dl.n_tokens * $sc.0), 6)
+       |    AS avg_logprob
+       |  FROM d JOIN dl ON d.doc_id = dl.doc_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -743,56 +836,44 @@ object TextQueries {
     // mirror graft.text.BigramLm exactly; the alpha literal is the
     // SAME driver-computed integer in both engines, and OOV terms
     // coalesce to fp 0 = floor(lnInt(1)·scale), the count-1 smoothing
-    "q_lm_perplexity" -> {
-      val sc = graft.text.BigramLm.LnScale
-      val alpha = graft.text.BigramLm.AlphaFp
+    "q_lm_perplexity" ->
       s"""WITH $toksCte,
-         |tw AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
-         |twt AS (SELECT doc_id, w FROM tw WHERE doc_id % 2 = 0),
-         |t AS (SELECT doc_id, unnest(w) AS term FROM twt),
-         |u AS (SELECT term, count(*) AS c1 FROM t GROUP BY 1),
-         |${graft.functions.DetLog.lnCtes("lu", "u", "c1", "lnc1",
-             Seq("term"))},
-         |fpu AS (SELECT term,
-         |  CAST(floor(lnc1 * $sc) AS BIGINT) AS fp1 FROM lu),
-         |un AS (SELECT CAST(sum(c1) AS BIGINT) AS ntot FROM u),
-         |${graft.functions.DetLog.lnCtes("lun", "un", "ntot", "lnn", Nil)},
-         |fpn AS (SELECT CAST(floor(lnn * $sc) AS BIGINT) AS fpn FROM lun),
-         |bgt AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
-         |  SELECT doc_id, unnest(list_transform(
-         |    list_slice(w, 1, len(w) - 1),
-         |    (x, i) -> {'w1': x, 'w2': w[i + 1]})) AS p
-         |  FROM twt WHERE len(w) >= 2)),
-         |b AS (SELECT w1, w2, count(*) AS c2 FROM bgt GROUP BY 1, 2),
-         |${graft.functions.DetLog.lnCtes("lb", "b", "c2", "lnc2",
-             Seq("w1", "w2"))},
-         |fpb AS (SELECT w1, w2,
-         |  CAST(floor(lnc2 * $sc) AS BIGINT) AS fp2 FROM lb),
-         |bgf AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
-         |  SELECT doc_id, unnest(list_transform(
-         |    list_slice(w, 1, len(w) - 1),
-         |    (x, i) -> {'w1': x, 'w2': w[i + 1]})) AS p
-         |  FROM tw WHERE len(w) >= 2)),
-         |sfirst AS (SELECT f.doc_id,
-         |    coalesce(u1.fp1, 0) - fpn.fpn AS fp
-         |  FROM (SELECT doc_id, w[1] AS w1 FROM tw) f
-         |  LEFT JOIN fpu u1 ON f.w1 = u1.term, fpn),
-         |sbg AS (SELECT g.doc_id,
-         |    CASE WHEN fb.fp2 IS NOT NULL THEN fb.fp2 - u1.fp1
-         |         ELSE coalesce(u2.fp1, 0) - fpn.fpn + ($alpha) END AS fp
-         |  FROM bgf g
-         |  LEFT JOIN fpu u1 ON g.w1 = u1.term
-         |  LEFT JOIN fpu u2 ON g.w2 = u2.term
-         |  LEFT JOIN fpb fb ON g.w1 = fb.w1 AND g.w2 = fb.w2, fpn),
-         |alls AS (SELECT * FROM sfirst UNION ALL SELECT * FROM sbg),
-         |d AS (SELECT doc_id, CAST(sum(fp) AS BIGINT) AS sum_fp
-         |  FROM alls GROUP BY 1),
-         |dl AS (SELECT doc_id, len(w) AS n_tokens FROM tw)
-         |SELECT d.doc_id, dl.n_tokens,
-         |  round(CAST(sum_fp AS DOUBLE) / (dl.n_tokens * $sc.0), 6)
-         |    AS avg_logprob
-         |FROM d JOIN dl ON d.doc_id = dl.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |${lmScoreCtes()}
+         |SELECT doc_id, n_tokens, avg_logprob
+         |FROM lmscore ORDER BY doc_id""".stripMargin,
+
+    // CCNet perplexity buckets: the bigram-LM chain re-rooted, the
+    // score snapped to the 1e-3 grid, the per-language tercile read
+    // off the grid histogram's cumulative counts (the Quantiles
+    // replay), tail/middle/head by threshold comparison
+    "q_perplexity_buckets" -> {
+      import graft.text.PerplexityBuckets.{Q1, Q2, SnapScale}
+      def pos(q: Double): String =
+        s"ceil(CAST('${q.toString}' AS DOUBLE) * n)"
+      s"""WITH $toksCte,
+         |${lmScoreCtes()},
+         |sn AS (SELECT lmscore.doc_id, documents.lang, n_tokens,
+         |    avg_logprob,
+         |    CAST(floor(avg_logprob * $SnapScale.0) AS BIGINT) AS v
+         |  FROM lmscore JOIN documents USING (doc_id)),
+         |hist AS (SELECT lang, v, count(*) AS cnt FROM sn GROUP BY 1, 2),
+         |cm AS (SELECT lang, v, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM hist),
+         |th AS (SELECT lang,
+         |    max(CASE WHEN cum - cnt < ${pos(Q1)}
+         |      AND ${pos(Q1)} <= cum THEN v END) AS t1,
+         |    max(CASE WHEN cum - cnt < ${pos(Q2)}
+         |      AND ${pos(Q2)} <= cum THEN v END) AS t2
+         |  FROM cm GROUP BY 1)
+         |SELECT doc_id, sn.lang, n_tokens, avg_logprob,
+         |  CASE WHEN v <= t1 THEN 'tail'
+         |       WHEN v <= t2 THEN 'middle'
+         |       ELSE 'head' END AS ppl_bucket
+         |FROM sn JOIN th ON sn.lang = th.lang
+         |ORDER BY doc_id""".stripMargin
     },
 
     // NB quality classifier: one fixed-point snap per log-ratio
@@ -934,7 +1015,10 @@ object TextQueries {
     "q_pipeline_llm" -> {
       val sc = graft.text.Dsir.LnScale
       val bN = graft.text.Dsir.NumBuckets
-      import graft.functions.DetLog.lnCtes
+      val nbSc = graft.text.NaiveBayes.LnScale
+      import graft.functions.DetLog.{lnCtes, lnRatioCtes}
+      import graft.text.PerplexityBuckets.{Q1, SnapScale}
+      val p1 = s"ceil(CAST('${Q1.toString}' AS DOUBLE) * n)"
       val evalHash = tokenHash("'eval:' || CAST(doc_id AS VARCHAR)")
       s"""WITH $toksCte,
          |tr0 AS (SELECT * FROM toks WHERE ($evalHash) % 100 >= $EvalPct),
@@ -956,12 +1040,57 @@ object TextQueries {
          |tr2 AS (SELECT * FROM tr1
          |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
          |tr3 AS (SELECT * FROM tr2 WHERE $qualitySql >= 0.5),
+         |qctr AS (SELECT doc_id, (lang = 'en') AS pos, w FROM tr0
+         |  WHERE doc_id % 2 = 0 AND len(w) > 0),
+         |qct AS (SELECT unnest(w) AS term, pos FROM qctr),
+         |qccnts AS (SELECT term,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+         |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+         |  FROM qct GROUP BY 1),
+         |${lnRatioCtes("qclt", "qccnts", "cpos + 1", "cneg + 1", "lnr",
+             Seq("term"))},
+         |qcfpt AS (SELECT term,
+         |  CAST(floor(lnr * $nbSc) AS BIGINT) AS fp FROM qclt),
+         |qctot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+         |  CAST(sum(cneg) AS BIGINT) AS nneg, count(*) AS v FROM qccnts),
+         |${lnRatioCtes("qcln1", "qctot", "npos + v", "nneg + v", "lnn",
+             Nil)},
+         |qcdcnt AS (SELECT
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dpos,
+         |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS dneg
+         |  FROM qctr),
+         |${lnRatioCtes("qcln2", "qcdcnt", "dpos", "dneg", "lnp", Nil)},
+         |qcnorm AS (SELECT CAST(floor(lnn * $nbSc) AS BIGINT) AS fpn2,
+         |  CAST(floor(lnp * $nbSc) AS BIGINT) AS fprior FROM qcln1, qcln2),
+         |qctd AS (SELECT doc_id, unnest(w) AS term FROM tr3
+         |  WHERE len(w) > 0),
+         |qcd AS (SELECT doc_id,
+         |    CAST(sum(coalesce(qcfpt.fp, 0)) AS BIGINT) AS sum_fp,
+         |    count(*) AS nq
+         |  FROM qctd LEFT JOIN qcfpt ON qctd.term = qcfpt.term GROUP BY 1),
+         |tr3b AS (SELECT tr3.* FROM tr3 JOIN qcd USING (doc_id), qcnorm
+         |  WHERE sum_fp - nq * fpn2 + fprior > 0),
+         |${lmScoreCtes("tr0")},
+         |psn AS (SELECT lmscore.doc_id, tr3b.lang,
+         |    CAST(floor(avg_logprob * $SnapScale.0) AS BIGINT) AS v
+         |  FROM lmscore JOIN tr3b USING (doc_id)),
+         |phist AS (SELECT lang, v, count(*) AS cnt FROM psn GROUP BY 1, 2),
+         |pcm AS (SELECT lang, v, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM phist),
+         |pth AS (SELECT lang,
+         |    max(CASE WHEN cum - cnt < $p1 AND $p1 <= cum THEN v END) AS t1
+         |  FROM pcm GROUP BY 1),
+         |tr3c AS (SELECT tr3b.* FROM tr3b JOIN psn USING (doc_id)
+         |  JOIN pth ON psn.lang = pth.lang WHERE psn.v > pth.t1),
          |evg AS (SELECT DISTINCT g FROM
          |  (SELECT doc_id, unnest(s) AS g FROM (${shingleSel("ev", 5)}))),
          |trg AS (SELECT doc_id, unnest(s) AS g
-         |  FROM (${shingleSel("tr3", 5)})),
+         |  FROM (${shingleSel("tr3c", 5)})),
          |dirty AS (SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)),
-         |tr4 AS (SELECT * FROM tr3
+         |tr4 AS (SELECT * FROM tr3c
          |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
          |f0 AS (SELECT doc_id, lang = 'en' AS is_t,
          |  unnest(list_concat(w, CASE WHEN len(w) >= 2 THEN

@@ -126,6 +126,21 @@ object AnnRecall {
       emb: DataFrame, centFp: DataFrame, asg: DataFrame,
       nprobes: Seq[Int], numQueries: Int, kAt: Int): Seq[IvfPoint] = {
     val truth = groundTruth(emb, numQueries, kAt)
+    nprobes.map { np =>
+      val cand = kmeansCandidates(emb, centFp, asg, np, numQueries)
+      val (recall, _) = scoreCandidates(truth,
+        cand.map { case (q, (c, _)) => q -> c }, kAt)
+      IvfPoint(np, recall, cand.values.map(_._2).sum / cand.size)
+    }
+  }
+
+  /** Per-query probed candidate sets (and scanned fraction) of a
+    * k-means IVF index at one nprobe — the measurement primitive
+    * [[sweepKmeansIvf]] and the scale-recall tool share.
+    */
+  def kmeansCandidates(
+      emb: DataFrame, centFp: DataFrame, asg: DataFrame,
+      nprobe: Int, numQueries: Int): Map[Long, (Set[Long], Double)] = {
     val total = emb.count().toDouble
     // cids stay Long end-to-end: a narrowing here could silently merge
     // clusters on collision and misreport recall/scanned-fraction
@@ -141,19 +156,14 @@ object AnnRecall {
     val qRows = emb.where(col("vec_id") < numQueries)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    nprobes.map { np =>
-      val cand = qRows.map { case (qid, qv) =>
-        val probed = cent.toSeq
-          .map { case (l, cv) => (l, cosineLocalA(qv, cv)) }
-          .sortBy { case (l, cc) => (-cc, l) }.take(np).map(_._1)
-        qid -> (probed.flatMap(c => members.getOrElse(c, Set.empty))
-          .toSet - qid,
-          probed.map(c => sizes.getOrElse(c, 0)).sum.toDouble / total)
-      }.toMap
-      val (recall, _) = scoreCandidates(truth,
-        cand.map { case (q, (c, _)) => q -> c }, kAt)
-      IvfPoint(np, recall, cand.values.map(_._2).sum / cand.size)
-    }
+    qRows.map { case (qid, qv) =>
+      val probed = cent.toSeq
+        .map { case (l, cv) => (l, cosineLocalA(qv, cv)) }
+        .sortBy { case (l, cc) => (-cc, l) }.take(nprobe).map(_._1)
+      qid -> (probed.flatMap(c => members.getOrElse(c, Set.empty))
+        .toSet - qid,
+        probed.map(c => sizes.getOrElse(c, 0)).sum.toDouble / total)
+    }.toMap
   }
 
   /** Recall@k of the PQ/ADC ranking ([[ProductQuantizer.adcTopK]])

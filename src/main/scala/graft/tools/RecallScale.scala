@@ -1,0 +1,191 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{AnnRecall, KMeans, ProductQuantizer, VectorFunctions}
+import graft.util.Fmt
+
+/** Scale-recall measurement main — the three shipped compression axes
+  * (PQ 8×64 ADC ± fixed-factor rerank, JL 16-dim projection ± rerank,
+  * trained IVF at the default probe) graded as recall@10 against
+  * brute-force ground truth at a SCALED corpus (sf1/sf10), where the
+  * sf0.1-recall small-sample argument needs its closing row.
+  *
+  * Ground-truth duplication treatment (stated in the artifact): the
+  * scaled corpora come from `tools/gen_scale.py`, which replicates the
+  * sf0.1 embeddings as KEY-SHIFTED EXACT COPIES — at sfN every query
+  * has (10N − 1) exact self-duplicates at cosine 1.0, which dominate
+  * the plain top-10 truth as N grows (at sf10 the whole plain top-10
+  * is self-copies, so plain recall measures only "does the index
+  * retrieve exact duplicates" — a test IVF/PQ pass trivially, since an
+  * identical vector lands in the identical cluster/code). Both
+  * readings are reported:
+  *
+  *  - `recall_plain`: truth and ranking as-is (comparable to the
+  *    sf0.1/sf1 rows of RECALL_r11/RECALL_SF1_r11);
+  *  - `recall_dupx`: each query's exact self-duplicates (embedding
+  *    array-equal to the query's) are excluded from BOTH the truth
+  *    top-10 and the method ranking before scoring — the reading that
+  *    measures finding genuinely different neighbours. Duplicates of
+  *    OTHER corpus vectors remain on both sides (they are legitimate
+  *    distinct-id neighbours any real index must retrieve).
+  *
+  * Driver-side collections here are measurement-harness shapes (the
+  * rankings and candidate maps at ≤ sf10 sizes); the production
+  * operators stay the distributed plans graded by CORRECTNESS/BENCH.
+  */
+object RecallScale {
+
+  private val NumQueries = 50
+  private val KAt = 10
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/repo/target/sf10")
+    val out = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT",
+      "/root/repo/target/RECALL_SCALE.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, sfDir, out) finally spark.stop()
+  }
+
+  private def run(s: SparkSession, sfDir: String, out: String): Unit = {
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+
+    // exact self-duplicate ids per query (embedding array-equal),
+    // via a broadcast compare of the 50 query vectors against the scan
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val dupIds: Map[Long, Set[Long]] = emb.crossJoin(broadcast(q))
+      .where(col("embedding") === col("qv") &&
+        col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) => k -> rows.map(_.getLong(1)).toSet }
+      .withDefaultValue(Set.empty)
+    val maxDup = (0L until NumQueries).map(dupIds(_).size).max
+    val depth = KAt + maxDup
+
+    // ONE deep brute ground truth serves both readings: plain top-10 is
+    // its prefix; dupx top-10 is its prefix after dropping self-dups
+    val truthDeep = AnnRecall.groundTruth(emb, NumQueries, depth)
+    val truthPlain = truthDeep.map { case (k, v) => k -> v.take(KAt) }
+    val truthDupx = truthDeep.map { case (k, v) =>
+      k -> v.filterNot(dupIds(k)).take(KAt)
+    }
+
+    def score(truth: Map[Long, Seq[Long]],
+        got: Map[Long, Seq[Long]]): Double = {
+      val per = truth.toSeq.map { case (k, top) =>
+        val g = got.getOrElse(k, Seq.empty).toSet
+        if (top.isEmpty) 1.0 else top.count(g.contains).toDouble / top.size
+      }
+      per.sum / per.size
+    }
+    /** Both readings of one ranked list: plain = its top-10; dupx =
+      * its top-10 after dropping the query's self-duplicates.
+      */
+    def both(ranked: Map[Long, Seq[Long]]): (Double, Double) = (
+      score(truthPlain, ranked.map { case (k, v) => k -> v.take(KAt) }),
+      score(truthDupx, ranked.map { case (k, v) =>
+        k -> v.filterNot(dupIds(k)).take(KAt)
+      }))
+
+    def collectRanked(df: DataFrame): Map[Long, Seq[Long]] =
+      df.select("qid", "neighbor", "rank").collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+        }
+
+    // PQ: train once, grade ADC-only and the shipped fixed-factor
+    // rerank deployment off the same codebooks
+    val (books, codes) = ProductQuantizer.train(
+      emb, "vec_id", "embedding")
+    val shortlist = ProductQuantizer.RerankFactor * KAt
+    val (pqAdcPlain, pqAdcDupx) = both(collectRanked(
+      ProductQuantizer.adcTopKWith(s, emb, "vec_id", "embedding",
+        books, codes, NumQueries, depth)))
+    val (pqRrPlain, pqRrDupx) = both(collectRanked(
+      ProductQuantizer.adcRerankTopKWith(s, emb, "vec_id", "embedding",
+        books, codes, NumQueries, depth,
+        math.max(shortlist, depth))))
+
+    // JL 16-dim projection: projected-space cosine ranking at depth
+    // (driver-side harness ranking, like AnnRecall.projRecall)
+    val pv = emb.select(col("vec_id"),
+      VectorFunctions.project(col("embedding")).as("pv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cosL(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val projRanked: Map[Long, Seq[Long]] = pv.filter(_._1 < NumQueries)
+      .map { case (qid, qv) =>
+        qid -> pv.view.filter(_._1 != qid)
+          .map { case (id, v) => (id, cosL(qv, v)) }
+          .toSeq.sortBy { case (id, c) => (-c, id) }
+          .take(depth).map(_._1).toSeq
+      }.toMap
+    val (projPlain, projDupx) = both(projRanked)
+
+    // trained IVF at the shipped default probe: candidate-SET recall
+    // (the exact cosine scores candidates, so recall = truth coverage)
+    val k = graft.queries.SimilarityQueries.ivfK(n)
+    val np = graft.queries.SimilarityQueries.ivfNProbe(k)
+    val (centFp, asg) = KMeans.fitModel(emb, "vec_id", "embedding", k,
+      graft.queries.SimilarityQueries.IvfIters)
+    val cand = AnnRecall.kmeansCandidates(emb, centFp, asg, np, NumQueries)
+    def setScore(truth: Map[Long, Seq[Long]]): Double = {
+      val per = truth.toSeq.map { case (kk, top) =>
+        val c = cand.get(kk).map(_._1).getOrElse(Set.empty[Long])
+        if (top.isEmpty) 1.0 else top.count(c.contains).toDouble / top.size
+      }
+      per.sum / per.size
+    }
+    val scanned = cand.values.map(_._2).sum / cand.size
+
+    def n4(v: Double): String = Fmt.fixed(v, 4)
+    val json =
+      s"""{"sf":"$sfDir","n_vectors":$n,"k":$KAt,"queries":$NumQueries,""" +
+        s""""max_self_dups_per_query":$maxDup,""" +
+        "\"ground_truth_note\":\"scaled corpora are key-shifted EXACT " +
+        "copies of the sf0.1 embeddings (tools/gen_scale.py), so each " +
+        "query has max_self_dups_per_query exact duplicates at cosine " +
+        "1.0 that dominate the plain top-10 truth; recall_plain scores " +
+        "truth/rankings as-is (exact-duplicate retrieval, which " +
+        "cluster/code indexes pass structurally), recall_dupx excludes " +
+        "each query's self-duplicates from BOTH truth and ranking " +
+        "before scoring (finding genuinely different neighbours). " +
+        "Duplicates of other corpus vectors remain on both sides.\"," +
+        s""""pq_adc":{"m":${ProductQuantizer.NumSubspaces},""" +
+        s""""k_codes":${ProductQuantizer.CodebookK},""" +
+        s""""recall_plain":${n4(pqAdcPlain)},""" +
+        s""""recall_dupx":${n4(pqAdcDupx)}},""" +
+        s""""pq_rerank":{"shortlist":${math.max(shortlist, depth)},""" +
+        s""""recall_plain":${n4(pqRrPlain)},""" +
+        s""""recall_dupx":${n4(pqRrDupx)}},""" +
+        s""""jl_projected":{"dims":${VectorFunctions.NumPlanes},""" +
+        s""""recall_plain":${n4(projPlain)},""" +
+        s""""recall_dupx":${n4(projDupx)}},""" +
+        s""""ivf_trained":{"k":$k,"nprobe":$np,""" +
+        s""""avg_scanned_fraction":${n4(scanned)},""" +
+        s""""recall_plain":${n4(setScore(truthPlain))},""" +
+        s""""recall_dupx":${n4(setScore(truthDupx))}}}"""
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, json + "\n")
+    println(json)
+  }
+}

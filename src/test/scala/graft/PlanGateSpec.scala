@@ -49,6 +49,19 @@ class PlanGateSpec extends SparkSpec {
     // into the per-(doc, term) contribution stream (same bounded shape
     // as q_bm25); the vector leg is literal-parameter explode, no BNLJ
     "q_hybrid_rrf" -> Set("nested-loop"),
+    // IVF-probed hybrid: the SAME lexical-leg 1-row corpus-totals
+    // frame (the vector leg's probe is cluster-id equi-joins)
+    "q_hybrid_rrf_ivf" -> Set("nested-loop"),
+    // trained langid: the 1-row model frames (per-class OOV values and
+    // per-class priors, pivoted wide) crossJoin into the per-doc score
+    // stream — class-count-sized columns on 1-row frames
+    "q_langid_trained" -> Set("nested-loop"),
+    // perplexity buckets: the bigram LM's 1-row ln(N) corpus-total
+    // frame crossJoins into both score streams (the q_lm_perplexity
+    // shape); the tercile thresholds themselves join by an equi-join
+    // on the group columns (broadcast of the pinned languages-sized
+    // frame), not a BNLJ
+    "q_perplexity_buckets" -> Set("nested-loop"),
     "q_tfidf" -> Set("nested-loop"),
     "q_lm_score" -> Set("nested-loop"),
     // bigram LM: the ln(N) corpus-total frame is a 1-row aggregate
