@@ -129,6 +129,15 @@ object GraftFunctions {
       Shingles(children.head, children(1))
     })
 
+  private val charNgramsDescriptor: (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_ngrams"),
+    new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "char_ngrams expects exactly 2 arguments")
+      CharNgrams(children.head, children(1))
+    })
+
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -144,6 +153,16 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       onePermBandKeysDescriptor._1, onePermBandKeysDescriptor._2,
       onePermBandKeysDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      charNgramsDescriptor._1, charNgramsDescriptor._2,
+      charNgramsDescriptor._3)
+  }
+
+  /** Column-level accessor for [[CharNgrams]]. */
+  def charNgrams(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("char_ngrams", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   /** Column-level accessor (registers on the session first). */

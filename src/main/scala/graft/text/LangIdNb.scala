@@ -42,6 +42,12 @@ object LangIdNb {
     * substr(text, i, n))` — DuckDB's `range` is end-exclusive and
     * empty when len &lt; n, hence the explicit empty-array guard here
     * (Spark's `sequence(1, 0)` would DESCEND, not empty out).
+    *
+    * This declarative rendering is the DEFINITION; the scoring path
+    * uses the bit-identical native kernel
+    * [[graft.functions.CharNgrams]] (spec-pinned parity), because
+    * per-position `substring` rescans the codepoint prefix each call —
+    * O(len²) per document, 5× the whole sf10 corpus scan.
     */
   def charNgrams(c: Column, n: Int = NGram): Column =
     when(length(c) >= n,
@@ -70,7 +76,10 @@ object LangIdNb {
     require(classes.nonEmpty && classes == classes.sorted.distinct,
       "classes must be a sorted, duplicate-free, nonempty list")
     def grams(df: DataFrame, extra: Seq[Column]): DataFrame = df
-      .select((col(idCol) +: charNgrams(col(textCol), n).as("w") +: extra): _*)
+      .select((col(idCol) +:
+        graft.functions.GraftFunctions
+          .charNgrams(df.sparkSession, col(textCol), n).as("w") +:
+        extra): _*)
       .where(size(col("w")) > 0)
     val twTrain = grams(train, Seq(col(labelCol).as("lbl")))
       .where(col("lbl").isin(classes.map(c => c: Any): _*))
@@ -78,7 +87,13 @@ object LangIdNb {
     val t = twTrain.select(explode(col("w")).as("term"), col("lbl"))
     val cCols = classes.map(l =>
       sum(when(col("lbl") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    // pinned (eager, vocab-sized): feeds the totals AND the model
+    // table, and makes the broadcast gate's count free (the
+    // BigramLm.score convention)
     val counts = t.groupBy("term").agg(cCols.head, cCols.tail: _*)
+      .localCheckpoint()
+    val small = counts.count() <= BigramLm.BroadcastVocabRows
+    def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // 1-row totals: per-class token totals + vocab size + doc counts
     val nCols = classes.map(l => sum(col(s"c_$l")).as(s"n_$l")) :+
       count(lit(1)).as("v")
@@ -114,7 +129,7 @@ object LangIdNb {
           .as("n_oov"),
         count(lit(1)).as("n_ngrams"))
     val agg = tw.select(col(idCol), explode(col("w")).as("term"))
-      .join(model, Seq("term"), "left")
+      .join(gated(model), Seq("term"), "left")
       .groupBy(col(idCol))
       .agg(aggCols.head, aggCols.tail: _*)
       .crossJoin(broadcast(scalars))

@@ -65,11 +65,17 @@ object NaiveBayes {
   private[graft] def scoreWithModel(docs: DataFrame, idCol: String,
       textCol: String, counts: DataFrame, docCounts: DataFrame)
       : DataFrame = {
+    // the count model is PINNED (eager, vocab-sized): it feeds both
+    // the per-term table and the 1-row normaliser, and the pin makes
+    // the broadcast gate's count free (the BigramLm.score convention)
+    val countsP = counts.localCheckpoint()
+    val small = countsP.count() <= BigramLm.BroadcastVocabRows
+    def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // ONE fixed-point snap per log-RATIO (the BM25-idf convention —
     // the oracle replays it through DetLog.lnRatioCtes verbatim)
     val lnFpRatio: (Column, Column) => Column = (a, b) =>
       floor(graft.functions.DetLog.lnRatio(a, b) * LnScale).cast("long")
-    val fpt = counts.select(col("term"),
+    val fpt = countsP.select(col("term"),
       lnFpRatio(col("cpos") + 1, col("cneg") + 1).as("fp"))
     // 1-row model frame: per-token class normaliser and the doc prior
     // degenerate-model guard, evaluated IN-PLAN on the 1-row frame (no
@@ -82,7 +88,7 @@ object NaiveBayes {
       col("dpos") >= 1 && col("dneg") >= 1 && col("v") >= 1,
       lit("NaiveBayes: degenerate model — training needs >=1 positive " +
         "doc, >=1 negative doc and a nonempty vocabulary")), lit(0L))
-    val norm = counts.agg(
+    val norm = countsP.agg(
       sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
       count(lit(1)).as("v"))
       .crossJoin(docCounts)
@@ -93,7 +99,7 @@ object NaiveBayes {
     val tw = tokenized(docs, idCol, textCol, Nil)
     val dl = tw.select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
     tw.select(col(idCol), explode(col("w")).as("term"))
-      .join(fpt, Seq("term"), "left")
+      .join(gated(fpt), Seq("term"), "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("fp"), lit(0L))).as("sum_fp"),
         count(lit(1)).as("n"))

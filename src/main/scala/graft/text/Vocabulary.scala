@@ -55,7 +55,13 @@ object Vocabulary {
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
+    // pinned (eager, vocab-sized): feeds the term table AND ln N, and
+    // the pin makes the broadcast gate's count free (the BigramLm
+    // convention — without the gate the corpus token stream shuffles
+    // on term just to meet this table)
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val small = vocab.count() <= BigramLm.BroadcastVocabRows
     val termFp = vocab.select(col("term"),
       floor(graft.functions.DetLog.lnInt(col("tf")) * LnScale)
         .cast("long").as("fp"))
@@ -63,7 +69,7 @@ object Vocabulary {
     val lnN = vocab.agg(
       floor(graft.functions.DetLog.lnInt(sum(col("tf"))) * LnScale)
         .cast("long").as("ln_n_fp"))
-    toks.join(termFp, "term")
+    toks.join(if (small) broadcast(termFp) else termFp, "term")
       .groupBy(col(idCol))
       .agg(sum(col("fp")).as("sum_fp"), count(lit(1)).as("n_tokens"))
       .crossJoin(lnN)

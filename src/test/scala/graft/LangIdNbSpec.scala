@@ -29,6 +29,26 @@ class LangIdNbSpec extends SparkSpec {
     assert(got(2L).isEmpty)
   }
 
+  test("native char_ngrams kernel is bit-identical to the declarative " +
+      "rendering (incl. multi-byte codepoints), at n = 2 and 3") {
+    val texts = Seq("", "x", "ab", "abcd", "héllo wörld", "日本語テキスト",
+      "a日b語c", "  spaced  out  ", "ab\ncd\te")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    for (n <- Seq(2, 3)) {
+      val both = df.select(col("id"),
+        LangIdNb.charNgrams(col("t"), n).as("decl"),
+        graft.functions.GraftFunctions
+          .charNgrams(spark, col("t"), n).as("native"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)}: ${r.getSeq[String](1)} vs " +
+            s"${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("multiclass scores match the hand-replayed fixed point") {
     // train (even ids): "aab" → en grams {aa, ab}; "bcc" → fr {bc, cc}
     val docs = Seq(
