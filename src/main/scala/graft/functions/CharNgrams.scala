@@ -20,6 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object CharNgramKernel {
 
   def eval(text: UTF8String, n: Int): ArrayData = {
+    // mirrored in CharNgrams.checkInputDataTypes (analysis-time); this
+    // guard covers direct kernel callers and keeps the executor error
+    // legible instead of an ArrayIndexOutOfBounds (n < 0) or a silent
+    // len+1 empty-string grams result (n = 0)
+    if (n < 1) throw new IllegalArgumentException(
+      s"char_ngrams: n must be >= 1, got $n")
     val total = text.numChars()
     if (total < n) return new GenericArrayData(Array.empty[Any])
     val bytes = text.getBytes
@@ -56,7 +62,17 @@ case class CharNgrams(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // the documented contract is n >= 1; catching it at analysis
+        // time keeps a bad literal off the executors (where n < 0
+        // would throw per-row and n = 0 would silently emit len+1
+        // empty-string grams)
+        right.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: n must not be null")
+          case v: Integer if v < 1 => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: n must be >= 1, got $v")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (string, foldable int), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")

@@ -121,26 +121,35 @@ object AnnRecall {
 
   /** Shared sweep: probe the fixed-point centroid frame in raw float
     * space, score the probed clusters' members against ground truth.
+    * The index state (corpus count, centroid/member/query collects)
+    * is gathered ONCE and shared across every nprobe point.
     */
   private def sweepKmeansIvf(
       emb: DataFrame, centFp: DataFrame, asg: DataFrame,
       nprobes: Seq[Int], numQueries: Int, kAt: Int): Seq[IvfPoint] = {
     val truth = groundTruth(emb, numQueries, kAt)
+    val state = collectIvfState(emb, centFp, asg, numQueries)
     nprobes.map { np =>
-      val cand = kmeansCandidates(emb, centFp, asg, np, numQueries)
+      val cand = kmeansCandidates(state, np)
       val (recall, _) = scoreCandidates(truth,
         cand.map { case (q, (c, _)) => q -> c }, kAt)
       IvfPoint(np, recall, cand.values.map(_._2).sum / cand.size)
     }
   }
 
-  /** Per-query probed candidate sets (and scanned fraction) of a
-    * k-means IVF index at one nprobe — the measurement primitive
-    * [[sweepKmeansIvf]] and the scale-recall tool share.
+  /** Driver-side snapshot of a k-means IVF index at measurement scale:
+    * corpus size, float centroids, per-cluster member sets + sizes, and
+    * the query vectors. Collected once so a multi-point nprobe sweep
+    * amortizes the count and the collects across every point.
     */
-  def kmeansCandidates(
+  final case class IvfIndexState(
+      total: Double, cent: Map[Long, Array[Double]],
+      members: Map[Long, Set[Long]], sizes: Map[Long, Int],
+      qRows: Array[(Long, Seq[Float])])
+
+  def collectIvfState(
       emb: DataFrame, centFp: DataFrame, asg: DataFrame,
-      nprobe: Int, numQueries: Int): Map[Long, (Set[Long], Double)] = {
+      numQueries: Int): IvfIndexState = {
     val total = emb.count().toDouble
     // cids stay Long end-to-end: a narrowing here could silently merge
     // clusters on collision and misreport recall/scanned-fraction
@@ -156,6 +165,23 @@ object AnnRecall {
     val qRows = emb.where(col("vec_id") < numQueries)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    IvfIndexState(total, cent, members, sizes, qRows)
+  }
+
+  /** Per-query probed candidate sets (and scanned fraction) of a
+    * k-means IVF index at one nprobe — the measurement primitive
+    * [[sweepKmeansIvf]] and the scale-recall tool share. Single-point
+    * convenience over [[collectIvfState]]; sweeps should collect the
+    * state once and call the overload below per point.
+    */
+  def kmeansCandidates(
+      emb: DataFrame, centFp: DataFrame, asg: DataFrame,
+      nprobe: Int, numQueries: Int): Map[Long, (Set[Long], Double)] =
+    kmeansCandidates(collectIvfState(emb, centFp, asg, numQueries), nprobe)
+
+  def kmeansCandidates(
+      state: IvfIndexState, nprobe: Int): Map[Long, (Set[Long], Double)] = {
+    import state.{total, cent, members, sizes, qRows}
     qRows.map { case (qid, qv) =>
       val probed = cent.toSeq
         .map { case (l, cv) => (l, cosineLocalA(qv, cv)) }

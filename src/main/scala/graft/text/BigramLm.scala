@@ -62,29 +62,51 @@ object BigramLm {
             element_at(col("w"), i + lit(2)).as("w2")))).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
 
+  /** Byte budget for broadcasting model tables into the corpus scoring
+    * streams. Below it (every curation-sized reference split) the vocab
+    * tables broadcast, so the corpus-sized token/bigram streams are
+    * never shuffled on term keys — their first (and only) exchange is
+    * the per-document partial-agg output, and documents are contiguous
+    * in scan partitions so the map-side combine collapses the stream to
+    * ~one row per doc before it ships. Above the gate (web-scale
+    * vocabularies — Brants et al. train on 2e12 tokens where the
+    * unigram table alone is GBs) the joins stay distributed shuffle
+    * joins, the documented scale path. Measured at sf10 (500k docs,
+    * 26.6M bigram positions, 96k-row model): gated-broadcast 38.6s vs
+    * shuffle-join 320.6s same-window (8.3×) — the stream's two term-key
+    * exchanges were most of the query.
+    *
+    * The gate is BYTE-aware, not row-count-only: a wide multiclass
+    * model ([[LangIdNb]]: term + one long column per class) reaches
+    * hundreds of MB at row counts a narrow bigram table carries in
+    * tens, so each caller passes its row count through
+    * [[vocabBroadcastOk]] with its own schema-derived per-row width.
+    * 64 MB ≈ the 2M-row gate the narrow tables shipped under in round
+    * 12 (≈32 B/row), kept well inside Spark's broadcast comfort zone.
+    */
+  val BroadcastVocabBytes: Long = 64L << 20
+
+  /** Estimated serialized width of one model-table row: `strCols`
+    * string columns at an assumed 24 B average term (char n-grams and
+    * word tokens are short) + 8 B per numeric column. Deliberately a
+    * coarse planner-style estimate — the gate only picks a join
+    * strategy; both sides are value-identical.
+    */
+  def vocabRowBytes(strCols: Int, numCols: Int): Long =
+    24L * strCols + 8L * numCols
+
+  /** True when a model table of `rows` rows at `bytesPerRow` estimated
+    * width fits the broadcast budget.
+    */
+  def vocabBroadcastOk(rows: Long, bytesPerRow: Long): Boolean =
+    rows * bytesPerRow <= BroadcastVocabBytes
+
   /** Score every non-empty document of `docs` under a Stupid-Backoff
     * bigram LM trained on `train` (normally a split of the same
     * corpus). Output: (idCol, n_tokens, avg_logprob), the mean
     * log-score over all `n_tokens` positions (position 1 scored as a
     * unigram).
     */
-  /** Row-count gate for broadcasting the model tables into the corpus
-    * scoring streams. Below it (every curation-sized reference split;
-    * ~tens of MB serialized) the vocab tables broadcast, so the
-    * corpus-sized token/bigram streams are never shuffled on term keys
-    * — their first (and only) exchange is the per-document partial-agg
-    * output, and documents are contiguous in scan partitions so the
-    * map-side combine collapses the stream to ~one row per doc before
-    * it ships. Above the gate (web-scale vocabularies — Brants et al.
-    * train on 2e12 tokens where the unigram table alone is GBs) the
-    * joins stay distributed shuffle joins, the documented scale path.
-    * Measured at sf10 (500k docs, 26.6M bigram positions, 96k-row
-    * model): gated-broadcast 38.6s vs shuffle-join 320.6s same-window
-    * (8.3×) — the stream's two term-key exchanges were most of the
-    * query.
-    */
-  val BroadcastVocabRows: Long = 2000000L
-
   def score(docs: DataFrame, train: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val lnFp: Column => Column =
@@ -120,8 +142,11 @@ object BigramLm {
       .localCheckpoint()
     // size-gated broadcast (counts are free off the pins): small
     // models ride into the scan, web-scale vocabularies stay on the
-    // distributed join path
-    val small = u.count() + fpb.count() <= BroadcastVocabRows
+    // distributed join path. Width: unigram table (term, fp1), bigram
+    // table (w1, w2, fpseen).
+    val small =
+      vocabBroadcastOk(u.count(), vocabRowBytes(strCols = 1, numCols = 1)) &&
+        vocabBroadcastOk(fpb.count(), vocabRowBytes(strCols = 2, numCols = 1))
     def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // position 1: unigram ln(c(w_1)/N); OOV smooths to c = 1 (fp 0)
     val sFirst = tw.select(col(idCol), element_at(col("w"), 1).as("w1"))

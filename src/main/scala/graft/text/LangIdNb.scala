@@ -75,6 +75,13 @@ object LangIdNb {
       n: Int = NGram): DataFrame = {
     require(classes.nonEmpty && classes == classes.sorted.distinct,
       "classes must be a sorted, duplicate-free, nonempty list")
+    // labels are interpolated into derived column names (c_<l>, fp_<l>,
+    // score_<l>) and into the oracle's SQL string literals, so restrict
+    // them to a safe identifier charset — a quote, dot, or space would
+    // break column resolution or the replay SQL
+    require(classes.forall(_.matches("[A-Za-z0-9_]+")),
+      s"classes must match [A-Za-z0-9_]+ (used in derived column names " +
+        s"and oracle SQL); got: ${classes.mkString(", ")}")
     def grams(df: DataFrame, extra: Seq[Column]): DataFrame = df
       .select((col(idCol) +:
         graft.functions.GraftFunctions
@@ -92,7 +99,12 @@ object LangIdNb {
     // BigramLm.score convention)
     val counts = t.groupBy("term").agg(cCols.head, cCols.tail: _*)
       .localCheckpoint()
-    val small = counts.count() <= BigramLm.BroadcastVocabRows
+    // byte-aware gate scaled by model WIDTH: the broadcast table is
+    // (term, fp_<class>...) — one long column per class — so a large
+    // class set tightens the row budget proportionally instead of
+    // letting a hundreds-of-MB wide model ride through a row-count gate
+    val small = BigramLm.vocabBroadcastOk(counts.count(),
+      BigramLm.vocabRowBytes(strCols = 1, numCols = classes.size))
     def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // 1-row totals: per-class token totals + vocab size + doc counts
     val nCols = classes.map(l => sum(col(s"c_$l")).as(s"n_$l")) :+

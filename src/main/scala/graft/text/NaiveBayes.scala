@@ -69,7 +69,9 @@ object NaiveBayes {
     // the per-term table and the 1-row normaliser, and the pin makes
     // the broadcast gate's count free (the BigramLm.score convention)
     val countsP = counts.localCheckpoint()
-    val small = countsP.count() <= BigramLm.BroadcastVocabRows
+    // byte-aware gate; the broadcast table is (term, fp)
+    val small = BigramLm.vocabBroadcastOk(countsP.count(),
+      BigramLm.vocabRowBytes(strCols = 1, numCols = 1))
     def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // ONE fixed-point snap per log-RATIO (the BM25-idf convention —
     // the oracle replays it through DetLog.lnRatioCtes verbatim)

@@ -44,21 +44,25 @@ object PerplexityBuckets {
   def bucket(docs: DataFrame, train: DataFrame, idCol: String,
       textCol: String, groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be nonempty")
+    // The scored frame is PINNED too (eager localCheckpoint): it is
+    // only doc-sized (id, groupCols, n_tokens, avg_logprob, __v), but
+    // it is consumed twice — once to build the terciles, once as the
+    // probe side of the band join — and without the pin the expensive
+    // BigramLm corpus scoring chain (the token/bigram-stream joins)
+    // executes once per consumer.
     val scored = BigramLm.score(docs, train, idCol, textCol)
       .join(docs.select((idCol +: groupCols).map(col): _*), idCol)
       .withColumn("__v",
         floor(col("avg_logprob") * SnapScale.toDouble).cast("long"))
+      .localCheckpoint()
     val ts = graft.operators.Quantiles.groupQuantiles(
       scored, groupCols, "__v", Seq(Q1, Q2))
     // The threshold frame is PINNED (eager localCheckpoint of the
     // groups-sized table) before broadcasting back into the probe
-    // scan. This is load-bearing twice over: (a) without it the probe
-    // join is a self-join on `scored`, and Spark's self-join
-    // deduplication mis-binds the cloned threshold columns when the
-    // upstream lineage is deep (observed in the flagship funnel:
-    // every doc landed in `tail`); (b) it stops the probe join from
-    // re-evaluating the corpus-sized scoring pass a second time just
-    // to rebuild the thresholds.
+    // scan: without it the probe join is a self-join on `scored`, and
+    // Spark's self-join deduplication mis-binds the cloned threshold
+    // columns when the upstream lineage is deep (observed in the
+    // flagship funnel: every doc landed in `tail`).
     val wide = ts.groupBy(groupCols.map(col): _*).agg(
       max(when(col("q") === Q1, col("quantile_value"))).as("__t1"),
       max(when(col("q") === Q2, col("quantile_value"))).as("__t2"))

@@ -61,7 +61,9 @@ object Vocabulary {
     // on term just to meet this table)
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val small = vocab.count() <= BigramLm.BroadcastVocabRows
+    // byte-aware gate; the broadcast table is (term, fp)
+    val small = BigramLm.vocabBroadcastOk(vocab.count(),
+      BigramLm.vocabRowBytes(strCols = 1, numCols = 1))
     val termFp = vocab.select(col("term"),
       floor(graft.functions.DetLog.lnInt(col("tf")) * LnScale)
         .cast("long").as("fp"))
