@@ -462,6 +462,56 @@ object SimilarityQueries {
         .select(col("qid"), col("neighbor").as("doc_id"),
           col("rank").as("r2"))
       graft.similarity.HybridRrf.fuseRanked(lex, vec, "doc_id", TopK)
+    },
+
+    // the AMORTIZED production hybrid: identical legs and fusion, but
+    // the coarse quantizer is FROZEN — trained once on the bootstrap
+    // slice (batch 0 of the stream's id-range slicing rule, the
+    // q_stream_ann_ivf_trained model) and never retrained, so the
+    // per-invocation cost carries no n·√n training term: training work
+    // is bounded by the fixed bootstrap, the corpus only pays the
+    // linear frozen assignment + the probed scan. This is how a
+    // production deployment amortizes training across query batches —
+    // the centroid table is a persisted artifact (here rebuilt
+    // deterministically from the bootstrap so the oracle replays it);
+    // k and nprobe derive from the BOOTSTRAP count, exactly as the
+    // streamed index computes them
+    "q_hybrid_rrf_ivf_frozen" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_hybrid_rrf_ivf_frozen")
+      val docs = src(dfl, "documents").select(col("doc_id"), col("text"))
+      val embT = src(dfl, "embeddings")
+      val emb = embT.select(col("vec_id").as("doc_id"), col("embedding"))
+      val corpus = graft.similarity.HybridRrf.corpusOf(
+        docs, emb, "doc_id", "text", "embedding")
+      val lex = graft.similarity.HybridRrf.lexicalLeg(
+        corpus, "doc_id", "text", NumQueries)
+      val embV = embT.select(col("vec_id"), col("embedding"))
+      // frozen quantizer from batch 0 — the writeTimeSplits slicing
+      // rule (step = (hi-lo)/3 + 1, floor on non-negatives)
+      val bRow = embV.agg(min(col("vec_id")), max(col("vec_id")))
+        .collect()(0)
+      val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+      val step = math.max(1L, (hi - lo) / 3 + 1)
+      val b0 = embV.where(col("vec_id") < lo + step)
+      val k = ivfK(b0.count())
+      val (centFp, _) = graft.similarity.KMeans.fitModel(
+        b0, "vec_id", "embedding", k, IvfIters)
+      // the whole corpus assigns to the frozen centroids by the
+      // bit-exact integer argmin (linear, the only corpus-sized pass)
+      val asg = graft.similarity.KMeans.assign(
+        graft.similarity.KMeans.pointsFp(embV, "vec_id", "embedding"),
+        centFp)
+      val corpusEmb = corpus
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .join(asg, "vec_id")
+        .select(col("vec_id"), col("embedding"),
+          col("cid").cast("int").as("label"))
+      val vec = ivfSearch(s, corpusEmb, trainedCentroids(centFp),
+        ivfNProbe(k), NumQueries, graft.similarity.HybridRrf.KEach)
+        .select(col("qid"), col("neighbor").as("doc_id"),
+          col("rank").as("r2"))
+      graft.similarity.HybridRrf.fuseRanked(lex, vec, "doc_id", TopK)
     })
 
   import OracleSql._
@@ -919,8 +969,69 @@ object SimilarityQueries {
       |$hybridFusionTail""".stripMargin
   }
 
+  /** The amortized hybrid: [[hybridRrfIvfOracle]]'s legs and fusion,
+    * but the k-means chain trains on BATCH 0 only (the
+    * [[frozenStreamIvfOracle]] rooting) and the whole corpus assigns
+    * against the frozen final centroids before the probe; k and nprobe
+    * derive from the bootstrap count.
+    */
+  private def hybridRrfIvfFrozenOracle: String = {
+    import graft.similarity.HybridRrf.KEach
+    val t = IvfIters
+    val d1 = graft.similarity.VectorFunctions.Dim + 1
+    val scale = graft.similarity.KMeans.Scale
+    val offset = graft.similarity.KMeans.Offset
+    val b0Where =
+      """vec_id < (SELECT min(vec_id)
+        |  + ((max(vec_id) - min(vec_id)) // 3 + 1) FROM embeddings)"""
+        .stripMargin
+    val kExpr =
+      s"""(SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+        |  FROM embeddings WHERE $b0Where)""".stripMargin
+    val npExpr =
+      s"""(SELECT greatest(1, CAST(ceil(0.22 * floor(sqrt(count(*))))
+        |  AS BIGINT)) FROM embeddings WHERE $b0Where)""".stripMargin
+    val dist =
+      s"""CAST(list_sum(list_transform(range(1, $d1),
+        |      d -> (ptsall.p[d] - c$t.c[d]) * (ptsall.p[d] - c$t.c[d])))
+        |  AS BIGINT)""".stripMargin
+    s"""WITH ${OracleSql.kmeansCtes(kExpr, t, b0Where)},
+      |$hybridLexCtes,
+      |ptsall AS (SELECT vec_id, list_transform(embedding,
+      |    v -> CAST(floor((CAST(v AS DOUBLE) + $offset) * $scale)
+      |      AS BIGINT)) AS p
+      |  FROM embeddings),
+      |asgall AS (SELECT vec_id, cid FROM (
+      |  SELECT ptsall.vec_id, c$t.cid,
+      |    row_number() OVER (PARTITION BY ptsall.vec_id
+      |      ORDER BY $dist, c$t.cid) AS rn
+      |  FROM ptsall, c$t) WHERE rn = 1),
+      |cent AS (SELECT cid, list_transform(c,
+      |  x -> x / $scale.0 - $offset) AS cv FROM c$t),
+      |ce AS (SELECT tw.doc_id, tw.embedding, asgall.cid
+      |  FROM tw JOIN asgall ON tw.doc_id = asgall.vec_id),
+      |q AS (SELECT doc_id AS qid, embedding AS qv FROM tw
+      |  WHERE doc_id < $NumQueries),
+      |pr AS (SELECT qid, qv, cid, ${cosineExpr("qv", "cv")} AS cc
+      |  FROM q CROSS JOIN cent),
+      |p AS (SELECT qid, qv, cid FROM (
+      |    SELECT qid, qv, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid)
+      |        AS rn
+      |    FROM pr) WHERE rn <= $npExpr),
+      |vsc AS (SELECT p.qid, ce.doc_id,
+      |    ${cosineExpr("qv", "embedding")} AS cosine
+      |  FROM p JOIN ce ON ce.cid = p.cid WHERE ce.doc_id <> p.qid),
+      |vec AS (SELECT qid, doc_id, r2 FROM (
+      |    SELECT qid, doc_id, row_number() OVER
+      |      (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS r2
+      |    FROM vsc) WHERE r2 <= $KEach),
+      |$hybridFusionTail""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle,
+    "q_hybrid_rrf_ivf_frozen" -> hybridRrfIvfFrozenOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_projected" -> annProjectedOracle,
     "q_hybrid_rrf_ivf" -> hybridRrfIvfOracle,
