@@ -238,6 +238,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the REAL CCNet composition: the perplexity band grouped by the
+    // CLASSIFIER's language prediction instead of the metadata column —
+    // a crawl pipeline derives language from the model (Wenzek 2020
+    // runs fastText langid before the LM terciles). The langid chain
+    // (q_langid_trained's NB) nominates lang_pred; the bigram-LM
+    // terciles then split WITHIN each predicted language. The predicted
+    // frame is pinned (doc-sized) so the NB scoring chain runs once,
+    // not once per BigramLm consumer. Semantic (learning) claims are
+    // pinned on the synthetic separable corpus in LangIdNbSpec; this
+    // oracle checks engine parity on the real corpus
+    "q_perplexity_buckets_langid" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_perplexity_buckets_langid")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      val train = docs.where(col("doc_id") % 2 === 0)
+      val pred = graft.text.LangIdNb.score(
+        docs, train, "doc_id", "text", "lang", LangIdClasses)
+        .select(col("doc_id"), col("lang_pred"))
+      val docsPred = docs.select(col("doc_id"), col("text"))
+        .join(pred, "doc_id")
+        .localCheckpoint()
+      graft.text.PerplexityBuckets.bucket(
+        docsPred, train, "doc_id", "text", Seq("lang_pred"))
+        .orderBy("doc_id")
+    },
+
     // boilerplate removal over an HTML wrapper derived from each doc
     // (tags → URLs → whitespace, all RE2/java-portable patterns)
     "q_boilerplate" -> { (s, dir) =>
@@ -661,6 +688,97 @@ object TextQueries {
        |  FROM d JOIN dl ON d.doc_id = dl.doc_id)""".stripMargin
   }
 
+  /** The trained language-ID chain ([[graft.text.LangIdNb]] replayed:
+    * the wide +1-smoothed multiclass NB model off the even-doc_id train
+    * split, one fixed-point snap per log-ratio) as a CTE-body fragment
+    * ending in `lid(doc_id, n_ngrams, lang_pred, nb_score)` — shared by
+    * q_langid_trained and the composed q_perplexity_buckets_langid.
+    * Every CTE name is li_-prefixed so the fragment composes with
+    * [[lmScoreCtes]] without collisions.
+    */
+  private def langIdCtes: String = {
+    val sc = graft.text.LangIdNb.LnScale
+    val cls = LangIdClasses
+    val n = graft.text.LangIdNb.NGram
+    val langsRel =
+      cls.map(l => s"('$l')").mkString("(VALUES ", ", ", ") l(lang)")
+    def wideSum(src2: String): String = cls.map(l =>
+      s"CAST(sum(CASE WHEN $src2 = '$l' THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS c_$l").mkString(",\n  ")
+    val caseC = "CASE l.lang " + cls.map(l =>
+      s"WHEN '$l' THEN c_$l").mkString(" ") + " END"
+    val caseN = "CASE l.lang " + cls.map(l =>
+      s"WHEN '$l' THEN n_$l").mkString(" ") + " END"
+    val caseD = "CASE l.lang " + cls.map(l =>
+      s"WHEN '$l' THEN d_$l").mkString(" ") + " END"
+    def pivot(v: String, pfx: String): String = cls.map(l =>
+      s"max(CASE WHEN lbl = '$l' THEN $v END) AS $pfx$l")
+      .mkString(",\n  ")
+    val inList = cls.map(l => s"'$l'").mkString(", ")
+    s"""li_g0 AS (SELECT doc_id, lang,
+       |  CASE WHEN len(text) >= $n THEN list_transform(
+       |    range(1, len(text) - ${n - 2}), i -> substr(text, i, $n))
+       |  ELSE []::VARCHAR[] END AS w
+       |  FROM documents),
+       |li_gg AS (SELECT * FROM li_g0 WHERE len(w) > 0),
+       |li_twt AS (SELECT doc_id, lang AS lbl, w FROM li_gg
+       |  WHERE doc_id % 2 = 0 AND lang IN ($inList)),
+       |li_t AS (SELECT unnest(w) AS term, lbl FROM li_twt),
+       |li_cnts AS (SELECT term, ${wideSum("lbl")}
+       |  FROM li_t GROUP BY 1),
+       |li_tot AS (SELECT ${cls.map(l =>
+          s"CAST(sum(c_$l) AS BIGINT) AS n_$l").mkString(", ")},
+       |  count(*) AS v FROM li_cnts),
+       |li_dcnt AS (SELECT ${cls.map(l =>
+          "CAST(sum(CASE WHEN lbl = '" + l +
+            s"' THEN 1 ELSE 0 END) AS BIGINT) AS d_$l").mkString(", ")},
+       |  count(*) AS dd FROM li_twt),
+       |li_cl AS (SELECT term, l.lang AS lbl, $caseC AS cw, $caseN AS nw, v
+       |  FROM li_cnts CROSS JOIN li_tot CROSS JOIN $langsRel),
+       |${graft.functions.DetLog.lnRatioCtes("li_lt", "li_cl",
+           "cw + 1", "nw + v", "lnr", Seq("term", "lbl"))},
+       |li_fptl AS (SELECT term, lbl,
+       |  CAST(floor(lnr * $sc) AS BIGINT) AS fp FROM li_lt),
+       |li_fpt AS (SELECT term, ${pivot("fp", "fp_")}
+       |  FROM li_fptl GROUP BY term),
+       |li_ov AS (SELECT l.lang AS lbl, $caseN AS nw, v
+       |  FROM li_tot CROSS JOIN $langsRel),
+       |${graft.functions.DetLog.lnRatioCtes("li_lo", "li_ov",
+           "1", "nw + v", "lnr", Seq("lbl"))},
+       |li_fpoov AS (SELECT ${pivot(
+          s"CAST(floor(lnr * $sc) AS BIGINT)", "fpoov_")} FROM li_lo),
+       |li_pr AS (SELECT l.lang AS lbl, $caseD AS dw, dd
+       |  FROM li_dcnt CROSS JOIN $langsRel),
+       |${graft.functions.DetLog.lnRatioCtes("li_lp", "li_pr",
+           "dw", "dd", "lnr", Seq("lbl"))},
+       |li_fpr AS (SELECT ${pivot(
+          s"CAST(floor(lnr * $sc) AS BIGINT)", "fprior_")} FROM li_lp),
+       |li_td AS (SELECT doc_id, unnest(w) AS term FROM li_gg),
+       |li_d AS (SELECT doc_id,
+       |  ${cls.map(l =>
+          s"CAST(sum(coalesce(fp_$l, 0)) AS BIGINT) AS sum_$l")
+          .mkString(",\n  ")},
+       |  CAST(sum(CASE WHEN fp_${cls.head} IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_oov,
+       |  count(*) AS n_ngrams
+       |  FROM li_td LEFT JOIN li_fpt USING (term) GROUP BY 1),
+       |li_scr AS (SELECT doc_id, n_ngrams,
+       |  ${cls.map(l =>
+          s"sum_$l + n_oov * fpoov_$l + fprior_$l AS score_$l")
+          .mkString(",\n  ")}
+       |  FROM li_d, li_fpoov, li_fpr),
+       |li_fin AS (SELECT doc_id, n_ngrams,
+       |  ${cls.map(l => s"score_$l").mkString("greatest(", ", ", ")")}
+       |    AS best, ${cls.map(l => s"score_$l").mkString(", ")}
+       |  FROM li_scr),
+       |lid AS (SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       |  CASE ${cls.map(l =>
+          s"WHEN score_$l = best THEN '$l'").mkString(" ")}
+       |    ELSE 'und' END AS lang_pred,
+       |  round(CAST(best AS DOUBLE) / $sc.0, 6) AS nb_score
+       |  FROM li_fin)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
       s"""WITH $toksCte
@@ -926,87 +1044,44 @@ object TextQueries {
     // (term × class) long frame (then pivoted wide), one over the
     // 5-row OOV frame, one over the 5-row prior frame — the engine's
     // per-class fixed-point algebra replayed verbatim
-    "q_langid_trained" -> {
-      val sc = graft.text.LangIdNb.LnScale
-      val cls = LangIdClasses
-      val n = graft.text.LangIdNb.NGram
-      val langsRel =
-        cls.map(l => s"('$l')").mkString("(VALUES ", ", ", ") l(lang)")
-      def wideSum(src2: String): String = cls.map(l =>
-        s"CAST(sum(CASE WHEN $src2 = '$l' THEN 1 ELSE 0 END) AS BIGINT)" +
-          s" AS c_$l").mkString(",\n  ")
-      val caseC = "CASE l.lang " + cls.map(l =>
-        s"WHEN '$l' THEN c_$l").mkString(" ") + " END"
-      val caseN = "CASE l.lang " + cls.map(l =>
-        s"WHEN '$l' THEN n_$l").mkString(" ") + " END"
-      val caseD = "CASE l.lang " + cls.map(l =>
-        s"WHEN '$l' THEN d_$l").mkString(" ") + " END"
-      def pivot(v: String, pfx: String): String = cls.map(l =>
-        s"max(CASE WHEN lbl = '$l' THEN $v END) AS $pfx$l")
-        .mkString(",\n  ")
-      val inList = cls.map(l => s"'$l'").mkString(", ")
-      s"""WITH g0 AS (SELECT doc_id, lang,
-         |  CASE WHEN len(text) >= $n THEN list_transform(
-         |    range(1, len(text) - ${n - 2}), i -> substr(text, i, $n))
-         |  ELSE []::VARCHAR[] END AS w
-         |  FROM documents),
-         |gg AS (SELECT * FROM g0 WHERE len(w) > 0),
-         |twt AS (SELECT doc_id, lang AS lbl, w FROM gg
-         |  WHERE doc_id % 2 = 0 AND lang IN ($inList)),
-         |t AS (SELECT unnest(w) AS term, lbl FROM twt),
-         |cnts AS (SELECT term, ${wideSum("lbl")}
-         |  FROM t GROUP BY 1),
-         |tot AS (SELECT ${cls.map(l =>
-            s"CAST(sum(c_$l) AS BIGINT) AS n_$l").mkString(", ")},
-         |  count(*) AS v FROM cnts),
-         |dcnt AS (SELECT ${cls.map(l =>
-            "CAST(sum(CASE WHEN lbl = '" + l +
-              s"' THEN 1 ELSE 0 END) AS BIGINT) AS d_$l").mkString(", ")},
-         |  count(*) AS dd FROM twt),
-         |cl AS (SELECT term, l.lang AS lbl, $caseC AS cw, $caseN AS nw, v
-         |  FROM cnts CROSS JOIN tot CROSS JOIN $langsRel),
-         |${graft.functions.DetLog.lnRatioCtes("lt", "cl",
-             "cw + 1", "nw + v", "lnr", Seq("term", "lbl"))},
-         |fptl AS (SELECT term, lbl,
-         |  CAST(floor(lnr * $sc) AS BIGINT) AS fp FROM lt),
-         |fpt AS (SELECT term, ${pivot("fp", "fp_")}
-         |  FROM fptl GROUP BY term),
-         |ov AS (SELECT l.lang AS lbl, $caseN AS nw, v
-         |  FROM tot CROSS JOIN $langsRel),
-         |${graft.functions.DetLog.lnRatioCtes("lo", "ov",
-             "1", "nw + v", "lnr", Seq("lbl"))},
-         |fpoov AS (SELECT ${pivot(
-            s"CAST(floor(lnr * $sc) AS BIGINT)", "fpoov_")} FROM lo),
-         |pr AS (SELECT l.lang AS lbl, $caseD AS dw, dd
-         |  FROM dcnt CROSS JOIN $langsRel),
-         |${graft.functions.DetLog.lnRatioCtes("lp", "pr",
-             "dw", "dd", "lnr", Seq("lbl"))},
-         |fpr AS (SELECT ${pivot(
-            s"CAST(floor(lnr * $sc) AS BIGINT)", "fprior_")} FROM lp),
-         |td AS (SELECT doc_id, unnest(w) AS term FROM gg),
-         |d AS (SELECT doc_id,
-         |  ${cls.map(l =>
-            s"CAST(sum(coalesce(fp_$l, 0)) AS BIGINT) AS sum_$l")
-            .mkString(",\n  ")},
-         |  CAST(sum(CASE WHEN fp_${cls.head} IS NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_oov,
-         |  count(*) AS n_ngrams
-         |  FROM td LEFT JOIN fpt USING (term) GROUP BY 1),
-         |scr AS (SELECT doc_id, n_ngrams,
-         |  ${cls.map(l =>
-            s"sum_$l + n_oov * fpoov_$l + fprior_$l AS score_$l")
-            .mkString(",\n  ")}
-         |  FROM d, fpoov, fpr),
-         |fin AS (SELECT doc_id, n_ngrams,
-         |  ${cls.map(l => s"score_$l").mkString("greatest(", ", ", ")")}
-         |    AS best, ${cls.map(l => s"score_$l").mkString(", ")}
-         |  FROM scr)
-         |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
-         |  CASE ${cls.map(l =>
-            s"WHEN score_$l = best THEN '$l'").mkString(" ")}
-         |    ELSE 'und' END AS lang_pred,
-         |  round(CAST(best AS DOUBLE) / $sc.0, 6) AS nb_score
-         |FROM fin ORDER BY doc_id""".stripMargin
+    "q_langid_trained" ->
+      s"""WITH $langIdCtes
+         |SELECT doc_id, n_ngrams, lang_pred, nb_score
+         |FROM lid ORDER BY doc_id""".stripMargin,
+
+    // langid-driven CCNet buckets: the langid chain nominates
+    // lang_pred, the bigram-LM chain scores, the tercile split groups
+    // by the PREDICTION (sn joins lid instead of documents.lang)
+    "q_perplexity_buckets_langid" -> {
+      import graft.text.PerplexityBuckets.{Q1, Q2, SnapScale}
+      def pos(q: Double): String =
+        s"ceil(CAST('${q.toString}' AS DOUBLE) * n)"
+      s"""WITH $toksCte,
+         |$langIdCtes,
+         |${lmScoreCtes()},
+         |sn AS (SELECT lmscore.doc_id, lid.lang_pred, n_tokens,
+         |    avg_logprob,
+         |    CAST(floor(avg_logprob * $SnapScale.0) AS BIGINT) AS v
+         |  FROM lmscore JOIN lid USING (doc_id)),
+         |hist AS (SELECT lang_pred, v, count(*) AS cnt FROM sn
+         |  GROUP BY 1, 2),
+         |cm AS (SELECT lang_pred, v, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang_pred ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY lang_pred) AS BIGINT) AS n
+         |  FROM hist),
+         |th AS (SELECT lang_pred,
+         |    max(CASE WHEN cum - cnt < ${pos(Q1)}
+         |      AND ${pos(Q1)} <= cum THEN v END) AS t1,
+         |    max(CASE WHEN cum - cnt < ${pos(Q2)}
+         |      AND ${pos(Q2)} <= cum THEN v END) AS t2
+         |  FROM cm GROUP BY 1)
+         |SELECT doc_id, sn.lang_pred, n_tokens, avg_logprob,
+         |  CASE WHEN v <= t1 THEN 'tail'
+         |       WHEN v <= t2 THEN 'middle'
+         |       ELSE 'head' END AS ppl_bucket
+         |FROM sn JOIN th ON sn.lang_pred = th.lang_pred
+         |ORDER BY doc_id""".stripMargin
     },
 
     // the end-to-end pipeline oracle: the SAME stage chain as the

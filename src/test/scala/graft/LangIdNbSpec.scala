@@ -108,26 +108,27 @@ class LangIdNbSpec extends SparkSpec {
       s"expected the degenerate-model guard, got: ${ex.getMessage}")
   }
 
-  test("held-out accuracy >= 0.95 on a separable three-script corpus") {
-    // three synthetic "scripts" with disjoint-ish letter inventories
-    // plus shared vowels, word lengths 3-7 — char bigrams separate them
-    // even though no word repeats verbatim across classes
+  // three synthetic "scripts" with disjoint-ish letter inventories
+  // plus shared vowels, word lengths 3-7 — char bigrams separate them
+  // even though no word repeats verbatim across classes
+  private def separableDoc(i: Long): (Long, String, String) = {
     val inventory = Map(
       "aa" -> "bcdfg", "bb" -> "klmnp", "cc" -> "stvwz")
-    def doc(i: Long): (Long, String, String) = {
-      val cls = Seq("aa", "bb", "cc")(((i % 3).toInt))
-      val cons = inventory(cls)
-      val words = (0 until 10).map { j =>
-        val len = 3 + ((i * 31 + j * 7) % 5).toInt
-        (0 until len).map { p =>
-          val r = (i * 131 + j * 17 + p * 5) % 6
-          if (r < 2) "aeiou".charAt(((i + j + p) % 5).toInt)
-          else cons.charAt(((i * 3 + j + p * 11) % 5).toInt)
-        }.mkString
-      }
-      (i, words.mkString(" "), cls)
+    val cls = Seq("aa", "bb", "cc")(((i % 3).toInt))
+    val cons = inventory(cls)
+    val words = (0 until 10).map { j =>
+      val len = 3 + ((i * 31 + j * 7) % 5).toInt
+      (0 until len).map { p =>
+        val r = (i * 131 + j * 17 + p * 5) % 6
+        if (r < 2) "aeiou".charAt(((i + j + p) % 5).toInt)
+        else cons.charAt(((i * 3 + j + p * 11) % 5).toInt)
+      }.mkString
     }
-    val d = (0L until 300L).map(doc).toDF("doc_id", "text", "lang")
+    (i, words.mkString(" "), cls)
+  }
+
+  test("held-out accuracy >= 0.95 on a separable three-script corpus") {
+    val d = (0L until 300L).map(separableDoc).toDF("doc_id", "text", "lang")
     val scored = LangIdNb.score(
       d, d.where(col("doc_id") % 2 === 0), "doc_id", "text", "lang",
       Seq("aa", "bb", "cc"))
@@ -138,5 +139,44 @@ class LangIdNbSpec extends SparkSpec {
     assert(scored.length == 150)
     val acc = scored.count(x => x._1 == x._2).toDouble / scored.length
     assert(acc >= 0.95, f"held-out accuracy $acc%.3f")
+  }
+
+  test("composed langid→CCNet terciles group by the PREDICTION " +
+      "(the q_perplexity_buckets_langid semantics, separable corpus)") {
+    // the real-corpus oracle proves engine parity; this pins the
+    // SEMANTIC claim — predictions drive the grouping, and each
+    // predicted-language population splits into nonempty
+    // head/middle/tail terciles — on a corpus where language is
+    // genuinely learnable from text
+    val d = (0L until 300L).map(separableDoc).toDF("doc_id", "text", "lang")
+    val train = d.where(col("doc_id") % 2 === 0)
+    val pred = LangIdNb.score(
+      d, train, "doc_id", "text", "lang", Seq("aa", "bb", "cc"))
+      .select(col("doc_id"), col("lang_pred"))
+    val docsPred = d.select(col("doc_id"), col("text"))
+      .join(pred, "doc_id").localCheckpoint()
+    val out = graft.text.PerplexityBuckets.bucket(
+      docsPred, train, "doc_id", "text", Seq("lang_pred"))
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select("doc_id", "lang", "lang_pred", "ppl_bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    // every doc carries >= 1 token and >= 1 char bigram, so none drop
+    assert(out.length == 300)
+    // the grouping key is the model's prediction, and on this corpus
+    // the model is accurate — so the derived groups track truth
+    val agree = out.count(x => x._2 == x._3).toDouble / out.length
+    assert(agree >= 0.95, f"prediction agreement $agree%.3f")
+    // per predicted group: all three bands present, none degenerate
+    // (exact tercile counts shift with grid ties — bound, don't pin)
+    out.groupBy(_._3).foreach { case (g, rows) =>
+      val byBand = rows.groupBy(_._4).view.mapValues(_.size).toMap
+      for (b <- Seq("tail", "middle", "head")) {
+        val c = byBand.getOrElse(b, 0)
+        assert(c >= rows.size / 6,
+          s"group $g band $b has $c of ${rows.size} docs")
+      }
+    }
   }
 }
