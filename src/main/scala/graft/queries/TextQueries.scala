@@ -396,6 +396,31 @@ object TextQueries {
         .orderBy("seq_id", "doc_id")
     },
 
+    // TOKENIZER-FAITHFUL packing: real pretraining packs by the
+    // TOKENIZER's counts, not whitespace words — compose the BPE
+    // encoder's per-document token counts (the q_bpe_encode chain:
+    // merges trained on the corpus, each distinct word encoded once,
+    // documents equi-join the vocab-sized encoding) as SeqPack's
+    // length column. Same two-phase offset layout as q_seq_pack; only
+    // the length source changes
+    "q_seq_pack_bpe" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_seq_pack_bpe")
+      val docs = src(dfl, "documents")
+      val wc = graft.text.Bpe.wordCounts(docs, "text")
+      val merges = graft.text.Bpe.trainMerges(s, wc, BpeK)
+      val encoded = graft.text.Bpe.encode(wc, merges)
+        .select("w", "n_toks")
+      val counts = docs.select(col("doc_id"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
+        .join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(sum("n_toks").as("n_bpe_tokens"))
+      graft.text.SeqPack.pack(counts, "doc_id", "n_bpe_tokens",
+        seqLen = SeqLen)
+        .orderBy("seq_id", "doc_id")
+    },
+
     // THE FLAGSHIP COMPOSITION — the full LLM corpus-prep pipeline a
     // pretraining run executes, as ONE dataflow: eval split → exact
     // dedup → near-dup removal (0.9) → heuristic quality gate →
@@ -1421,6 +1446,34 @@ object TextQueries {
       s"""WITH $toksCte,
          |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM toks
          |  WHERE len(w) > 0),
+         |o AS (SELECT doc_id, n,
+         |  CAST(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+         |    AS BIGINT) AS s
+         |  FROM n),
+         |x AS (SELECT doc_id, n, s,
+         |  unnest(range(s // $SeqLen, (s + n - 1) // $SeqLen + 1)) AS seq_id
+         |  FROM o)
+         |SELECT seq_id, doc_id,
+         |  greatest(seq_id * $SeqLen - s, 0) AS tok_start,
+         |  least(s + n, (seq_id + 1) * $SeqLen)
+         |    - greatest(s, seq_id * $SeqLen) AS n_toks
+         |FROM x ORDER BY seq_id, doc_id""".stripMargin,
+
+    // tokenizer-faithful packing: the q_bpe_encode chain supplies the
+    // per-document lengths, the q_seq_pack chunking consumes them
+    "q_seq_pack_bpe" ->
+      s"""WITH $toksCte,
+         |wc AS (SELECT t.tok AS w, COUNT(*) AS cnt
+         |  FROM toks, UNNEST(toks.w) AS t(tok) GROUP BY 1),
+         |v0 AS (SELECT w, cnt, list_transform(range(1, len(w) + 1),
+         |    i -> substr(w, i, 1)) AS toks FROM wc),
+         |${(1 to BpeK).map(bpeRoundCtes).mkString(",\n")},
+         |n AS (SELECT doc_id,
+         |  CAST(SUM(len(v$BpeK.toks)) AS BIGINT) AS n
+         |  FROM toks, UNNEST(toks.w) AS t(tok)
+         |  JOIN v$BpeK ON t.tok = v$BpeK.w
+         |  GROUP BY doc_id),
          |o AS (SELECT doc_id, n,
          |  CAST(sum(n) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
