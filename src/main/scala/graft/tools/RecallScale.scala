@@ -156,6 +156,31 @@ object RecallScale {
     }
     val scanned = cand.values.map(_._2).sum / cand.size
 
+    // DEDUP-BEFORE-INDEX: compose the engine's exact dedup (the
+    // hash-groupBy keep-min-id shape of q_dedup_exact, applied to the
+    // embedding column — gen_scale's self-copies are EXACT, so the
+    // exact rung of the dedup ladder is the right pre-step; the
+    // LSH/semantic rungs exist for near-dups) as the index-build
+    // pre-step, then retrain PQ and re-grade the shipped rerank
+    // deployment on the deduped corpus. This closes the dupx story:
+    // if the sf10 rerank dupx drop (0.72) is duplicate crowding of the
+    // fixed shortlist — the gen_scale artifact — recall must recover
+    // to ~sf1 levels here. On a deduped corpus plain == dupx by
+    // construction (no self-duplicates remain).
+    val embDd = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val nDd = embDd.count()
+    val truthDd = AnnRecall.groundTruth(embDd, NumQueries, KAt)
+    val (booksDd, codesDd) = ProductQuantizer.train(
+      embDd, "vec_id", "embedding")
+    val rrDd = collectRanked(ProductQuantizer.adcRerankTopKWith(
+      s, embDd, "vec_id", "embedding", booksDd, codesDd,
+      NumQueries, KAt, shortlist))
+    val pqRrDd = score(truthDd,
+      rrDd.map { case (kk, v) => kk -> v.take(KAt) })
+
     def n4(v: Double): String = Fmt.fixed(v, 4)
     val json =
       s"""{"sf":"$sfDir","n_vectors":$n,"k":$KAt,"queries":$NumQueries,""" +
@@ -176,6 +201,13 @@ object RecallScale {
         s""""pq_rerank":{"shortlist":${math.max(shortlist, depth)},""" +
         s""""recall_plain":${n4(pqRrPlain)},""" +
         s""""recall_dupx":${n4(pqRrDupx)}},""" +
+        s""""pq_rerank_dedup":{"n_vectors_dedup":$nDd,""" +
+        s""""shortlist":$shortlist,""" +
+        "\"note\":\"exact dedup (hash-groupBy on embedding, keep min " +
+        "vec_id) composed before PQ training + indexing; truth " +
+        "recomputed on the deduped corpus, no self-duplicates remain " +
+        "so plain == dupx\"," +
+        s""""recall":${n4(pqRrDd)}},""" +
         s""""jl_projected":{"dims":${VectorFunctions.NumPlanes},""" +
         s""""recall_plain":${n4(projPlain)},""" +
         s""""recall_dupx":${n4(projDupx)}},""" +

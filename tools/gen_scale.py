@@ -9,7 +9,16 @@ of each other (a verbatim copy would square the dedup pair counts and
 turn a 10x scale-up into a 100x pair blowup — token-suffixed copies
 keep within-copy near-dup structure identical, so pair counts scale
 linearly like a real 10x corpus).
+
+Emits a `manifest.json` into the destination dir (per-table row counts
++ sha256 of each emitted parquet file + the generation parameters) so
+"same data" is machine-checkable across rounds: a regenerated dir with
+a different manifest is NOT comparable with earlier BENCH_SF*
+artifacts, and the campaign scripts stamp the manifest into every
+artifact they write.
 """
+import hashlib
+import json
 import os
 import sys
 
@@ -28,6 +37,14 @@ SHIFTS = {
     "embeddings": ["vec_id"],
 }
 COPY_ONLY = ["region", "nation"]
+
+
+def sha256_file(path):
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 22), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def scale_table(src, dst, table, n):
@@ -56,15 +73,47 @@ def scale_table(src, dst, table, n):
         total += part.num_rows
     writer.close()
     print(f"{table}: {tbl.num_rows} -> {total}")
+    path = f"{dst}/{table}.parquet"
+    return {"rows": total, "sha256": sha256_file(path),
+            "bytes": os.path.getsize(path)}
+
+
+def manifest_only(dst):
+    """Hash an EXISTING scaled dir (rows off parquet metadata + file
+    sha256) — for dirs generated before the manifest existed. Marked
+    `src: unknown` since the generation inputs weren't recorded.
+    """
+    tables = {}
+    for t in list(SHIFTS) + COPY_ONLY:
+        path = f"{dst}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        tables[t] = {"rows": pq.ParquetFile(path).metadata.num_rows,
+                     "sha256": sha256_file(path),
+                     "bytes": os.path.getsize(path)}
+    manifest = {"tool": "gen_scale.py --manifest-only", "src": "unknown",
+                "copies": None, "tables": tables}
+    with open(f"{dst}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(f"manifest: {dst}/manifest.json")
 
 
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--manifest-only":
+        manifest_only(sys.argv[2])
+        return
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
+    tables = {}
     for t in list(SHIFTS) + COPY_ONLY:
-        scale_table(src, dst, t, 1 if t in COPY_ONLY else n)
+        tables[t] = scale_table(src, dst, t, 1 if t in COPY_ONLY else n)
+    manifest = {"tool": "gen_scale.py", "src": src, "copies": n,
+                "tables": tables}
+    with open(f"{dst}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(f"manifest: {dst}/manifest.json")
 
 
 if __name__ == "__main__":
