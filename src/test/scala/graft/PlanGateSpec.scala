@@ -52,6 +52,10 @@ class PlanGateSpec extends SparkSpec {
     // IVF-probed hybrid: the SAME lexical-leg 1-row corpus-totals
     // frame (the vector leg's probe is cluster-id equi-joins)
     "q_hybrid_rrf_ivf" -> Set("nested-loop"),
+    // frozen-quantizer hybrid: identical lexical leg, so the identical
+    // 1-row corpus-totals BNLJ; the frozen assignment is a broadcast
+    // argmin kernel (no join) and the probe is cluster-id equi-joins
+    "q_hybrid_rrf_ivf_frozen" -> Set("nested-loop"),
     // trained langid: the 1-row model frames (per-class OOV values and
     // per-class priors, pivoted wide) crossJoin into the per-doc score
     // stream — class-count-sized columns on 1-row frames
