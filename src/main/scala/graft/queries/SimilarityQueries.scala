@@ -348,6 +348,61 @@ object SimilarityQueries {
       .orderBy("qid", "rank")
   }
 
+  /** IVF × PQ — the memory-AND-scan-bound production index (the IVFADC
+    * deployment shape, Jégou et al. 2011 §IV): the trained coarse
+    * quantizer ([[ivfK]] ≈ √n lists, [[IvfIters]] Lloyd rounds) bounds
+    * WHICH vectors are scanned (nprobe ≈ 0.22·k lists per query), the
+    * PQ codes bound the BYTES per scanned vector (M integer codes, no
+    * floats), and the exact rerank re-attaches floats for only the
+    * fixed RerankFactor·k shortlist. At 100 TB the per-query cost is
+    * (0.22·corpus codes scanned) × (M LUT lookups) + an output-sized
+    * float fetch — both compression levers composed, which neither
+    * q_ann_ivf_quantized (int8 payload, 4× not 32×) nor q_ann_pq
+    * (whole-corpus code scan) achieves alone. We code raw vectors, not
+    * residuals: the exact rerank re-scores the shortlist at full
+    * precision, so residual coding would only perturb shortlist
+    * membership (and the fixed-point k-means chain replays bit-exactly
+    * either way).
+    */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    implicit val c: GraftConf = conf(dir)
+    val dfl = DataFlow(s, "q_ann_ivf_pq")
+    val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
+    val k = ivfK(emb.count())
+    val (centFp, coarseAsg) = graft.similarity.KMeans.fitModel(
+      emb, "vec_id", "embedding", k, IvfIters)
+    val centroids = trainedCentroids(centFp)
+    val np = ivfNProbe(k)
+    val (books, codes) = graft.similarity.ProductQuantizer.train(
+      emb, "vec_id", "embedding")
+    // probe selection is driver-side over the k-row centroid table —
+    // the same raw-query-vs-float-centroid arithmetic as q_ann_ivf
+    val qRows = emb.filter(col("vec_id") < NumQueries)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+    val probeRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      centroids.toSeq
+        .map { case (l, cv) => (l, cosineLocal(qv, cv)) }
+        .sortBy { case (l, cc) => (-cc, l) }
+        .take(np)
+        .map { case (l, _) => org.apache.spark.sql.Row(qid, l) }
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val probes = s.createDataFrame(
+      s.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
+    val asgL = coarseAsg.select(col("vec_id"),
+      col("cid").cast("int").as("label"))
+    graft.similarity.ProductQuantizer.adcIvfRerankTopKWith(
+      s, emb, "vec_id", "embedding", books, codes, probes, asgL,
+      NumQueries, TopK,
+      graft.similarity.ProductQuantizer.RerankFactor * TopK)
+  }
+
   val KMeansK = 8
   val KMeansIters = 3
 
@@ -370,6 +425,7 @@ object SimilarityQueries {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_quantized" -> (annQuantized _),
     "q_ann_ivf_quantized" -> (annIvfQuantized _),
+    "q_ann_ivf_pq" -> (annIvfPq _),
     "q_kmeans" -> (kmeans _),
 
     // product-quantization ANN: per-subspace bit-exact k-means
@@ -841,6 +897,78 @@ object SimilarityQueries {
       |FROM rk WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
+  /** Replay of the IVF × PQ composition: the [[ivfTrainedOracle]]
+    * coarse chain (unsuffixed CTE names) trains the probe map, the
+    * [[pqChain]] per-subspace chains (suffixed `_m<i>`) train the
+    * codebooks, the candidate set is the probed lists' codes, and the
+    * ADC + fixed-shortlist rerank replay the [[pqOracle]] tail. The
+    * two chains share only the `q` query CTE; all other names are
+    * disjoint by the suffix convention.
+    */
+  private def annIvfPqOracle: String = {
+    import graft.similarity.ProductQuantizer.{Iters, NumSubspaces, RerankFactor}
+    val t = IvfIters
+    val f = Iters + 1
+    val ms = 0 until NumSubspaces
+    val kExpr =
+      "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+    val npExpr =
+      """(SELECT greatest(1, CAST(ceil(0.22 * floor(sqrt(count(*))))
+        |  AS BIGINT)) FROM embeddings)""".stripMargin
+    val codesCols = ms.map(i => s"a${f}_m$i.cid AS k$i").mkString(", ")
+    val codesJoins = ms.tail
+      .map(i => s"JOIN a${f}_m$i USING (vec_id)").mkString(" ")
+    val lutJoins = ms.map(i =>
+      s"JOIN lut_m$i l$i ON l$i.qid = cand.qid AND l$i.cid = cand.k$i")
+      .mkString("\n  ")
+    def blocked(f0: String): String =
+      ms.map(i => s"l$i.$f0").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id < $NumQueries),
+      |qn AS (SELECT qid, sqrt(${cosDot("qv", "qv")}) AS qnorm FROM q),
+      |${OracleSql.kmeansCtes(kExpr, t)},
+      |cent AS (SELECT cid, list_transform(c,
+      |  x -> x / ${graft.similarity.KMeans.Scale}.0
+      |    - ${graft.similarity.KMeans.Offset}) AS cv FROM c$t),
+      |prb AS (SELECT qid, cid, ${cosineExpr("qv", "cv")} AS cc
+      |  FROM q CROSS JOIN cent),
+      |p AS (SELECT qid, cid FROM (
+      |    SELECT qid, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid)
+      |        AS rn
+      |    FROM prb) WHERE rn <= $npExpr),
+      |${ms.map(i => pqChain(i)).mkString(",\n")},
+      |codes AS MATERIALIZED (SELECT a${f}_m0.vec_id, $codesCols
+      |  FROM a${f}_m0 $codesJoins),
+      |cand AS MATERIALIZED (SELECT p.qid, codes.vec_id,
+      |    ${ms.map(i => s"codes.k$i").mkString(", ")}
+      |  FROM p JOIN a${t + 1} asg ON asg.cid = p.cid
+      |  JOIN codes ON codes.vec_id = asg.vec_id
+      |  WHERE codes.vec_id <> p.qid),
+      |sc AS (SELECT cand.qid, cand.vec_id,
+      |    ${blocked("dot")} AS num,
+      |    ${blocked("nsq")} AS nsq
+      |  FROM cand
+      |  $lutJoins),
+      |fin AS (SELECT sc.qid, vec_id,
+      |    num / (qn.qnorm * sqrt(nsq)) AS cosine_pq
+      |  FROM sc JOIN qn ON sc.qid = qn.qid),
+      |r AS MATERIALIZED (SELECT qid, vec_id, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine_pq DESC, vec_id) AS adcrank
+      |  FROM fin),
+      |sl AS (SELECT qid, vec_id FROM r
+      |  WHERE adcrank <= ${RerankFactor * TopK}),
+      |rr AS (SELECT sl.qid, sl.vec_id,
+      |    ${cosineExpr("qv", "embedding")} AS cosine
+      |  FROM sl JOIN embeddings e ON sl.vec_id = e.vec_id
+      |    JOIN q ON sl.qid = q.qid),
+      |rk AS (SELECT qid, vec_id, cosine, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM rr)
+      |SELECT qid, vec_id AS neighbor, cosine, rank
+      |FROM rk WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
   /** Full-width dot for the query norm (the oracle's list_reduce). */
   private def cosDot(a: String, b: String): String =
     OracleSql.dotExpr(a, b)
@@ -1033,6 +1161,7 @@ object SimilarityQueries {
     "q_kmeans" -> kmeansOracle,
     "q_hybrid_rrf_ivf_frozen" -> hybridRrfIvfFrozenOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_ivf_pq" -> annIvfPqOracle,
     "q_ann_projected" -> annProjectedOracle,
     "q_hybrid_rrf_ivf" -> hybridRrfIvfOracle,
     // BM25 replay (the q_bm25 CTE chain re-rooted at the corpus join +

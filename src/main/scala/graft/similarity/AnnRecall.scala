@@ -179,6 +179,19 @@ object AnnRecall {
       nprobe: Int, numQueries: Int): Map[Long, (Set[Long], Double)] =
     kmeansCandidates(collectIvfState(emb, centFp, asg, numQueries), nprobe)
 
+  /** Per-query probed (qid, cid) pairs at one nprobe — the probe table
+    * the IVF-composed query paths broadcast (same ranking arithmetic as
+    * [[kmeansCandidates]]: cosine of the raw query vs the float
+    * centroid, ties to the smaller cid).
+    */
+  def probePairs(state: IvfIndexState, nprobe: Int): Seq[(Long, Long)] =
+    state.qRows.toSeq.flatMap { case (qid, qv) =>
+      state.cent.toSeq
+        .map { case (l, cv) => (l, cosineLocalA(qv, cv)) }
+        .sortBy { case (l, cc) => (-cc, l) }.take(nprobe)
+        .map { case (l, _) => (qid, l) }
+    }
+
   def kmeansCandidates(
       state: IvfIndexState, nprobe: Int): Map[Long, (Set[Long], Double)] = {
     import state.{total, cent, members, sizes, qRows}

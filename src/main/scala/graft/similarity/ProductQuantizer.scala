@@ -148,18 +148,17 @@ object ProductQuantizer {
     adcTopKWith(s, emb, idCol, vecCol, cents, codes, numQueries, topK, m)
   }
 
-  /** [[adcTopK]] against an EXTERNALLY-maintained model — frozen
-    * codebooks `cents` and a codes frame (vec_id, code_0..code_{m-1}),
-    * the entry the streamed index shares with the batch path. `emb`
-    * supplies only the query vectors (ids &lt; numQueries).
+  /** Per-query ADC lookup tables, query-norm frame, and the raw query
+    * rows for `emb`'s first `numQueries` ids against the reconstructed
+    * codebooks `cents`. Parameters: query vectors and codebooks are
+    * both tiny — LUTs are computed on the driver with the reference
+    * fold and broadcast at the join sites.
     */
-  def adcTopKWith(s: SparkSession, emb: DataFrame, idCol: String,
-      vecCol: String, cents: Seq[DataFrame], codes: DataFrame,
-      numQueries: Int, topK: Int, m: Int = NumSubspaces): DataFrame = {
+  private def queryLuts(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[DataFrame], numQueries: Int, m: Int)
+      : (Seq[DataFrame], DataFrame, Array[(Long, Array[Float])]) = {
     import s.implicits._
     val sd = subDim(m)
-    // parameters: query vectors and codebooks are both tiny — LUTs are
-    // computed on the driver with the reference fold and broadcast
     val qRows = emb.where(col(idCol) < numQueries)
       .select(col(idCol), col(vecCol)).orderBy(idCol).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -176,20 +175,23 @@ object ProductQuantizer {
     val qnorm = qRows.toSeq
       .map { case (qid, qv) => (qid, math.sqrt(dotRef(qv.toSeq, qv.toSeq))) }
       .toDF("qid", "qnorm")
-    // candidate side: the integer codes frame fans out per query id
-    // via a literal explode (generate, not a join), then each subspace
-    // resolves through one broadcast hash join against its k-row LUT
-    val qids = array(qRows.map(q => lit(q._1)): _*)
+    (luts, qnorm, qRows)
+  }
+
+  /** The ADC scoring tail over a candidate frame
+    * (qid, vec_id, code_0..code_{m-1}): each subspace resolves through
+    * one broadcast hash join against its k-row LUT, the blocked sums
+    * assemble in strict left association (the oracle's form), and the
+    * per-query top-`topK` ranks by (cosine_pq desc, vec_id asc).
+    */
+  private def adcScore(cand: DataFrame, luts: Seq[DataFrame],
+      qnorm: DataFrame, m: Int, topK: Int): DataFrame = {
     // strict left association — the oracle assembles identically
     val num = (0 until m).map(i => col(s"dot_$i")).reduceLeft(_ + _)
     val nsq = (0 until m).map(i => col(s"nsq_$i")).reduceLeft(_ + _)
     val rank = row_number().over(
       Window.partitionBy("qid").orderBy(desc("cosine_pq"), asc("vec_id")))
-    (0 until m).foldLeft(
-      codes.select(
-        col("vec_id") +: explode(qids).as("qid") +:
-          (0 until m).map(i => col(s"code_$i")): _*)
-        .where(col("qid") =!= col("vec_id"))) {
+    (0 until m).foldLeft(cand) {
       case (df, i) => df.join(broadcast(luts(i)), Seq("qid", s"code_$i"))
     }
       .join(broadcast(qnorm), "qid")
@@ -199,6 +201,49 @@ object ProductQuantizer {
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine_pq"),
         col("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** [[adcTopK]] against an EXTERNALLY-maintained model — frozen
+    * codebooks `cents` and a codes frame (vec_id, code_0..code_{m-1}),
+    * the entry the streamed index shares with the batch path. `emb`
+    * supplies only the query vectors (ids &lt; numQueries).
+    */
+  def adcTopKWith(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[DataFrame], codes: DataFrame,
+      numQueries: Int, topK: Int, m: Int = NumSubspaces): DataFrame = {
+    val (luts, qnorm, qRows) =
+      queryLuts(s, emb, idCol, vecCol, cents, numQueries, m)
+    // candidate side: the integer codes frame fans out per query id
+    // via a literal explode (generate, not a join)
+    val qids = array(qRows.map(q => lit(q._1)): _*)
+    val cand = codes.select(
+      col("vec_id") +: explode(qids).as("qid") +:
+        (0 until m).map(i => col(s"code_$i")): _*)
+      .where(col("qid") =!= col("vec_id"))
+    adcScore(cand, luts, qnorm, m, topK)
+  }
+
+  /** IVF-probed ADC: the candidate scan is restricted to each query's
+    * probed coarse lists BEFORE any scoring work — `probes` is the tiny
+    * (qid, label) probe table (nprobe rows per query, broadcast) and
+    * `asg` the corpus's coarse assignment (vec_id, label). The scan
+    * side reads only integer codes for ~nprobe/k of the corpus: the
+    * two compression levers composed (which vectors × bytes-per-vector).
+    * Candidate (qid, vec_id) pairs are unique by construction — each
+    * vector lives in exactly one coarse list.
+    */
+  def adcIvfTopKWith(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[DataFrame], codes: DataFrame,
+      probes: DataFrame, asg: DataFrame,
+      numQueries: Int, topK: Int, m: Int = NumSubspaces): DataFrame = {
+    val (luts, qnorm, _) =
+      queryLuts(s, emb, idCol, vecCol, cents, numQueries, m)
+    val cand = codes.join(asg, "vec_id")
+      .join(broadcast(probes), "label")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid") +: col("vec_id") +:
+        (0 until m).map(i => col(s"code_$i")): _*)
+    adcScore(cand, luts, qnorm, m, topK)
   }
 
   /** The production deployment (Jégou et al.'s ADC + rerank): the
@@ -225,10 +270,40 @@ object ProductQuantizer {
   def adcRerankTopKWith(s: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, cents: Seq[DataFrame], codes: DataFrame,
       numQueries: Int, topK: Int, shortlist: Int,
-      m: Int = NumSubspaces): DataFrame = {
-    val sl = adcTopKWith(s, emb, idCol, vecCol, cents, codes, numQueries,
-      math.max(topK, shortlist), m)
-      .select(col("qid"), col("neighbor").as(idCol))
+      m: Int = NumSubspaces): DataFrame =
+    rerankExact(s, emb, idCol, vecCol,
+      adcTopKWith(s, emb, idCol, vecCol, cents, codes, numQueries,
+        math.max(topK, shortlist), m)
+        .select(col("qid"), col("neighbor").as(idCol)),
+      numQueries, topK)
+
+  /** The IVF-probed production deployment: [[adcIvfTopKWith]]'s
+    * probed-list ADC scan nominates the shortlist, then the exact
+    * rerank re-attaches floats for just those rows — coarse probing ×
+    * PQ codes × output-sized float fetch, the three scale levers
+    * composed (Jégou et al. 2011's IVFADC shape; our variant codes raw
+    * vectors rather than residuals because the exact rerank re-scores
+    * the shortlist with full-precision floats anyway, so residual
+    * precision would only move which candidates make the shortlist).
+    */
+  def adcIvfRerankTopKWith(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[DataFrame], codes: DataFrame,
+      probes: DataFrame, asg: DataFrame,
+      numQueries: Int, topK: Int, shortlist: Int,
+      m: Int = NumSubspaces): DataFrame =
+    rerankExact(s, emb, idCol, vecCol,
+      adcIvfTopKWith(s, emb, idCol, vecCol, cents, codes, probes, asg,
+        numQueries, math.max(topK, shortlist), m)
+        .select(col("qid"), col("neighbor").as(idCol)),
+      numQueries, topK)
+
+  /** Exact-cosine rerank of a (qid, `idCol`) shortlist: floats
+    * re-attach by id equi-join (shortlist-sized, never corpus-sized),
+    * queries broadcast, rank by (cosine desc, id asc).
+    */
+  private def rerankExact(s: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, sl: DataFrame, numQueries: Int, topK: Int)
+      : DataFrame = {
     val qv = emb.where(col(idCol) < numQueries)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val rank = row_number().over(

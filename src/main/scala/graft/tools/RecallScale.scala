@@ -146,7 +146,8 @@ object RecallScale {
     val np = graft.queries.SimilarityQueries.ivfNProbe(k)
     val (centFp, asg) = KMeans.fitModel(emb, "vec_id", "embedding", k,
       graft.queries.SimilarityQueries.IvfIters)
-    val cand = AnnRecall.kmeansCandidates(emb, centFp, asg, np, NumQueries)
+    val ivfState = AnnRecall.collectIvfState(emb, centFp, asg, NumQueries)
+    val cand = AnnRecall.kmeansCandidates(ivfState, np)
     def setScore(truth: Map[Long, Seq[Long]]): Double = {
       val per = truth.toSeq.map { case (kk, top) =>
         val c = cand.get(kk).map(_._1).getOrElse(Set.empty[Long])
@@ -155,6 +156,20 @@ object RecallScale {
       per.sum / per.size
     }
     val scanned = cand.values.map(_._2).sum / cand.size
+
+    // IVF × PQ (q_ann_ivf_pq): the probed coarse lists scanned as PQ
+    // codes + the fixed-factor exact rerank — reuses the coarse model
+    // (centFp/asg) and the PQ books/codes trained above, so the row
+    // isolates the composition's recall cost (probing can only REMOVE
+    // candidates from the whole-corpus pq_rerank row's scan)
+    import s.implicits._
+    val probes = AnnRecall.probePairs(ivfState, np)
+      .map { case (qid, l) => (qid, l.toInt) }.toDF("qid", "label")
+    val asgL = asg.select(col("vec_id"), col("cid").cast("int").as("label"))
+    val (ivfPqPlain, ivfPqDupx) = both(collectRanked(
+      ProductQuantizer.adcIvfRerankTopKWith(s, emb, "vec_id", "embedding",
+        books, codes, probes, asgL, NumQueries, depth,
+        math.max(shortlist, depth))))
 
     // DEDUP-BEFORE-INDEX: compose the engine's exact dedup (the
     // hash-groupBy keep-min-id shape of q_dedup_exact, applied to the
@@ -211,6 +226,10 @@ object RecallScale {
         s""""jl_projected":{"dims":${VectorFunctions.NumPlanes},""" +
         s""""recall_plain":${n4(projPlain)},""" +
         s""""recall_dupx":${n4(projDupx)}},""" +
+        s""""ivf_pq_rerank":{"k":$k,"nprobe":$np,""" +
+        s""""shortlist":${math.max(shortlist, depth)},""" +
+        s""""recall_plain":${n4(ivfPqPlain)},""" +
+        s""""recall_dupx":${n4(ivfPqDupx)}},""" +
         s""""ivf_trained":{"k":$k,"nprobe":$np,""" +
         s""""avg_scanned_fraction":${n4(scanned)},""" +
         s""""recall_plain":${n4(setScore(truthPlain))},""" +

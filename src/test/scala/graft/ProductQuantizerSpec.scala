@@ -106,6 +106,42 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("IVF-probed ADC equals the full ADC restricted to probed lists") {
+    // coarse model: 4 lists over the 4 planted patterns
+    val (centFp, asg) = KMeans.fitModel(emb, "vec_id", "embedding", 4, 2)
+    assert(centFp.count() >= 2)
+    val asgL = asg.select(col("vec_id"), col("cid").cast("int").as("label"))
+    val labelOf = asgL.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labels = labelOf.values.toSeq.distinct.sorted
+    assert(labels.size >= 2, "test corpus must spread over >1 coarse list")
+    // each query probes its own list plus one other — enough structure
+    // that the probed result is a strict subset of the full scan
+    val probePairs = Seq(0L, 1L).flatMap { q =>
+      Seq(labelOf(q), labels.find(_ != labelOf(q)).get).distinct
+        .map(l => (q, l))
+    }
+    val probes = probePairs.toDF("qid", "label")
+    val (books, codes) = ProductQuantizer.train(emb, "vec_id", "embedding")
+    // topK = corpus size so both sides emit every candidate they scan
+    val got = ProductQuantizer.adcIvfTopKWith(spark, emb, "vec_id",
+      "embedding", books, codes, probes, asgL, numQueries = 2, topK = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = ProductQuantizer.adcTopKWith(spark, emb, "vec_id",
+      "embedding", books, codes, numQueries = 2, topK = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val probedSet = probePairs.toSet
+    val expect = full.filter { case ((q, n), _) =>
+      probedSet.contains((q, labelOf(n)))
+    }
+    assert(got.keySet == expect.keySet,
+      "probed candidate set must be exactly the probed lists' members")
+    assert(got.size < full.size, "probing must actually restrict the scan")
+    expect.foreach { case (k, v) => assert(got(k) == v, s"score drift at $k") }
+  }
+
   test("an exact duplicate shares all codes and fuses to the same score") {
     val dup = emb.union(Seq((100L, vec(1L))).toDF("vec_id", "embedding"))
     val (_, codes) = ProductQuantizer.train(dup, "vec_id", "embedding")

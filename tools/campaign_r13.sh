@@ -26,7 +26,7 @@ OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
 --add-opens=java.base/sun.security.action=ALL-UNNAMED \
 --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
-NEWQ="q_hybrid_rrf_ivf_frozen,q_perplexity_buckets_langid,q_seq_pack_bpe,q_perplexity_buckets,q_pipeline_llm,q_hybrid_rrf_ivf"
+NEWQ="q_hybrid_rrf_ivf_frozen,q_perplexity_buckets_langid,q_seq_pack_bpe,q_perplexity_buckets,q_pipeline_llm,q_hybrid_rrf_ivf,q_ann_ivf_pq"
 R12_COMMIT="${R12_COMMIT:-54c25a9}"
 
 echo "=== step 1: shared full bench sf0.1 (driver conditions) ==="
