@@ -375,9 +375,24 @@ object SimilarityQueries {
     val np = ivfNProbe(k)
     val (books, codes) = graft.similarity.ProductQuantizer.train(
       emb, "vec_id", "embedding")
-    // probe selection is driver-side over the k-row centroid table —
-    // the same raw-query-vs-float-centroid arithmetic as q_ann_ivf
-    val qRows = emb.filter(col("vec_id") < NumQueries)
+    val probes = ivfProbeFrame(s, emb, centroids, np)
+    val asgL = coarseAsg.select(col("vec_id"),
+      col("cid").cast("int").as("label"))
+    graft.similarity.ProductQuantizer.adcIvfRerankTopKWith(
+      s, emb, "vec_id", "embedding", books, codes, probes, asgL,
+      NumQueries, TopK,
+      graft.similarity.ProductQuantizer.RerankFactor * TopK)
+  }
+
+  /** Driver-side probe table (qid, label) for `emb`'s first
+    * `numQueries` query ids against reconstructed float centroids —
+    * the same raw-query-vs-float-centroid arithmetic as q_ann_ivf
+    * (cosine desc, ties to the smaller label).
+    */
+  private[graft] def ivfProbeFrame(s: SparkSession, emb: DataFrame,
+      centroids: Map[Int, Array[Double]], np: Int,
+      numQueries: Int = NumQueries): DataFrame = {
+    val qRows = emb.filter(col("vec_id") < numQueries)
       .select("vec_id", "embedding").orderBy("vec_id").collect()
     val probeRows = qRows.flatMap { r =>
       val qid = r.getLong(0)
@@ -393,14 +408,32 @@ object SimilarityQueries {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("label",
         org.apache.spark.sql.types.IntegerType)))
-    val probes = s.createDataFrame(
+    s.createDataFrame(
       s.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
-    val asgL = coarseAsg.select(col("vec_id"),
+  }
+
+  /** The streamed-IVF×PQ query tail shared with the batch contract:
+    * probed-list ADC + fixed-factor rerank over a postings frame
+    * (vec_id, embedding, cid, code_0..code_{M-1}) against the FROZEN
+    * coarse centroids + books; `kBoot` is the bootstrap-derived
+    * cluster count the nprobe rule keys off.
+    */
+  private[graft] def ivfPqSearchFromPostings(s: SparkSession,
+      post: DataFrame, centFp: DataFrame, books: Seq[DataFrame],
+      kBoot: Int): DataFrame = {
+    import graft.similarity.ProductQuantizer
+    val m = ProductQuantizer.NumSubspaces
+    val emb = post.select(col("vec_id"), col("embedding"))
+    val probes = ivfProbeFrame(s, emb, trainedCentroids(centFp),
+      ivfNProbe(kBoot))
+    val asgL = post.select(col("vec_id"),
       col("cid").cast("int").as("label"))
-    graft.similarity.ProductQuantizer.adcIvfRerankTopKWith(
-      s, emb, "vec_id", "embedding", books, codes, probes, asgL,
-      NumQueries, TopK,
-      graft.similarity.ProductQuantizer.RerankFactor * TopK)
+    ProductQuantizer.adcIvfRerankTopKWith(s, emb, "vec_id", "embedding",
+      books,
+      post.select(
+        col("vec_id") +: (0 until m).map(i => col(s"code_$i")): _*),
+      probes, asgL, NumQueries, TopK,
+      ProductQuantizer.RerankFactor * TopK, m)
   }
 
   val KMeansK = 8
@@ -905,16 +938,55 @@ object SimilarityQueries {
     * two chains share only the `q` query CTE; all other names are
     * disjoint by the suffix convention.
     */
-  private def annIvfPqOracle: String = {
+  private def annIvfPqOracle: String = ivfPqOracle("")
+
+  /** Replay of the FROZEN streamed IVF×PQ (`q_stream_ann_ivf_pq`):
+    * both the coarse chain and every PQ subspace chain train on batch 0
+    * of the stream's id-range slicing; the whole corpus then assigns to
+    * the frozen centroids ([[frozenStreamIvfOracle]]'s `asgall` rule)
+    * and to the frozen books (pqChain's full-frame final assignment);
+    * k and nprobe derive from the batch-0 count.
+    */
+  private[graft] def frozenStreamIvfPqOracle: String =
+    ivfPqOracle(
+      """vec_id < (SELECT min(vec_id)
+        |  + ((max(vec_id) - min(vec_id)) // 3 + 1) FROM embeddings)"""
+        .stripMargin)
+
+  private def ivfPqOracle(trainWhere: String): String = {
     import graft.similarity.ProductQuantizer.{Iters, NumSubspaces, RerankFactor}
+    import graft.similarity.KMeans.{Offset, Scale}
     val t = IvfIters
     val f = Iters + 1
+    val d1 = graft.similarity.VectorFunctions.Dim + 1
     val ms = 0 until NumSubspaces
+    val whereSql = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val kExpr =
-      "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"
+      s"(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings$whereSql)"
     val npExpr =
-      """(SELECT greatest(1, CAST(ceil(0.22 * floor(sqrt(count(*))))
-        |  AS BIGINT)) FROM embeddings)""".stripMargin
+      s"""(SELECT greatest(1, CAST(ceil(0.22 * floor(sqrt(count(*))))
+        |  AS BIGINT)) FROM embeddings$whereSql)""".stripMargin
+    // frozen rendering: the coarse chain's own assignment covers only
+    // the training rows, so the WHOLE corpus re-assigns against the
+    // final frozen centroids (the frozenStreamIvfOracle rule)
+    val dist =
+      s"""CAST(list_sum(list_transform(range(1, $d1),
+        |      d -> (ptsall.p[d] - c$t.c[d]) * (ptsall.p[d] - c$t.c[d])))
+        |  AS BIGINT)""".stripMargin
+    val frozenCtes =
+      if (trainWhere.isEmpty) ""
+      else
+        s"""ptsall AS (SELECT vec_id, list_transform(embedding,
+          |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
+          |      AS BIGINT)) AS p
+          |  FROM embeddings),
+          |asgall AS (SELECT vec_id, cid FROM (
+          |  SELECT ptsall.vec_id, c$t.cid,
+          |    row_number() OVER (PARTITION BY ptsall.vec_id
+          |      ORDER BY $dist, c$t.cid) AS rn
+          |  FROM ptsall, c$t) WHERE rn = 1),
+          |""".stripMargin
+    val asgSrc = if (trainWhere.isEmpty) s"a${t + 1}" else "asgall"
     val codesCols = ms.map(i => s"a${f}_m$i.cid AS k$i").mkString(", ")
     val codesJoins = ms.tail
       .map(i => s"JOIN a${f}_m$i USING (vec_id)").mkString(" ")
@@ -926,10 +998,10 @@ object SimilarityQueries {
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
       |  WHERE vec_id < $NumQueries),
       |qn AS (SELECT qid, sqrt(${cosDot("qv", "qv")}) AS qnorm FROM q),
-      |${OracleSql.kmeansCtes(kExpr, t)},
-      |cent AS (SELECT cid, list_transform(c,
-      |  x -> x / ${graft.similarity.KMeans.Scale}.0
-      |    - ${graft.similarity.KMeans.Offset}) AS cv FROM c$t),
+      |${OracleSql.kmeansCtes(kExpr, t, trainWhere)},
+      |${frozenCtes}cent AS (SELECT cid, list_transform(c,
+      |  x -> x / $Scale.0
+      |    - $Offset) AS cv FROM c$t),
       |prb AS (SELECT qid, cid, ${cosineExpr("qv", "cv")} AS cc
       |  FROM q CROSS JOIN cent),
       |p AS (SELECT qid, cid FROM (
@@ -937,12 +1009,12 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid)
       |        AS rn
       |    FROM prb) WHERE rn <= $npExpr),
-      |${ms.map(i => pqChain(i)).mkString(",\n")},
+      |${ms.map(i => pqChain(i, trainWhere)).mkString(",\n")},
       |codes AS MATERIALIZED (SELECT a${f}_m0.vec_id, $codesCols
       |  FROM a${f}_m0 $codesJoins),
       |cand AS MATERIALIZED (SELECT p.qid, codes.vec_id,
       |    ${ms.map(i => s"codes.k$i").mkString(", ")}
-      |  FROM p JOIN a${t + 1} asg ON asg.cid = p.cid
+      |  FROM p JOIN $asgSrc asg ON asg.cid = p.cid
       |  JOIN codes ON codes.vec_id = asg.vec_id
       |  WHERE codes.vec_id <> p.qid),
       |sc AS (SELECT cand.qid, cand.vec_id,

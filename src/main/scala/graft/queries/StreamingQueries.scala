@@ -1005,6 +1005,53 @@ object StreamingQueries {
       }
     },
 
+    // STREAMED IVF × PQ: the two frozen-model precedents composed —
+    // the coarse quantizer AND the PQ codebooks both train once on
+    // the bootstrap batch, every arriving vector appends
+    // (vec_id, embedding, cid, code_0..7) after the frozen coarse
+    // argmin + the frozen per-subspace argmins, under the vec_id
+    // anti-join guard (append-only, idempotent, no watermark). The
+    // query tail is the batch q_ann_ivf_pq search over the drained
+    // postings: probed lists scanned as integer codes, exact rerank
+    // on the fixed shortlist. Oracle = the composed chain with both
+    // trainings re-rooted at the bootstrap id-range.
+    "q_stream_ann_ivf_pq" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.similarity.{KMeans, ProductQuantizer, StreamingIvfPq}
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val base = tmpDir("graft_sivfpq")
+        val postingsDir = base + "/postings"
+        StreamingIvfPq.initState(s, postingsDir)
+        StreamFlow.writeTimeSplits(emb, "vec_id", 3, base + "/splits")
+        // frozen models from batch 0 — the same id-range rule the
+        // splits use (step = (hi-lo)/3 + 1, floor on non-negatives)
+        val bRow = emb.agg(min(col("vec_id")), max(col("vec_id")))
+          .collect()(0)
+        val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+        val step = math.max(1L, (hi - lo) / 3 + 1)
+        val b0 = emb.where(col("vec_id") < lo + step)
+        val k = SimilarityQueries.ivfK(b0.count())
+        val (centFp, _) = KMeans.fitModel(
+          b0, "vec_id", "embedding", k, SimilarityQueries.IvfIters)
+        val books = ProductQuantizer.trainBooks(b0, "vec_id", "embedding")
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            StreamingIvfPq.applyFrozenBatch(s, b, centFp, books, postingsDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        SimilarityQueries.ivfPqSearchFromPostings(
+          s, s.read.parquet(postingsDir), centFp, books, k)
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1038,6 +1085,7 @@ object StreamingQueries {
     "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,
     "q_stream_ann_ivf_trained" -> SimilarityQueries.frozenStreamIvfOracle,
     "q_stream_ann_pq" -> SimilarityQueries.frozenStreamPqOracle,
+    "q_stream_ann_ivf_pq" -> SimilarityQueries.frozenStreamIvfPqOracle,
     "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),
 
     // the streamed mini-batch run replayed batch-by-batch: same seeds,
