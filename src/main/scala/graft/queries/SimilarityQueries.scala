@@ -452,7 +452,53 @@ object SimilarityQueries {
       .orderBy("cid", "dim")
   }
 
+  /** q_decontam_semantic's eval-benchmark slice (vec_id < EvalVecs) and
+    * contamination threshold. The eval side models a held-out benchmark
+    * suite: FIXED-size (kilobytes against a 100 TB train corpus), so it
+    * is collected as query PARAMETERS and folded row-locally against the
+    * train scan — one linear pass, ZERO shuffle (the naive crossJoin
+    * ships |train|×|eval| rows through an exchange). For eval sets too
+    * large to broadcast, the banded-candidate path (q_ann_lsh's
+    * plane-band equi-join) applies instead.
+    */
+  private val EvalVecs = 50L
+
+  /** Contamination threshold — a pipeline parameter. Real deployments
+    * screening verbatim/paraphrase leakage sit near 0.9; this synthetic
+    * corpus's cross-split max cosines span ~0.16–0.49 (no planted
+    * leakage), so the query ships the τ that exercises both flag values
+    * here. The operator is the screen, not the constant.
+    */
+  private val ContamTau = 0.35
+
+  /** Semantic benchmark decontamination (the embedding-space analogue of
+    * q_decontaminate's 5-gram overlap): flag training vectors whose max
+    * cosine against ANY eval vector reaches [[ContamTau]] — the
+    * SemDeDup-style cross-split screen run before training. Max over a
+    * double set is order-insensitive, so the row-local fold and the
+    * oracle's max() aggregate agree bit-exactly.
+    */
+  private def decontamSemantic(s: SparkSession, dir: String): DataFrame = {
+    implicit val c: GraftConf = conf(dir)
+    val dfl = DataFlow(s, "q_decontam_semantic")
+    val emb = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
+    val evalRows = emb.filter(col("vec_id") < EvalVecs)
+      .orderBy("vec_id").collect()
+    require(evalRows.nonEmpty, "empty eval split: no vec_id < EvalVecs")
+    val evalLit = array(evalRows.map { r =>
+      array(r.getSeq[Float](1).map(f => lit(f)): _*)
+    }: _*)
+    val maxCos = aggregate(evalLit, lit(-1.0), (acc, ev) =>
+      greatest(acc,
+        graft.functions.GraftFunctions.cosineSim(s, ev, col("embedding"))))
+    emb.where(col("vec_id") >= EvalVecs)
+      .select(col("vec_id"), maxCos.as("max_eval_cos"))
+      .withColumn("contaminated", col("max_eval_cos") >= ContamTau)
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontam_semantic" -> (decontamSemantic _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
@@ -1253,6 +1299,17 @@ object SimilarityQueries {
         |    FROM vs) WHERE r2 <= $KEach),
         |$hybridFusionTail""".stripMargin
     },
+    "q_decontam_semantic" ->
+      s"""WITH ev AS (SELECT vec_id AS eid, embedding AS evv
+        |  FROM embeddings WHERE vec_id < $EvalVecs),
+        |tr AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= $EvalVecs),
+        |p AS (SELECT vec_id,
+        |    max(${cosineExpr("evv", "embedding")}) AS max_eval_cos
+        |  FROM tr CROSS JOIN ev GROUP BY vec_id)
+        |SELECT vec_id, max_eval_cos,
+        |  max_eval_cos >= $ContamTau AS contaminated
+        |FROM p ORDER BY vec_id""".stripMargin,
     "q_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
         |  WHERE vec_id < $NumQueries),

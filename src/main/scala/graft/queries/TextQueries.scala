@@ -556,10 +556,49 @@ object TextQueries {
       src(dfl, "documents")
       graft.text.Dsir.importanceWeights(dfl.get("documents"), "doc_id",
         "text", col("lang") === "en").orderBy("doc_id")
+    },
+
+    // Gopher rule battery (Rae et al. 2021 A1.1): the five count/ratio
+    // gates, row-local over one scan — the standard pre-learned-filter
+    // pass (the duplicate-n-gram rules are q_text_repetition)
+    "q_gopher_rules" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_gopher_rules")
+      src(dfl, "documents")
+      val t = tokens(col("text"))
+      dfl.get("documents")
+        .withColumn("__g", graft.text.GopherRules.battery(col("text"), t))
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          col("__g.rule_word_count").as("rule_word_count"),
+          col("__g.rule_word_len").as("rule_word_len"),
+          col("__g.rule_symbol").as("rule_symbol"),
+          col("__g.rule_alpha").as("rule_alpha"),
+          col("__g.rule_stopwords").as("rule_stopwords"),
+          col("__g.pass_gopher").as("pass_gopher"))
+        .orderBy("doc_id")
+    },
+
+    // token-budget selection: keep the best-quality docs whose total
+    // token count fits 25% of the corpus — solved on a bounded
+    // (score, token-weight) histogram, never a global running-sum
+    // window over the corpus (operators/BudgetSelect.scala)
+    "q_token_budget" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_token_budget")
+      src(dfl, "documents")
+      val scored = dfl.get("documents").select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality_score"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.BudgetSelect
+        .select(scored, "quality_score", "n_tokens", BudgetFrac)
+        .orderBy("doc_id")
     })
 
   /** Eval-split percentage for q_decontaminate. */
   private val EvalPct = 10
+  /** q_token_budget's budget as a fraction of total corpus tokens. */
+  private val BudgetFrac = 0.25
   /** q_langid_trained's class set — a sorted query parameter (the
     * [[graft.text.LangIdNb.score]] contract): the testdata corpus's
     * five languages, fixed so the static oracle replays the same model.
@@ -1486,5 +1525,56 @@ object TextQueries {
          |  greatest(seq_id * $SeqLen - s, 0) AS tok_start,
          |  least(s + n, (seq_id + 1) * $SeqLen)
          |    - greatest(s, seq_id * $SeqLen) AS n_toks
-         |FROM x ORDER BY seq_id, doc_id""".stripMargin)
+         |FROM x ORDER BY seq_id, doc_id""".stripMargin,
+
+    // Gopher rule battery: exact mirror of GopherRules' five gates
+    "q_gopher_rules" -> {
+      import graft.text.GopherRules._
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, text, w, len(w) AS nt,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+         |      / len(w) END AS mwl,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+         |      / len(w) END AS symr,
+         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
+         |      AS DOUBLE) / len(w) END AS alphaf,
+         |  ${hitsSql(StopSet)} AS stophits
+         |  FROM toks)
+         |SELECT doc_id, nt AS n_tokens,
+         |  (nt >= $MinWords AND nt <= $MaxWords) AS rule_word_count,
+         |  (mwl >= $MinMeanWordLen AND mwl <= $MaxMeanWordLen)
+         |    AS rule_word_len,
+         |  (symr <= $MaxSymbolRatio) AS rule_symbol,
+         |  (alphaf >= $MinAlphaFrac) AS rule_alpha,
+         |  (stophits >= $MinStopwordHits) AS rule_stopwords,
+         |  ((nt >= $MinWords AND nt <= $MaxWords)
+         |    AND (mwl >= $MinMeanWordLen AND mwl <= $MaxMeanWordLen)
+         |    AND (symr <= $MaxSymbolRatio)
+         |    AND (alphaf >= $MinAlphaFrac)
+         |    AND (stophits >= $MinStopwordHits)) AS pass_gopher
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    // token-budget selection: mirror of BudgetSelect's histogram
+    // threshold — running token weight over the DESC score histogram,
+    // threshold = min score whose cumulative weight fits the budget,
+    // whole buckets only
+    "q_token_budget" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, $qualitySql AS quality_score,
+         |  CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+         |tot AS (SELECT CAST(floor($BudgetFrac * sum(n_tokens)) AS BIGINT)
+         |  AS budget FROM d),
+         |hist AS (SELECT quality_score AS sc,
+         |  CAST(sum(n_tokens) AS BIGINT) AS wt FROM d GROUP BY 1),
+         |cm AS (SELECT sc, CAST(sum(wt) OVER (ORDER BY sc DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS cum FROM hist),
+         |thr AS (SELECT min(sc) AS t FROM cm, tot WHERE cum <= budget)
+         |SELECT doc_id, quality_score, n_tokens
+         |FROM d, thr WHERE quality_score >= t
+         |ORDER BY doc_id""".stripMargin)
 }

@@ -86,7 +86,13 @@ class PlanGateSpec extends SparkSpec {
     // DSIR: the ln(tot+B) normaliser is a 1-row aggregate crossJoined
     // back (same bounded shape as the corpus-stat entries above)
     "q_dsir_select" -> Set("nested-loop"),
-    "q_stream_dsir" -> Set("nested-loop"))
+    "q_stream_dsir" -> Set("nested-loop"),
+    // token-budget selection: the running-weight window runs over the
+    // (score, weight) HISTOGRAM — bounded at ≤ 1e6+1 rows by the
+    // 6-decimal score grid regardless of corpus size (the operator's
+    // whole point, BudgetSelect.scala) — and the 1-row budget/threshold
+    // frames crossJoin into the histogram and the probe scan
+    "q_token_budget" -> Set("nested-loop", "global-window"))
 
   test("every query's executed plan passes the global shape gate") {
     val findings = scala.collection.mutable.ArrayBuffer[String]()
