@@ -470,7 +470,15 @@ object TextQueries {
         .select(col("doc_b").as("doc_id")).distinct()
       val ids2 = cut(train1.join(losers, Seq("doc_id"), "left_anti"))
       val train2 = train0.join(ids2, Seq("doc_id"), "left_semi")
-      // heuristic quality gate (cheap first pass)
+      // heuristic quality gate (cheap first pass). The Gopher rule
+      // battery (q_gopher_rules) deliberately stays OUT of this funnel:
+      // measured at the 500-doc correctness SF, its strict conjunction
+      // keeps ~40% of the corpus (the mean-word-length and stop-set
+      // rules bite hard on the synthetic word-soup), which starves the
+      // downstream learned stages — tr4 drops ~150→39 docs and DSIR's
+      // ~5% selection then empties the tail (0 packed rows at
+      // sf0.001). A production funnel would run it first; at this
+      // corpus size the 10 proven stages are the deepest healthy chain.
       val ids3 = cut(train2
         .where(qualityScore(col("text")) >= 0.5))
       val train3 = train0.join(ids3, Seq("doc_id"), "left_semi")
@@ -692,6 +700,21 @@ object TextQueries {
        |      CAST(${hitsSql(EnglishStopwords)} AS DOUBLE) / len(w) END) * 5,
        |      1.0) * 0.3, 6)""".stripMargin
 
+  /** Mirrors of [[graft.text.GopherRules]]' rule components over a CTE
+    * carrying (text, w) — the q_gopher_rules oracle's fragments.
+    */
+  private lazy val gopherMwlSql: String =
+    """CASE WHEN len(w) = 0 THEN 0.0 ELSE
+      |    CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+      |      / len(w) END""".stripMargin
+  private lazy val gopherSymSql: String =
+    """CASE WHEN len(w) = 0 THEN 0.0 ELSE
+      |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+      |      / len(w) END""".stripMargin
+  private lazy val gopherAlphaSql: String =
+    """CASE WHEN len(w) = 0 THEN 0.0 ELSE
+      |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
+      |      AS DOUBLE) / len(w) END""".stripMargin
   /** The bigram Stupid-Backoff scoring chain (graft.text.BigramLm
     * replayed: per-table fixed-point snaps off the even-doc_id train
     * split, OOV coalesced to fp 0, the driver-computed alpha literal)
@@ -1532,15 +1555,9 @@ object TextQueries {
       import graft.text.GopherRules._
       s"""WITH $toksCte,
          |g AS (SELECT doc_id, text, w, len(w) AS nt,
-         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
-         |    CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
-         |      / len(w) END AS mwl,
-         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
-         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
-         |      / len(w) END AS symr,
-         |  CASE WHEN len(w) = 0 THEN 0.0 ELSE
-         |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
-         |      AS DOUBLE) / len(w) END AS alphaf,
+         |  $gopherMwlSql AS mwl,
+         |  $gopherSymSql AS symr,
+         |  $gopherAlphaSql AS alphaf,
          |  ${hitsSql(StopSet)} AS stophits
          |  FROM toks)
          |SELECT doc_id, nt AS n_tokens,

@@ -54,8 +54,8 @@ object GopherRules {
     */
   val SymbolRegex = "#|\\.\\.\\."
 
-  def ruleWordCount(t: Column): Column =
-    size(t) >= MinWords && size(t) <= MaxWords
+  def ruleWordCount(t: Column, minWords: Int = MinWords): Column =
+    size(t) >= minWords && size(t) <= MaxWords
 
   /** Mean token length in chars (0.0 for empty text, which fails the
     * band). Single-reference fold — see [[TextFunctions.maxRunLength]]'s
@@ -101,9 +101,15 @@ object GopherRules {
     * stopwords, pass_gopher) — evaluate the token array ONCE by passing
     * the same `t` column to every rule; Catalyst subexpression
     * elimination shares the tokenization across the struct fields.
+    *
+    * `minWords` defaults to the paper constant (50), which assumes
+    * web-length documents; short-form corpora calibrate it down (a
+    * pipeline parameter, like every bound here — the flagship funnel
+    * passes the floor matched to its corpus's length distribution).
     */
-  def battery(text: Column, t: Column): Column = {
-    val r1 = ruleWordCount(t)
+  def battery(text: Column, t: Column,
+      minWords: Int = MinWords): Column = {
+    val r1 = ruleWordCount(t, minWords)
     val r2 = ruleMeanWordLen(t)
     val r3 = ruleSymbolRatio(text, t)
     val r4 = ruleAlphaWords(t)
