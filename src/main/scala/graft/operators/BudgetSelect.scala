@@ -41,9 +41,15 @@ object BudgetSelect {
       budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1,
       s"budgetFrac must be in (0, 1]: $budgetFrac")
-    val hist = df.groupBy(col(scoreCol))
+    // null scores are unrankable — drop them up front (they could never
+    // be selected, but Spark's DESC sort puts nulls LAST while SQL
+    // engines like DuckDB put them FIRST, so leaving them in the
+    // histogram would shift the running sum differently per engine —
+    // the Quantiles null discipline)
+    val df2 = df.where(col(scoreCol).isNotNull)
+    val hist = df2.groupBy(col(scoreCol))
       .agg(sum(col(weightCol)).as("__w"))
-    val total = df.agg(
+    val total = df2.agg(
       floor(lit(budgetFrac) * sum(col(weightCol))).cast("long")
         .as("budget"),
       sum(col(weightCol)).as("total_weight"))

@@ -102,6 +102,20 @@ class Round13OpsSpec extends SparkSpec {
       .thresholdByBudget(df, "score", "w", 0.2).count() === 0)
   }
 
+  test("BudgetSelect ignores null scores in histogram AND budget base") {
+    // nulls are unrankable: they must not shift the running sum (Spark
+    // DESC sorts nulls last, DuckDB first) nor inflate the budget base
+    val df = Seq((1L, Some(0.9), 40L), (2L, None, 1000L),
+      (3L, Some(0.5), 50L)).toDF("id", "score", "w")
+    // base = 90 (not 1090); budget = floor(0.5 * 90) = 45: only .9 fits
+    val got = BudgetSelect.select(df, "score", "w", 0.5)
+      .select("id").as[Long].collect()
+    assert(got.toSeq === Seq(1L))
+    val thr = BudgetSelect.thresholdByBudget(df, "score", "w", 0.5)
+      .collect().head
+    assert(thr.getLong(1) === 45L && thr.getLong(2) === 90L)
+  }
+
   test("BudgetSelect rejects a degenerate budget fraction") {
     val df = Seq((1L, 0.9, 1L)).toDF("id", "score", "w")
     intercept[IllegalArgumentException] {
