@@ -601,6 +601,44 @@ object TextQueries {
       graft.operators.BudgetSelect
         .select(scored, "quality_score", "n_tokens", BudgetFrac)
         .orderBy("doc_id")
+    },
+
+    // quality-annealed curriculum ordering: band the corpus by
+    // quality-score QUARTILES (exact histogram thresholds, the
+    // Quantiles discipline — no corpus-sized window), emit the
+    // training order worst-band-first with a deterministic seeded
+    // shuffle WITHIN each band — the anneal-toward-quality schedule
+    // (curriculum/annealing data ordering; cf. the staged "high
+    // quality last" recipes). Positions are assigned by the
+    // two-phase range-partition layout (SurrogateKeys.assign, the
+    // q_corpus_shuffle machinery) — no single-partition sort of the
+    // corpus; the quartile frame is 1-row and broadcasts
+    "q_curriculum" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_curriculum")
+      src(dfl, "documents")
+      val d = dfl.get("documents").select(
+        col("doc_id"), qualityScore(col("text")).as("quality_score"))
+      val th = graft.operators.Quantiles
+        .groupQuantiles(d, Nil, "quality_score", Seq(0.25, 0.5, 0.75))
+        .agg(
+          max(when(col("q") === 0.25, col("quantile_value"))).as("t25"),
+          max(when(col("q") === 0.5, col("quantile_value"))).as("t50"),
+          max(when(col("q") === 0.75, col("quantile_value"))).as("t75"))
+      val banded = d.crossJoin(broadcast(th))
+        .withColumn("band",
+          when(col("quality_score") <= col("t25"), 0L)
+            .when(col("quality_score") <= col("t50"), 1L)
+            .when(col("quality_score") <= col("t75"), 2L)
+            .otherwise(3L))
+        .withColumn("shuffle_key", graft.text.TextFunctions.tokenHash60(
+          concat(lit(s"curr:$ShuffleSeed:"),
+            col("doc_id").cast("string"))))
+        .select("doc_id", "band", "shuffle_key")
+      graft.warehouse.SurrogateKeys
+        .assign(banded, Seq("band", "shuffle_key", "doc_id"), "pos")
+        .select("doc_id", "band", "shuffle_key", "pos")
+        .orderBy("pos")
     })
 
   /** Eval-split percentage for q_decontaminate. */
@@ -1593,5 +1631,34 @@ object TextQueries {
          |thr AS (SELECT min(sc) AS t FROM cm, tot WHERE cum <= budget)
          |SELECT doc_id, quality_score, n_tokens
          |FROM d, thr WHERE quality_score >= t
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    // curriculum: quartile thresholds off the score histogram (the
+    // Quantiles selection rule), band worst-first, seeded shuffle
+    // within band, 1-based positions
+    "q_curriculum" -> {
+      def sel(q: String) =
+        s"max(CASE WHEN cum - cnt < ceil($q * n) AND ceil($q * n) <= cum" +
+          s" THEN qs END)"
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, $qualitySql AS qs FROM toks),
+         |hist AS (SELECT qs, count(*) AS cnt FROM d GROUP BY 1),
+         |cm AS (SELECT qs, cnt,
+         |  CAST(sum(cnt) OVER (ORDER BY qs
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum,
+         |  CAST(sum(cnt) OVER () AS BIGINT) AS n FROM hist),
+         |th AS (SELECT ${sel("0.25")} AS t25, ${sel("0.5")} AS t50,
+         |  ${sel("0.75")} AS t75 FROM cm),
+         |b AS (SELECT doc_id,
+         |  CASE WHEN qs <= t25 THEN 0 WHEN qs <= t50 THEN 1
+         |       WHEN qs <= t75 THEN 2 ELSE 3 END AS band,
+         |  ${tokenHash(s"'curr:$ShuffleSeed:' || CAST(doc_id AS VARCHAR)")}
+         |    AS shuffle_key
+         |  FROM d, th)
+         |SELECT doc_id, CAST(band AS BIGINT) AS band, shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY band, shuffle_key, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM b ORDER BY pos""".stripMargin
+    })
 }

@@ -92,7 +92,12 @@ class PlanGateSpec extends SparkSpec {
     // 6-decimal score grid regardless of corpus size (the operator's
     // whole point, BudgetSelect.scala) — and the 1-row budget/threshold
     // frames crossJoin into the histogram and the probe scan
-    "q_token_budget" -> Set("nested-loop", "global-window"))
+    "q_token_budget" -> Set("nested-loop", "global-window"),
+    // curriculum: Quantiles' cumulative window runs over the same
+    // bounded score HISTOGRAM (ungrouped quartiles), and the 1-row
+    // quartile frame crossJoins into the banding scan; positions come
+    // from the two-phase range layout, not a global window
+    "q_curriculum" -> Set("nested-loop", "global-window"))
 
   test("every query's executed plan passes the global shape gate") {
     val findings = scala.collection.mutable.ArrayBuffer[String]()

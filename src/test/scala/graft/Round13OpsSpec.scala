@@ -123,6 +123,26 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------- curriculum
+
+  test("q_curriculum: bands are quartiles, order is band-then-shuffle") {
+    val got = SparkEntry.queries("q_curriculum")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(got.length === 500)
+    // positions are the contiguous 1..n sequence
+    assert(got.map(_.getLong(3)).toSeq === (1L to 500L))
+    // bands are non-decreasing along the position order, all 4 present
+    val bands = got.map(_.getLong(1)).toSeq
+    assert(bands.sliding(2).forall(p => p.head <= p.last))
+    assert(bands.distinct.sorted === Seq(0L, 1L, 2L, 3L))
+    // within a band, order follows (shuffle_key, doc_id)
+    got.groupBy(_.getLong(1)).values.foreach { rows =>
+      val keys = rows.sortBy(_.getLong(3))
+        .map(r => (r.getLong(2), r.getLong(0))).toSeq
+      assert(keys === keys.sorted)
+    }
+  }
+
   // ------------------------------------------- semantic decontamination
 
   test("q_decontam_semantic: flags are consistent and self is excluded") {
