@@ -135,4 +135,48 @@ object Sampling {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Epoch-weighted source mixing: replicate each row per its source's
+    * EPOCH factor — the pretraining "epochs over sources" recipe
+    * (small high-quality sources upsampled past 1 epoch, bulk web
+    * sampled under 1; the LLaMA-style mixture table). Every row
+    * appears floor(e) times, plus one more exactly when its salted
+    * 2^20 hash falls under frac(e) — a deterministic fractional epoch,
+    * reproducible on any engine.
+    *
+    * `epochsMillis` maps source → epoch factor in fixed-point MILLIS
+    * (2450 = 2.45 epochs); unlisted sources default to `defaultMillis`
+    * (1000 = one epoch). Millis keep the fractional threshold in
+    * integer arithmetic on both engines: the extra copy fires iff
+    * `h20 · 1000 < (e mod 1000) · 2^20` — no double rounding at the
+    * boundary. The output carries a 0-based `copy` index so a
+    * downstream seeded shuffle spreads replicas across the order.
+    *
+    * Scale: row-local — the epoch lookup is a literal CASE chain (no
+    * join), replication is one `explode(sequence(...))`; output size
+    * is Σ_s n_s·e_s, the mixture's actual training budget. Rows whose
+    * copy count is zero are filtered BEFORE the explode (Spark's
+    * `sequence(0, -1)` would infer a negative step, not an empty
+    * array).
+    */
+  def epochMix(
+      df: DataFrame, idCol: String, sourceCol: String,
+      epochsMillis: Map[String, Long], defaultMillis: Long = 1000L,
+      salt: String = "emix:"): DataFrame = {
+    require(defaultMillis >= 0 && epochsMillis.values.forall(_ >= 0),
+      "epoch factors must be non-negative")
+    val e = epochsMillis.toSeq.sortBy(_._1).foldLeft(
+      lit(defaultMillis)) { case (acc, (src, m)) =>
+        when(col(sourceCol) === src, lit(m)).otherwise(acc)
+    }
+    val h20 = TextFunctions.tokenHash60(
+      concat(lit(salt), col(idCol).cast("string"))) % (1L << 20)
+    val copies = (e / 1000L).cast("long") +
+      when(h20 * 1000L < (e % 1000L) * (1L << 20), 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
 }

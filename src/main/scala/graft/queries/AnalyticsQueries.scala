@@ -506,7 +506,30 @@ object AnalyticsQueries {
         k = 200)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // epoch-weighted source mixing (the LLaMA-style "epochs over
+    // sources" table): each row replicated per its source's epoch
+    // factor — floor(e) copies plus a hash-deterministic fractional
+    // one; copy index carried for downstream shuffle spreading
+    "q_mix_epochs" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_mix_epochs")
+      src(dfl, "documents")
+      Sampling.epochMix(
+        dfl.get("documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", EpochMillis)
+        .orderBy("doc_id", "copy")
     })
+
+  /** q_mix_epochs' epoch table (fixed-point millis; 2450 = 2.45
+    * epochs): a query parameter exercising every regime — >2 epochs,
+    * exactly 1, fractional, sub-half, and zero (source dropped);
+    * unlisted sources default to one epoch.
+    */
+  private val EpochMillis: Map[String, Long] = Map(
+    "src0" -> 2450L, "src1" -> 1000L, "src2" -> 640L, "src3" -> 300L,
+    "src4" -> 0L)
 
   /** Columns profiled by q_profile: strings and integers only — float
     * min/max would surface engine-specific decimal rendering.
@@ -1014,5 +1037,24 @@ object AnalyticsQueries {
          |  AND CAST(($h) % 1048576 AS HUGEINT) * n * stot
          |    < CAST(200 AS HUGEINT) * ss * 1048576
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // epoch mixing: the CASE epoch table, integer-exact fractional
+    // threshold (h20·1000 < frac_millis·2^20), range-unnest replication
+    "q_mix_epochs" -> {
+      val h = OracleSql.tokenHash("'emix:' || CAST(doc_id AS VARCHAR)")
+      val cases = EpochMillis.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""WITH e AS (SELECT doc_id, source,
+         |  CASE source $cases ELSE 1000 END AS em,
+         |  ($h) % 1048576 AS h20
+         |  FROM documents),
+         |c AS (SELECT doc_id, source,
+         |  em // 1000 + (CASE WHEN h20 * 1000 < (em % 1000) * 1048576
+         |    THEN 1 ELSE 0 END) AS copies
+         |  FROM e)
+         |SELECT doc_id, source,
+         |  CAST(unnest(range(0, copies)) AS BIGINT) AS copy
+         |FROM c ORDER BY doc_id, copy""".stripMargin
     })
 }

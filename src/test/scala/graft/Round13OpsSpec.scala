@@ -123,6 +123,35 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- epoch mix
+
+  test("Sampling.epochMix replicates by floor(e) + hash fraction") {
+    import graft.operators.Sampling
+    val df = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b"))
+      .toDF("id", "src")
+    // a: 2.0 epochs exactly; b: 0 epochs (dropped)
+    val got = Sampling.epochMix(df, "id", "src",
+      Map("a" -> 2000L, "b" -> 0L))
+    assert(got.where(col("src") === "b").count() === 0)
+    val a = got.where(col("src") === "a")
+    assert(a.count() === 200) // every 'a' row exactly twice
+    assert(a.groupBy("id").count().where(col("count") =!= 2)
+      .count() === 0)
+    assert(a.select("copy").distinct().as[Long].collect().sorted
+      .toSeq === Seq(0L, 1L))
+    // fractional epochs: expected share within a loose band, and the
+    // extra copy is DETERMINISTIC (same rows on every evaluation)
+    val half = Sampling.epochMix(df.where(col("src") === "a"),
+      "id", "src", Map("a" -> 1500L))
+    val n = half.count()
+    assert(n > 100 && n < 200)
+    assert(half.count() === n)
+    // default: unlisted source = one epoch
+    val one = Sampling.epochMix(df, "id", "src", Map.empty)
+    assert(one.count() === 200 &&
+      one.select(max(col("copy"))).as[Long].head() === 0L)
+  }
+
   // ----------------------------------------------------- curriculum
 
   test("q_curriculum: bands are quartiles, order is band-then-shuffle") {
