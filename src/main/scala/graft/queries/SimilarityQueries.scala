@@ -461,7 +461,7 @@ object SimilarityQueries {
     * large to broadcast, the banded-candidate path (q_ann_lsh's
     * plane-band equi-join) applies instead.
     */
-  private val EvalVecs = 50L
+  private[graft] val EvalVecs = 50L
 
   /** Contamination threshold — a pipeline parameter. Real deployments
     * screening verbatim/paraphrase leakage sit near 0.9; this synthetic
@@ -469,7 +469,7 @@ object SimilarityQueries {
     * leakage), so the query ships the τ that exercises both flag values
     * here. The operator is the screen, not the constant.
     */
-  private val ContamTau = 0.35
+  private[graft] val ContamTau = 0.35
 
   /** Semantic benchmark decontamination (the embedding-space analogue of
     * q_decontaminate's 5-gram overlap): flag training vectors whose max
@@ -485,12 +485,8 @@ object SimilarityQueries {
     val evalRows = emb.filter(col("vec_id") < EvalVecs)
       .orderBy("vec_id").collect()
     require(evalRows.nonEmpty, "empty eval split: no vec_id < EvalVecs")
-    val evalLit = array(evalRows.map { r =>
-      array(r.getSeq[Float](1).map(f => lit(f)): _*)
-    }: _*)
-    val maxCos = aggregate(evalLit, lit(-1.0), (acc, ev) =>
-      greatest(acc,
-        graft.functions.GraftFunctions.cosineSim(s, ev, col("embedding"))))
+    val maxCos = graft.similarity.StreamingDecontam.maxEvalCos(
+      s, evalRows.map(_.getSeq[Float](1)).toSeq, col("embedding"))
     emb.where(col("vec_id") >= EvalVecs)
       .select(col("vec_id"), maxCos.as("max_eval_cos"))
       .withColumn("contaminated", col("max_eval_cos") >= ContamTau)

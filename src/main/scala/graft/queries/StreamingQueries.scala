@@ -1052,6 +1052,42 @@ object StreamingQueries {
       }
     },
 
+    // NEARLINE SEMANTIC DECONTAMINATION: the frozen eval benchmark
+    // suite scored against every ARRIVING train vector (row-local
+    // max-cosine fold, zero shuffle per batch) — append-only postings
+    // under the vec_id anti-join, the StreamingPq replay contract (no
+    // watermark; the eval set never changes, so the append is the only
+    // state write). Drained state ≡ the batch q_decontam_semantic
+    // output, so the batch oracle replays verbatim.
+    "q_stream_decontam_semantic" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.similarity.StreamingDecontam
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val eval = emb.where(col("vec_id") < SimilarityQueries.EvalVecs)
+          .orderBy("vec_id").collect().map(_.getSeq[Float](1)).toSeq
+        val train = emb.where(col("vec_id") >= SimilarityQueries.EvalVecs)
+        val base = tmpDir("graft_sdec")
+        val stateDir = base + "/state"
+        StreamingDecontam.initState(s, stateDir)
+        StreamFlow.writeTimeSplits(train, "vec_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            StreamingDecontam.applyBatch(s, b, eval,
+              SimilarityQueries.ContamTau, stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(stateDir).orderBy("vec_id")
+      }
+    },
+
     // batch JSON extraction over the events props column
     "q_events_json" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1087,6 +1123,8 @@ object StreamingQueries {
     "q_stream_ann_pq" -> SimilarityQueries.frozenStreamPqOracle,
     "q_stream_ann_ivf_pq" -> SimilarityQueries.frozenStreamIvfPqOracle,
     "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),
+    "q_stream_decontam_semantic" ->
+      SimilarityQueries.oracles("q_decontam_semantic"),
 
     // the streamed mini-batch run replayed batch-by-batch: same seeds,
     // same per-batch argmin, same integer state folds

@@ -1,0 +1,72 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Nearline semantic decontamination — the streamed rendering of the
+  * batch embedding-cosine cross-split screen (`q_decontam_semantic`):
+  * the eval benchmark suite is FROZEN (fixed vectors, kilobytes), and
+  * every arriving train vector scores row-locally against the eval
+  * fold, appending (vec_id, max_eval_cos, contaminated) to the scored
+  * postings.
+  *
+  * Replay algebra — the [[StreamingPq]] contract verbatim: the eval
+  * set never changes, so the postings append is the ONLY state write,
+  * idempotent under the vec_id anti-join. No watermark, no ordering;
+  * a replayed batch drops out entirely and ANY batching folds to the
+  * identical scored table, so the batch oracle replays the drained
+  * state unchanged.
+  *
+  * 100 TB stance: per-batch work is |batch| × |eval| cosines inside
+  * whole-stage codegen — zero shuffle, nothing corpus-sized moves per
+  * batch. This is the shape a continuous ingestion pipeline wants:
+  * benchmark suites update rarely (a new suite = a new state dir and
+  * a replay), while train data arrives forever.
+  */
+object StreamingDecontam {
+
+  /** Initialise the empty scored-postings frame. */
+  def initState(s: SparkSession, stateDir: String): Unit =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("max_eval_cos", DoubleType),
+        StructField("contaminated", BooleanType))))
+      .write.mode("overwrite").parquet(stateDir)
+
+  /** The row-local max-cosine fold over the frozen eval vectors —
+    * shared with the batch query so both engines (and both renderings)
+    * compute the identical double.
+    */
+  def maxEvalCos(s: SparkSession, eval: Seq[Seq[Float]],
+      vecCol: Column): Column = {
+    require(eval.nonEmpty, "empty eval set")
+    val evalLit = array(eval.map(v => array(v.map(lit): _*)): _*)
+    aggregate(evalLit, lit(-1.0), (acc, ev) =>
+      greatest(acc, graft.functions.GraftFunctions.cosineSim(s, ev, vecCol)))
+  }
+
+  /** Fold one micro-batch of (vec_id, embedding) train vectors:
+    * frozen-eval scoring + idempotent postings append.
+    *
+    * The fold resolves against the BATCH frame's own session, not the
+    * caller's: foreachBatch hands each micro-batch a CLONED session
+    * whose function registry was snapshotted at stream start, so the
+    * native `cosine_sim` must register on the clone or the expression
+    * is unresolvable inside the stream.
+    */
+  def applyBatch(s: SparkSession, b: DataFrame, eval: Seq[Seq[Float]],
+      tau: Double, stateDir: String): Unit = {
+    val bs = b.sparkSession
+    val fresh = b.select("vec_id", "embedding")
+      .join(bs.read.parquet(stateDir).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    fresh
+      .select(col("vec_id"),
+        maxEvalCos(bs, eval, col("embedding")).as("max_eval_cos"))
+      .withColumn("contaminated", col("max_eval_cos") >= tau)
+      .write.mode("append").parquet(stateDir)
+  }
+}
