@@ -49,10 +49,13 @@ object BudgetSelect {
     val df2 = df.where(col(scoreCol).isNotNull)
     val hist = df2.groupBy(col(scoreCol))
       .agg(sum(col(weightCol)).as("__w"))
-    val total = df2.agg(
-      floor(lit(budgetFrac) * sum(col(weightCol))).cast("long")
+    // budget base = Σ of the histogram's bucket sums (identical to the
+    // corpus sum, exact integer arithmetic) — derived from the BOUNDED
+    // hist frame so the threshold costs one corpus scan, not two
+    val total = hist.agg(
+      floor(lit(budgetFrac) * sum(col("__w"))).cast("long")
         .as("budget"),
-      sum(col(weightCol)).as("total_weight"))
+      sum(col("__w")).as("total_weight"))
     // running weight of all buckets at-or-above each score: the window
     // runs over the BOUNDED histogram (single partition by design — see
     // the scale stance above), never the corpus
