@@ -171,6 +171,9 @@ object Sampling {
     }
     val h20 = TextFunctions.tokenHash60(
       concat(lit(salt), col(idCol).cast("string"))) % (1L << 20)
+    // Column `/` is double division; truncation back to long is exact
+    // here because e/1000 carries ≤ 1e-3 rational parts whose IEEE
+    // error (~1e-16) can never cross an integer boundary
     val copies = (e / 1000L).cast("long") +
       when(h20 * 1000L < (e % 1000L) * (1L << 20), 1L).otherwise(0L)
     df.withColumn("__copies", copies)
