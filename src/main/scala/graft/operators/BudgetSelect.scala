@@ -38,17 +38,33 @@ object BudgetSelect {
     */
   def thresholdByBudget(
       df: DataFrame, scoreCol: String, weightCol: String,
+      budgetFrac: Double): DataFrame =
+    thresholdFromHist(histogram(df, scoreCol, weightCol), scoreCol,
+      budgetFrac)
+
+  /** The bounded (score, total-weight) histogram the selection is
+    * solved on: one map-side-combined aggregation, ≤ |distinct scores|
+    * rows. ADDITIVE-mergeable — summing partial histograms over any
+    * partitioning of the corpus (or stream) equals the batch histogram,
+    * which is what makes the nearline rendering ([[applyBatch]]) exact.
+    *
+    * Null scores are unrankable — dropped up front (they could never be
+    * selected, but Spark's DESC sort puts nulls LAST while SQL engines
+    * like DuckDB put them FIRST, so leaving them in the histogram would
+    * shift the running sum differently per engine — the Quantiles null
+    * discipline).
+    */
+  def histogram(df: DataFrame, scoreCol: String,
+      weightCol: String): DataFrame =
+    df.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol))
+      .agg(sum(col(weightCol)).as("__w"))
+
+  /** Threshold from a prebuilt histogram (batch or streamed state). */
+  def thresholdFromHist(hist: DataFrame, scoreCol: String,
       budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1,
       s"budgetFrac must be in (0, 1]: $budgetFrac")
-    // null scores are unrankable — drop them up front (they could never
-    // be selected, but Spark's DESC sort puts nulls LAST while SQL
-    // engines like DuckDB put them FIRST, so leaving them in the
-    // histogram would shift the running sum differently per engine —
-    // the Quantiles null discipline)
-    val df2 = df.where(col(scoreCol).isNotNull)
-    val hist = df2.groupBy(col(scoreCol))
-      .agg(sum(col(weightCol)).as("__w"))
     // budget base = Σ of the histogram's bucket sums (identical to the
     // corpus sum, exact integer arithmetic) — derived from the BOUNDED
     // hist frame so the threshold costs one corpus scan, not two
@@ -77,10 +93,57 @@ object BudgetSelect {
     */
   def select(
       df: DataFrame, scoreCol: String, weightCol: String,
-      budgetFrac: Double): DataFrame = {
-    val thr = thresholdByBudget(df, scoreCol, weightCol, budgetFrac)
+      budgetFrac: Double): DataFrame =
+    probe(df, scoreCol,
+      thresholdByBudget(df, scoreCol, weightCol, budgetFrac))
+
+  /** Probe scan against a 1-row threshold frame (broadcast). */
+  private def probe(df: DataFrame, scoreCol: String,
+      thr: DataFrame): DataFrame =
     df.crossJoin(broadcast(thr))
       .where(col(scoreCol) >= col("score_threshold"))
       .drop("score_threshold", "budget", "total_weight")
+
+  // ------------------------------------------------------------------
+  // nearline: the score histogram maintained across micro-batches
+  // ------------------------------------------------------------------
+
+  /** Fold one micro-batch of (score, weight) rows into the persisted
+    * histogram state — the streaming rendering. The histogram is
+    * ADDITIVE ([[histogram]]), but addition is not idempotent, so
+    * replay protection under at-least-once delivery is the batch-id
+    * watermark carried inside the single atomically-swapped state frame
+    * — the [[graft.text.Dsir.applyBatch]] algebra. State never exceeds
+    * the score grid's cardinality (≤ 1e6+1 rows for the 6-decimal
+    * quality grid), regardless of how many tokens have streamed past.
+    */
+  def applyBatch(s: org.apache.spark.sql.SparkSession, b: DataFrame,
+      scoreCol: String, weightCol: String, batchId: Long,
+      stateDir: String): Unit = {
+    val applied = graft.io.ParquetUtil.lastBatch(s, stateDir)
+    if (applied.exists(batchId <= _)) return
+    val hasState = applied.isDefined
+    val partial = histogram(b, scoreCol, weightCol)
+    val merged =
+      if (!hasState) partial
+      else graft.io.ParquetUtil.readRecovered(s, stateDir)
+        .drop("last_batch")
+        .unionByName(partial)
+        .groupBy(scoreCol)
+        .agg(sum(col("__w")).as("__w"))
+    graft.io.ParquetUtil.safeOverwrite(s,
+      merged.withColumn("last_batch", lit(batchId)), stateDir)
   }
+
+  /** The full selection against the streamed histogram — equals
+    * [[select]] of the batch corpus exactly (the folded histogram IS
+    * the batch histogram; the budget base derives from state, so the
+    * probe is the only corpus-sized work at query time).
+    */
+  def selectFromState(s: org.apache.spark.sql.SparkSession,
+      df: DataFrame, scoreCol: String, budgetFrac: Double,
+      stateDir: String): DataFrame =
+    probe(df, scoreCol,
+      thresholdFromHist(s.read.parquet(stateDir).drop("last_batch"),
+        scoreCol, budgetFrac))
 }

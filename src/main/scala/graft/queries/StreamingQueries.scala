@@ -840,6 +840,47 @@ object StreamingQueries {
       }
     },
 
+    // STREAMING TOKEN-BUDGET SELECTION: the bounded (score, token-weight)
+    // histogram maintained across micro-batches by weight ADDITION with
+    // a batch-id watermark ([[graft.operators.BudgetSelect.applyBatch]],
+    // the Dsir/CMS algebra); the folded histogram equals the batch
+    // histogram exactly, so the final threshold + probe reuses the batch
+    // q_token_budget oracle verbatim. The nearline shape a rolling
+    // crawl wants: per-batch cost is one batch-sized scan folding into
+    // ≤ |score grid| state rows; the corpus-sized probe runs once, at
+    // selection time.
+    "q_stream_token_budget" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.operators.BudgetSelect
+        import graft.text.TextFunctions.{qualityScore, tokenCount}
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        def scored(df: DataFrame): DataFrame = df.select(
+          col("doc_id"),
+          qualityScore(col("text")).as("quality_score"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        val base = tmpDir("graft_sbud")
+        val stateDir = base + "/state"
+        StreamFlow.writeTimeSplits(docs, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            BudgetSelect.applyBatch(s, scored(b), "quality_score",
+              "n_tokens", id, stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        BudgetSelect.selectFromState(s, scored(docs), "quality_score",
+          TextQueries.BudgetFrac, stateDir)
+          .orderBy("doc_id")
+      }
+    },
+
     // NEARLINE MINHASH NEAR-DUP: the MinHash-LSH band index + shingle
     // store maintained across micro-batches; candidates from band hits
     // on the accumulated index, EXACT Jaccard verify against the store
@@ -1118,6 +1159,7 @@ object StreamingQueries {
     // batch computations — the batch oracles ARE the streaming oracles
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),
     "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
+    "q_stream_token_budget" -> TextQueries.oracles("q_token_budget"),
     "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,
     "q_stream_ann_ivf_trained" -> SimilarityQueries.frozenStreamIvfOracle,
     "q_stream_ann_pq" -> SimilarityQueries.frozenStreamPqOracle,

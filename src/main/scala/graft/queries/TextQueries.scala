@@ -639,12 +639,123 @@ object TextQueries {
         .assign(banded, Seq("band", "shuffle_key", "doc_id"), "pos")
         .select("doc_id", "band", "shuffle_key", "pos")
         .orderBy("pos")
+    },
+
+    // token-balanced shard assignment: cut the seeded-shuffle order
+    // into ShardK contiguous token ranges (documents never split) —
+    // the per-worker layout of a data-parallel training run. Offsets
+    // via the two-phase range layout (SeqPack.globalOffsets, the
+    // q_corpus_shuffle machinery); the 1-row total broadcasts; no
+    // corpus-sized window (operators/Shards.scala)
+    "q_shard_assign" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_shard_assign")
+      src(dfl, "documents")
+      val keyed = dfl.get("documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .withColumn("shuffle_key", graft.text.TextFunctions.tokenHash60(
+          concat(lit(s"shard:$ShuffleSeed:"),
+            col("doc_id").cast("string"))))
+      graft.operators.Shards
+        .assign(keyed, Seq("shuffle_key", "doc_id"), "n_tokens", ShardK)
+        .select("doc_id", "n_tokens", "shuffle_key", "tok_offset", "shard")
+        .orderBy("doc_id")
+    },
+
+    // quality-ensemble rank fusion: the three quality signals the
+    // battery trains (heuristic composite, NB log-odds, bigram-LM
+    // perplexity) fused on a COMMON scale — each signal's empirical
+    // CDF off its bounded histogram (operators/CdfRank.scala; the
+    // unbounded-cardinality NB sum is normalised per token and snapped
+    // to the 1e-3 grid first, the PerplexityBuckets discipline), the
+    // ensemble = the exact integer sum of the three CDF counts (mean
+    // of per-signal ranks, ×3n — same ordering, no division). The
+    // scored frame is PINNED (doc-sized) so the NB and LM corpus
+    // scoring chains execute once, not once per histogram consumer
+    "q_quality_ensemble" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_quality_ensemble")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      val train = docs.where(col("doc_id") % 2 === 0)
+      val snap = graft.text.PerplexityBuckets.SnapScale.toDouble
+      val nb = graft.text.NaiveBayes.scoreBinary(
+        docs, train, "doc_id", "text", col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"), col("nb_logodds"))
+      val lm = graft.text.BigramLm.score(docs, train, "doc_id", "text")
+        .select(col("doc_id"), col("avg_logprob"))
+      val q = docs.select(col("doc_id"),
+        qualityScore(col("text")).as("quality_score"))
+      val scored = nb.join(lm, Seq("doc_id")).join(q, Seq("doc_id"))
+        .withColumn("q_key", col("quality_score"))
+        .withColumn("nb_key",
+          floor(col("nb_logodds") / col("n_tokens") * snap).cast("long"))
+        .withColumn("lm_key",
+          floor(col("avg_logprob") * snap).cast("long"))
+        .localCheckpoint()
+      import graft.operators.CdfRank.withCdf
+      val ranked = withCdf(withCdf(withCdf(
+        scored, "q_key", "q_cdf"), "nb_key", "nb_cdf"), "lm_key", "lm_cdf")
+      val n = scored.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("quality_score"), col("nb_logodds"),
+          col("avg_logprob"), col("q_cdf"), col("nb_cdf"), col("lm_cdf"),
+          (col("q_cdf") + col("nb_cdf") + col("lm_cdf")).as("ens_cdf"),
+          // both division operands are exact-integer doubles (sums of
+          // counts), so the quotient is engine-identical
+          round((col("q_cdf") + col("nb_cdf") + col("lm_cdf"))
+            .cast("double") / (lit(3L) * col("__n")).cast("double"), 6)
+            .as("ens_frac"))
+        .orderBy("doc_id")
+    },
+
+    // unigram-LM tokenizer (Kudo 2018, the SentencePiece family) —
+    // deterministic Viterbi hard-EM over the DISTINCT-word table: seed
+    // pieces from corpus substrings, segment, re-score from usage,
+    // segment again (text/UnigramLm.scala). This query emits the
+    // trained per-word segmentations (vocab-sized)
+    "q_unigram_segments" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_unigram_segments")
+      src(dfl, "documents")
+      val wc = graft.text.Bpe.wordCounts(dfl.get("documents"), "text")
+      graft.text.UnigramLm.train(wc)
+        .select(col("w"), col("cnt"),
+          concat_ws(" ", col("pieces")).as("pieces_str"), col("n_pieces"))
+        .orderBy("w")
+    },
+
+    // the corpus rollup of the trained unigram tokenizer: per-document
+    // whitespace-token and subword-piece counts — corpus tokens
+    // equi-join the vocab-sized (word → n_pieces) table (gate-broadcast,
+    // the Bpe.encode pattern); no document is ever re-segmented
+    "q_tokenizer_unigram" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_tokenizer_unigram")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      val wc = graft.text.Bpe.wordCounts(docs, "text")
+      // pinned: the vocab-sized segmentation table feeds the broadcast
+      // gate's count AND the rollup join
+      val seg = graft.text.UnigramLm.train(wc)
+        .select(col("w"), col("n_pieces")).localCheckpoint()
+      val small = graft.text.BigramLm.vocabBroadcastOk(seg.count(),
+        graft.text.BigramLm.vocabRowBytes(strCols = 1, numCols = 1))
+      val segG = if (small) broadcast(seg) else seg
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .join(segG, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .orderBy("doc_id")
     })
 
   /** Eval-split percentage for q_decontaminate. */
   private val EvalPct = 10
   /** q_token_budget's budget as a fraction of total corpus tokens. */
-  private val BudgetFrac = 0.25
+  private[queries] val BudgetFrac = 0.25
+  /** q_shard_assign's shard count. */
+  private val ShardK = 8
   /** q_langid_trained's class set — a sorted query parameter (the
     * [[graft.text.LangIdNb.score]] contract): the testdata corpus's
     * five languages, fixed so the static oracle replays the same model.
@@ -811,6 +922,149 @@ object TextQueries {
        |  round(CAST(sum_fp AS DOUBLE) / (dl.n_tokens * $sc.0), 6)
        |    AS avg_logprob
        |  FROM d JOIN dl ON d.doc_id = dl.doc_id)""".stripMargin
+  }
+
+  /** The binary NB quality-classifier chain ([[graft.text.NaiveBayes]]
+    * replayed: +1-smoothed counts off the even-doc_id train split with
+    * lang='en' positive, one fixed-point snap per log-ratio) as a
+    * CTE-body fragment ending in
+    * `nbscore(doc_id, n_tokens, nb_logodds, pred_pos)` — shared by
+    * q_quality_classifier, its streamed twin and the rank-fusion
+    * ensemble. Every CTE name is nb_-prefixed so the fragment composes
+    * with [[lmScoreCtes]] (the langIdCtes convention). `root` is the
+    * in-scope CTE carrying (doc_id, lang, w); training is always its
+    * even-doc_id split.
+    */
+  private def nbScoreCtes(root: String = "toks"): String = {
+    val sc = graft.text.NaiveBayes.LnScale
+    s"""nb_tw AS (SELECT doc_id, lang, w FROM $root WHERE len(w) > 0),
+       |nb_twt AS (SELECT doc_id, (lang = 'en') AS pos, w FROM nb_tw
+       |  WHERE doc_id % 2 = 0),
+       |nb_t AS (SELECT unnest(w) AS term, pos FROM nb_twt),
+       |nb_cnts AS (SELECT term,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+       |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+       |  FROM nb_t GROUP BY 1),
+       |${graft.functions.DetLog.lnRatioCtes("nb_lt", "nb_cnts",
+           "cpos + 1", "cneg + 1", "lnr", Seq("term"))},
+       |nb_fpt AS (SELECT term,
+       |  CAST(floor(lnr * $sc) AS BIGINT) AS fp FROM nb_lt),
+       |nb_tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+       |  CAST(sum(cneg) AS BIGINT) AS nneg,
+       |  count(*) AS v FROM nb_cnts),
+       |${graft.functions.DetLog.lnRatioCtes("nb_ln1", "nb_tot",
+           "npos + v", "nneg + v", "lnn", Nil)},
+       |nb_dcnt AS (SELECT
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dpos,
+       |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS dneg
+       |  FROM nb_twt),
+       |${graft.functions.DetLog.lnRatioCtes("nb_ln2", "nb_dcnt",
+           "dpos", "dneg", "lnp", Nil)},
+       |nb_norm AS (SELECT CAST(floor(lnn * $sc) AS BIGINT) AS fpn,
+       |  CAST(floor(lnp * $sc) AS BIGINT) AS fprior FROM nb_ln1, nb_ln2),
+       |nb_td AS (SELECT doc_id, unnest(w) AS term FROM nb_tw),
+       |nb_d AS (SELECT doc_id,
+       |    CAST(sum(coalesce(nb_fpt.fp, 0)) AS BIGINT) AS sum_fp,
+       |    count(*) AS n
+       |  FROM nb_td LEFT JOIN nb_fpt ON nb_td.term = nb_fpt.term
+       |  GROUP BY 1),
+       |nb_lo AS (SELECT doc_id,
+       |  sum_fp - n * nb_norm.fpn + nb_norm.fprior AS logodds_fp
+       |  FROM nb_d, nb_norm),
+       |nb_dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+       |  FROM nb_tw),
+       |nbscore AS (SELECT nb_lo.doc_id, nb_dl.n_tokens,
+       |  round(CAST(logodds_fp AS DOUBLE) / $sc.0, 6) AS nb_logodds,
+       |  logodds_fp > 0 AS pred_pos
+       |  FROM nb_lo JOIN nb_dl ON nb_lo.doc_id = nb_dl.doc_id)""".stripMargin
+  }
+
+  /** The unigram-LM tokenizer chain ([[graft.text.UnigramLm]] replayed:
+    * seed piece scores → Viterbi DP + smallest-split backtrack →
+    * usage re-score → second segmentation) as a CTE-body fragment
+    * ending in `ug_seg2(wd, cnt, pieces)`. The DP and its backward
+    * reconstruction render as `list_reduce` folds whose accumulators
+    * mirror the engine's `aggregate` lambdas value-exactly (integer dp
+    * scores, ties to the smallest split). Every CTE name is
+    * ug_-prefixed.
+    */
+  private def unigramCtes: String = {
+    val L = graft.text.UnigramLm.MaxPieceLen
+    val sc = graft.text.UnigramLm.LnScale
+    // all positioned substrings of length 1..L of wd — one element per
+    // occurrence (UnigramLm.positionedPieces)
+    val occList =
+      s"""flatten(list_transform(range(1, length(wd) + 1), i ->
+         |    list_transform(range(1, least($L, length(wd) - i + 1) + 1),
+         |      l -> substr(wd, CAST(i AS INT), CAST(l AS INT)))))""".stripMargin
+    // one Viterbi pass under the score CTE `sct(piece, fp)`: DP fold +
+    // smallest-split backtrack (CASE duplication in place of let-bound
+    // intermediates — SQL lambdas cannot bind locals; the repeated
+    // sub-expressions are O(word length) at runtime)
+    def segCtes(pfx: String, sct: String): String = {
+      val pos = "(length(wd) - CAST(coalesce(list_sum(" +
+        "list_transform(acc, p -> length(p))), 0) AS BIGINT))"
+      val jStar = s"""list_min(list_filter(list_transform(
+         |      range(greatest($pos - $L, 0), $pos),
+         |      j -> CASE WHEN dp[CAST(j + 1 AS INT)]
+         |          + map_extract(m, substr(wd, CAST(j + 1 AS INT),
+         |            CAST($pos - j AS INT)))[1]
+         |          = dp[CAST($pos + 1 AS INT)] THEN j END),
+         |      v -> v IS NOT NULL))""".stripMargin
+      s"""${pfx}_wp AS (SELECT DISTINCT wd, piece FROM (
+         |  SELECT wd, unnest($occList) AS piece FROM ug_wc)),
+         |${pfx}_wm AS (SELECT wd,
+         |    map_from_entries(list({'k': piece, 'v': fp})) AS m
+         |  FROM ${pfx}_wp JOIN $sct USING (piece) GROUP BY wd),
+         |${pfx}_dp AS (SELECT w.wd, w.cnt, q.m,
+         |  list_reduce(
+         |    [[CAST(0 AS BIGINT)]] ||
+         |      list_transform(range(1, length(w.wd) + 1), i -> [i]),
+         |    (acc, x) -> acc || [list_max(list_filter(list_transform(
+         |      range(greatest(x[1] - $L, 0), x[1]),
+         |      j -> acc[CAST(j + 1 AS INT)]
+         |        + map_extract(q.m, substr(w.wd, CAST(j + 1 AS INT),
+         |          CAST(x[1] - j AS INT)))[1]),
+         |      v -> v IS NOT NULL))]) AS dp
+         |  FROM ug_wc w JOIN ${pfx}_wm q ON w.wd = q.wd),
+         |$pfx AS (SELECT wd, cnt,
+         |  list_reverse(list_reduce(
+         |    [CAST([] AS VARCHAR[])] ||
+         |      list_transform(range(1, length(wd) + 1),
+         |        i -> CAST([] AS VARCHAR[])),
+         |    (acc, x) -> CASE WHEN $pos > 0
+         |      THEN acc || [substr(wd, CAST($jStar + 1 AS INT),
+         |        CAST($pos - $jStar AS INT))]
+         |      ELSE acc END)) AS pieces
+         |  FROM ${pfx}_dp)""".stripMargin
+    }
+    s"""ug_wc AS (SELECT wd, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  SELECT unnest(w) AS wd FROM toks) GROUP BY 1),
+       |ug_pf AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+       |  SELECT cnt, unnest($occList) AS piece FROM ug_wc) GROUP BY 1),
+       |ug_t1 AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM ug_pf),
+       |ug_pft AS (SELECT piece, freq, tot FROM ug_pf, ug_t1),
+       |${graft.functions.DetLog.lnRatioCtes("ug_l1", "ug_pft",
+           "freq", "tot", "lnr", Seq("piece"))},
+       |ug_s1 AS (SELECT piece,
+       |  CAST(floor(lnr * $sc) AS BIGINT) AS fp FROM ug_l1),
+       |${segCtes("ug_g1", "ug_s1")},
+       |ug_us AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM (
+       |  SELECT cnt, unnest(pieces) AS piece FROM ug_g1) GROUP BY 1),
+       |ug_ch AS (SELECT DISTINCT piece FROM (
+       |  SELECT unnest($occList) AS piece FROM ug_wc)
+       |  WHERE length(piece) = 1),
+       |ug_sv AS (SELECT piece, CAST(sum(u) AS BIGINT) AS u FROM (
+       |  SELECT piece, u FROM ug_us
+       |  UNION ALL SELECT piece, 0 FROM ug_ch) GROUP BY 1),
+       |ug_t2 AS (SELECT CAST(sum(u) + count(*) AS BIGINT) AS uv
+       |  FROM ug_sv),
+       |ug_svt AS (SELECT piece, u, uv FROM ug_sv, ug_t2),
+       |${graft.functions.DetLog.lnRatioCtes("ug_l2", "ug_svt",
+           "u + 1", "uv", "lnr", Seq("piece"))},
+       |ug_s2 AS (SELECT piece,
+       |  CAST(floor(lnr * $sc) AS BIGINT) AS fp FROM ug_l2),
+       |${segCtes("ug_seg2", "ug_s2")}""".stripMargin
   }
 
   /** The trained language-ID chain ([[graft.text.LangIdNb]] replayed:
@@ -1121,49 +1375,11 @@ object TextQueries {
 
     // NB quality classifier: one fixed-point snap per log-ratio
     // (lnRatioCtes), trained on the even split, lang='en' positive
-    "q_quality_classifier" -> {
-      val sc = graft.text.NaiveBayes.LnScale
+    "q_quality_classifier" ->
       s"""WITH $toksCte,
-         |tw AS (SELECT doc_id, lang, w FROM toks WHERE len(w) > 0),
-         |twt AS (SELECT doc_id, (lang = 'en') AS pos, w FROM tw
-         |  WHERE doc_id % 2 = 0),
-         |t AS (SELECT unnest(w) AS term, pos FROM twt),
-         |cnts AS (SELECT term,
-         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
-         |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
-         |  FROM t GROUP BY 1),
-         |${graft.functions.DetLog.lnRatioCtes("lt", "cnts",
-             "cpos + 1", "cneg + 1", "lnr", Seq("term"))},
-         |fpt AS (SELECT term,
-         |  CAST(floor(lnr * $sc) AS BIGINT) AS fp FROM lt),
-         |tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
-         |  CAST(sum(cneg) AS BIGINT) AS nneg,
-         |  count(*) AS v FROM cnts),
-         |${graft.functions.DetLog.lnRatioCtes("ln1", "tot",
-             "npos + v", "nneg + v", "lnn", Nil)},
-         |dcnt AS (SELECT
-         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dpos,
-         |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS dneg
-         |  FROM twt),
-         |${graft.functions.DetLog.lnRatioCtes("ln2", "dcnt",
-             "dpos", "dneg", "lnp", Nil)},
-         |norm AS (SELECT CAST(floor(lnn * $sc) AS BIGINT) AS fpn,
-         |  CAST(floor(lnp * $sc) AS BIGINT) AS fprior FROM ln1, ln2),
-         |td AS (SELECT doc_id, unnest(w) AS term FROM tw),
-         |d AS (SELECT doc_id,
-         |    CAST(sum(coalesce(fpt.fp, 0)) AS BIGINT) AS sum_fp,
-         |    count(*) AS n
-         |  FROM td LEFT JOIN fpt ON td.term = fpt.term GROUP BY 1),
-         |lo AS (SELECT doc_id,
-         |  sum_fp - n * norm.fpn + norm.fprior AS logodds_fp
-         |  FROM d, norm),
-         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM tw)
-         |SELECT lo.doc_id, dl.n_tokens,
-         |  round(CAST(logodds_fp AS DOUBLE) / $sc.0, 6) AS nb_logodds,
-         |  logodds_fp > 0 AS pred_pos
-         |FROM lo JOIN dl ON lo.doc_id = dl.doc_id
-         |ORDER BY lo.doc_id""".stripMargin
-    },
+         |${nbScoreCtes()}
+         |SELECT doc_id, n_tokens, nb_logodds, pred_pos
+         |FROM nbscore ORDER BY doc_id""".stripMargin,
 
     // trained char-bigram langid: ONE lnRatio chain over the
     // (term × class) long frame (then pivoted wide), one over the
@@ -1660,5 +1876,87 @@ object TextQueries {
          |  CAST(row_number() OVER (ORDER BY band, shuffle_key, doc_id)
          |    AS BIGINT) AS pos
          |FROM b ORDER BY pos""".stripMargin
-    })
+    },
+
+    // token-balanced shards: exclusive running token sum over the
+    // seeded-shuffle order (the oracle uses a window because it is an
+    // oracle; the engine never does), shard = offset*k div total with
+    // the trailing-zero-run clamp
+    "q_shard_assign" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  ${tokenHash(s"'shard:$ShuffleSeed:' || CAST(doc_id AS VARCHAR)")}
+         |    AS shuffle_key
+         |  FROM toks),
+         |o AS (SELECT doc_id, n_tokens, shuffle_key,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS tok_offset,
+         |  CAST(sum(n_tokens) OVER () AS BIGINT) AS tot FROM d)
+         |SELECT doc_id, n_tokens, shuffle_key, tok_offset,
+         |  CAST(least($ShardK - 1, (tok_offset * $ShardK) // tot)
+         |    AS BIGINT) AS shard
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // quality-ensemble rank fusion: the NB and bigram-LM chains
+    // replayed (nb_-/plain-prefixed fragments compose without
+    // collision), per-signal CDFs as running counts over each bounded
+    // key histogram, ensemble = exact integer sum of the three counts
+    "q_quality_ensemble" -> {
+      val snap = graft.text.PerplexityBuckets.SnapScale
+      s"""WITH $toksCte,
+         |${nbScoreCtes()},
+         |${lmScoreCtes()},
+         |qd AS (SELECT doc_id, $qualitySql AS quality_score FROM toks),
+         |j AS (SELECT n.doc_id, n.n_tokens, n.nb_logodds, l.avg_logprob,
+         |    q.quality_score,
+         |    q.quality_score AS q_key,
+         |    CAST(floor(n.nb_logodds / n.n_tokens * $snap.0) AS BIGINT)
+         |      AS nb_key,
+         |    CAST(floor(l.avg_logprob * $snap.0) AS BIGINT) AS lm_key
+         |  FROM nbscore n JOIN lmscore l ON n.doc_id = l.doc_id
+         |  JOIN qd q ON n.doc_id = q.doc_id),
+         |qh AS (SELECT q_key, count(*) AS c FROM j GROUP BY 1),
+         |qc AS (SELECT q_key, CAST(sum(c) OVER (ORDER BY q_key
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS q_cdf FROM qh),
+         |nbh AS (SELECT nb_key, count(*) AS c FROM j GROUP BY 1),
+         |nbc AS (SELECT nb_key, CAST(sum(c) OVER (ORDER BY nb_key
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS nb_cdf FROM nbh),
+         |lmh AS (SELECT lm_key, count(*) AS c FROM j GROUP BY 1),
+         |lmc AS (SELECT lm_key, CAST(sum(c) OVER (ORDER BY lm_key
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS lm_cdf FROM lmh),
+         |nn AS (SELECT count(*) AS n FROM j)
+         |SELECT j.doc_id, quality_score, nb_logodds, avg_logprob,
+         |  q_cdf, nb_cdf, lm_cdf,
+         |  CAST(q_cdf + nb_cdf + lm_cdf AS BIGINT) AS ens_cdf,
+         |  round(CAST(q_cdf + nb_cdf + lm_cdf AS DOUBLE)
+         |    / CAST(3 * n AS DOUBLE), 6) AS ens_frac
+         |FROM j JOIN qc USING (q_key) JOIN nbc USING (nb_key)
+         |  JOIN lmc USING (lm_key), nn
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // unigram tokenizer per-word segmentations: the full hard-EM chain
+    // replayed (list_reduce DP folds mirror the engine's aggregate
+    // lambdas; integer dp values, smallest-split tie-break)
+    "q_unigram_segments" ->
+      s"""WITH $toksCte,
+         |$unigramCtes
+         |SELECT wd AS w, cnt, array_to_string(pieces, ' ') AS pieces_str,
+         |  CAST(len(pieces) AS BIGINT) AS n_pieces
+         |FROM ug_seg2 ORDER BY w""".stripMargin,
+
+    // unigram tokenizer corpus rollup: corpus tokens joined to the
+    // vocab-sized segmentations
+    "q_tokenizer_unigram" ->
+      s"""WITH $toksCte,
+         |$unigramCtes,
+         |ug_td AS (SELECT doc_id, unnest(w) AS wd FROM toks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(pieces)) AS BIGINT) AS n_pieces
+         |FROM ug_td JOIN ug_seg2 USING (wd)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

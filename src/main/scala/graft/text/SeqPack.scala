@@ -37,12 +37,46 @@ object SeqPack {
   def pack(df: DataFrame, idCol: String, nCol: String,
       seqLen: Long): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    val placed = globalOffsets(
+      df.select(col(idCol), col(nCol).cast("long").as("__n"))
+        .where(col("__n") > 0),
+      Seq(idCol), "__n")
+    placed
+      .select(col(idCol), col("__n"), col("__start"),
+        explode(sequence(
+          expr("__start div " + seqLen),
+          expr(s"(__start + __n - 1) div $seqLen"))).as("seq_id"))
+      .select(
+        col("seq_id"),
+        col(idCol),
+        greatest(col("seq_id") * seqLen - col("__start"), lit(0L))
+          .as("tok_start"),
+        (least(col("__start") + col("__n"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("__start"), col("seq_id") * seqLen))
+          .as("n_toks"))
+  }
+
+  /** The two-phase global-offset layout on its own: running token
+    * offsets over the total order given by `orderCols` (which must be a
+    * unique key — ties would leave the order, and so the offsets,
+    * partition-dependent). Returns the input's `orderCols` plus
+    * (`__n` = the cast weight, `__start` = exclusive running sum of
+    * `__n` in `orderCols` order), eagerly materialised (doc-sized) so
+    * the internal persisted shuffle is released before the caller
+    * builds on top. Shared by [[pack]] and
+    * [[graft.operators.Shards.assign]] — any operator whose core
+    * quantity is "global offset in a total order" without the
+    * single-partition running-sum window.
+    */
+  def globalOffsets(df: DataFrame, orderCols: Seq[String],
+      nCol: String): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
-    val rows = df.select(col(idCol), col(nCol).cast("long").as("__n"))
-      .where(col("__n") > 0)
-      .repartitionByRange(p, col(idCol))
-      .sortWithinPartitions(idCol)
+    val oc = orderCols.map(col)
+    val rows = df
+      .select(oc :+ col(nCol).cast("long").as("__n"): _*)
+      .repartitionByRange(p, oc: _*)
+      .sortWithinPartitions(oc: _*)
       .select(monotonically_increasing_id().as("__mid"), col("*"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pidOf = shiftright(col("__mid"), 33)
@@ -61,25 +95,14 @@ object SeqPack {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // materialise the doc-sized placement (one row per doc) so the
     // persisted shuffle can be released here instead of leaking for the
-    // session lifetime; the explode below builds lazily on top
+    // session lifetime; callers build lazily on top
     val placed = rows
       .join(broadcast(offDf), pidOf === col("__pid"))
       .withColumn("__start", col("__off") + sum(col("__n")).over(w)
         - col("__n"))
+      .select(oc ++ Seq(col("__n"), col("__start")): _*)
       .localCheckpoint()
     rows.unpersist(false)
     placed
-      .select(col(idCol), col("__n"), col("__start"),
-        explode(sequence(
-          expr("__start div " + seqLen),
-          expr(s"(__start + __n - 1) div $seqLen"))).as("seq_id"))
-      .select(
-        col("seq_id"),
-        col(idCol),
-        greatest(col("seq_id") * seqLen - col("__start"), lit(0L))
-          .as("tok_start"),
-        (least(col("__start") + col("__n"), (col("seq_id") + 1) * seqLen)
-          - greatest(col("__start"), col("seq_id") * seqLen))
-          .as("n_toks"))
   }
 }

@@ -93,6 +93,24 @@ class PlanGateSpec extends SparkSpec {
     // whole point, BudgetSelect.scala) — and the 1-row budget/threshold
     // frames crossJoin into the histogram and the probe scan
     "q_token_budget" -> Set("nested-loop", "global-window"),
+    // streamed twin: the state-read histogram replaces the in-plan one,
+    // same bounded window + 1-row threshold/budget BNLJ shapes
+    "q_stream_token_budget" -> Set("nested-loop", "global-window"),
+    // quality ensemble: inherits the NB 1-row model BNLJ and the bigram
+    // LM 1-row ln(N) BNLJ (its two scoring chains), plus the 1-row
+    // corpus-count frame; the three CDF running counts window over
+    // BOUNDED key histograms (1e-6 quality grid / 1e-3 per-token snap —
+    // CdfRank.scala), never the corpus
+    "q_quality_ensemble" -> Set("nested-loop", "global-window"),
+    // shard assignment: the 1-row token-total frame crossJoins into the
+    // doc-sized placement scan; offsets come from the two-phase range
+    // layout (per-partition window, no global sort)
+    "q_shard_assign" -> Set("nested-loop"),
+    // unigram tokenizer: the 1-row piece-total normaliser frames (seed
+    // and usage rounds) crossJoin into the VOCAB-sized piece tables —
+    // never corpus-sized; the DP itself is row-local HOFs
+    "q_unigram_segments" -> Set("nested-loop"),
+    "q_tokenizer_unigram" -> Set("nested-loop"),
     // curriculum: Quantiles' cumulative window runs over the same
     // bounded score HISTOGRAM (ungrouped quartiles), and the 1-row
     // quartile frame crossJoins into the banding scan; positions come

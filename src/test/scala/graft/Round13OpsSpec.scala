@@ -123,6 +123,136 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------- streamed budget histogram
+
+  private lazy val budgetDocs = (1L to 20L)
+    .map(i => (i, (i % 7).toDouble / 10, 10L + i % 4))
+    .toDF("id", "score", "w")
+
+  private def budgetSel(df: org.apache.spark.sql.DataFrame) =
+    df.select("id").as[Long].collect().toSet
+
+  private def streamBudget(nBatches: Int): (String, Set[Long]) = {
+    val base = java.nio.file.Files
+      .createTempDirectory(s"sbud_$nBatches").toString
+    val stateDir = base + "/state"
+    val ids = budgetDocs.select("id").collect().map(_.getLong(0)).sorted
+    ids.grouped(math.max(1, ids.length / nBatches)).zipWithIndex
+      .foreach { case (g, i) =>
+        BudgetSelect.applyBatch(spark,
+          budgetDocs.where(col("id").isin(g.toSeq: _*)),
+          "score", "w", i.toLong, stateDir)
+      }
+    (base, budgetSel(BudgetSelect.selectFromState(spark, budgetDocs,
+      "score", 0.4, stateDir)))
+  }
+
+  test("streamed budget selection is batch-count invariant, equals batch") {
+    val truth = budgetSel(BudgetSelect.select(budgetDocs, "score", "w", 0.4))
+    assert(truth.nonEmpty && truth.size < 20,
+      "fixture must make a non-trivial selection")
+    for (n <- Seq(1, 3, 7)) {
+      val (_, got) = streamBudget(n)
+      assert(got == truth,
+        s"budget selection diverged from batch at nBatches=$n")
+    }
+  }
+
+  test("replayed budget batch is a no-op (batch-id watermark)") {
+    val (base, before) = streamBudget(3)
+    // re-deliver the whole corpus under a stale batch id: the watermark
+    // must reject it (histogram addition is not idempotent)
+    BudgetSelect.applyBatch(spark, budgetDocs, "score", "w", 0L,
+      base + "/state")
+    val after = budgetSel(BudgetSelect.selectFromState(spark, budgetDocs,
+      "score", 0.4, base + "/state"))
+    assert(after == before)
+  }
+
+  // ------------------------------------------------------------ cdf ranks
+
+  test("CdfRank: ties share a rank, values hit [1, n], nulls drop") {
+    import graft.operators.CdfRank
+    val df = Seq(1L -> Some(10L), 2L -> Some(10L), 3L -> Some(5L),
+      4L -> Some(20L), 5L -> None).toDF("id", "k")
+    val got = CdfRank.withCdf(df, "k", "cdf")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cdf"))
+      .toMap
+    // sorted keys: 5 (1 row) -> cdf 1; 10 (2 rows) -> cdf 3; 20 -> cdf 4
+    assert(got === Map(3L -> 1L, 1L -> 3L, 2L -> 3L, 4L -> 4L))
+  }
+
+  test("CdfRank: cdf count equals the per-row <=-count (property)") {
+    import graft.operators.CdfRank
+    val keys = Seq(7L, 3L, 3L, 9L, 1L, 7L, 7L, 2L)
+    val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k")
+    val got = CdfRank.withCdf(df, "k", "cdf").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("cdf"))
+    got.foreach { case (k, c) =>
+      assert(c === keys.count(_ <= k).toLong, s"cdf($k)")
+    }
+  }
+
+  // ------------------------------------------------- token-balanced shards
+
+  test("Shards: contiguous token-balanced cuts, docs never split") {
+    import graft.operators.Shards
+    val k = 4
+    // 40 docs, lengths 1..40 -> total 820, ideal shard ~205 tokens
+    val df = (1L to 40L).map(i => (i, i)).toDF("id", "n")
+    val got = Shards.assign(df, Seq("id"), "n", k)
+      .orderBy("tok_offset").collect()
+    assert(got.length === 40)
+    // offsets are the exclusive running sum in id order
+    var cum = 0L
+    got.foreach { r =>
+      assert(r.getAs[Long]("tok_offset") === cum)
+      cum += r.getAs[Long]("n_tokens")
+    }
+    // shard ids are nondecreasing along the order (contiguous ranges)
+    val shards = got.map(_.getAs[Long]("shard"))
+    assert(shards.zip(shards.tail).forall { case (a, b) => a <= b })
+    assert(shards.head === 0L && shards.last === (k - 1).toLong)
+    // every shard's token total is within one max-doc-length of ideal
+    val perShard = got.groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    val ideal = 820.0 / k
+    perShard.values.foreach(t => assert(math.abs(t - ideal) <= 40.0,
+      s"shard imbalance: $perShard"))
+  }
+
+  test("Shards: trailing zero-weight run clamps into the last shard") {
+    import graft.operators.Shards
+    // doc 99 has zero tokens and sorts last: its offset equals the
+    // total, so the raw division would say shard k — the clamp keeps it
+    val df = Seq((1L, 10L), (2L, 10L), (99L, 0L)).toDF("id", "n")
+    val got = Shards.assign(df, Seq("id"), "n", 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("shard"))
+      .toMap
+    assert(got(1L) === 0L && got(2L) === 1L && got(99L) === 1L)
+  }
+
+  test("Shards: empty input yields empty output, k=1 puts all in shard 0") {
+    import graft.operators.Shards
+    val empty = Seq.empty[(Long, Long)].toDF("id", "n")
+    assert(Shards.assign(empty, Seq("id"), "n", 4).count() === 0)
+    val df = Seq((1L, 5L), (2L, 7L)).toDF("id", "n")
+    assert(Shards.assign(df, Seq("id"), "n", 1)
+      .select("shard").as[Long].collect().toSet === Set(0L))
+  }
+
+  test("empty first budget micro-batch does not wedge the stream") {
+    val truth = budgetSel(BudgetSelect.select(budgetDocs, "score", "w", 0.4))
+    val base = java.nio.file.Files.createTempDirectory("sbud_e").toString
+    BudgetSelect.applyBatch(spark, budgetDocs.where(lit(false)),
+      "score", "w", 0L, base + "/state")
+    BudgetSelect.applyBatch(spark, budgetDocs, "score", "w", 1L,
+      base + "/state")
+    assert(budgetSel(BudgetSelect.selectFromState(spark, budgetDocs,
+      "score", 0.4, base + "/state")) == truth)
+  }
+
   // ------------------------------------------------------- epoch mix
 
   test("Sampling.epochMix replicates by floor(e) + hash fraction") {
