@@ -184,6 +184,72 @@ object DedupQueries {
       asg.join(drops, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cid"), col("__drop").isNull.as("kept"))
         .orderBy("vec_id")
+    },
+
+    // FineWeb-style duplicate-cluster ANNOTATION: instead of removing
+    // near-duplicates, keep every document and annotate it with its
+    // near-dup cluster id, the cluster's size, and whether it is the
+    // cluster's canonical (minimum-id) member — the curation stance
+    // that treats duplication level as a FEATURE (downweight, cap, or
+    // filter downstream) rather than a hard drop. Docs in no pair are
+    // their own singleton cluster. Scale shape: the component table is
+    // pair-participant-sized (≪ corpus), the corpus joins it once;
+    // cluster stats aggregate on cluster ids (≤ corpus rows) and join
+    // back doc-sized — no window, nothing pairwise beyond the PPJoin
+    // pair stage itself.
+    "q_dedup_annotate" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_dedup_annotate")
+      val docs = src(dfl, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id",
+        JaccardThreshold)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val ann = docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+      val stats = ann.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("doc_id")).as("__min_id"))
+      ann.join(stats, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("__min_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
+    // Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    // neural scaling laws"): k-means prototypes over the embeddings,
+    // per-point exact fixed-point squared distance to its assigned
+    // prototype, keep the HARDEST half of each cluster
+    // (distance-descending, vec_id tie-break — a total order both
+    // engines share; the abundant-data regime of the paper, where easy
+    // prototype-near examples are the redundant ones). Per-cluster
+    // rank is a cid-partitioned window: partitions are cluster-sized
+    // (n/k; √n at the trained-IVF sizing k=⌊√n⌋), never corpus-sized
+    // single tasks.
+    "q_prototype_prune" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_prototype_prune")
+      val e = src(dfl, "embeddings").select(col("vec_id"), col("embedding"))
+      val (cent, asg) = graft.similarity.KMeans.fitModel(e, "vec_id",
+        "embedding", SimilarityQueries.KMeansK, SimilarityQueries.KMeansIters)
+      val pts = graft.similarity.KMeans.pointsFp(e, "vec_id", "embedding")
+      val withDist = asg.join(pts, "vec_id")
+        .join(broadcast(cent), "cid")
+        .select(col("vec_id"), col("cid"),
+          aggregate(
+            zip_with(col("p"), col("c"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist_fp"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+        .orderBy(col("dist_fp").desc, col("vec_id"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+      withDist
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("n_c", count(lit(1)).over(wc))
+        .select(col("vec_id"), col("cid"), col("dist_fp"),
+          (col("rnk") <= expr("(n_c + 1) div 2")).as("kept"))
+        .orderBy("vec_id")
     })
 
   import OracleSql._
@@ -447,5 +513,60 @@ object DedupQueries {
          |  a.vec_id NOT IN (SELECT vec_id FROM dr) AS kept
          |FROM a${t + 1} a
          |ORDER BY a.vec_id""".stripMargin
+    },
+
+    // the q_dedup_cluster reachability replay + singleton fill-in +
+    // cluster stats
+    "q_dedup_annotate" ->
+      s"""WITH RECURSIVE $toksCte, ${shinglesCte(3)},
+        |e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter)
+        |    >= $JaccardThreshold),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT g2.src, r.r FROM edges g2 JOIN reach r ON g2.dst = r.id),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach
+        |  GROUP BY id),
+        |ann AS (SELECT d.doc_id,
+        |    coalesce(cl.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl USING (doc_id)),
+        |st AS (SELECT cluster, count(*) AS cluster_size,
+        |    min(doc_id) AS mn
+        |  FROM ann GROUP BY 1)
+        |SELECT ann.doc_id, ann.cluster, st.cluster_size,
+        |  ann.doc_id = st.mn AS is_canonical
+        |FROM ann JOIN st USING (cluster)
+        |ORDER BY ann.doc_id""".stripMargin,
+
+    // the k-means replay + exact integer prototype distances +
+    // per-cluster hardest-half rank
+    "q_prototype_prune" -> {
+      val t = SimilarityQueries.KMeansIters
+      val d1 = Dim + 1
+      s"""WITH ${kmeansCtes(SimilarityQueries.KMeansK, t)},
+         |pd AS (SELECT a.vec_id, a.cid,
+         |    CAST(list_sum(list_transform(range(1, $d1),
+         |      d -> (pts.p[d] - c.c[d]) * (pts.p[d] - c.c[d])))
+         |      AS BIGINT) AS dist_fp
+         |  FROM a${t + 1} a
+         |  JOIN pts USING (vec_id)
+         |  JOIN c$t c ON a.cid = c.cid),
+         |rk AS (SELECT vec_id, cid, dist_fp,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY dist_fp DESC, vec_id) AS rnk,
+         |    count(*) OVER (PARTITION BY cid) AS n_c
+         |  FROM pd)
+         |SELECT vec_id, cid, dist_fp, rnk <= (n_c + 1) // 2 AS kept
+         |FROM rk ORDER BY vec_id""".stripMargin
     })
 }

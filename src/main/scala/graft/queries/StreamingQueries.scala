@@ -881,6 +881,43 @@ object StreamingQueries {
       }
     },
 
+    // STREAMING BIGRAM LM: the training split arrives in micro-batches
+    // and folds ADDITIVELY into one persisted (kind, w1, w2, c) count
+    // frame — unigram and bigram counts are both plain sums, so any
+    // batching folds to the identical model and the batch
+    // q_lm_perplexity oracle replays the streamed query exactly (the
+    // NB/CMS algebra, applied to the LM the quality battery already
+    // ships). The nearline LM a rolling crawl maintains: per-batch cost
+    // is one batch-sized counting scan; corpus scoring runs once, from
+    // the fold, through the SAME gate-broadcast scoring path as batch
+    // (BigramLm.scoreWithCounts).
+    "q_stream_lm_perplexity" -> { (s, dir) =>
+      withStreamParts(s) {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val train = docs.where(col("doc_id") % 2 === 0)
+        val base = tmpDir("graft_slm")
+        val stateDir = base + "/state"
+        StreamFlow.writeTimeSplits(train, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.text.BigramLm.applyBatch(s, b, "doc_id", "text", id,
+              stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.text.BigramLm.scoreFromState(s, docs, "doc_id", "text",
+          stateDir)
+          .orderBy("doc_id")
+      }
+    },
+
     // NEARLINE MINHASH NEAR-DUP: the MinHash-LSH band index + shingle
     // store maintained across micro-batches; candidates from band hits
     // on the accumulated index, EXACT Jaccard verify against the store
@@ -1155,6 +1192,8 @@ object StreamingQueries {
     // additive count model ⇒ the batch classifier oracle is exact
     "q_stream_quality_classifier" ->
       TextQueries.oracles("q_quality_classifier"),
+    // additive unigram+bigram count model ⇒ the batch LM oracle is exact
+    "q_stream_lm_perplexity" -> TextQueries.oracles("q_lm_perplexity"),
     // streamed gram index / bucket table are lossless renderings of the
     // batch computations — the batch oracles ARE the streaming oracles
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),

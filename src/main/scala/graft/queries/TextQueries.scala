@@ -748,6 +748,37 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("n_pieces")).as("n_pieces"))
         .orderBy("doc_id")
+    },
+
+    // Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+    // 2010, "Intelligent Selection of Language Model Training Data"):
+    // score the corpus under an IN-DOMAIN LM (trained on the target
+    // domain's split — here the lang='en' training docs) and a GENERAL
+    // LM (trained on the whole training split); keep documents the
+    // in-domain model likes better. The per-token delta differences
+    // the exact fixed-point sums and divides ONCE, so selection never
+    // compares two independently-rounded doubles. TWO full LM scoring
+    // passes by design — two models, each linear with gate-broadcast
+    // vocab tables (text/BigramLm.scoreFp)
+    "q_moore_lewis" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_moore_lewis")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      val sc = graft.text.BigramLm.LnScale
+      val trainGen = docs.where(col("doc_id") % 2 === 0)
+      val trainIn = trainGen.where(col("lang") === "en")
+      val gen = graft.text.BigramLm.scoreFp(docs, trainGen, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("sum_fp").as("fp_gen"))
+      val ind = graft.text.BigramLm.scoreFp(docs, trainIn, "doc_id", "text")
+        .select(col("doc_id"), col("sum_fp").as("fp_in"))
+      gen.join(ind, "doc_id")
+        .where(col("fp_in") > col("fp_gen"))
+        .select(col("doc_id"), col("n_tokens"),
+          round((col("fp_in") - col("fp_gen")).cast("double") /
+            (col("n_tokens").cast("double") * lit(sc.toDouble)), 6)
+            .as("ml_delta"))
+        .orderBy("doc_id")
     })
 
   /** Eval-split percentage for q_decontaminate. */
@@ -874,54 +905,67 @@ object TextQueries {
     * in-scope CTE carrying (doc_id, w); training is always its
     * even-doc_id split.
     */
-  private def lmScoreCtes(root: String = "toks"): String = {
+  /** Stupid-Backoff LM chain replaying [[graft.text.BigramLm]] as a
+    * CTE-body fragment ending in `${p}lmscore(doc_id, n_tokens,
+    * sum_fp, avg_logprob)`. `p` prefixes every CTE name so two chains
+    * with DIFFERENT training splits compose in one WITH (the
+    * Moore–Lewis rendering); `trainWhere` is the training-split
+    * predicate over `$root`'s columns (doc_id, lang, w).
+    */
+  private def lmScoreCtes(root: String = "toks", p: String = "",
+      trainWhere: String = "doc_id % 2 = 0"): String = {
     val sc = graft.text.BigramLm.LnScale
     val alpha = graft.text.BigramLm.AlphaFp
-    s"""tw AS (SELECT doc_id, w FROM $root WHERE len(w) > 0),
-       |twt AS (SELECT doc_id, w FROM tw WHERE doc_id % 2 = 0),
-       |t AS (SELECT doc_id, unnest(w) AS term FROM twt),
-       |u AS (SELECT term, count(*) AS c1 FROM t GROUP BY 1),
-       |${graft.functions.DetLog.lnCtes("lu", "u", "c1", "lnc1",
+    s"""${p}tw AS (SELECT doc_id, w FROM $root WHERE len(w) > 0),
+       |${p}twt AS (SELECT doc_id, w FROM $root
+       |  WHERE len(w) > 0 AND ($trainWhere)),
+       |${p}t AS (SELECT doc_id, unnest(w) AS term FROM ${p}twt),
+       |${p}u AS (SELECT term, count(*) AS c1 FROM ${p}t GROUP BY 1),
+       |${graft.functions.DetLog.lnCtes(s"${p}lu", s"${p}u", "c1", "lnc1",
            Seq("term"))},
-       |fpu AS (SELECT term,
-       |  CAST(floor(lnc1 * $sc) AS BIGINT) AS fp1 FROM lu),
-       |un AS (SELECT CAST(sum(c1) AS BIGINT) AS ntot FROM u),
-       |${graft.functions.DetLog.lnCtes("lun", "un", "ntot", "lnn", Nil)},
-       |fpn AS (SELECT CAST(floor(lnn * $sc) AS BIGINT) AS fpn FROM lun),
-       |bgt AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+       |${p}fpu AS (SELECT term,
+       |  CAST(floor(lnc1 * $sc) AS BIGINT) AS fp1 FROM ${p}lu),
+       |${p}un AS (SELECT CAST(sum(c1) AS BIGINT) AS ntot FROM ${p}u),
+       |${graft.functions.DetLog.lnCtes(s"${p}lun", s"${p}un", "ntot",
+           "lnn", Nil)},
+       |${p}fpn AS (SELECT CAST(floor(lnn * $sc) AS BIGINT) AS fpn
+       |  FROM ${p}lun),
+       |${p}bgt AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
        |  SELECT doc_id, unnest(list_transform(
        |    list_slice(w, 1, len(w) - 1),
        |    (x, i) -> {'w1': x, 'w2': w[i + 1]})) AS p
-       |  FROM twt WHERE len(w) >= 2)),
-       |b AS (SELECT w1, w2, count(*) AS c2 FROM bgt GROUP BY 1, 2),
-       |${graft.functions.DetLog.lnCtes("lb", "b", "c2", "lnc2",
+       |  FROM ${p}twt WHERE len(w) >= 2)),
+       |${p}b AS (SELECT w1, w2, count(*) AS c2 FROM ${p}bgt GROUP BY 1, 2),
+       |${graft.functions.DetLog.lnCtes(s"${p}lb", s"${p}b", "c2", "lnc2",
            Seq("w1", "w2"))},
-       |fpb AS (SELECT w1, w2,
-       |  CAST(floor(lnc2 * $sc) AS BIGINT) AS fp2 FROM lb),
-       |bgf AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+       |${p}fpb AS (SELECT w1, w2,
+       |  CAST(floor(lnc2 * $sc) AS BIGINT) AS fp2 FROM ${p}lb),
+       |${p}bgf AS (SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
        |  SELECT doc_id, unnest(list_transform(
        |    list_slice(w, 1, len(w) - 1),
        |    (x, i) -> {'w1': x, 'w2': w[i + 1]})) AS p
-       |  FROM tw WHERE len(w) >= 2)),
-       |sfirst AS (SELECT f.doc_id,
-       |    coalesce(u1.fp1, 0) - fpn.fpn AS fp
-       |  FROM (SELECT doc_id, w[1] AS w1 FROM tw) f
-       |  LEFT JOIN fpu u1 ON f.w1 = u1.term, fpn),
-       |sbg AS (SELECT g.doc_id,
+       |  FROM ${p}tw WHERE len(w) >= 2)),
+       |${p}sfirst AS (SELECT f.doc_id,
+       |    coalesce(u1.fp1, 0) - n.fpn AS fp
+       |  FROM (SELECT doc_id, w[1] AS w1 FROM ${p}tw) f
+       |  LEFT JOIN ${p}fpu u1 ON f.w1 = u1.term, ${p}fpn n),
+       |${p}sbg AS (SELECT g.doc_id,
        |    CASE WHEN fb.fp2 IS NOT NULL THEN fb.fp2 - u1.fp1
-       |         ELSE coalesce(u2.fp1, 0) - fpn.fpn + ($alpha) END AS fp
-       |  FROM bgf g
-       |  LEFT JOIN fpu u1 ON g.w1 = u1.term
-       |  LEFT JOIN fpu u2 ON g.w2 = u2.term
-       |  LEFT JOIN fpb fb ON g.w1 = fb.w1 AND g.w2 = fb.w2, fpn),
-       |alls AS (SELECT * FROM sfirst UNION ALL SELECT * FROM sbg),
-       |d AS (SELECT doc_id, CAST(sum(fp) AS BIGINT) AS sum_fp
-       |  FROM alls GROUP BY 1),
-       |dl AS (SELECT doc_id, len(w) AS n_tokens FROM tw),
-       |lmscore AS (SELECT d.doc_id, dl.n_tokens,
+       |         ELSE coalesce(u2.fp1, 0) - n.fpn + ($alpha) END AS fp
+       |  FROM ${p}bgf g
+       |  LEFT JOIN ${p}fpu u1 ON g.w1 = u1.term
+       |  LEFT JOIN ${p}fpu u2 ON g.w2 = u2.term
+       |  LEFT JOIN ${p}fpb fb ON g.w1 = fb.w1 AND g.w2 = fb.w2, ${p}fpn n),
+       |${p}alls AS (SELECT * FROM ${p}sfirst
+       |  UNION ALL SELECT * FROM ${p}sbg),
+       |${p}d AS (SELECT doc_id, CAST(sum(fp) AS BIGINT) AS sum_fp
+       |  FROM ${p}alls GROUP BY 1),
+       |${p}dl AS (SELECT doc_id, len(w) AS n_tokens FROM ${p}tw),
+       |${p}lmscore AS (SELECT d.doc_id, dl.n_tokens, d.sum_fp,
        |  round(CAST(sum_fp AS DOUBLE) / (dl.n_tokens * $sc.0), 6)
        |    AS avg_logprob
-       |  FROM d JOIN dl ON d.doc_id = dl.doc_id)""".stripMargin
+       |  FROM ${p}d d JOIN ${p}dl dl ON d.doc_id = dl.doc_id)"""
+      .stripMargin
   }
 
   /** The binary NB quality-classifier chain ([[graft.text.NaiveBayes]]
@@ -1958,5 +2002,21 @@ object TextQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  CAST(sum(len(pieces)) AS BIGINT) AS n_pieces
          |FROM ug_td JOIN ug_seg2 USING (wd)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Moore–Lewis: the general LM chain and the in-domain LM chain
+    // (lang='en' training docs) composed in one WITH under distinct
+    // prefixes; the delta differences the exact integer sums
+    "q_moore_lewis" -> {
+      val sc = graft.text.BigramLm.LnScale
+      s"""WITH $toksCte,
+         |${lmScoreCtes("toks", "mlg_")},
+         |${lmScoreCtes("toks", "mli_", "doc_id % 2 = 0 AND lang = 'en'")}
+         |SELECT g.doc_id, g.n_tokens,
+         |  round(CAST(i.sum_fp - g.sum_fp AS DOUBLE)
+         |    / (g.n_tokens * $sc.0), 6) AS ml_delta
+         |FROM mlg_lmscore g JOIN mli_lmscore i ON g.doc_id = i.doc_id
+         |WHERE i.sum_fp > g.sum_fp
+         |ORDER BY g.doc_id""".stripMargin
+    })
 }

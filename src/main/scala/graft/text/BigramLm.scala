@@ -108,21 +108,54 @@ object BigramLm {
     * unigram).
     */
   def score(docs: DataFrame, train: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    scoreFp(docs, train, idCol, textCol)
+      .select(col(idCol), col("n_tokens"),
+        round(col("sum_fp").cast("double") /
+          (col("n_tokens").cast("double") * lit(LnScale.toDouble)), 6)
+          .as("avg_logprob"))
+
+  /** As [[score]], but keeps the per-document log-score as the exact
+    * fixed-point integer sum: (idCol, n_tokens, sum_fp). Compositions
+    * that COMBINE scores from two models (Moore–Lewis cross-entropy
+    * difference) difference the integer sums and divide once, so the
+    * comparison never stacks two roundings.
+    */
+  def scoreFp(docs: DataFrame, train: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    def tokenized(df: DataFrame): DataFrame = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+    val twTrain = tokenized(train)
+    // raw count tables; the unigram table is pinned inside
+    // scoreWithCounts, the bigram counts stay lazy until the fpb pin
+    val u = twTrain.select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val b = bigramPairs(twTrain, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    scoreWithCounts(docs, u, b, idCol, textCol)
+  }
+
+  /** Score `docs` from PREBUILT model count tables `u` (term, c1) and
+    * `b` (w1, w2, c2) — the seam the nearline LM uses: micro-batches
+    * fold counts additively into a persisted state frame
+    * ([[applyBatch]]), and scoring reads the fold here, so the streamed
+    * query replays the batch oracle verbatim. Output: (idCol,
+    * n_tokens, sum_fp).
+    */
+  def scoreWithCounts(docs: DataFrame, uRaw: DataFrame, b: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val lnFp: Column => Column =
       c => floor(graft.functions.DetLog.lnInt(c) * LnScale).cast("long")
     def tokenized(df: DataFrame): DataFrame = df
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
       .where(size(col("w")) > 0)
     val tw = tokenized(docs)
-    val twTrain = tokenized(train)
     // the unigram model table is PINNED (eager, vocab-sized): without
-    // the pin the train-split token aggregation re-executes inside
-    // every consumer (fpu, the ln N total, the bigram table's unigram
-    // join) — three extra train passes at any scale
-    val u = twTrain.select(explode(col("w")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("c1"))
-      .localCheckpoint()
+    // the pin the count aggregation re-executes inside every consumer
+    // (fpu, the ln N total, the bigram table's unigram join) — three
+    // extra passes at any scale
+    val u = uRaw.localCheckpoint()
     val fpu = u.select(col("term"), lnFp(col("c1")).as("fp1"))
     // ln N over the per-term partials (1-row frame, broadcasts)
     val fpn = u.agg(lnFp(sum(col("c1"))).as("fpn"))
@@ -133,8 +166,7 @@ object BigramLm {
     // instead of three (w1 is in-vocabulary whenever the bigram hit).
     // Pinned for the same reason as `u` (and the pin makes the
     // broadcast gate's count free).
-    val fpb = bigramPairs(twTrain, idCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val fpb = b
       .select(col("w1"), col("w2"), lnFp(col("c2")).as("fp2"))
       .join(fpu.select(col("term").as("w1"), col("fp1")), "w1")
       .select(col("w1"), col("w2"),
@@ -171,6 +203,62 @@ object BigramLm {
       .groupBy(col(idCol))
       .agg(sum(col("fp")).as("sum_fp"))
       .join(dl, idCol)
+      .select(col(idCol), col("n_tokens"), col("sum_fp"))
+  }
+
+  // ------------------------------------------------------------------
+  // nearline model maintenance
+  // ------------------------------------------------------------------
+
+  /** Fold one micro-batch of training documents into the persisted LM
+    * count model. The state is ONE atomically-swapped frame
+    * (kind, w1, w2, c, last_batch): kind 'u' rows are unigram counts
+    * (w2 empty), kind 'b' rows bigram counts — all additive integers,
+    * so any batching folds to the identical model and the batch oracle
+    * replays the streamed query exactly (the [[NaiveBayes.applyBatch]]
+    * algebra). At-least-once delivery is absorbed by the batch-id
+    * watermark INSIDE the swapped frame.
+    */
+  def applyBatch(s: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, batchId: Long,
+      stateDir: String): Unit = {
+    val applied = graft.io.ParquetUtil.lastBatch(s, stateDir)
+    if (applied.exists(batchId <= _)) return
+    val hasState = applied.isDefined
+    val tw = batch
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+    val uPart = tw.select(explode(col("w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c"))
+      .select(lit("u").as("kind"), col("w1"), lit("").as("w2"), col("c"))
+    val bPart = bigramPairs(tw, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .select(lit("b").as("kind"), col("w1"), col("w2"), col("c"))
+    val partial = uPart.unionByName(bPart)
+    val merged =
+      if (!hasState) partial
+      else graft.io.ParquetUtil.readRecovered(s, stateDir)
+        .drop("last_batch")
+        .unionByName(partial)
+        .groupBy("kind", "w1", "w2")
+        .agg(sum(col("c")).as("c"))
+    graft.io.ParquetUtil.safeOverwrite(s,
+      merged.withColumn("last_batch", lit(batchId)), stateDir)
+  }
+
+  /** Score a corpus against the streamed count model, with the batch
+    * rounding applied: (idCol, n_tokens, avg_logprob).
+    */
+  def scoreFromState(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String, stateDir: String)
+      : DataFrame = {
+    val st = s.read.parquet(stateDir).drop("last_batch")
+    scoreWithCounts(docs,
+      st.where(col("kind") === "u")
+        .select(col("w1").as("term"), col("c").as("c1")),
+      st.where(col("kind") === "b")
+        .select(col("w1"), col("w2"), col("c").as("c2")),
+      idCol, textCol)
       .select(col(idCol), col("n_tokens"),
         round(col("sum_fp").cast("double") /
           (col("n_tokens").cast("double") * lit(LnScale.toDouble)), 6)

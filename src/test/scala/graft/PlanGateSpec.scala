@@ -115,7 +115,14 @@ class PlanGateSpec extends SparkSpec {
     // bounded score HISTOGRAM (ungrouped quartiles), and the 1-row
     // quartile frame crossJoins into the banding scan; positions come
     // from the two-phase range layout, not a global window
-    "q_curriculum" -> Set("nested-loop", "global-window"))
+    "q_curriculum" -> Set("nested-loop", "global-window"),
+    // Moore–Lewis: TWO LM scoring chains (in-domain + general), each
+    // carrying the LM's two 1-row ln(N) BNLJ frames — same audited
+    // shape as q_lm_perplexity, twice
+    "q_moore_lewis" -> Set("nested-loop"),
+    // streamed LM: the batch LM scoring path over the folded counts —
+    // same two 1-row ln(N) frames
+    "q_stream_lm_perplexity" -> Set("nested-loop"))
 
   test("every query's executed plan passes the global shape gate") {
     val findings = scala.collection.mutable.ArrayBuffer[String]()
