@@ -566,6 +566,91 @@ object TextQueries {
         "text", col("lang") === "en").orderBy("doc_id")
     },
 
+    // WordPiece tokenizer (Schuster & Nakajima 2012, the BERT
+    // lineage) — completes the subword triad next to q_bpe_merges
+    // (count-argmax) and q_unigram_segments (Viterbi LM): merges
+    // chosen by the integer-quantized likelihood ratio
+    // cab·2^40 div (ua·ub), encoding greedy longest-match-first with
+    // ## continuation rendering. Trains driver-local over the
+    // vocab-sized word table (the Bpe shape); the oracle replays all
+    // k rounds AND the greedy encode (recursive CTE)
+    "q_wordpiece" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_wordpiece")
+      src(dfl, "documents")
+      // pinned: feeds the trainer's vocab-guard count, the alphabet
+      // collect, and the encode scan
+      val wc = graft.text.Bpe.wordCounts(dfl.get("documents"), "text")
+        .localCheckpoint()
+      val merges = graft.text.WordPiece.trainMerges(s, wc, WpK)
+      val vocab = (graft.text.WordPiece.alphabet(wc) ++
+        merges.map(_.merged)).distinct
+      graft.text.WordPiece.encodeGreedy(wc, vocab)
+        .select(col("w"), col("cnt"),
+          concat_ws(" ", col("pieces")).as("pieces_str"),
+          col("n_pieces"))
+        .orderBy("w")
+    },
+
+    // CCNet line-level dedup (Wenzek et al. 2020 §3.1): drop every
+    // occurrence but the first of each normalized line across the
+    // corpus — boilerplate removal at line granularity. Pages are the
+    // deterministic synthetic construction (the corpus's documents are
+    // single-line; see LineDedup.syntheticPages), replayed verbatim by
+    // the oracle
+    "q_line_dedup" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_line_dedup")
+      src(dfl, "documents")
+      val lines = graft.text.LineDedup.syntheticPages(dfl.get("documents"))
+      val marked = graft.text.LineDedup.markFirstOccurrences(
+        lines, "page_id", "line_no", "line")
+      graft.text.LineDedup.reassemble(marked).orderBy("page_id")
+    },
+
+    // Gopher duplicate-line rules (Rae et al. 2021 A1.1: the
+    // duplicate-line-fraction and duplicate-line-character-fraction
+    // gates) over the same synthetic pages — the within-page
+    // repetition signals single-line documents cannot express
+    "q_page_repetition" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_page_repetition")
+      src(dfl, "documents")
+      val lines = graft.text.LineDedup.syntheticPages(dfl.get("documents"))
+      graft.text.LineDedup.pageRepetitionStats(lines).orderBy("page_id")
+    },
+
+    // Per-source n-gram diversity (type/token ratios at n = 1..3):
+    // the corpus-mix diversity profile — low distinct/total ratios
+    // flag TEMPLATED sources whose documents repeat the same phrases
+    // (the corpus-level complement of the per-document repetition
+    // signals in q_text_repetition). One scan (grams for all three n
+    // built row-locally in one projection), one combine-reduced
+    // exchange on (source, n, gram), then an output-sized rollup; the
+    // diversity ratio divides two exact BIGINTs so the double is
+    // engine-identical
+    "q_ngram_diversity" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_ngram_diversity")
+      src(dfl, "documents")
+      val t = tokens(col("text"))
+      val packed = flatten(array((1 to 3).map(n =>
+        transform(graft.text.TextFunctions.ngrams(t, n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*))
+      val grams = dfl.get("documents")
+        .select(col("source"), explode(packed).as("g"))
+        .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      grams.groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("source", "n")
+        .agg(sum(col("c")).as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"))
+        .select(col("source"), col("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          (col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double")).as("diversity"))
+        .orderBy("source", "n")
+    },
+
     // Gopher rule battery (Rae et al. 2021 A1.1): the five count/ratio
     // gates, row-local over one scan — the standard pre-learned-filter
     // pass (the duplicate-n-gram rules are q_text_repetition)
@@ -811,6 +896,58 @@ object TextQueries {
   /** Merges trained by q_bpe_merges. */
   private val BpeK = 6
 
+  /** Merges trained by q_wordpiece. */
+  private val WpK = 8
+
+  /** One WordPiece round as DuckDB CTEs — [[bpeRoundCtes]]' structure
+    * with the unigram-count join and the integer likelihood argmax
+    * (`(cab·2^40) // (ua·ub)` on HUGEINT — the exact quantized score
+    * [[graft.text.WordPiece]] defines); the greedy run-parity merge
+    * application is shared verbatim.
+    */
+  private def wpRoundCtes(r: Int): String = {
+    val prev = s"wv${r - 1}"
+    val sc = graft.text.WordPiece.ScoreScale
+    s"""wu$r AS MATERIALIZED (SELECT t.tok AS tok, CAST(SUM(cnt) AS BIGINT) AS u
+       |  FROM $prev, UNNEST($prev.toks) AS t(tok) GROUP BY 1),
+       |wp$r AS (
+       |  SELECT t.pair[1] AS a, t.pair[2] AS b,
+       |    CAST(SUM(cnt) AS BIGINT) AS cab
+       |  FROM $prev, UNNEST(CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)),
+       |        i -> [toks[i], toks[i+1]])
+       |      ELSE [] END) AS t(pair)
+       |  GROUP BY 1, 2),
+       |ws$r AS (SELECT wp$r.a AS a, wp$r.b AS b,
+       |  CAST((CAST(cab AS HUGEINT) * $sc)
+       |    // (CAST(ua.u AS HUGEINT) * CAST(ub.u AS HUGEINT))
+       |    AS BIGINT) AS score
+       |  FROM wp$r JOIN wu$r ua ON wp$r.a = ua.tok
+       |    JOIN wu$r ub ON wp$r.b = ub.tok),
+       |wbest$r AS MATERIALIZED (SELECT a, b, score FROM ws$r
+       |  ORDER BY score DESC, a, b LIMIT 1),
+       |wm$r AS (
+       |  SELECT w, cnt, toks,
+       |    CASE WHEN wbest$r.a IS NOT NULL AND len(toks) >= 2 THEN
+       |      list_transform(range(1, len(toks)),
+       |        i -> toks[i] = wbest$r.a AND toks[i+1] = wbest$r.b)
+       |    ELSE [] END AS mt
+       |  FROM $prev LEFT JOIN wbest$r ON TRUE),
+       |wk$r AS (
+       |  SELECT w, cnt, toks,
+       |    list_transform(range(1, len(mt) + 1),
+       |      i -> mt[i] AND (i - coalesce(list_max(list_filter(range(1, i),
+       |        j -> NOT mt[j])), 0) - 1) % 2 = 0) AS kt
+       |  FROM wm$r),
+       |wv$r AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |    flatten(list_transform(range(1, len(toks) + 1), i ->
+       |      CASE WHEN i <= len(kt) AND kt[i] THEN [toks[i] || toks[i+1]]
+       |           WHEN i >= 2 AND kt[i-1] THEN []
+       |           ELSE [toks[i]] END)) AS toks
+       |  FROM wk$r)""".stripMargin
+  }
+
   /** One BPE round as DuckDB CTEs — the exact SQL rendering of
     * [[graft.text.Bpe.trainMerges]]'s round: weighted pair counts,
     * (wt desc, a, b) argmax, and the greedy run-parity merge
@@ -1044,11 +1181,18 @@ object TextQueries {
     // one Viterbi pass under the score CTE `sct(piece, fp)`: DP fold +
     // smallest-split backtrack (CASE duplication in place of let-bound
     // intermediates — SQL lambdas cannot bind locals; the repeated
-    // sub-expressions are O(word length) at runtime)
+    // sub-expressions are O(word length) at runtime).
+    //
+    // The backtrack is a RECURSIVE CTE, not a list_reduce: a reduce
+    // whose lambda re-derives its position from the accumulator
+    // (list_sum over list_transform(acc, …)) while also reading the
+    // row's dp/m/wd columns CROSS-CONTAMINATES rows in DuckDB 1.0.0 —
+    // pieces of other words appear, sensitive to thread count (the DP
+    // fold, whose nested lambda reads acc only by index, is fine —
+    // verified against an independent replay). The recursion carries
+    // (m, dp) along so each step is a plain per-row projection.
     def segCtes(pfx: String, sct: String): String = {
-      val pos = "(length(wd) - CAST(coalesce(list_sum(" +
-        "list_transform(acc, p -> length(p))), 0) AS BIGINT))"
-      val jStar = s"""list_min(list_filter(list_transform(
+      def jStar(pos: String) = s"""list_min(list_filter(list_transform(
          |      range(greatest($pos - $L, 0), $pos),
          |      j -> CASE WHEN dp[CAST(j + 1 AS INT)]
          |          + map_extract(m, substr(wd, CAST(j + 1 AS INT),
@@ -1071,16 +1215,17 @@ object TextQueries {
          |          CAST(x[1] - j AS INT)))[1]),
          |      v -> v IS NOT NULL))]) AS dp
          |  FROM ug_wc w JOIN ${pfx}_wm q ON w.wd = q.wd),
-         |$pfx AS (SELECT wd, cnt,
-         |  list_reverse(list_reduce(
-         |    [CAST([] AS VARCHAR[])] ||
-         |      list_transform(range(1, length(wd) + 1),
-         |        i -> CAST([] AS VARCHAR[])),
-         |    (acc, x) -> CASE WHEN $pos > 0
-         |      THEN acc || [substr(wd, CAST($jStar + 1 AS INT),
-         |        CAST($pos - $jStar AS INT))]
-         |      ELSE acc END)) AS pieces
-         |  FROM ${pfx}_dp)""".stripMargin
+         |${pfx}_bt AS (
+         |  SELECT wd, cnt, m, dp, CAST(length(wd) AS BIGINT) AS pos,
+         |    CAST([] AS VARCHAR[]) AS ps
+         |  FROM ${pfx}_dp
+         |  UNION ALL
+         |  SELECT wd, cnt, m, dp, ${jStar("pos")} AS pos,
+         |    list_prepend(substr(wd, CAST(${jStar("pos")} + 1 AS INT),
+         |      CAST(pos - ${jStar("pos")} AS INT)), ps) AS ps
+         |  FROM ${pfx}_bt WHERE pos > 0),
+         |$pfx AS (SELECT wd, cnt, ps AS pieces
+         |  FROM ${pfx}_bt WHERE pos = 0)""".stripMargin
     }
     s"""ug_wc AS (SELECT wd, CAST(count(*) AS BIGINT) AS cnt FROM (
        |  SELECT unnest(w) AS wd FROM toks) GROUP BY 1),
@@ -1202,7 +1347,161 @@ object TextQueries {
        |  FROM li_fin)""".stripMargin
   }
 
+  /** Mirror of [[graft.text.LineDedup.syntheticPages]] +
+    * [[graft.text.LineDedup.lineKey]]: the deterministic page
+    * construction (members / local banner / rotating global banner)
+    * and the CCNet line normalization, ending in
+    * `pg_k(page_id, line_no, line, line_key)`.
+    */
+  private def pagesCtes: String = {
+    import graft.text.LineDedup.{PageSize, NumBanners}
+    s"""pg_m AS (SELECT CAST(floor(doc_id / $PageSize) AS BIGINT)
+       |    AS page_id,
+       |  CAST(doc_id % $PageSize + 2 AS BIGINT) AS line_no,
+       |  text AS line FROM documents),
+       |pg_l AS (SELECT CAST(floor(doc_id / $PageSize) AS BIGINT)
+       |    AS page_id,
+       |  CAST(1 AS BIGINT) AS line_no, min_by(text, doc_id) AS line
+       |  FROM documents GROUP BY 1),
+       |pg_b AS (SELECT doc_id AS bid, text AS btext FROM documents
+       |  WHERE doc_id < $NumBanners),
+       |pg_g AS (SELECT page_id, CAST(0 AS BIGINT) AS line_no,
+       |  btext AS line
+       |  FROM (SELECT DISTINCT page_id FROM pg_l) p
+       |  JOIN pg_b ON p.page_id % $NumBanners = bid),
+       |pg AS (SELECT * FROM pg_m UNION ALL SELECT * FROM pg_l
+       |  UNION ALL SELECT * FROM pg_g),
+       |pg_k AS (SELECT page_id, line_no, line,
+       |  md5(trim(regexp_replace(regexp_replace(lower(line),
+       |    '[^a-z\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS line_key
+       |  FROM pg)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // per-source n-gram diversity: grams WITH repeats for n = 1..3
+    // (TextFunctions.ngrams mirror), counted per (source, n, gram)
+    // then rolled up; exact-integer ratio
+    "q_ngram_diversity" -> {
+      def gramSel(n: Int): String = {
+        val gram = (0 until n).map(o => if (o == 0) "w[i]" else s"w[i+$o]")
+          .mkString(" || ' ' || ")
+        s"""SELECT source, $n AS n, unnest(
+           |  CASE WHEN len(w) >= $n THEN
+           |    list_transform(range(1, len(w) - ${n - 2}), i -> $gram)
+           |  ELSE []::VARCHAR[] END) AS gram FROM stoks""".stripMargin
+      }
+      s"""WITH stoks AS (
+         |  SELECT source,
+         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |gr AS (${gramSel(1)}
+         |  UNION ALL ${gramSel(2)}
+         |  UNION ALL ${gramSel(3)}),
+         |k AS (SELECT source, n, gram, count(*) AS c
+         |  FROM gr GROUP BY 1, 2, 3)
+         |SELECT source, n,
+         |  CAST(sum(c) AS BIGINT) AS total_ngrams,
+         |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+         |    AS diversity
+         |FROM k GROUP BY 1, 2 ORDER BY source, n""".stripMargin
+    },
+
+    // WordPiece: the k likelihood-argmax rounds replayed as chained
+    // CTEs (wpRoundCtes), then the greedy longest-match encode as a
+    // RECURSIVE CTE over the final vocabulary (alphabet ∪ merged
+    // pieces) — position advances by the longest matching piece, ##
+    // rendered at non-initial positions
+    "q_wordpiece" -> {
+      val rounds = (1 to WpK).map(wpRoundCtes).mkString(",\n")
+      val vocabUnion = (1 to WpK)
+        .map(r => s"UNION SELECT a || b AS piece FROM wbest$r")
+        .mkString(" ")
+      s"""WITH RECURSIVE $toksCte,
+         |wwc AS MATERIALIZED (SELECT t.tok AS w,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM toks, UNNEST(toks.w) AS t(tok) GROUP BY 1),
+         |wv0 AS MATERIALIZED (SELECT w, cnt,
+         |  list_transform(range(1, length(w) + 1),
+         |    i -> substr(w, CAST(i AS INT), 1)) AS toks FROM wwc),
+         |$rounds,
+         |walpha AS (SELECT DISTINCT substr(w, CAST(t.i AS INT), 1)
+         |    AS piece
+         |  FROM wwc, UNNEST(range(1, length(w) + 1)) AS t(i)),
+         |wvocab AS (SELECT piece FROM walpha $vocabUnion),
+         |wvl AS MATERIALIZED (SELECT list(piece) AS vl,
+         |  CAST(max(length(piece)) AS BIGINT) AS maxlen FROM wvocab),
+         |wenc AS (
+         |  SELECT w, cnt, CAST(0 AS BIGINT) AS pos,
+         |    CAST([] AS VARCHAR[]) AS ps
+         |  FROM wwc
+         |  UNION ALL
+         |  SELECT w, cnt, pos + coalesce(lb, 1) AS pos,
+         |    ps || [CASE WHEN lb IS NULL THEN '[UNK]'
+         |      WHEN pos > 0 THEN
+         |        '##' || substr(w, CAST(pos + 1 AS INT), CAST(lb AS INT))
+         |      ELSE substr(w, CAST(pos + 1 AS INT), CAST(lb AS INT))
+         |      END] AS ps
+         |  FROM (SELECT e.w, e.cnt, e.pos, e.ps,
+         |      list_max(list_filter(
+         |        range(1, least(v.maxlen, length(e.w) - e.pos) + 1),
+         |        l -> list_contains(v.vl, substr(e.w,
+         |          CAST(e.pos + 1 AS INT), CAST(l AS INT))))) AS lb
+         |    FROM wenc e, wvl v WHERE e.pos < length(e.w)))
+         |SELECT w, cnt, array_to_string(ps, ' ') AS pieces_str,
+         |  CAST(len(ps) AS BIGINT) AS n_pieces
+         |FROM wenc WHERE pos = length(w) ORDER BY w""".stripMargin
+    },
+
+    // CCNet line dedup: first occurrence per normalized-line hash in
+    // (page, line_no) order (the oracle may window; the engine uses a
+    // min-struct agg + join), pages rebuilt line-ordered
+    "q_line_dedup" ->
+      s"""WITH $pagesCtes,
+         |mk AS (SELECT *,
+         |  row_number() OVER (PARTITION BY line_key
+         |    ORDER BY page_id, line_no) = 1 AS keep FROM pg_k)
+         |SELECT page_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE length(line) END)
+         |    AS BIGINT) AS chars_removed,
+         |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+         |    ORDER BY line_no), '') AS kept_text
+         |FROM mk GROUP BY page_id ORDER BY page_id""".stripMargin,
+
+    // Gopher duplicate-line rules: within-page repeat fractions off
+    // the same normalized-line keys; both ratios divide exact BIGINT
+    // sums
+    "q_page_repetition" -> {
+      import graft.text.LineDedup.{MaxDupLineFrac, MaxDupCharFrac}
+      s"""WITH $pagesCtes,
+         |k1 AS (SELECT page_id, line_key,
+         |  CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(length(line)) AS BIGINT) AS chars,
+         |  min_by(length(line), line_no) AS first_chars
+         |  FROM pg_k GROUP BY 1, 2)
+         |SELECT page_id,
+         |  CAST(sum(c) AS BIGINT) AS n_lines,
+         |  CAST(sum(c) - count(*) AS BIGINT) AS n_dup_lines,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(chars - first_chars) AS BIGINT) AS n_dup_chars,
+         |  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+         |    AS dup_line_frac,
+         |  CAST(sum(chars - first_chars) AS DOUBLE)
+         |    / CAST(sum(chars) AS DOUBLE) AS dup_char_frac,
+         |  (CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+         |      <= $MaxDupLineFrac
+         |    AND CAST(sum(chars - first_chars) AS DOUBLE)
+         |      / CAST(sum(chars) AS DOUBLE) <= $MaxDupCharFrac)
+         |    AS pass_dup_rules
+         |FROM k1 GROUP BY page_id ORDER BY page_id""".stripMargin
+    },
+
     "q_text_stats" ->
       s"""WITH $toksCte
         |SELECT doc_id,
@@ -1984,10 +2283,12 @@ object TextQueries {
     },
 
     // unigram tokenizer per-word segmentations: the full hard-EM chain
-    // replayed (list_reduce DP folds mirror the engine's aggregate
-    // lambdas; integer dp values, smallest-split tie-break)
+    // replayed (list_reduce DP fold mirrors the engine's aggregate
+    // lambda; integer dp values; the smallest-split backtrack is a
+    // RECURSIVE CTE — see segCtes for the DuckDB list_reduce
+    // cross-row-contamination bug it works around)
     "q_unigram_segments" ->
-      s"""WITH $toksCte,
+      s"""WITH RECURSIVE $toksCte,
          |$unigramCtes
          |SELECT wd AS w, cnt, array_to_string(pieces, ' ') AS pieces_str,
          |  CAST(len(pieces) AS BIGINT) AS n_pieces
@@ -1996,7 +2297,7 @@ object TextQueries {
     // unigram tokenizer corpus rollup: corpus tokens joined to the
     // vocab-sized segmentations
     "q_tokenizer_unigram" ->
-      s"""WITH $toksCte,
+      s"""WITH RECURSIVE $toksCte,
          |$unigramCtes,
          |ug_td AS (SELECT doc_id, unnest(w) AS wd FROM toks)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,

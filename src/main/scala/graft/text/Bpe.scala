@@ -46,8 +46,10 @@ object Bpe {
 
   private val emptyStrArray = array().cast(ArrayType(StringType))
 
-  /** One greedy merge application over a token-array column. */
-  private def applyMerge(toks: Column, a: String, b: String): Column = {
+  /** One greedy merge application over a token-array column.
+    * Package-private: [[WordPiece]] shares the run-parity formula.
+    */
+  private[text] def applyMerge(toks: Column, a: String, b: String): Column = {
     val n = size(toks)
     // match flags over positions 1..n-1 (1-based like element_at)
     val mt = when(n >= 2, transform(sequence(lit(1), n - 1), i =>
@@ -124,7 +126,7 @@ object Bpe {
     * UTF8String comparison and DuckDB's default (memcmp) collation, so
     * driver-local argmax tie-breaks agree with both engines exactly.
     */
-  private def utf8Lt(x: String, y: String): Boolean = {
+  private[text] def utf8Lt(x: String, y: String): Boolean = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(a.length, b.length)
@@ -142,7 +144,7 @@ object Bpe {
     * (for non-self pairs consecutive matches are impossible; for
     * self-pairs left-to-right keeps exactly the even-chain positions).
     */
-  private def applyMergeLocal(
+  private[text] def applyMergeLocal(
       toks: Array[String], a: String, b: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0

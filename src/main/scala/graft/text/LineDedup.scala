@@ -1,0 +1,184 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-level (paragraph-level) corpus deduplication — the CCNet
+  * pre-LM cleaning step (Wenzek et al. 2020, "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data", §3.1): normalize
+  * every line of every page (lowercase, strip digits and punctuation,
+  * collapse whitespace), hash it, and DROP every occurrence but the
+  * first across the whole corpus — the step that removes boilerplate
+  * headers/footers/navigation shared by many pages before any
+  * document-level signal is computed. Complements the engine's
+  * document-granularity dedup family (exact / MinHash / SimHash /
+  * span): those compare documents, this removes repeated STRUCTURE
+  * inside them.
+  *
+  * Extension category beyond the reference's operator surface (the
+  * reference has no text operators beyond regex replace,
+  * betl/dataflow/dfl_changeData.py:67-102).
+  *
+  * Scale shape: one corpus-line-sized combine-reduced aggregation on
+  * the normalized-line hash (min first-occurrence key per hash) + one
+  * equi-join of the line frame back to that hash table — the same two
+  * exchanges at any corpus size; reassembly is a per-page row-local
+  * aggregation. No windows over the corpus, no cross joins.
+  *
+  * The first-occurrence ORDER is (page, line_no) lexicographic — a
+  * total, partitioning-independent rule both engines share (the oracle
+  * replays it as a min over packed structs).
+  *
+  * The synthetic-page construction ([[syntheticPages]]) exists because
+  * the test corpus's documents are single-line by construction
+  * (TESTDATA.md) while line-granularity operators need multi-line
+  * pages: pages are built DETERMINISTICALLY from the corpus itself
+  * (5 consecutive documents = one page, plus two injected banner
+  * lines), and the oracle replays the identical construction — the
+  * q_pipeline_llm eval-split precedent. On real web data the operator
+  * consumes the crawl's own page/line structure and the construction
+  * step disappears.
+  */
+object LineDedup {
+
+  /** Documents per synthetic page. */
+  val PageSize = 5
+
+  /** Number of rotating global banner lines (the cross-page
+    * boilerplate: page p carries banner p mod [[NumBanners]]).
+    */
+  val NumBanners = 3
+
+  /** CCNet line normalization: lowercase, strip every character that
+    * is not a lowercase letter or whitespace (digits, punctuation),
+    * collapse whitespace runs, trim. Patterns are in the java∩RE2
+    * regex intersection (the PiiRedact discipline) so any engine
+    * replays them byte-for-byte.
+    */
+  def normalizeLine(l: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(l), "[^a-z\\s]", ""),
+      "\\s+", " "))
+
+  /** The dedup key of a line: md5 of the normalized text. */
+  def lineKey(l: Column): Column = md5(normalizeLine(l))
+
+  /** Mark each (page, line_no, line) row with its dedup key and a
+    * `keep` flag: true iff this row is the FIRST occurrence of its
+    * normalized line across the whole frame, in (page, line_no) order.
+    *
+    * One combine-reduced agg to the distinct-key table (min packed
+    * first-occurrence struct per key) + one equi-join back on the key.
+    */
+  def markFirstOccurrences(lines: DataFrame, page: String, lineNo: String,
+      line: String): DataFrame = {
+    val keyed = lines.withColumn("line_key", lineKey(col(line)))
+    val firsts = keyed.groupBy("line_key")
+      .agg(min(struct(col(page), col(lineNo))).as("__first"))
+    keyed.join(firsts, Seq("line_key"))
+      .withColumn("keep",
+        col(page) === col("__first")(page) &&
+          col(lineNo) === col("__first")(lineNo))
+      .drop("__first")
+  }
+
+  /** Deterministic multi-line pages from the single-line corpus:
+    * page = [[PageSize]] consecutive documents, each page carrying
+    *  - line 0: a GLOBAL banner — the text of document
+    *    (page mod [[NumBanners]]), the cross-page boilerplate every
+    *    real crawl has (site headers repeated on every page);
+    *  - line 1: a LOCAL banner — a copy of the page's first member
+    *    document (within-page repetition, the duplicate-line signal
+    *    [[pageRepetitionStats]] measures);
+    *  - lines 2..PageSize+1: the member documents in doc_id order.
+    *
+    * Built from three corpus-scan projections/aggregations (members =
+    * pure projection; local banners = one map-side-combined min_by per
+    * page; global banners = the page list joined to the broadcast
+    * [[NumBanners]]-row banner table) — no collect, no window.
+    */
+  def syntheticPages(docs: DataFrame): DataFrame = {
+    val pageId = floor(col("doc_id") / PageSize).cast("long")
+    val members = docs.select(pageId.as("page_id"),
+      (col("doc_id") % PageSize + 2).cast("long").as("line_no"),
+      col("text").as("line"))
+    val locals = docs.groupBy(pageId.as("page_id"))
+      .agg(min_by(col("text"), col("doc_id")).as("line"))
+      .select(col("page_id"), lit(1L).as("line_no"), col("line"))
+    val banners = docs.where(col("doc_id") < NumBanners)
+      .select(col("doc_id").as("__bid"), col("text").as("__btext"))
+    val globals = locals.select(col("page_id"))
+      .join(broadcast(banners), col("page_id") % NumBanners === col("__bid"))
+      .select(col("page_id"), lit(0L).as("line_no"),
+        col("__btext").as("line"))
+    members.unionByName(locals).unionByName(globals)
+  }
+
+  /** Per-page rebuild after [[markFirstOccurrences]]: kept lines
+    * re-joined in line order, plus the dedup accounting. Row-local per
+    * page (one combine-reduced agg; the sort is over the ≤ PageSize+2
+    * lines of one page, inside the row).
+    */
+  def reassemble(marked: DataFrame): DataFrame =
+    marked.groupBy("page_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("keep"), length(col("line"))).otherwise(0L))
+          .as("chars_removed"),
+        array_join(transform(filter(
+          sort_array(collect_list(struct(col("line_no"), col("keep"),
+            col("line")))),
+          s => s.getField("keep")), s => s.getField("line")), "\n")
+          .as("kept_text"))
+      .select(col("page_id"), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"),
+        col("chars_removed"), col("kept_text"))
+
+  /** Gopher duplicate-line thresholds (Rae et al. 2021 A1.1: pages
+    * with more than 30% duplicate lines, or more than 20% of
+    * characters inside duplicate lines, are dropped). The same rules
+    * apply at paragraph granularity with thresholds 0.30/0.20 — on
+    * these pages lines ARE the paragraphs.
+    */
+  val MaxDupLineFrac = 0.30
+  val MaxDupCharFrac = 0.20
+
+  /** WITHIN-page duplicate-line statistics — the Gopher repetition
+    * rules q_text_repetition's n-gram signals cannot express on
+    * single-line documents:
+    *  - `dup_line_frac`: fraction of the page's lines that are a
+    *    repeat of an earlier line of the SAME page (occurrences beyond
+    *    the first, over total lines);
+    *  - `dup_char_frac`: fraction of the page's characters inside
+    *    those repeated occurrences (raw line lengths; the first
+    *    occurrence's characters are not counted).
+    * Both are exact-integer ratios (the two division operands are
+    * exact BIGINT sums), so the doubles are engine-identical.
+    *
+    * Two chained combine-reduced aggs: (page, key) counts+lengths,
+    * then per-page sums — every shuffle key is (page, line-hash),
+    * map-side combined; nothing corpus-crossing.
+    */
+  def pageRepetitionStats(lines: DataFrame): DataFrame = {
+    val keyed = lines.withColumn("line_key", lineKey(col("line")))
+    val perKey = keyed.groupBy("page_id", "line_key")
+      .agg(count(lit(1)).as("c"),
+        sum(length(col("line"))).as("chars"),
+        min_by(length(col("line")), col("line_no")).as("first_chars"))
+    perKey.groupBy("page_id")
+      .agg(sum(col("c")).as("n_lines"),
+        (sum(col("c")) - count(lit(1))).as("n_dup_lines"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("chars") - col("first_chars")).as("n_dup_chars"))
+      .select(col("page_id"), col("n_lines"), col("n_dup_lines"),
+        col("n_chars"), col("n_dup_chars"),
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        (col("n_dup_chars").cast("double") / col("n_chars").cast("double"))
+          .as("dup_char_frac"),
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double")
+          <= MaxDupLineFrac &&
+          col("n_dup_chars").cast("double") / col("n_chars").cast("double")
+            <= MaxDupCharFrac).as("pass_dup_rules"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.text.LineDedup
+import org.apache.spark.sql.functions._
+
+/** CCNet line-level dedup + Gopher duplicate-line rules
+  * (text/LineDedup.scala): normalization equivalences, global
+  * first-occurrence semantics, page reassembly, the synthetic-page
+  * construction's shape, and the within-page repetition fractions.
+  */
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lines = Seq(
+    // page 0: banner + distinct content
+    (0L, 0L, "Site Banner 2024!"),
+    (0L, 1L, "alpha beta gamma"),
+    (0L, 2L, "unique zero two"),
+    // page 1: same banner (normalized match: case/digits/punct differ),
+    // plus an in-page exact repeat of its own line
+    (1L, 0L, "site banner"),
+    (1L, 1L, "delta epsilon"),
+    (1L, 2L, "delta epsilon"),
+    // page 2: repeats page 0's content line
+    (2L, 0L, "ALPHA   beta GAMMA 99"),
+    (2L, 1L, "unique two one"))
+    .toDF("page_id", "line_no", "line")
+
+  test("normalizeLine strips case, digits, punctuation; collapses runs") {
+    val got = spark.range(1).select(
+      LineDedup.normalizeLine(lit("Site  Banner 2024!")).as("a"),
+      LineDedup.normalizeLine(lit("site banner")).as("b"),
+      LineDedup.normalizeLine(lit("  A1b2 C3  ")).as("c")).head
+    assert(got.getString(0) == "site banner")
+    assert(got.getString(1) == "site banner")
+    assert(got.getString(2) == "ab c")
+  }
+
+  test("first occurrence wins globally in (page, line_no) order") {
+    val kept = LineDedup
+      .markFirstOccurrences(lines, "page_id", "line_no", "line")
+      .where(col("keep")).select("page_id", "line_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banner: first at (0,0); page-1 copy and its normalized variant drop
+    assert(kept.contains((0L, 0L)) && !kept.contains((1L, 0L)))
+    // in-page repeat: (1,1) kept, (1,2) dropped
+    assert(kept.contains((1L, 1L)) && !kept.contains((1L, 2L)))
+    // cross-page normalized repeat of "alpha beta gamma": (2,0) dropped
+    assert(kept.contains((0L, 1L)) && !kept.contains((2L, 0L)))
+    // uniques all kept
+    assert(kept.contains((0L, 2L)) && kept.contains((2L, 1L)))
+  }
+
+  test("reassemble keeps line order and counts dropped chars") {
+    val marked =
+      LineDedup.markFirstOccurrences(lines, "page_id", "line_no", "line")
+    val out = LineDedup.reassemble(marked)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    assert(out(0L) == (3L, 3L, 0L, 0L,
+      "Site Banner 2024!\nalpha beta gamma\nunique zero two"))
+    // page 1 drops its banner copy (11 chars) + the repeat (13 chars)
+    assert(out(1L) == (3L, 1L, 2L, 24L, "delta epsilon"))
+    assert(out(2L) == (2L, 1L, 1L, 21L, "unique two one"))
+  }
+
+  test("syntheticPages: 7 lines per full page, banners as documented") {
+    val docs = (0L until 20L).map(i => (i, s"doc text $i"))
+      .toDF("doc_id", "text")
+    val pages = LineDedup.syntheticPages(docs)
+    assert(pages.count() == 20 + 4 + 4) // members + local + global
+    val p2 = pages.where(col("page_id") === 2)
+      .orderBy("line_no").collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    // global banner: doc (2 % 3) = doc 2; local banner: first member
+    assert(p2.head == (0L, "doc text 2"))
+    assert(p2(1) == (1L, "doc text 10"))
+    assert(p2.drop(2).map(_._2).toSeq ==
+      (10L until 15L).map(i => s"doc text $i"))
+  }
+
+  test("pageRepetitionStats: exact dup fractions and rule gates") {
+    val rep = LineDedup.pageRepetitionStats(lines)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getBoolean(7)))
+      .toMap
+    // page 0: no within-page dups
+    assert(rep(0L) == (3L, 0L, 0.0, true))
+    // page 1: "delta epsilon" ×2 → 1 dup line of 3; chars: 13/(11+13+13)
+    val (n1, d1, f1, pass1) = rep(1L)
+    assert(n1 == 3L && d1 == 1L)
+    assert(f1 == 1.0 / 3.0)
+    assert(!pass1) // 1/3 > 0.30
+    assert(rep(2L)._2 == 0L)
+  }
+}
