@@ -864,6 +864,64 @@ object TextQueries {
             (col("n_tokens").cast("double") * lit(sc.toDouble)), 6)
             .as("ml_delta"))
         .orderBy("doc_id")
+    },
+
+    // DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    // one exponentiated-gradient step over per-domain EXCESS loss,
+    // here rendered with the engine's own LM family (documented
+    // adaptation — the neural proxy/reference pair becomes
+    // general-vs-in-domain bigram LMs, the Moore–Lewis machinery per
+    // domain): excess_d = clamp₀(avg in-domain-LM logprob − avg
+    // general-LM logprob) on domain d's own documents, weights
+    // w_d ∝ tokenShare_d · DetExp(excess_d), normalized. All six LM
+    // chains are exact fixed-point sums; the EG step runs DRIVER-LOCAL
+    // on the |domains|-row aggregate (the BPE/k-means boundedness
+    // argument) with the pure-integer DetExp kernel, so every emitted
+    // value replays bit-exactly in the oracle
+    "q_domain_weights" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_domain_weights")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      val trainGen = docs.where(col("doc_id") % 2 === 0)
+      val gen = graft.text.BigramLm
+        .scoreFp(docs, trainGen, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          col("sum_fp").as("fp_gen"))
+      val own = LangIdClasses.map { l =>
+        graft.text.BigramLm.scoreFp(
+          docs.where(col("lang") === l),
+          trainGen.where(col("lang") === l), "doc_id", "text")
+          .select(col("doc_id"), col("sum_fp").as("fp_own"))
+      }.reduce(_ unionByName _)
+      val perDom = gen.join(own, "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_tokens")).as("n"),
+          sum(col("fp_gen")).as("sg"), sum(col("fp_own")).as("so"))
+        .collect() // |domains| rows — bounded like a centroid table
+      val scored = perDom.map { r =>
+        val (lang, n) = (r.getString(0), r.getLong(1))
+        val (sg, so) = (r.getLong(2), r.getLong(3))
+        // clamp BEFORE the division: on non-negative operands Java
+        // truncation and SQL floor division agree
+        val xFp = math.min(math.max(0L, so - sg) / n,
+          graft.functions.DetExp.MaxAbsX - 1)
+        (lang, n, xFp, graft.functions.DetExp.expFp(xFp))
+      }
+      val tot = scored.map(t => BigInt(t._2) * t._4).sum
+      import s.implicits._
+      scored.toSeq
+        .map { case (lang, n, xFp, eFp) =>
+          (lang, n, xFp.toDouble / graft.functions.DetExp.Scale.toDouble,
+            (BigInt(n) * eFp).toDouble / tot.toDouble)
+        }
+        .toDF("lang", "n_tokens", "excess", "weight")
+        .select(col("lang"), col("n_tokens"),
+          round(col("excess"), 6).as("excess"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy("lang")
     })
 
   /** Eval-split percentage for q_decontaminate. */
@@ -2319,5 +2377,49 @@ object TextQueries {
          |FROM mlg_lmscore g JOIN mli_lmscore i ON g.doc_id = i.doc_id
          |WHERE i.sum_fp > g.sum_fp
          |ORDER BY g.doc_id""".stripMargin
+    },
+
+    // DoReMi EG step: the general LM chain + one in-domain LM chain
+    // per language (each re-rooted at its lang slice), per-domain
+    // exact-sum aggregates, the clamped integer excess, the DetExp
+    // replay, and the HUGEINT weight normalization
+    "q_domain_weights" -> {
+      val maxX = graft.functions.DetExp.MaxAbsX - 1
+      val scale = graft.functions.DetExp.Scale
+      val roots = LangIdClasses.map(l =>
+        s"dwr_$l AS (SELECT * FROM toks WHERE lang = '$l')")
+        .mkString(",\n")
+      val chains = LangIdClasses.map(l =>
+        lmScoreCtes(s"dwr_$l", s"dw${l}_")).mkString(",\n")
+      val unions = LangIdClasses.map(l =>
+        s"SELECT doc_id, sum_fp AS fp_own FROM dw${l}_lmscore")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $toksCte,
+         |${lmScoreCtes("toks", "dwg_")},
+         |$roots,
+         |$chains,
+         |dwo AS ($unions),
+         |dwj AS (SELECT t.lang, g.n_tokens, g.sum_fp AS fpg,
+         |    o.fp_own AS fpo
+         |  FROM dwg_lmscore g
+         |  JOIN dwo o ON g.doc_id = o.doc_id
+         |  JOIN toks t ON g.doc_id = t.doc_id),
+         |dwd AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n,
+         |    CAST(sum(fpg) AS BIGINT) AS sg,
+         |    CAST(sum(fpo) AS BIGINT) AS so
+         |  FROM dwj GROUP BY 1),
+         |dwe AS (SELECT lang, n,
+         |  least(greatest(CAST(0 AS BIGINT), so - sg) // n, $maxX)
+         |    AS xfp FROM dwd),
+         |${graft.functions.DetExp.expFpCtes("dwx", "dwe", "xfp",
+             "efp", Seq("lang"), Seq("n"))},
+         |dww AS (SELECT lang, n, x, efp,
+         |  CAST(n AS HUGEINT) * efp AS wnum FROM dwx),
+         |dwt AS (SELECT CAST(sum(wnum) AS HUGEINT) AS tot FROM dww)
+         |SELECT lang, n AS n_tokens,
+         |  round(CAST(x AS DOUBLE) / $scale.0, 6) AS excess,
+         |  round(CAST(wnum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         |    AS weight
+         |FROM dww, dwt ORDER BY lang""".stripMargin
     })
 }
