@@ -138,6 +138,15 @@ object GraftFunctions {
       CharNgrams(children.head, children(1))
     })
 
+  private val wordNgramsDescriptor: (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_ngrams"),
+    new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "word_ngrams expects exactly 2 arguments")
+      WordNgrams(children.head, children(1))
+    })
+
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -156,6 +165,16 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       charNgramsDescriptor._1, charNgramsDescriptor._2,
       charNgramsDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      wordNgramsDescriptor._1, wordNgramsDescriptor._2,
+      wordNgramsDescriptor._3)
+  }
+
+  /** Column-level accessor for [[WordNgrams]]. */
+  def wordNgrams(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("word_ngrams", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   /** Column-level accessor for [[CharNgrams]]. */

@@ -781,6 +781,42 @@ object StreamingQueries {
     // the index), so the final flagged set — and therefore the
     // per-document span statistics — equals the batch q_span_dedup
     // exactly, whose oracle this query reuses verbatim.
+    // nearline CCNet line dedup: the first-occurrence line-key index
+    // maintained across micro-batches (kept keys append under the
+    // marks anti-join replay guard); with the harness's id-ordered
+    // slicing first-ARRIVAL equals the batch operator's global
+    // (page, line_no) rule, so the oracle is q_line_dedup verbatim
+    "q_stream_line_dedup" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.text.LineDedup
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val lines = LineDedup.syntheticPages(docs)
+          .withColumn("lid", col("page_id") * 100 + col("line_no"))
+          .localCheckpoint()
+        val base = tmpDir("graft_sline")
+        val indexDir = base + "/line_index"
+        val marksDir = base + "/line_marks"
+        LineDedup.initLineState(s, indexDir, marksDir)
+        StreamFlow.writeTimeSplits(lines, "lid", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("page_id", LongType),
+          StructField("line_no", LongType),
+          StructField("line", StringType),
+          StructField("lid", LongType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            LineDedup.applyLineBatch(s, b.drop("lid"), indexDir, marksDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        LineDedup.lineDedupFromState(s, lines.drop("lid"), marksDir)
+          .orderBy("page_id")
+      }
+    },
+
     "q_stream_span_dedup" -> { (s, dir) =>
       withStreamParts(s) {
         import graft.dedup.SpanDedup
@@ -1197,6 +1233,7 @@ object StreamingQueries {
     // streamed gram index / bucket table are lossless renderings of the
     // batch computations — the batch oracles ARE the streaming oracles
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),
+    "q_stream_line_dedup" -> TextQueries.oracles("q_line_dedup"),
     "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
     "q_stream_token_budget" -> TextQueries.oracles("q_token_budget"),
     "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,

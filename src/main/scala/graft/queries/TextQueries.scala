@@ -633,13 +633,16 @@ object TextQueries {
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_ngram_diversity")
       src(dfl, "documents")
-      val t = tokens(col("text"))
-      val packed = flatten(array((1 to 3).map(n =>
-        transform(graft.text.TextFunctions.ngrams(t, n),
-          g => struct(lit(n).as("n"), g.as("gram")))): _*))
-      val grams = dfl.get("documents")
-        .select(col("source"), explode(packed).as("g"))
-        .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      // grams via the native one-pass word_ngrams kernel — the
+      // declarative ngrams(tokens(text), n) rendering re-tokenizes the
+      // document at every position (Catalyst inlines split() into each
+      // lambda reference): O(len²)/doc, measured 116s at sf1 vs the
+      // kernel's one split + one pass (bit-parity spec-pinned)
+      val grams = (1 to 3).map { n =>
+        dfl.get("documents").select(col("source"), lit(n).as("n"),
+          explode(graft.functions.GraftFunctions
+            .wordNgrams(s, col("text"), n)).as("gram"))
+      }.reduce(_ unionByName _)
       grams.groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
         .groupBy("source", "n")
         .agg(sum(col("c")).as("total_ngrams"),

@@ -80,6 +80,38 @@ class LineDedupSpec extends SparkSpec {
       (10L until 15L).map(i => s"doc text $i"))
   }
 
+  private def collectDedup(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5))).toMap
+
+  test("streamed line dedup: batch-count invariance, replay, empty") {
+    val truth = collectDedup(LineDedup.reassemble(
+      LineDedup.markFirstOccurrences(lines, "page_id", "line_no", "line")))
+    for (nBatches <- Seq(1, 3, 7)) {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"sld_$nBatches").toString
+      val (indexDir, marksDir) = (base + "/idx", base + "/marks")
+      LineDedup.initLineState(spark, indexDir, marksDir)
+      val lids = lines
+        .select((col("page_id") * 100 + col("line_no")).as("lid"))
+        .collect().map(_.getLong(0)).sorted
+      lids.grouped(math.max(1, lids.length / nBatches)).foreach { g =>
+        LineDedup.applyLineBatch(spark,
+          lines.where((col("page_id") * 100 + col("line_no"))
+            .isin(g.toSeq: _*)), indexDir, marksDir)
+      }
+      // empty batch is a no-op
+      LineDedup.applyLineBatch(spark, lines.where(lit(false)),
+        indexDir, marksDir)
+      // whole-corpus replay is a no-op (marks anti-join guard)
+      LineDedup.applyLineBatch(spark, lines, indexDir, marksDir)
+      val got = collectDedup(
+        LineDedup.lineDedupFromState(spark, lines, marksDir))
+      assert(got == truth, s"nBatches=$nBatches")
+    }
+  }
+
   test("pageRepetitionStats: exact dup fractions and rule gates") {
     val rep = LineDedup.pageRepetitionStats(lines)
       .collect().map(r => r.getLong(0) ->

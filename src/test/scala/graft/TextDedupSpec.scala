@@ -223,6 +223,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("word_ngrams kernel matches ngrams(tokens(text), n), edge cases") {
+    // empty, space-only, tab-led (leading empty token), shorter-than-n
+    // (EMPTY, not whole-text — the ngrams convention), repeats kept,
+    // unicode, mixed whitespace
+    val texts = Seq("", "   ", "\tone two three", "one two three\t",
+      "one two", "a b a b a b", "ünï cödé tëst wörds",
+      "one  two\n three\tfour five")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- 1 to 3) {
+      val rows = df
+        .withColumn("via_cols", TextFunctions.ngrams(
+          TextFunctions.tokens(col("text")), n))
+        .withColumn("via_kernel", graft.functions.GraftFunctions
+          .wordNgrams(spark, col("text"), n))
+        .orderBy("doc_id").collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](r.fieldIndex("via_kernel"))
+          == r.getSeq[String](r.fieldIndex("via_cols")),
+          s"n=$n diverged on ${r.get(r.fieldIndex("doc_id"))}")
+      }
+    }
+  }
+
   test("md5Hash60 kernel matches the tokenHash60 expression") {
     val words = Seq("alpha", "beta", "gamma delta", "", "ünïcödé")
     val viaExpr = words.toDF("w")
