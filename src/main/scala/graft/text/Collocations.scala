@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: two explode + combine-reduced aggregations (unigrams,
   * bigrams), then two |vocab|-sized equi-joins to attach c_a/c_b; corpus
   * totals ride along as 1-row cross joins. Top-k plans TakeOrdered.
+  * Bigrams come from the native one-pass `word_ngrams` kernel (the
+  * declarative `ngrams(tokens(text), 2)` rendering re-tokenizes the
+  * document at every position — the q_ngram_diversity finding), and the
+  * bigram total M derives from the grouped frame instead of a second
+  * corpus explode — one bigram pass total, values unchanged.
   */
 object Collocations {
 
@@ -35,13 +40,12 @@ object Collocations {
     val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
     val n = uni.agg(sum(col("c")).as("n"),
       fp(sum(col("c"))).as("fp_n"))
-    val bi = docs.select(explode(TextFunctions.ngrams(
-        TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
+    val big = docs.select(explode(graft.functions.GraftFunctions
+        .wordNgrams(docs.sparkSession, col(textCol), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-      .where(col("c_ab") >= minCount)
-    val m = docs.select(explode(TextFunctions.ngrams(
-        TextFunctions.tokens(col(textCol)), 2)).as("bigram"))
-      .agg(fp(count(lit(1))).as("fp_m"))
+      .localCheckpoint() // feeds both the total and the filtered frame
+    val bi = big.where(col("c_ab") >= minCount)
+    val m = big.agg(fp(sum(col("c_ab"))).as("fp_m"))
     val scored = bi
       .withColumn("a", split(col("bigram"), " ").getItem(0))
       .withColumn("b", split(col("bigram"), " ").getItem(1))

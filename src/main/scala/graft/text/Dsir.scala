@@ -75,10 +75,17 @@ object Dsir {
     */
   def featureBuckets(docs: DataFrame, idCol: String, textCol: String,
       targetPred: org.apache.spark.sql.Column): DataFrame = {
-    val toks = docs.select(col(idCol), targetPred.as("is_t"),
-      TextFunctions.tokens(col(textCol)).as("t"))
-    toks
-      .select(col(idCol), col("is_t"), explode(features(col("t"))).as("f"))
+    // bigrams via the native one-pass word_ngrams kernel: the
+    // declarative features(tokens(text)) rendering re-tokenizes the
+    // document at every lambda position after projection collapse
+    // (the q_ngram_diversity finding); bit-parity with features() is
+    // kernel-spec-pinned, so the bucket stream is value-identical
+    val grams = concat(TextFunctions.tokens(col(textCol)),
+      graft.functions.GraftFunctions
+        .wordNgrams(docs.sparkSession, col(textCol), 2))
+    docs
+      .select(col(idCol), targetPred.as("is_t"),
+        explode(grams).as("f"))
       .select(col(idCol), col("is_t"),
         (TextFunctions.tokenHash60(col("f")) % NumBuckets).as("b"))
   }
