@@ -592,6 +592,45 @@ object TextQueries {
         .orderBy("w")
     },
 
+    // tokenizer compression eval: corpus-level pieces-per-word and
+    // chars-per-piece under the three trained subword tokenizers
+    // (BPE merge application, WordPiece greedy longest-match, unigram
+    // Viterbi) — the standard fertility/compression comparison that
+    // picks a tokenizer for a pretraining corpus. Each encode is
+    // vocab-sized; the rollup weights by the word-count table, so the
+    // corpus is scanned exactly once (the shared word count)
+    "q_tokenizer_eval" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_tokenizer_eval")
+      src(dfl, "documents")
+      val wc = graft.text.Bpe.wordCounts(dfl.get("documents"), "text")
+        .localCheckpoint()
+      val bpe = graft.text.Bpe
+        .encode(wc, graft.text.Bpe.trainMerges(s, wc, BpeK))
+        .select(col("w"), col("cnt"), col("n_toks").as("np"))
+      val wpMerges = graft.text.WordPiece.trainMerges(s, wc, WpK)
+      val wpVocab = (graft.text.WordPiece.alphabet(wc) ++
+        wpMerges.map(_.merged)).distinct
+      val wp = graft.text.WordPiece.encodeGreedy(wc, wpVocab)
+        .select(col("w"), col("cnt"), col("n_pieces").as("np"))
+      val ug = graft.text.UnigramLm.train(wc)
+        .select(col("w"), col("cnt"), col("n_pieces").as("np"))
+      def roll(name: String, df: DataFrame): DataFrame =
+        df.agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * length(col("w"))).as("n_chars"),
+          sum(col("cnt") * col("np")).as("n_pieces"))
+          .select(lit(name).as("tokenizer"), col("n_words"),
+            col("n_chars"), col("n_pieces"),
+            round(col("n_pieces").cast("double") /
+              col("n_words").cast("double"), 6).as("pieces_per_word"),
+            round(col("n_chars").cast("double") /
+              col("n_pieces").cast("double"), 6).as("chars_per_piece"))
+      roll("bpe", bpe)
+        .unionByName(roll("unigram", ug))
+        .unionByName(roll("wordpiece", wp))
+        .orderBy("tokenizer")
+    },
+
     // CCNet line-level dedup (Wenzek et al. 2020 §3.1): drop every
     // occurrence but the first of each normalized line across the
     // corpus — boilerplate removal at line granularity. Pages are the
@@ -960,6 +999,49 @@ object TextQueries {
   /** Merges trained by q_wordpiece. */
   private val WpK = 8
 
+  /** The WordPiece chain (word counts → char-split → the k likelihood
+    * rounds → vocab → the RECURSIVE greedy encode) as a CTE-body
+    * fragment ending in `wenc(w, cnt, pos, ps)` (final rows are
+    * `pos = length(w)`) — shared by q_wordpiece and the tokenizer-eval
+    * composition. Requires `WITH RECURSIVE`.
+    */
+  private def wpChainCtes: String = {
+    val rounds = (1 to WpK).map(wpRoundCtes).mkString(",\n")
+    val vocabUnion = (1 to WpK)
+      .map(r => s"UNION SELECT a || b AS piece FROM wbest$r")
+      .mkString(" ")
+    s"""wwc AS MATERIALIZED (SELECT t.tok AS w,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM toks, UNNEST(toks.w) AS t(tok) GROUP BY 1),
+       |wv0 AS MATERIALIZED (SELECT w, cnt,
+       |  list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1)) AS toks FROM wwc),
+       |$rounds,
+       |walpha AS (SELECT DISTINCT substr(w, CAST(t.i AS INT), 1)
+       |    AS piece
+       |  FROM wwc, UNNEST(range(1, length(w) + 1)) AS t(i)),
+       |wvocab AS (SELECT piece FROM walpha $vocabUnion),
+       |wvl AS MATERIALIZED (SELECT list(piece) AS vl,
+       |  CAST(max(length(piece)) AS BIGINT) AS maxlen FROM wvocab),
+       |wenc AS (
+       |  SELECT w, cnt, CAST(0 AS BIGINT) AS pos,
+       |    CAST([] AS VARCHAR[]) AS ps
+       |  FROM wwc
+       |  UNION ALL
+       |  SELECT w, cnt, pos + coalesce(lb, 1) AS pos,
+       |    ps || [CASE WHEN lb IS NULL THEN '[UNK]'
+       |      WHEN pos > 0 THEN
+       |        '##' || substr(w, CAST(pos + 1 AS INT), CAST(lb AS INT))
+       |      ELSE substr(w, CAST(pos + 1 AS INT), CAST(lb AS INT))
+       |      END] AS ps
+       |  FROM (SELECT e.w, e.cnt, e.pos, e.ps,
+       |      list_max(list_filter(
+       |        range(1, least(v.maxlen, length(e.w) - e.pos) + 1),
+       |        l -> list_contains(v.vl, substr(e.w,
+       |          CAST(e.pos + 1 AS INT), CAST(l AS INT))))) AS lb
+       |    FROM wenc e, wvl v WHERE e.pos < length(e.w)))""".stripMargin
+  }
+
   /** One WordPiece round as DuckDB CTEs — [[bpeRoundCtes]]' structure
     * with the unigram-count join and the integer likelihood argmax
     * (`(cab·2^40) // (ua·ub)` on HUGEINT — the exact quantized score
@@ -1015,6 +1097,17 @@ object TextQueries {
     * application over 1-based DuckDB lists (range(a, b) is
     * end-EXCLUSIVE, mirroring Spark's inclusive sequence(a, b-1)).
     */
+  /** The BPE training chain (word counts → char-split v0 → the k merge
+    * rounds) as a CTE-body fragment ending in `v$BpeK(w, cnt, toks)` —
+    * shared by q_bpe_merges and the tokenizer-eval composition.
+    */
+  private def bpeChainCtes: String =
+    s"""wc AS (SELECT t.tok AS w, COUNT(*) AS cnt
+       |  FROM toks, UNNEST(toks.w) AS t(tok) GROUP BY 1),
+       |v0 AS (SELECT w, cnt, list_transform(range(1, len(w) + 1),
+       |    i -> substr(w, i, 1)) AS toks FROM wc),
+       |${(1 to BpeK).map(bpeRoundCtes).mkString(",\n")}""".stripMargin
+
   private def bpeRoundCtes(r: Int): String = {
     val prev = s"v${r - 1}"
     s"""p$r AS (
@@ -1474,46 +1567,47 @@ object TextQueries {
     // RECURSIVE CTE over the final vocabulary (alphabet ∪ merged
     // pieces) — position advances by the longest matching piece, ##
     // rendered at non-initial positions
-    "q_wordpiece" -> {
-      val rounds = (1 to WpK).map(wpRoundCtes).mkString(",\n")
-      val vocabUnion = (1 to WpK)
-        .map(r => s"UNION SELECT a || b AS piece FROM wbest$r")
-        .mkString(" ")
+    "q_wordpiece" ->
       s"""WITH RECURSIVE $toksCte,
-         |wwc AS MATERIALIZED (SELECT t.tok AS w,
-         |  CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM toks, UNNEST(toks.w) AS t(tok) GROUP BY 1),
-         |wv0 AS MATERIALIZED (SELECT w, cnt,
-         |  list_transform(range(1, length(w) + 1),
-         |    i -> substr(w, CAST(i AS INT), 1)) AS toks FROM wwc),
-         |$rounds,
-         |walpha AS (SELECT DISTINCT substr(w, CAST(t.i AS INT), 1)
-         |    AS piece
-         |  FROM wwc, UNNEST(range(1, length(w) + 1)) AS t(i)),
-         |wvocab AS (SELECT piece FROM walpha $vocabUnion),
-         |wvl AS MATERIALIZED (SELECT list(piece) AS vl,
-         |  CAST(max(length(piece)) AS BIGINT) AS maxlen FROM wvocab),
-         |wenc AS (
-         |  SELECT w, cnt, CAST(0 AS BIGINT) AS pos,
-         |    CAST([] AS VARCHAR[]) AS ps
-         |  FROM wwc
-         |  UNION ALL
-         |  SELECT w, cnt, pos + coalesce(lb, 1) AS pos,
-         |    ps || [CASE WHEN lb IS NULL THEN '[UNK]'
-         |      WHEN pos > 0 THEN
-         |        '##' || substr(w, CAST(pos + 1 AS INT), CAST(lb AS INT))
-         |      ELSE substr(w, CAST(pos + 1 AS INT), CAST(lb AS INT))
-         |      END] AS ps
-         |  FROM (SELECT e.w, e.cnt, e.pos, e.ps,
-         |      list_max(list_filter(
-         |        range(1, least(v.maxlen, length(e.w) - e.pos) + 1),
-         |        l -> list_contains(v.vl, substr(e.w,
-         |          CAST(e.pos + 1 AS INT), CAST(l AS INT))))) AS lb
-         |    FROM wenc e, wvl v WHERE e.pos < length(e.w)))
+         |$wpChainCtes
          |SELECT w, cnt, array_to_string(ps, ' ') AS pieces_str,
          |  CAST(len(ps) AS BIGINT) AS n_pieces
-         |FROM wenc WHERE pos = length(w) ORDER BY w""".stripMargin
-    },
+         |FROM wenc WHERE pos = length(w) ORDER BY w""".stripMargin,
+
+    // tokenizer compression eval: the three trained tokenizers'
+    // canonical encodes rolled up to corpus-level
+    // pieces-per-word / chars-per-piece (the standard fertility /
+    // compression comparison) — the full BPE, WordPiece and
+    // unigram-LM chains composed in ONE WITH, every ratio dividing
+    // exact BIGINT sums
+    "q_tokenizer_eval" ->
+      s"""WITH RECURSIVE $toksCte,
+         |$bpeChainCtes,
+         |$wpChainCtes,
+         |$unigramCtes,
+         |bpe_ev AS (SELECT 'bpe' AS tokenizer,
+         |  CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(cnt * len(toks)) AS BIGINT) AS n_pieces
+         |  FROM v$BpeK),
+         |ug_ev AS (SELECT 'unigram' AS tokenizer,
+         |  CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * length(wd)) AS BIGINT) AS n_chars,
+         |  CAST(sum(cnt * len(pieces)) AS BIGINT) AS n_pieces
+         |  FROM ug_seg2),
+         |wp_ev AS (SELECT 'wordpiece' AS tokenizer,
+         |  CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(cnt * len(ps)) AS BIGINT) AS n_pieces
+         |  FROM wenc WHERE pos = length(w))
+         |SELECT tokenizer, n_words, n_chars, n_pieces,
+         |  round(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    AS pieces_per_word,
+         |  round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 6)
+         |    AS chars_per_piece
+         |FROM (SELECT * FROM bpe_ev UNION ALL SELECT * FROM ug_ev
+         |  UNION ALL SELECT * FROM wp_ev)
+         |ORDER BY tokenizer""".stripMargin,
 
     // CCNet line dedup: first occurrence per normalized-line hash in
     // (page, line_no) order (the oracle may window; the engine uses a
@@ -1698,11 +1792,7 @@ object TextQueries {
 
     "q_bpe_merges" ->
       s"""WITH $toksCte,
-         |wc AS (SELECT t.tok AS w, COUNT(*) AS cnt
-         |  FROM toks, UNNEST(toks.w) AS t(tok) GROUP BY 1),
-         |v0 AS (SELECT w, cnt, list_transform(range(1, len(w) + 1),
-         |    i -> substr(w, i, 1)) AS toks FROM wc),
-         |${(1 to BpeK).map(bpeRoundCtes).mkString(",\n")}
+         |$bpeChainCtes
          |SELECT CAST(r AS BIGINT) AS rank, a AS merge_left,
          |  b AS merge_right, a || b AS merged, wt
          |FROM (${(1 to BpeK)
