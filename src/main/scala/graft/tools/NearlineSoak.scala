@@ -19,7 +19,8 @@ import org.apache.spark.sql.types._
   *
   * Usage: runMain graft.tools.NearlineSoak <docs.parquet> <nBatches>
   *          <outJson> [families]
-  * families: comma list of simhash,minhash,span,ivf,nb (default all).
+  * families: comma list of simhash,minhash,span,ivf,nb,line
+  * (default all).
   * The ivf family (frozen-quantizer streamed IVF) reads the sibling
   * `embeddings.parquet` of the docs path.
   */
@@ -34,7 +35,7 @@ object NearlineSoak {
     val nBatches = args(1).toInt
     val outJson = args(2)
     val families = if (args.length > 3) args(3).split(',').toSet
-      else Set("simhash", "minhash", "span", "ivf", "nb")
+      else Set("simhash", "minhash", "span", "ivf", "nb", "line")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -117,6 +118,21 @@ object NearlineSoak {
         (b, _) => graft.dedup.Nearline.applyMinHashBatch(spark, b,
           graft.queries.DedupQueries.JaccardThreshold,
           indexDir, storeDir, pairsDir),
+        () => spark.read.parquet(indexDir).count())
+    }
+
+    if (families("line")) {
+      // nearline CCNet line dedup: per-batch cost is one key agg + an
+      // anti-probe against the growing first-occurrence index
+      val base = tmp("soak_line")
+      val (indexDir, marksDir) = (base + "/idx", base + "/marks")
+      graft.text.LineDedup.initLineState(spark, indexDir, marksDir)
+      val lines = graft.text.LineDedup.syntheticPages(docs)
+        .withColumn("lid", col("page_id") * 100 + col("line_no"))
+        .localCheckpoint()
+      results("line") = soak("line", slices(lines, "lid"),
+        (b, _) => graft.text.LineDedup.applyLineBatch(
+          spark, b.drop("lid"), indexDir, marksDir),
         () => spark.read.parquet(indexDir).count())
     }
 
