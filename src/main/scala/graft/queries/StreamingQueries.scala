@@ -781,6 +781,36 @@ object StreamingQueries {
     // the index), so the final flagged set — and therefore the
     // per-document span statistics — equals the batch q_span_dedup
     // exactly, whose oracle this query reuses verbatim.
+    // streamed n-gram diversity: the (source, n, gram, c) counts fold
+    // ADDITIVELY across micro-batches with the batch-id watermark (the
+    // DSIR/CMS algebra) — the folded table equals the batch counts
+    // under any batching, so the rollup is the batch operator verbatim
+    "q_stream_ngram_diversity" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.text.NgramDiversity
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), col("text"))
+        val base = tmpDir("graft_sndiv")
+        val stateDir = base + "/gram_state"
+        StreamFlow.writeTimeSplits(docs, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("text", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            NgramDiversity.applyBatch(s, b, id, stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        NgramDiversity.diversityFromState(s, stateDir)
+          .orderBy("source", "n")
+      }
+    },
+
     // nearline CCNet line dedup: the first-occurrence line-key index
     // maintained across micro-batches (kept keys append under the
     // marks anti-join replay guard); with the harness's id-ordered
@@ -1234,6 +1264,7 @@ object StreamingQueries {
     // batch computations — the batch oracles ARE the streaming oracles
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),
     "q_stream_line_dedup" -> TextQueries.oracles("q_line_dedup"),
+    "q_stream_ngram_diversity" -> TextQueries.oracles("q_ngram_diversity"),
     "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
     "q_stream_token_budget" -> TextQueries.oracles("q_token_budget"),
     "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,

@@ -675,21 +675,10 @@ object TextQueries {
       // grams via the native one-pass word_ngrams kernel — the
       // declarative ngrams(tokens(text), n) rendering re-tokenizes the
       // document at every position (Catalyst inlines split() into each
-      // lambda reference): O(len²)/doc, measured 116s at sf1 vs the
+      // lambda reference): O(len²)/doc, measured 8.8–23.7× vs the
       // kernel's one split + one pass (bit-parity spec-pinned)
-      val grams = (1 to 3).map { n =>
-        dfl.get("documents").select(col("source"), lit(n).as("n"),
-          explode(graft.functions.GraftFunctions
-            .wordNgrams(s, col("text"), n)).as("gram"))
-      }.reduce(_ unionByName _)
-      grams.groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
-        .groupBy("source", "n")
-        .agg(sum(col("c")).as("total_ngrams"),
-          count(lit(1)).as("distinct_ngrams"))
-        .select(col("source"), col("n"), col("total_ngrams"),
-          col("distinct_ngrams"),
-          (col("distinct_ngrams").cast("double") /
-            col("total_ngrams").cast("double")).as("diversity"))
+      graft.text.NgramDiversity.rollup(
+        graft.text.NgramDiversity.gramCounts(dfl.get("documents")))
         .orderBy("source", "n")
     },
 

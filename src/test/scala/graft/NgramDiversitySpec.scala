@@ -1,0 +1,59 @@
+package graft
+
+import graft.text.NgramDiversity
+import org.apache.spark.sql.functions._
+
+/** Streamed n-gram diversity fold (text/NgramDiversity.scala): the
+  * additive (source, n, gram, c) counter algebra under the batch-id
+  * watermark — batch-count invariance, replay no-op, empty batches.
+  */
+class NgramDiversitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "srcA", "alpha beta gamma alpha beta"),
+    (1L, "srcA", "alpha beta gamma"),
+    (2L, "srcB", "one two one two one two"),
+    (3L, "srcB", "three"),
+    (4L, "srcA", ""),
+    (5L, "srcB", "one two three four"))
+    .toDF("doc_id", "source", "text")
+
+  private def collectDiv(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+  test("rollup: exact type/token ratios, empty docs contribute nothing") {
+    val got = collectDiv(NgramDiversity.rollup(
+      NgramDiversity.gramCounts(docs)))
+    // srcA unigrams: 5 + 3 + 0 = 8 total, {alpha, beta, gamma} distinct
+    assert(got(("srcA", 1)) == (8L, 3L, 3.0 / 8.0))
+    // srcB trigrams: 4 + 0 + 2 = 6 total; "one two one", "two one two",
+    // "one two three", "two three four" distinct
+    assert(got(("srcB", 3)) == (6L, 4L, 4.0 / 6.0))
+  }
+
+  test("streamed fold: batch-count invariance, replay, empty batch") {
+    val truth = collectDiv(NgramDiversity.rollup(
+      NgramDiversity.gramCounts(docs)))
+    for (nBatches <- Seq(1, 3)) {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"ndiv_$nBatches").toString + "/state"
+      val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      var bid = 0L
+      ids.grouped(math.max(1, ids.length / nBatches)).foreach { g =>
+        NgramDiversity.applyBatch(spark,
+          docs.where(col("doc_id").isin(g.toSeq: _*)), bid, stateDir)
+        bid += 1
+      }
+      // replayed batch id is a no-op (watermark)
+      NgramDiversity.applyBatch(spark, docs, bid - 1, stateDir)
+      // empty batch folds nothing
+      NgramDiversity.applyBatch(spark, docs.where(lit(false)), bid,
+        stateDir)
+      val got = collectDiv(
+        NgramDiversity.diversityFromState(spark, stateDir))
+      assert(got == truth, s"nBatches=$nBatches")
+    }
+  }
+}
