@@ -29,6 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleKernel {
 
+  // Hoisted like WordNgramKernel.WS — String.split recompiles the \s+
+  // regex per row; Pattern.split is identical incl. limit=-1 semantics.
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   def eval(text: UTF8String, k: Int): ArrayData = {
     val s = text.toString
     var b = 0
@@ -38,7 +42,7 @@ object ShingleKernel {
     if (b == e)
       return new GenericArrayData(
         Array[Any](UTF8String.fromString("")))
-    val t = s.substring(b, e).split("\\s+", -1)
+    val t = WS.split(s.substring(b, e), -1)
     val n = t.length
     if (n < k) {
       return new GenericArrayData(

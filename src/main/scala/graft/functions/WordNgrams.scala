@@ -34,6 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WordNgramKernel {
 
+  // String.split recompiles multi-char regexes per call; Pattern is
+  // thread-safe and Pattern.split keeps the limit=-1 trailing-empty
+  // semantics, so this is the same tokenization without per-row compile.
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   def eval(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
     var b = 0
@@ -41,7 +46,7 @@ object WordNgramKernel {
     while (b < e && s.charAt(b) == ' ') b += 1
     while (e > b && s.charAt(e - 1) == ' ') e -= 1
     if (b == e) return new GenericArrayData(Array.empty[Any])
-    val t = s.substring(b, e).split("\\s+", -1)
+    val t = WS.split(s.substring(b, e), -1)
     val len = t.length
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](len - n + 1)

@@ -33,18 +33,43 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Broadcast the adjacency table below this many edges — its payload
-    * is one array entry per oriented edge (~8 B plus row overhead), so
-    * 4M edges ≈ a few tens of MB, comfortably inside executor broadcast
-    * budgets. Larger graphs fall back to hash-partitioned attach joins.
+  /** Byte budget for broadcasting the adjacency table (the
+    * [[graft.text.BigramLm.BroadcastVocabBytes]] convention — byte-aware,
+    * not row-count-only, because entry width is data-dependent: long ids
+    * are 8 B, string ids whatever the graph carries). Above it the
+    * attach falls back to hash-partitioned equi-joins.
     */
-  val BroadcastEdgeLimit = 4000000L
+  val BroadcastAdjBytes: Long = 64L << 20
+
+  /** Estimated serialized size of the adjacency table. Total array
+    * entries across all rows is EXACTLY the oriented edge count (each
+    * oriented edge contributes one `nbrs` element), so payload =
+    * nEdges × entry width — entry width is the id type's fixed size, or
+    * the measured mean byte length (+16 B UTF8String overhead) for
+    * string ids, one cheap agg over the already-persisted oriented
+    * frame. Row count is bounded above by nEdges (every src has ≥ 1
+    * out-edge) at ~48 B structural overhead each — a deliberate
+    * overestimate, so the gate errs toward the distributed fallback.
+    */
+  def estimatedAdjBytes(oriented: DataFrame, nEdges: Long): Long = {
+    val entry = oriented.schema("dst").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val row = oriented.agg(avg(length(col("dst")))).collect()(0)
+        val mean = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+        math.ceil(mean).toLong + 16L
+      case dt => dt.defaultSize.toLong
+    }
+    nEdges * entry + 48L * nEdges
+  }
 
   /** Global triangle count of the undirected graph given as (a, b) rows;
     * edges are canonicalised and deduped internally. Returns one row:
-    * (n_edges, n_triangles).
+    * (n_edges, n_triangles). `adjBytesBudget` is parameterized so specs
+    * can force the distributed fallback (budget 0) and assert value
+    * parity with the broadcast path.
     */
-  def run(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def run(edges: DataFrame, aCol: String, bCol: String,
+      adjBytesBudget: Long = BroadcastAdjBytes): DataFrame = {
     val e = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
@@ -79,7 +104,9 @@ object Triangles {
         val adj = oriented.groupBy(col("src").as("v"))
           .agg(collect_list(col("dst")).as("nbrs"))
         val adjGated =
-          if (nEdges <= BroadcastEdgeLimit) broadcast(adj) else adj
+          if (estimatedAdjBytes(oriented, nEdges) <= adjBytesBudget)
+            broadcast(adj)
+          else adj
         val nT = oriented
           .join(adjGated.select(col("v").as("src"),
             col("nbrs").as("__nu")), Seq("src"))

@@ -139,34 +139,51 @@ object LineDedup {
   // ------------------------------------------------------------------
 
   /** Initialise the empty streaming state: the first-occurrence
-    * line-key index and the per-line keep/drop marks store.
+    * line-key index (key WITH its first-occurrence coordinates — the
+    * crash contract below needs the coords to re-derive keep flags on
+    * replay) and the per-line keep/drop marks store.
     */
   def initLineState(s: org.apache.spark.sql.SparkSession,
       indexDir: String, marksDir: String): Unit = {
     import org.apache.spark.sql.types._
     val empty = (schema: StructType) => s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    empty(StructType(Seq(StructField("line_key", StringType))))
+    empty(StructType(Seq(StructField("line_key", StringType),
+      StructField("page_id", LongType), StructField("line_no", LongType))))
       .write.mode("overwrite").parquet(indexDir)
     empty(StructType(Seq(StructField("page_id", LongType),
       StructField("line_no", LongType), StructField("keep", BooleanType))))
       .write.mode("overwrite").parquet(marksDir)
   }
 
+  /** Failpoint for the crash-contract spec: when set, the next
+    * [[applyLineBatch]] throws ONCE between the index append and the
+    * marks append (the widest kill window). Never set in production —
+    * the [[graft.io.ParquetUtil.crashPoint]] convention.
+    */
+  @volatile private[graft] var crashBetweenAppends: Boolean = false
+
   /** One micro-batch of arriving (page_id, line_no, line) rows against
-    * the accumulated index: a line is KEPT iff its normalized key has
-    * never been seen (not in the index, and not earlier — smallest
-    * (page, line_no) — within this batch). Kept keys append to the
-    * index; every line appends its keep/drop mark.
+    * the accumulated index: a line is KEPT iff its (page, line_no) is
+    * its key's FIRST occurrence across the index and this batch. Kept
+    * (key, coords) rows append to the index; every line appends its
+    * keep/drop mark. With the harness's id-ordered slicing this equals
+    * the batch operator's global (page, line_no) rule, so the oracle is
+    * `q_line_dedup` verbatim (the q_stream_span_dedup stance).
     *
-    * First occurrence = first ARRIVAL: with the harness's id-ordered
-    * slicing this equals the batch operator's global (page, line_no)
-    * rule, so the oracle is `q_line_dedup` verbatim (the
-    * q_stream_span_dedup stance). Crash contract (the SpanDedup
-    * order): marks append first under the (page, line_no) anti-join
-    * replay guard, the index appends last — a replay of a
-    * half-applied batch recomputes identical marks, the anti-join
-    * drops the duplicates, and the index append completes.
+    * Crash contract — every kill window replays to the fully-applied
+    * state. The index stores its keys' first-occurrence COORDS and is
+    * written first; `keep` is derived as "this row equals its key's
+    * minimum coords over index ∪ batch", so a replay whose kept keys
+    * already landed in the index re-derives the SAME flags (the kept
+    * row still equals its own stored coords — a seen-in-index boolean
+    * would flip it to false and silently lose the batch's marks).
+    * Replays append nothing to the index (its own line_key anti-join)
+    * and nothing twice to marks (the fresh anti-join guard):
+    *  - crash before the index append: nothing visible, full replay;
+    *  - crash between the appends: replay recomputes identical marks,
+    *    the index append no-ops, the marks append completes;
+    *  - crash after both: the batch is fully applied, replay no-ops.
     *
     * Per-batch cost: |batch| × (one key agg + one index anti-probe) —
     * nothing corpus-sized moves per batch; the index is
@@ -181,21 +198,32 @@ object LineDedup {
       .join(marks.select("page_id", "line_no"),
         Seq("page_id", "line_no"), "left_anti")
       .localCheckpoint()
-    val firsts = fresh.groupBy("line_key")
+    // first occurrence per key across the accumulated index AND this
+    // batch: previously-seen keys resolve to their stored (smaller,
+    // ordered-arrival) coords, so all their batch rows drop; new keys
+    // resolve to their batch minimum.
+    val firsts = fresh.select("line_key", "page_id", "line_no")
+      .unionByName(idx)
+      .groupBy("line_key")
       .agg(min(struct(col("page_id"), col("line_no"))).as("__first"))
     val marked = fresh
       .join(firsts, Seq("line_key"))
-      .join(idx.withColumn("__seen", lit(true)), Seq("line_key"), "left")
-      .withColumn("keep", col("__seen").isNull &&
+      .withColumn("keep",
         col("page_id") === col("__first")("page_id") &&
-        col("line_no") === col("__first")("line_no"))
+          col("line_no") === col("__first")("line_no"))
       .localCheckpoint()
+    marked.where(col("keep"))
+      .select("line_key", "page_id", "line_no")
+      .join(idx.select("line_key"), Seq("line_key"), "left_anti")
+      .write.mode("append").parquet(indexDir)
+    if (crashBetweenAppends) {
+      crashBetweenAppends = false
+      idx.unpersist()
+      throw new RuntimeException(
+        "injected crash between index and marks append")
+    }
     marked.select("page_id", "line_no", "keep")
       .write.mode("append").parquet(marksDir)
-    // only now do the kept keys join the index (crash before this line
-    // replays into the anti-join guard above)
-    marked.where(col("keep")).select("line_key")
-      .write.mode("append").parquet(indexDir)
     idx.unpersist()
     ()
   }

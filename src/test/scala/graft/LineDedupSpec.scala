@@ -112,6 +112,40 @@ class LineDedupSpec extends SparkSpec {
     }
   }
 
+  test("streamed line dedup: crash between index and marks append " +
+      "replays to the fully-applied state") {
+    // "three" is first kept in batch 2 (the crashed batch) and re-occurs
+    // in batch 3 — under the old marks-first order a crash after the
+    // marks append lost the index entry and batch 3 re-kept it.
+    val clines = Seq(
+      (0L, 0L, "one"), (0L, 1L, "two"),
+      (1L, 0L, "three"), (1L, 1L, "one"),
+      (2L, 0L, "three"), (2L, 1L, "four"))
+      .toDF("page_id", "line_no", "line")
+    val truth = collectDedup(LineDedup.reassemble(
+      LineDedup.markFirstOccurrences(clines, "page_id", "line_no", "line")))
+    val base = java.nio.file.Files.createTempDirectory("sld_crash").toString
+    val (indexDir, marksDir) = (base + "/idx", base + "/marks")
+    LineDedup.initLineState(spark, indexDir, marksDir)
+    def batch(p: Long) = clines.where(col("page_id") === p)
+    LineDedup.applyLineBatch(spark, batch(0), indexDir, marksDir)
+    LineDedup.crashBetweenAppends = true
+    intercept[RuntimeException] {
+      LineDedup.applyLineBatch(spark, batch(1), indexDir, marksDir)
+    }
+    // scheduler retry of the crashed batch, then the next batch
+    LineDedup.applyLineBatch(spark, batch(1), indexDir, marksDir)
+    LineDedup.applyLineBatch(spark, batch(2), indexDir, marksDir)
+    assert(collectDedup(
+      LineDedup.lineDedupFromState(spark, clines, marksDir)) == truth)
+    // the replayed index carries no duplicate keys
+    val dup = spark.read.parquet(indexDir).groupBy("line_key")
+      .count().where(col("count") > 1).count()
+    assert(dup === 0L)
+    // and exactly one mark per line
+    assert(spark.read.parquet(marksDir).count() === clines.count())
+  }
+
   test("pageRepetitionStats: exact dup fractions and rule gates") {
     val rep = LineDedup.pageRepetitionStats(lines)
       .collect().map(r => r.getLong(0) ->

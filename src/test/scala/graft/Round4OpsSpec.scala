@@ -110,6 +110,26 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.getLong(0) === 4L && out.getLong(1) === 1L)
   }
 
+  test("Triangles: forced distributed fallback matches broadcast path") {
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (4L, 1L)).toDF("a", "b")
+    val bc = Triangles.run(df, "a", "b").collect()(0)
+    val dist = Triangles.run(df, "a", "b", adjBytesBudget = 0L).collect()(0)
+    assert(bc.getLong(0) === dist.getLong(0))
+    assert(bc.getLong(1) === dist.getLong(1))
+  }
+
+  test("Triangles.estimatedAdjBytes: byte-aware across id widths") {
+    val longIds = Seq((1L, 2L)).toDF("src", "dst")
+    val wideIds = Seq(("u", "x" * 40)).toDF("src", "dst")
+    val n = 1000L
+    val longEst = Triangles.estimatedAdjBytes(longIds, n)
+    val wideEst = Triangles.estimatedAdjBytes(wideIds, n)
+    assert(longEst === n * 8L + 48L * n)
+    assert(wideEst === n * (40L + 16L) + 48L * n)
+    assert(wideEst > longEst) // same edge count, bigger payload
+  }
+
   // ----------------------------------------------------- weighted sample
 
   test("weightedSample: deterministic, zero-weight excluded, k-monotone") {
