@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * operator MEASURES, so its size is the operator's own output
   * working set (a corpus whose distinct grams exceed storage can't
   * have exact diversity computed by any engine; the HLL sketch family
-  * is the approximate path there).
+  * is the approximate path there). The streamed fold never rewrites
+  * that growing state per batch: deltas append, the pile compacts
+  * every [[CompactEvery]] batches ([[applyBatch]]).
   */
 object NgramDiversity {
 
@@ -50,30 +52,65 @@ object NgramDiversity {
         (col("distinct_ngrams").cast("double") /
           col("total_ngrams").cast("double")).as("diversity"))
 
+  /** Compact the delta-append state every this many micro-batches. The
+    * per-batch write is a BATCH-sized delta append (the state — the one
+    * streamed fold whose size grows with the corpus — is never rewritten
+    * per batch); compaction re-aggregates the whole pile once every
+    * [[CompactEvery]] batches, so the amortized merge cost is
+    * state/[[CompactEvery]] per batch and the pile stays ≤
+    * [[CompactEvery]] batch deltas deep for the read-time merge.
+    */
+  val CompactEvery = 8
+
+  /** The additive merge of the delta pile: exact (source, n, gram, c)
+    * totals regardless of how many un-compacted deltas the state holds.
+    */
+  def mergedCounts(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    graft.io.ParquetUtil.readRecovered(s, stateDir).drop("last_batch")
+      .groupBy("source", "n", "gram").agg(sum(col("c")).as("c"))
+
   /** Fold one micro-batch of documents into the (source, n, gram, c)
     * state by counter ADDITION under the batch-id watermark (the
     * [[Dsir.applyBatch]] crash contract: replayed batches no-op).
+    *
+    * SHARDED state, not a whole-state rewrite: each batch APPENDS its
+    * own batch-sized partial (stamped with the batch id) via the
+    * exact-retry [[graft.io.ParquetUtil.safeAppend]] protocol, and the
+    * pile compacts to one aggregated frame every `compactEvery`
+    * batches. Per-batch cost is therefore batch-proportional — the
+    * accumulated distinct-gram table moves only at compaction (amortized
+    * state/compactEvery) and at read time ([[mergedCounts]] — one
+    * re-aggregation the additive algebra makes exact at any pile depth).
+    *
+    * Crash windows: [[graft.io.ParquetUtil.recoverAppend]] runs BEFORE
+    * the watermark read, so an append that committed but crashed before
+    * its acknowledge is rolled back exactly and then legitimately
+    * re-applied (watermark-first would see the stamp, skip the batch,
+    * and let the NEXT batch's recovery delete the committed rows). A
+    * compaction crash defers to the next compaction boundary —
+    * correctness never depends on compaction having run.
     */
   def applyBatch(s: org.apache.spark.sql.SparkSession, b: DataFrame,
-      batchId: Long, stateDir: String): Unit = {
+      batchId: Long, stateDir: String,
+      compactEvery: Int = CompactEvery): Unit = {
+    graft.io.ParquetUtil.recoverAppend(s, stateDir)
     val applied = graft.io.ParquetUtil.lastBatch(s, stateDir)
     if (applied.exists(batchId <= _)) return
-    val hasState = applied.isDefined
-    val partial = gramCounts(b)
-    val merged =
-      if (!hasState) partial
-      else graft.io.ParquetUtil.readRecovered(s, stateDir)
-        .drop("last_batch")
-        .unionByName(partial)
-        .groupBy("source", "n", "gram").agg(sum(col("c")).as("c"))
-    graft.io.ParquetUtil.safeOverwrite(s,
-      merged.withColumn("last_batch", lit(batchId)), stateDir)
+    graft.io.ParquetUtil.safeAppend(s,
+      gramCounts(b).withColumn("last_batch", lit(batchId)), stateDir)
+    if (batchId % compactEvery == compactEvery - 1) {
+      val compacted = mergedCounts(s, stateDir)
+        .withColumn("last_batch", lit(batchId))
+      graft.io.ParquetUtil.safeOverwrite(s, compacted, stateDir)
+    }
   }
 
   /** The diversity profile off the folded state — equals the batch
-    * rollup of the whole corpus exactly (additive counters).
+    * rollup of the whole corpus exactly (additive counters merge the
+    * delta pile before the rollup).
     */
   def diversityFromState(s: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
-    rollup(s.read.parquet(stateDir).drop("last_batch"))
+    rollup(mergedCounts(s, stateDir))
 }

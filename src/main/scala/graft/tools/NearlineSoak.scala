@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   *
   * Usage: runMain graft.tools.NearlineSoak <docs.parquet> <nBatches>
   *          <outJson> [families]
-  * families: comma list of simhash,minhash,span,ivf,nb,line
+  * families: comma list of simhash,minhash,span,ivf,nb,line,ndiv
   * (default all).
   * The ivf family (frozen-quantizer streamed IVF) reads the sibling
   * `embeddings.parquet` of the docs path.
@@ -35,7 +35,7 @@ object NearlineSoak {
     val nBatches = args(1).toInt
     val outJson = args(2)
     val families = if (args.length > 3) args(3).split(',').toSet
-      else Set("simhash", "minhash", "span", "ivf", "nb", "line")
+      else Set("simhash", "minhash", "span", "ivf", "nb", "line", "ndiv")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -165,6 +165,21 @@ object NearlineSoak {
         (b, _) => graft.similarity.StreamingIvf.applyFrozenBatch(
           spark, b, centFp, postingsDir),
         () => spark.read.parquet(postingsDir).count())
+    }
+
+    if (families("ndiv")) {
+      // streamed n-gram diversity: per-batch cost must be the batch's
+      // gram partial + a delta APPEND — the growing distinct-gram state
+      // moves only at the every-CompactEvery compaction, so the creep
+      // question is whether the non-compacting batches stay flat and
+      // the compacting ones stay bounded
+      val ndocs = spark.read.parquet(docsPath)
+        .select(col("doc_id"), col("source"), col("text"))
+      val stateDir = tmp("soak_ndiv") + "/state"
+      results("ndiv") = soak("ndiv", slices(ndocs.localCheckpoint(), "doc_id"),
+        (b, i) => graft.text.NgramDiversity.applyBatch(
+          spark, b, i.toLong, stateDir),
+        () => spark.read.parquet(stateDir).count())
     }
 
     if (families("nb")) {

@@ -56,4 +56,54 @@ class NgramDiversitySpec extends SparkSpec {
       assert(got == truth, s"nBatches=$nBatches")
     }
   }
+
+  test("delta-append state: compaction preserves totals and bounds the pile") {
+    val truth = collectDiv(NgramDiversity.rollup(
+      NgramDiversity.gramCounts(docs)))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("ndiv_compact").toString + "/state"
+    // one doc per batch, compaction every 2 batches
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    ids.zipWithIndex.foreach { case (id, bid) =>
+      NgramDiversity.applyBatch(spark,
+        docs.where(col("doc_id") === id), bid.toLong, stateDir,
+        compactEvery = 2)
+    }
+    assert(collectDiv(
+      NgramDiversity.diversityFromState(spark, stateDir)) == truth)
+    // 6 batches, compactions at bid 1/3/5: the last batch compacted, so
+    // the state holds exactly one row per distinct (source, n, gram) —
+    // the pile was actually merged, not just readable
+    val state = spark.read.parquet(stateDir)
+    assert(state.count() ===
+      state.select("source", "n", "gram").distinct().count())
+    // and every row carries the final watermark
+    assert(state.select(min("last_batch")).head.getLong(0) === 5L)
+  }
+
+  test("delta-append state: crash windows replay to exact totals") {
+    val truth = collectDiv(NgramDiversity.rollup(
+      NgramDiversity.gramCounts(docs)))
+    val batches = Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L, 5L))
+    // a committed-but-unacknowledged append must be rolled back and
+    // re-applied, not double-counted and not dropped
+    for (window <- Seq("pending-recorded", "after-append")) {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"ndiv_$window").toString + "/state"
+      NgramDiversity.applyBatch(spark,
+        docs.where(col("doc_id").isin(batches(0): _*)), 0L, stateDir)
+      graft.io.ParquetUtil.crashPoint = Some(window)
+      intercept[RuntimeException] {
+        NgramDiversity.applyBatch(spark,
+          docs.where(col("doc_id").isin(batches(1): _*)), 1L, stateDir)
+      }
+      // scheduler retry of the crashed batch, then the rest
+      NgramDiversity.applyBatch(spark,
+        docs.where(col("doc_id").isin(batches(1): _*)), 1L, stateDir)
+      NgramDiversity.applyBatch(spark,
+        docs.where(col("doc_id").isin(batches(2): _*)), 2L, stateDir)
+      assert(collectDiv(NgramDiversity.diversityFromState(spark, stateDir))
+        == truth, s"window=$window")
+    }
+  }
 }
