@@ -207,4 +207,50 @@ object Nearline {
     nb.unpersist()
     ()
   }
+
+  // ------------------------------------------------------------------
+  // nearline exact dedup (canonical-fingerprint index)
+  // ------------------------------------------------------------------
+
+  /** Fold one micro-batch of document rows into the exact-dedup
+    * fingerprint state — the doc-granularity sibling of
+    * [[graft.text.LineDedup.applyLineBatch]], under the delta-append
+    * contract of [[graft.text.NgramDiversity.applyBatch]]. The per-fp
+    * state is (min keep_id, additive n_copies) — BOTH order-independent
+    * merges, so the folded result equals the batch [[Dedup.exactDedup]]
+    * under ANY batching (stronger than the line index's ordered-arrival
+    * contract), and replay safety needs only the batch-id watermark +
+    * the exact-retry append ([[graft.io.ParquetUtil.recoverAppend]]
+    * ordered before the watermark read, the NgramDiversity window
+    * analysis).
+    *
+    * Per-batch cost: one batch-sized fingerprint agg + one delta
+    * append; the accumulated distinct-fingerprint table moves only at
+    * the every-`compactEvery` compaction (amortized state/compactEvery)
+    * and at read time ([[exactFromState]]).
+    */
+  def applyExactBatch(s: SparkSession, b: DataFrame, textCol: String,
+      idCol: String, batchId: Long, stateDir: String,
+      compactEvery: Int = graft.text.NgramDiversity.CompactEvery): Unit = {
+    graft.io.ParquetUtil.recoverAppend(s, stateDir)
+    val applied = graft.io.ParquetUtil.lastBatch(s, stateDir)
+    if (applied.exists(batchId <= _)) return
+    graft.io.ParquetUtil.safeAppend(s,
+      Dedup.exactDedup(b, textCol, idCol)
+        .withColumn("last_batch", lit(batchId)), stateDir)
+    if (batchId % compactEvery == compactEvery - 1)
+      graft.io.ParquetUtil.safeOverwrite(s,
+        exactFromState(s, stateDir).withColumn("last_batch", lit(batchId)),
+        stateDir)
+  }
+
+  /** The min/sum merge of the exact-dedup delta pile: equals
+    * [[Dedup.exactDedup]] over all folded documents exactly, at any
+    * pile depth.
+    */
+  def exactFromState(s: SparkSession, stateDir: String): DataFrame =
+    graft.io.ParquetUtil.readRecovered(s, stateDir).drop("last_batch")
+      .groupBy("fp")
+      .agg(min(col("keep_id")).as("keep_id"),
+        sum(col("n_copies")).as("n_copies"))
 }

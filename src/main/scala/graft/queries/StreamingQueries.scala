@@ -811,11 +811,43 @@ object StreamingQueries {
       }
     },
 
-    // nearline CCNet line dedup: the first-occurrence line-key index
-    // maintained across micro-batches (kept keys append under the
-    // marks anti-join replay guard); with the harness's id-ordered
-    // slicing first-ARRIVAL equals the batch operator's global
-    // (page, line_no) rule, so the oracle is q_line_dedup verbatim
+    // nearline exact dedup: the canonical-fingerprint index folded
+    // across micro-batches under the delta-append contract — per-fp
+    // (min keep_id, additive n_copies) are order-independent merges,
+    // so the folded table equals batch Dedup.exactDedup under ANY
+    // batching and the oracle is q_dedup_exact verbatim
+    "q_stream_dedup_exact" -> { (s, dir) =>
+      withStreamParts(s) {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val base = tmpDir("graft_sdex")
+        val stateDir = base + "/fp_state"
+        StreamFlow.writeTimeSplits(docs, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.dedup.Nearline.applyExactBatch(
+              s, b, "text", "doc_id", id, stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.dedup.Nearline.exactFromState(s, stateDir)
+          .orderBy("keep_id")
+      }
+    },
+
+    // nearline CCNet line dedup: the coords-bearing first-occurrence
+    // line-key index maintained across micro-batches (index appends
+    // first under its key anti-join; keep derives from min coords over
+    // index ∪ batch — the crash contract in LineDedup.applyLineBatch);
+    // with the harness's id-ordered slicing this equals the batch
+    // operator's global (page, line_no) rule, so the oracle is
+    // q_line_dedup verbatim
     "q_stream_line_dedup" -> { (s, dir) =>
       withStreamParts(s) {
         import graft.text.LineDedup
@@ -1265,6 +1297,7 @@ object StreamingQueries {
     "q_stream_span_dedup" -> DedupQueries.oracles("q_span_dedup"),
     "q_stream_line_dedup" -> TextQueries.oracles("q_line_dedup"),
     "q_stream_ngram_diversity" -> TextQueries.oracles("q_ngram_diversity"),
+    "q_stream_dedup_exact" -> DedupQueries.oracles("q_dedup_exact"),
     "q_stream_dsir" -> TextQueries.oracles("q_dsir_select"),
     "q_stream_token_budget" -> TextQueries.oracles("q_token_budget"),
     "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,

@@ -105,6 +105,13 @@ object Bpe {
     */
   val DefaultMaxLocalVocab: Long = 10L * 1000 * 1000
 
+  /** Which path the last [[trainMerges]] (or
+    * [[WordPiece.trainMerges]]) call took — "local" or "distributed".
+    * Test-only observability for the gate spec (the two paths are
+    * bit-parity, so values alone can't witness the switch fired).
+    */
+  @volatile private[graft] var lastTrainPath: String = ""
+
   def trainMerges(
       spark: SparkSession, words: DataFrame, k: Int,
       wordCol: String = "w", countCol: String = "cnt",
@@ -115,11 +122,14 @@ object Bpe {
     // actually vocab-bounded) must not OOM the driver — fall back to
     // the bit-parity distributed trainer instead
     val vocabSize = proj.count()
-    if (vocabSize > maxLocalVocab)
+    if (vocabSize > maxLocalVocab) {
+      lastTrainPath = "distributed"
       trainMergesDistributed(spark, words, k, wordCol, countCol)
-    else
+    } else {
+      lastTrainPath = "local"
       trainMergesLocal(
         proj.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, k)
+    }
   }
 
   /** Unsigned UTF-8 byte-wise `<` — the shared total order of Spark's

@@ -187,11 +187,14 @@ object WordPiece {
       maxLocalVocab: Long = Bpe.DefaultMaxLocalVocab): Seq[Merge] = {
     val proj = words
       .select(col(wordCol).cast("string"), col(countCol).cast("long"))
-    if (proj.count() > maxLocalVocab)
+    if (proj.count() > maxLocalVocab) {
+      Bpe.lastTrainPath = "distributed"
       trainMergesDistributed(spark, words, k, wordCol, countCol)
-    else
+    } else {
+      Bpe.lastTrainPath = "local"
       trainMergesLocal(
         proj.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, k)
+    }
   }
 
   /** The corpus's single-character alphabet — driver-collected

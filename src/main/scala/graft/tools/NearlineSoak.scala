@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   *
   * Usage: runMain graft.tools.NearlineSoak <docs.parquet> <nBatches>
   *          <outJson> [families]
-  * families: comma list of simhash,minhash,span,ivf,nb,line,ndiv
+  * families: comma list of simhash,minhash,span,ivf,nb,line,ndiv,dedupx
   * (default all).
   * The ivf family (frozen-quantizer streamed IVF) reads the sibling
   * `embeddings.parquet` of the docs path.
@@ -35,7 +35,8 @@ object NearlineSoak {
     val nBatches = args(1).toInt
     val outJson = args(2)
     val families = if (args.length > 3) args(3).split(',').toSet
-      else Set("simhash", "minhash", "span", "ivf", "nb", "line", "ndiv")
+      else Set("simhash", "minhash", "span", "ivf", "nb", "line", "ndiv",
+        "dedupx")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -165,6 +166,17 @@ object NearlineSoak {
         (b, _) => graft.similarity.StreamingIvf.applyFrozenBatch(
           spark, b, centFp, postingsDir),
         () => spark.read.parquet(postingsDir).count())
+    }
+
+    if (families("dedupx")) {
+      // nearline exact dedup: per-batch cost is one batch fingerprint
+      // agg + a delta append — the growing distinct-fingerprint table
+      // moves only at the every-CompactEvery compaction
+      val stateDir = tmp("soak_dedupx") + "/state"
+      results("dedupx") = soak("dedupx", slices(docs.localCheckpoint(), "doc_id"),
+        (b, i) => graft.dedup.Nearline.applyExactBatch(
+          spark, b, "text", "doc_id", i.toLong, stateDir),
+        () => spark.read.parquet(stateDir).count())
     }
 
     if (families("ndiv")) {

@@ -142,4 +142,60 @@ class NearlineSpec extends SparkSpec {
     assert(
       spark.read.parquet(base + "/band_index").count() == idxBefore)
   }
+
+  // ------------------------------------------------------ exact dedup
+
+  private lazy val exactDocs = Seq(
+    (0L, "Alpha  Beta"), (1L, "alpha beta"), (2L, "gamma"),
+    (3L, "GAMMA "), (4L, "delta"), (5L, "alpha beta"),
+    (6L, "epsilon"), (7L, "delta"))
+    .toDF("doc_id", "text")
+
+  private def collectExact(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("nearline exact dedup: batch-count invariance, replay, " +
+      "compaction, empty batch") {
+    val truth = collectExact(Dedup.exactDedup(exactDocs, "text", "doc_id"))
+    for (nBatches <- Seq(1, 3, 8)) {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"ndex_$nBatches").toString + "/state"
+      val ids = exactDocs.select("doc_id").collect()
+        .map(_.getLong(0)).sorted
+      var bid = 0L
+      ids.grouped(math.max(1, ids.length / nBatches)).foreach { g =>
+        Nearline.applyExactBatch(spark,
+          exactDocs.where(col("doc_id").isin(g.toSeq: _*)),
+          "text", "doc_id", bid, stateDir, compactEvery = 2)
+        bid += 1
+      }
+      // replayed batch id is a no-op (watermark)
+      Nearline.applyExactBatch(spark, exactDocs, "text", "doc_id",
+        bid - 1, stateDir)
+      // empty batch folds nothing
+      Nearline.applyExactBatch(spark,
+        exactDocs.where(lit(false)), "text", "doc_id", bid, stateDir)
+      assert(collectExact(Nearline.exactFromState(spark, stateDir))
+        == truth, s"nBatches=$nBatches")
+    }
+  }
+
+  test("nearline exact dedup: crash windows replay to exact counts") {
+    val truth = collectExact(Dedup.exactDedup(exactDocs, "text", "doc_id"))
+    for (window <- Seq("pending-recorded", "after-append")) {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"ndex_$window").toString + "/state"
+      def batch(ids: Seq[Long], bid: Long) = Nearline.applyExactBatch(
+        spark, exactDocs.where(col("doc_id").isin(ids: _*)),
+        "text", "doc_id", bid, stateDir)
+      batch(Seq(0L, 1L, 2L), 0L)
+      graft.io.ParquetUtil.crashPoint = Some(window)
+      intercept[RuntimeException] { batch(Seq(3L, 4L, 5L), 1L) }
+      batch(Seq(3L, 4L, 5L), 1L) // scheduler retry
+      batch(Seq(6L, 7L), 2L)
+      assert(collectExact(Nearline.exactFromState(spark, stateDir))
+        == truth, s"window=$window")
+    }
+  }
 }

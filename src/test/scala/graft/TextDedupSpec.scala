@@ -604,6 +604,26 @@ class TextDedupSpec extends SparkSpec {
     assert(local == dist, s"local $local vs distributed $dist")
   }
 
+  test("trainMerges vocab gate: over-gate vocab switches to the " +
+      "distributed trainer automatically, values identical") {
+    import graft.text.{Bpe, WordPiece}
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "banana" -> 3L).toSeq.toDF("w", "cnt")
+    // under the gate: driver-local path
+    val underB = Bpe.trainMerges(spark, words, 5, maxLocalVocab = 100L)
+    assert(Bpe.lastTrainPath == "local")
+    // over the gate (5 distinct words > 3): automatic distributed path
+    val overB = Bpe.trainMerges(spark, words, 5, maxLocalVocab = 3L)
+    assert(Bpe.lastTrainPath == "distributed")
+    assert(underB == overB)
+    val underW = WordPiece.trainMerges(spark, words, 5,
+      maxLocalVocab = 100L)
+    assert(Bpe.lastTrainPath == "local")
+    val overW = WordPiece.trainMerges(spark, words, 5, maxLocalVocab = 3L)
+    assert(Bpe.lastTrainPath == "distributed")
+    assert(underW == overW)
+  }
+
   test("Bpe.trainMergesLocal trains k>=1000 merges in seconds") {
     import graft.text.Bpe
     // deterministic synthetic vocab: 3000 words over a 26-letter
