@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import graft.similarity.VectorFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-modal retrieval plumbing — the caption↔image pairing shape:
+  * each modality's native feature vector is mapped into ONE shared
+  * space by a modality-specific deterministic linear map (the CLIP
+  * two-tower architecture with the engine's deterministic stand-in
+  * encoders — [[Multimodal.DigestKernel]]'s stance: the Spark-side
+  * contract is real, the learned encoder is replaced by a reproducible
+  * map any oracle engine replays), then retrieval is cosine top-k
+  * ACROSS modalities in the shared space.
+  *
+  * The two plane families are [[VectorFunctions.hyperplane]]'s
+  * discipline verbatim: components on a thousandths grid from
+  * [[graft.util.SplitMix]] mixing under per-modality salts, rendered
+  * as 3-decimal literals on both engines — so projections, and
+  * therefore the retrieval ranking, are bit-identical in the oracle.
+  *
+  * Scale shape: each tower is a row-local projection over its
+  * modality's scan (no shuffle); retrieval is the queries-as-literals
+  * explode of q_multimodal_ann (no crossJoin) — at production scale the
+  * shared-space vectors feed the trained-IVF / PQ index family like any
+  * other embedding column.
+  */
+object Crossmodal {
+
+  /** Shared-space dimensionality. */
+  val SharedDim = 8
+
+  /** Native feature dims of the two stand-in towers. */
+  val TextFeatDim = 4
+  val MediaFeatDim = 4
+
+  /** Per-modality plane-family salts (any distinct constants — the two
+    * towers must NOT share planes or the map degenerates to comparing
+    * raw features).
+    */
+  val TextSalt = 101L
+  val MediaSalt = 202L
+
+  /** Deterministic plane `p` of a modality's family: `dim` components
+    * on a thousandths grid in [-1, 1].
+    */
+  def planeComponents(salt: Long, p: Int, dim: Int): IndexedSeq[Double] =
+    (0 until dim).map { d =>
+      (math.floorMod(graft.util.SplitMix.mix(
+        salt * 1000003L + p.toLong * dim + d), 2001L) - 1000L) / 1000.0
+    }
+
+  /** The plane's components as 3-decimal SQL literals (exactly what
+    * [[planeLit]] feeds Spark).
+    */
+  def planeSqlLiterals(salt: Long, p: Int, dim: Int): Seq[String] =
+    planeComponents(salt, p, dim).map(v => graft.util.Fmt.fixed(v, 3))
+
+  private def planeLit(salt: Long, p: Int, dim: Int): Column =
+    array(planeComponents(salt, p, dim).map(v =>
+      lit(graft.util.Fmt.fixed(v, 3).toDouble)): _*)
+
+  private def project(f: Column, salt: Long, dim: Int): Column =
+    array((0 until SharedDim).map(p =>
+      VectorFunctions.dot(f, planeLit(salt, p, dim))): _*)
+
+  /** Text tower: native features → shared space. */
+  def projectText(f: Column): Column = project(f, TextSalt, TextFeatDim)
+
+  /** Media tower: native features → shared space. */
+  def projectMedia(f: Column): Column = project(f, MediaSalt, MediaFeatDim)
+
+  /** The text tower's native features — four exact integer-valued doc
+    * statistics (char count, token count, 'e' count, vowel count), each
+    * replayable byte-for-byte in SQL (patterns in the java∩RE2
+    * intersection, the PiiRedact discipline), standing in for a text
+    * encoder's embedding.
+    */
+  def textFeatures(text: Column): Column = array(
+    length(text).cast("double"),
+    size(graft.text.TextFunctions.tokens(text)).cast("double"),
+    (length(text) - length(regexp_replace(text, "e", ""))).cast("double"),
+    length(regexp_replace(lower(text), "[^aeiou]", "")).cast("double"))
+}

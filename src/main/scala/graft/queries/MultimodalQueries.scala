@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft._
-import graft.multimodal.{MediaCodecs, Multimodal}
+import graft.multimodal.{Crossmodal, MediaCodecs, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,51 @@ object MultimodalQueries {
         .where(col("qid") =!= col("doc_id"))
         .withColumn("cosine",
           graft.similarity.VectorFunctions.cosine(col("qf"), col("feat")))
+        .withColumn("rank", row_number().over(rank).cast("bigint"))
+        .where(col("rank") <= TopK)
+        .select(col("qid"), col("doc_id").as("neighbor"), col("cosine"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    },
+
+    // cross-modal retrieval (text→media): each tower's native features
+    // (exact text stats / genuinely decoded WAV band-RMS) project into
+    // one shared 8-dim space via per-modality deterministic planes
+    // (Crossmodal — the CLIP two-tower shape with reproducible stand-in
+    // encoders); retrieval is cosine top-k ACROSS modalities with the
+    // queries-as-literals explode (no crossJoin)
+    "q_crossmodal_ann" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_crossmodal_ann")
+      val docs = src(dfl, "documents")
+      // media tower (generator udf synthesises payloads, see q_multimodal)
+      val wav = udf((id: Long) => MediaCodecs.Synthetic.wavFor(id))
+      val packed = docs.select(col("doc_id"), struct(
+        wav(col("doc_id")).as("data"),
+        lit("audio/wav").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("duration_ms")).as("media"))
+      val media = Multimodal.featurize(packed, "media", "feat",
+        MediaCodecs.WavEnergyKernel)
+        .select(col("doc_id"),
+          Crossmodal.projectMedia(col("feat")).as("mv"))
+      // text tower: the NumQueries caption-side queries as literals
+      val qRows = docs.where(col("doc_id") < NumQueries)
+        .select(col("doc_id"), Crossmodal.projectText(
+          Crossmodal.textFeatures(col("text"))).as("qv"))
+        .orderBy("doc_id").collect()
+      val qLit = array(qRows.map { r =>
+        struct(lit(r.getLong(0)).as("qid"),
+          array(r.getSeq[Double](1).map(lit(_)): _*).as("qv"))
+      }: _*)
+      val rank = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("cosine"), asc("doc_id"))
+      media.select(col("doc_id"), col("mv"), explode(qLit).as("p"))
+        .select(col("p.qid").as("qid"), col("doc_id"), col("mv"),
+          col("p.qv").as("qv"))
+        .withColumn("cosine",
+          graft.similarity.VectorFunctions.cosine(col("qv"), col("mv")))
         .withColumn("rank", row_number().over(rank).cast("bigint"))
         .where(col("rank") <= TopK)
         .select(col("qid"), col("doc_id").as("neighbor"), col("cosine"),
@@ -365,6 +410,47 @@ object MultimodalQueries {
         |p AS (SELECT qid, doc_id,
         |    ($dot) / (sqrt($na) * sqrt($nb)) AS cosine
         |  FROM q JOIN f ON f.doc_id <> q.qid),
+        |r AS (SELECT qid, doc_id, cosine, row_number() OVER
+        |  (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank FROM p)
+        |SELECT qid, doc_id AS neighbor, cosine, rank
+        |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+    },
+
+    "q_crossmodal_ann" -> {
+      // per-modality projection: SharedDim dots against the 3-decimal
+      // plane literals (Crossmodal.planeSqlLiterals — the same values
+      // the Spark towers embed)
+      def projSql(fcol: String, salt: Long, featDim: Int): String =
+        "[" + (0 until Crossmodal.SharedDim).map { p =>
+          val lits = Crossmodal.planeSqlLiterals(salt, p, featDim)
+            .mkString(", ")
+          OracleSql.dotExpr(fcol, s"[$lits]", featDim)
+        }.mkString(",\n     ") + "]"
+      val dot = OracleSql.dotExpr("qv", "mv", Crossmodal.SharedDim)
+      val na = OracleSql.dotExpr("qv", "qv", Crossmodal.SharedDim)
+      val nb = OracleSql.dotExpr("mv", "mv", Crossmodal.SharedDim)
+      s"""WITH ${OracleSql.toksCte},
+        |tf AS (SELECT doc_id,
+        |    [CAST(length(text) AS DOUBLE), CAST(len(w) AS DOUBLE),
+        |     CAST(length(text) - length(regexp_replace(text, 'e', '', 'g'))
+        |       AS DOUBLE),
+        |     CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+        |       AS DOUBLE)] AS f
+        |  FROM toks WHERE doc_id < $NumQueries),
+        |tq AS (SELECT doc_id AS qid,
+        |    ${projSql("f", Crossmodal.TextSalt, Crossmodal.TextFeatDim)}
+        |    AS qv FROM tf),
+        |d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |mf AS (SELECT doc_id,
+        |    [${wavBandSql(0)}, ${wavBandSql(1)},
+        |     ${wavBandSql(2)}, ${wavBandSql(3)}] AS feat
+        |  FROM d),
+        |mq AS (SELECT doc_id,
+        |    ${projSql("feat", Crossmodal.MediaSalt, Crossmodal.MediaFeatDim)}
+        |    AS mv FROM mf),
+        |p AS (SELECT qid, doc_id,
+        |    ($dot) / (sqrt($na) * sqrt($nb)) AS cosine
+        |  FROM tq, mq),
         |r AS (SELECT qid, doc_id, cosine, row_number() OVER
         |  (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank FROM p)
         |SELECT qid, doc_id AS neighbor, cosine, rank
