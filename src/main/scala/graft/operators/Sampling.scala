@@ -162,7 +162,24 @@ object Sampling {
   def epochMix(
       df: DataFrame, idCol: String, sourceCol: String,
       epochsMillis: Map[String, Long], defaultMillis: Long = 1000L,
-      salt: String = "emix:"): DataFrame = {
+      salt: String = "emix:"): DataFrame =
+    epochCopies(df, idCol, sourceCol, epochsMillis, defaultMillis, salt,
+      copiesCol = "__copies")
+      .where(col("__copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+
+  /** [[epochMix]]'s per-row copy COUNT without the replication — the
+    * annotate-don't-drop rendering: every row survives, zero-epoch
+    * sources carrying `copiesCol` = 0 as a weight column instead of
+    * disappearing from the frame.
+    */
+  def epochCopies(
+      df: DataFrame, idCol: String, sourceCol: String,
+      epochsMillis: Map[String, Long], defaultMillis: Long = 1000L,
+      salt: String = "emix:", copiesCol: String = "epoch_copies")
+      : DataFrame = {
     require(defaultMillis >= 0 && epochsMillis.values.forall(_ >= 0),
       "epoch factors must be non-negative")
     val e = epochsMillis.toSeq.sortBy(_._1).foldLeft(
@@ -176,10 +193,6 @@ object Sampling {
     // error (~1e-16) can never cross an integer boundary
     val copies = (e / 1000L).cast("long") +
       when(h20 * 1000L < (e % 1000L) * (1L << 20), 1L).otherwise(0L)
-    df.withColumn("__copies", copies)
-      .where(col("__copies") > 0)
-      .withColumn("copy",
-        explode(sequence(lit(0L), col("__copies") - 1L)))
-      .drop("__copies")
+    df.withColumn(copiesCol, copies)
   }
 }

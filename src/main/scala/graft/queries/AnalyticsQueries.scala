@@ -527,7 +527,7 @@ object AnalyticsQueries {
     * exactly 1, fractional, sub-half, and zero (source dropped);
     * unlisted sources default to one epoch.
     */
-  private val EpochMillis: Map[String, Long] = Map(
+  private[graft] val EpochMillis: Map[String, Long] = Map(
     "src0" -> 2450L, "src1" -> 1000L, "src2" -> 640L, "src3" -> 300L,
     "src4" -> 0L)
 

@@ -535,6 +535,84 @@ object TextQueries {
         .orderBy("shuffle_pos", "seq_id")
     },
 
+    // THE ANNOTATED FLAGSHIP — the FineWeb stance: instead of the
+    // drop-funnel above, keep EVERY document and attach the funnel's
+    // decisions as weight columns — dup-cluster features
+    // (q_dedup_annotate's chain), the quality-ensemble CDF rank fusion
+    // (q_quality_ensemble's chain), and the epoch-mix copy count as an
+    // annotation (zero-epoch sources stay, weighted 0) — composing to
+    // one per-doc train_weight = ens_frac × epoch_copies /
+    // cluster_size (duplicates share their cluster's mass). Keeping
+    // every doc also sidesteps the measured composition-depth bound
+    // that reverted the Gopher stage from the drop-funnel: annotation
+    // chains never starve downstream stages. Output is corpus-sized by
+    // construction (one row per document).
+    "q_pipeline_llm_annotated" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      import graft.dedup.Dedup
+      val dfl = DataFlow(s, "q_pipeline_llm_annotated")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      // dup-cluster annotation (the q_dedup_annotate chain; the pin
+      // keeps the CC rounds out of downstream lineage)
+      val pairs = Dedup.jaccardPairs(docs, "text", "doc_id",
+        DedupQueries.JaccardThreshold)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val ann = docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+      val cstats = ann.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("doc_id")).as("__min_id"))
+      val dedupAnn = ann.join(cstats, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          (col("doc_id") === col("__min_id")).as("is_canonical"))
+        .localCheckpoint()
+      // quality-ensemble CDF rank fusion (the q_quality_ensemble
+      // chain; the scored pin keeps the NB/LM corpus scoring single-run)
+      val train = docs.where(col("doc_id") % 2 === 0)
+      val snap = graft.text.PerplexityBuckets.SnapScale.toDouble
+      val nb = graft.text.NaiveBayes.scoreBinary(
+        docs, train, "doc_id", "text", col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"), col("nb_logodds"))
+      val lm = graft.text.BigramLm.score(docs, train, "doc_id", "text")
+        .select(col("doc_id"), col("avg_logprob"))
+      val q = docs.select(col("doc_id"),
+        qualityScore(col("text")).as("quality_score"))
+      val scored = nb.join(lm, Seq("doc_id")).join(q, Seq("doc_id"))
+        .withColumn("q_key", col("quality_score"))
+        .withColumn("nb_key",
+          floor(col("nb_logodds") / col("n_tokens") * snap).cast("long"))
+        .withColumn("lm_key",
+          floor(col("avg_logprob") * snap).cast("long"))
+        .localCheckpoint()
+      import graft.operators.CdfRank.withCdf
+      val ranked = withCdf(withCdf(withCdf(
+        scored, "q_key", "q_cdf"), "nb_key", "nb_cdf"), "lm_key", "lm_cdf")
+      val n = scored.agg(count(lit(1)).as("__n"))
+      val ens = ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          round((col("q_cdf") + col("nb_cdf") + col("lm_cdf"))
+            .cast("double") / (lit(3L) * col("__n")).cast("double"), 6)
+            .as("ens_frac"))
+      // epoch-mix annotation (q_mix_epochs' copy count, kept as a
+      // column — the annotate-don't-drop rendering)
+      val epochs = graft.operators.Sampling.epochCopies(
+        docs.select(col("doc_id"), col("source")), "doc_id", "source",
+        AnalyticsQueries.EpochMillis)
+      dedupAnn.join(ens, Seq("doc_id")).join(epochs, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("cluster"),
+          col("cluster_size"), col("is_canonical"), col("ens_frac"),
+          col("epoch_copies"),
+          // every operand is an engine-identical double/integer, so the
+          // per-row product/quotient is IEEE-deterministic
+          round(col("ens_frac") * col("epoch_copies") /
+            col("cluster_size"), 6).as("train_weight"))
+        .orderBy("doc_id")
+    },
+
     // seeded deterministic corpus shuffle — the pre-packing
     // decorrelation step of every pretraining pipeline: global shuffle
     // position = rank of md5(seed || doc_id), assigned with the
@@ -2420,6 +2498,87 @@ object TextQueries {
          |FROM j JOIN qc USING (q_key) JOIN nbc USING (nb_key)
          |  JOIN lmc USING (lm_key), nn
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // the annotated flagship: the dedup-annotate recursive-CC chain
+    // (dd_-prefixed), the full quality-ensemble chain, and the
+    // epoch-copy CTE composed in ONE WITH; train_weight multiplies the
+    // three annotations per row
+    "q_pipeline_llm_annotated" -> {
+      val snap = graft.text.PerplexityBuckets.SnapScale
+      val h = OracleSql.tokenHash("'emix:' || CAST(doc_id AS VARCHAR)")
+      val cases = AnalyticsQueries.EpochMillis.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""WITH RECURSIVE $toksCte, ${OracleSql.shinglesCte(3)},
+         |dd_e AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+         |dd_p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS inter
+         |  FROM dd_e a JOIN dd_e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dd_pairs AS (
+         |  SELECT doc_a, doc_b FROM dd_p
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter)
+         |    >= ${DedupQueries.JaccardThreshold}),
+         |dd_edges AS (SELECT doc_a AS src, doc_b AS dst FROM dd_pairs
+         |  UNION SELECT doc_b, doc_a FROM dd_pairs),
+         |dd_reach(id, r) AS (
+         |  SELECT src, src FROM dd_edges
+         |  UNION
+         |  SELECT g2.src, r.r FROM dd_edges g2
+         |    JOIN dd_reach r ON g2.dst = r.id),
+         |dd_cl AS (SELECT id AS doc_id, min(r) AS cluster FROM dd_reach
+         |  GROUP BY id),
+         |dd_ann AS (SELECT d.doc_id,
+         |    coalesce(dd_cl.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN dd_cl USING (doc_id)),
+         |dd_st AS (SELECT cluster, count(*) AS cluster_size,
+         |    min(doc_id) AS mn
+         |  FROM dd_ann GROUP BY 1),
+         |${nbScoreCtes()},
+         |${lmScoreCtes()},
+         |qd AS (SELECT doc_id, $qualitySql AS quality_score FROM toks),
+         |j AS (SELECT n.doc_id, n.n_tokens, n.nb_logodds, l.avg_logprob,
+         |    q.quality_score,
+         |    q.quality_score AS q_key,
+         |    CAST(floor(n.nb_logodds / n.n_tokens * $snap.0) AS BIGINT)
+         |      AS nb_key,
+         |    CAST(floor(l.avg_logprob * $snap.0) AS BIGINT) AS lm_key
+         |  FROM nbscore n JOIN lmscore l ON n.doc_id = l.doc_id
+         |  JOIN qd q ON n.doc_id = q.doc_id),
+         |qh AS (SELECT q_key, count(*) AS c FROM j GROUP BY 1),
+         |qc AS (SELECT q_key, CAST(sum(c) OVER (ORDER BY q_key
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS q_cdf FROM qh),
+         |nbh AS (SELECT nb_key, count(*) AS c FROM j GROUP BY 1),
+         |nbc AS (SELECT nb_key, CAST(sum(c) OVER (ORDER BY nb_key
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS nb_cdf FROM nbh),
+         |lmh AS (SELECT lm_key, count(*) AS c FROM j GROUP BY 1),
+         |lmc AS (SELECT lm_key, CAST(sum(c) OVER (ORDER BY lm_key
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS lm_cdf FROM lmh),
+         |nn AS (SELECT count(*) AS n FROM j),
+         |ens AS (SELECT j.doc_id,
+         |    round(CAST(q_cdf + nb_cdf + lm_cdf AS DOUBLE)
+         |      / CAST(3 * n AS DOUBLE), 6) AS ens_frac
+         |  FROM j JOIN qc USING (q_key) JOIN nbc USING (nb_key)
+         |    JOIN lmc USING (lm_key), nn),
+         |em AS (SELECT doc_id, source,
+         |  CASE source $cases ELSE 1000 END AS emm,
+         |  ($h) % 1048576 AS h20 FROM documents),
+         |ec AS (SELECT doc_id, source,
+         |  emm // 1000 + (CASE WHEN h20 * 1000 < (emm % 1000) * 1048576
+         |    THEN 1 ELSE 0 END) AS epoch_copies FROM em)
+         |SELECT a.doc_id, ec.source, a.cluster, st.cluster_size,
+         |  a.doc_id = st.mn AS is_canonical, ens.ens_frac,
+         |  CAST(ec.epoch_copies AS BIGINT) AS epoch_copies,
+         |  round(ens.ens_frac * ec.epoch_copies / st.cluster_size, 6)
+         |    AS train_weight
+         |FROM dd_ann a JOIN dd_st st USING (cluster)
+         |  JOIN ens ON ens.doc_id = a.doc_id
+         |  JOIN ec ON ec.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
     },
 
     // unigram tokenizer per-word segmentations: the full hard-EM chain

@@ -102,6 +102,12 @@ class PlanGateSpec extends SparkSpec {
     // BOUNDED key histograms (1e-6 quality grid / 1e-3 per-token snap —
     // CdfRank.scala), never the corpus
     "q_quality_ensemble" -> Set("nested-loop", "global-window"),
+    // annotated flagship: inherits q_quality_ensemble's audited shapes
+    // verbatim — the NB/LM 1-row model and ln(N) BNLJ frames plus the
+    // three CDF windows over BOUNDED key histograms; the dedup and
+    // epoch legs add no cartesian/window (CC is equi-join rounds, the
+    // epoch table a literal CASE)
+    "q_pipeline_llm_annotated" -> Set("nested-loop", "global-window"),
     // shard assignment: the 1-row token-total frame crossJoins into the
     // doc-sized placement scan; offsets come from the two-phase range
     // layout (per-partition window, no global sort)
