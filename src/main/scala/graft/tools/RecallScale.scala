@@ -196,6 +196,49 @@ object RecallScale {
     val pqRrDd = score(truthDd,
       rrDd.map { case (kk, v) => kk -> v.take(KAt) })
 
+    // FROZEN deployments under the same dedup-before-index treatment —
+    // the amortized production paths: q_hybrid_rrf_ivf_frozen's vector
+    // leg (bootstrap-trained coarse quantizer, frozen assignment,
+    // candidate-set recall at the bootstrap-derived nprobe) and the
+    // streamed IVF×PQ index (q_stream_ann_ivf_pq: bootstrap-trained
+    // codebooks + frozen coarse probes + fixed-factor exact rerank).
+    // Bootstrap = batch 0 of the writeTimeSplits id-range slicing rule,
+    // exactly as the shipped queries derive it.
+    val bRow = embDd.agg(min(col("vec_id")), max(col("vec_id")))
+      .collect()(0)
+    val stepF = math.max(1L, (bRow.getLong(1) - bRow.getLong(0)) / 3 + 1)
+    val b0 = embDd.where(col("vec_id") < bRow.getLong(0) + stepF)
+      .localCheckpoint()
+    val kF = graft.queries.SimilarityQueries.ivfK(b0.count())
+    val npF = graft.queries.SimilarityQueries.ivfNProbe(kF)
+    val (centF, _) = KMeans.fitModel(b0, "vec_id", "embedding", kF,
+      graft.queries.SimilarityQueries.IvfIters)
+    val asgF = KMeans.assign(
+      KMeans.pointsFp(embDd, "vec_id", "embedding"), centF)
+    val stateF = AnnRecall.collectIvfState(embDd, centF, asgF, NumQueries)
+    val candF = AnnRecall.kmeansCandidates(stateF, npF)
+    val ivfFrozenDd = {
+      val per = truthDd.toSeq.map { case (kk, top) =>
+        val cs = candF.get(kk).map(_._1).getOrElse(Set.empty[Long])
+        if (top.isEmpty) 1.0
+        else top.count(cs.contains).toDouble / top.size
+      }
+      per.sum / per.size
+    }
+    val scannedF = candF.values.map(_._2).sum / candF.size
+    val booksF = ProductQuantizer.trainBooks(b0, "vec_id", "embedding")
+    val codesF = ProductQuantizer.assignCodes(
+      embDd, "vec_id", "embedding", booksF)
+    val probesF = AnnRecall.probePairs(stateF, npF)
+      .map { case (qid, l) => (qid, l.toInt) }.toDF("qid", "label")
+    val asgFL = asgF.select(col("vec_id"),
+      col("cid").cast("int").as("label"))
+    val sIvfPqDd = score(truthDd, collectRanked(
+      ProductQuantizer.adcIvfRerankTopKWith(s, embDd, "vec_id",
+        "embedding", booksF, codesF, probesF, asgFL, NumQueries, KAt,
+        shortlist))
+      .map { case (kk, v) => kk -> v.take(KAt) })
+
     def n4(v: Double): String = Fmt.fixed(v, 4)
     val json =
       s"""{"sf":"$sfDir","n_vectors":$n,"k":$KAt,"queries":$NumQueries,""" +
@@ -223,6 +266,19 @@ object RecallScale {
         "recomputed on the deduped corpus, no self-duplicates remain " +
         "so plain == dupx\"," +
         s""""recall":${n4(pqRrDd)}},""" +
+        s""""ivf_frozen_dedup":{"k_boot":$kF,"nprobe":$npF,""" +
+        s""""n_bootstrap":${b0.count()},""" +
+        s""""avg_scanned_fraction":${n4(scannedF)},""" +
+        "\"note\":\"q_hybrid_rrf_ivf_frozen's vector leg on the deduped " +
+        "corpus: coarse quantizer trained on bootstrap batch 0 only and " +
+        "frozen, candidate-set recall at the bootstrap-derived nprobe\"," +
+        s""""recall":${n4(ivfFrozenDd)}},""" +
+        s""""stream_ivf_pq_dedup":{"k_boot":$kF,"nprobe":$npF,""" +
+        s""""shortlist":$shortlist,""" +
+        "\"note\":\"the streamed IVF×PQ deployment (q_stream_ann_ivf_pq) " +
+        "on the deduped corpus: bootstrap-trained codebooks + frozen " +
+        "coarse probes + fixed-factor exact rerank\"," +
+        s""""recall":${n4(sIvfPqDd)}},""" +
         s""""jl_projected":{"dims":${VectorFunctions.NumPlanes},""" +
         s""""recall_plain":${n4(projPlain)},""" +
         s""""recall_dupx":${n4(projDupx)}},""" +
