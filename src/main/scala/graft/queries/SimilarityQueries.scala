@@ -643,6 +643,33 @@ object SimilarityQueries {
         .select(col("qid"), col("neighbor").as("doc_id"),
           col("rank").as("r2"))
       graft.similarity.HybridRrf.fuseRanked(lex, vec, "doc_id", TopK)
+    },
+
+    // frozen-quantizer DRIFT MONITOR — the operational companion to the
+    // frozen deployments (and the answer to the measured frozen-recall
+    // cost, RECALL_SCALE_*_r14): per-slice mean EXACT quantization
+    // error + assignment imbalance against the bootstrap-trained frozen
+    // centroids, normalized by the bootstrap slice's own mean
+    // (drift_ratio) — the dimensionless signal that tells a deployment
+    // WHEN to retrain. Slices = the stream's 3 id-range batches, so the
+    // streamed fold's rows are these rows verbatim
+    "q_quantizer_drift" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_quantizer_drift")
+      val emb = src(dfl, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val bRow = emb.agg(min(col("vec_id")), max(col("vec_id")))
+        .collect()(0)
+      val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+      val step = math.max(1L, (hi - lo) / 3 + 1)
+      val b0 = emb.where(col("vec_id") < lo + step)
+      val k = ivfK(b0.count())
+      val (centFp, _) = graft.similarity.KMeans.fitModel(
+        b0, "vec_id", "embedding", k, IvfIters)
+      graft.similarity.QuantizerDrift.withRatios(
+        graft.similarity.QuantizerDrift.sliceStats(emb, centFp,
+          expr(s"(vec_id - $lo) div $step")))
+        .orderBy("slice")
     })
 
   import OracleSql._
@@ -759,6 +786,62 @@ object SimilarityQueries {
     * mirror the trained batch search. k and nprobe derive from the
     * batch-0 count exactly as the engine computes them.
     */
+  /** Replay of the drift monitor: the bootstrap-trained k-means chain
+    * (the frozenStreamIvfOracle rooting), the frozen whole-corpus
+    * argmin WITH its exact integer distance, the id-range slicing in
+    * SQL, and the two slice aggregations — every emitted double divides
+    * exact integers (or one such quotient by another).
+    */
+  private[graft] def quantizerDriftOracle: String = {
+    val t = IvfIters
+    val d1 = graft.similarity.VectorFunctions.Dim + 1
+    val scale = graft.similarity.KMeans.Scale
+    val offset = graft.similarity.KMeans.Offset
+    val b0Where =
+      """vec_id < (SELECT min(vec_id)
+        |  + ((max(vec_id) - min(vec_id)) // 3 + 1) FROM embeddings)"""
+        .stripMargin
+    val kExpr =
+      s"""(SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+        |  FROM embeddings WHERE $b0Where)""".stripMargin
+    val dist =
+      s"""CAST(list_sum(list_transform(range(1, $d1),
+        |      d -> (ptsall.p[d] - c$t.c[d]) * (ptsall.p[d] - c$t.c[d])))
+        |  AS BIGINT)""".stripMargin
+    s"""WITH ${OracleSql.kmeansCtes(kExpr, t, b0Where)},
+      |ptsall AS (SELECT vec_id, list_transform(embedding,
+      |    v -> CAST(floor((CAST(v AS DOUBLE) + $offset) * $scale)
+      |      AS BIGINT)) AS p
+      |  FROM embeddings),
+      |asgd AS (SELECT vec_id, cid, dist FROM (
+      |  SELECT ptsall.vec_id, c$t.cid, $dist AS dist,
+      |    row_number() OVER (PARTITION BY ptsall.vec_id
+      |      ORDER BY $dist, c$t.cid) AS rn
+      |  FROM ptsall, c$t) WHERE rn = 1),
+      |bounds AS (SELECT min(vec_id) AS lo,
+      |  ((max(vec_id) - min(vec_id)) // 3 + 1) AS step FROM embeddings),
+      |sl AS (SELECT a.vec_id, (a.vec_id - b.lo) // b.step AS slice,
+      |    a.dist, a.cid
+      |  FROM asgd a, bounds b),
+      |st AS (SELECT slice, count(*) AS n_vecs,
+      |    CAST(sum(dist) AS BIGINT) AS sum_dist_fp
+      |  FROM sl GROUP BY 1),
+      |mx AS (SELECT slice, max(nc) AS max_nc FROM (
+      |  SELECT slice, cid, count(*) AS nc FROM sl GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |b0m AS (SELECT CAST(sum_dist_fp AS DOUBLE) / n_vecs AS base_mean
+      |  FROM st WHERE slice = 0)
+      |SELECT st.slice, st.n_vecs, st.sum_dist_fp,
+      |  round(CAST(st.sum_dist_fp AS DOUBLE) / st.n_vecs, 6)
+      |    AS mean_dist_fp,
+      |  round(CAST(mx.max_nc AS DOUBLE) / st.n_vecs, 6)
+      |    AS max_cluster_frac,
+      |  round(CAST(st.sum_dist_fp AS DOUBLE) / st.n_vecs / b0m.base_mean,
+      |    6) AS drift_ratio
+      |FROM st JOIN mx USING (slice), b0m
+      |ORDER BY st.slice""".stripMargin
+  }
+
   private[graft] def frozenStreamIvfOracle: String = {
     val t = IvfIters
     val d1 = graft.similarity.VectorFunctions.Dim + 1
@@ -1333,6 +1416,7 @@ object SimilarityQueries {
         |SELECT qid, vec_id AS neighbor, cosq, rank
         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
     "q_ann_ivf" -> ivfTrainedOracle,
+    "q_quantizer_drift" -> quantizerDriftOracle,
     "q_ann_ivf_quantized" -> ivfQuantizedOracle,
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

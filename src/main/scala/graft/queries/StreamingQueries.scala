@@ -1103,6 +1103,45 @@ object StreamingQueries {
     // watermark is needed (nothing is additive). Probe + scan is the
     // trained ivfSearch tail; the oracle replays the batch-0 training,
     // the frozen assignment of the whole corpus, and the probe.
+    // nearline frozen-quantizer drift monitor: one exact stats row
+    // appended per micro-batch against the bootstrap-trained frozen
+    // centroids (state = batch-count-sized, the smallest fold state in
+    // the repo); batches never split a slice, so the report equals the
+    // batch q_quantizer_drift verbatim and its oracle applies
+    "q_stream_quantizer_drift" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.similarity.{KMeans, QuantizerDrift}
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val base = tmpDir("graft_sqdrift")
+        val stateDir = base + "/drift_state"
+        StreamFlow.writeTimeSplits(emb, "vec_id", 3, base + "/splits")
+        // frozen quantizer from batch 0 — the same id-range rule the
+        // splits use (step = (hi-lo)/3 + 1, floor on non-negatives)
+        val bRow = emb.agg(min(col("vec_id")), max(col("vec_id")))
+          .collect()(0)
+        val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+        val step = math.max(1L, (hi - lo) / 3 + 1)
+        val b0 = emb.where(col("vec_id") < lo + step)
+        val k = SimilarityQueries.ivfK(b0.count())
+        val (centFp, _) = KMeans.fitModel(
+          b0, "vec_id", "embedding", k, SimilarityQueries.IvfIters)
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            QuantizerDrift.applyBatch(s, b, centFp, id, stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        QuantizerDrift.driftFromState(s, stateDir).orderBy("slice")
+      }
+    },
+
     "q_stream_ann_ivf_trained" -> { (s, dir) =>
       withStreamParts(s) {
         import graft.similarity.{KMeans, StreamingIvf}
@@ -1302,6 +1341,8 @@ object StreamingQueries {
     "q_stream_token_budget" -> TextQueries.oracles("q_token_budget"),
     "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,
     "q_stream_ann_ivf_trained" -> SimilarityQueries.frozenStreamIvfOracle,
+    "q_stream_quantizer_drift" ->
+      SimilarityQueries.oracles("q_quantizer_drift"),
     "q_stream_ann_pq" -> SimilarityQueries.frozenStreamPqOracle,
     "q_stream_ann_ivf_pq" -> SimilarityQueries.frozenStreamIvfPqOracle,
     "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),

@@ -102,6 +102,10 @@ class PlanGateSpec extends SparkSpec {
     // BOUNDED key histograms (1e-6 quality grid / 1e-3 per-token snap —
     // CdfRank.scala), never the corpus
     "q_quality_ensemble" -> Set("nested-loop", "global-window"),
+    // drift monitor: the slice-0 baseline mean is a 1-row aggregate
+    // crossJoined into the slice-count-sized stats frame (both bounded)
+    "q_quantizer_drift" -> Set("nested-loop"),
+    "q_stream_quantizer_drift" -> Set("nested-loop"),
     // annotated flagship: inherits q_quality_ensemble's audited shapes
     // verbatim — the NB/LM 1-row model and ln(N) BNLJ frames plus the
     // three CDF windows over BOUNDED key histograms; the dedup and
