@@ -220,6 +220,56 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // calibration report of the learned quality gate (the eval-tooling
+    // sibling of q_quality_classifier): the NB model trained on the
+    // even split, scored on the HELD-OUT odd split (proper train/test
+    // separation), confusion counts at per-token integer log-odds
+    // thresholds t ∈ [-4, 4] — pred = logodds_fp ≥ t·n_tokens·2^20, an
+    // all-integer rule both engines share; precision/recall/accuracy
+    // divide exact BIGINT counts (null where undefined). The scored
+    // frame is pinned so nine thresholds cost one scoring pass
+    "q_classifier_calibration" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_classifier_calibration")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+      val scored = graft.text.NaiveBayes.scoreBinaryFp(
+          docs.where(col("doc_id") % 2 =!= 0),
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+          col("lang") === "en")
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("label")), "doc_id")
+        .localCheckpoint()
+      val sc = graft.text.NaiveBayes.LnScale
+      val cf = scored
+        .select(col("logodds_fp"), col("n_tokens"), col("label"),
+          explode(sequence(lit(-4L), lit(4L))).as("threshold"))
+        .withColumn("pred",
+          col("logodds_fp") >= col("threshold") * col("n_tokens") * lit(sc))
+        .groupBy("threshold")
+        .agg(
+          sum(when(col("pred") && col("label"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && !col("label"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(!col("pred") && !col("label"), 1L).otherwise(0L))
+            .as("tn"),
+          sum(when(!col("pred") && col("label"), 1L).otherwise(0L))
+            .as("fn"))
+      cf.select(col("threshold"), col("tp"), col("fp"), col("tn"),
+        col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6)).as("prec"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6)).as("rec"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"),
+          6).as("acc"))
+        .orderBy("threshold")
+    },
+
     // trained char-bigram language ID (the fastText/CCNet-style
     // component): multiclass +1-smoothed NB over character n-grams,
     // trained on the even-doc_id split; the class set is a query
@@ -1941,6 +1991,43 @@ object TextQueries {
          |${nbScoreCtes()}
          |SELECT doc_id, n_tokens, nb_logodds, pred_pos
          |FROM nbscore ORDER BY doc_id""".stripMargin,
+
+    // calibration: the same trained chain restricted to the held-out
+    // odd split, integer threshold sweep over the EXACT fp log-odds
+    // (nb_lo, pre-rounding), confusion counts + derived ratios
+    "q_classifier_calibration" -> {
+      val sc = graft.text.NaiveBayes.LnScale
+      s"""WITH $toksCte,
+         |${nbScoreCtes()},
+         |cal AS (SELECT lo.doc_id, dl.n_tokens, lo.logodds_fp,
+         |    (t.lang = 'en') AS label
+         |  FROM nb_lo lo JOIN nb_dl dl ON lo.doc_id = dl.doc_id
+         |  JOIN toks t ON lo.doc_id = t.doc_id
+         |  WHERE lo.doc_id % 2 <> 0),
+         |cal_g AS (SELECT CAST(unnest(range(-4, 5)) AS BIGINT)
+         |  AS threshold),
+         |cal_p AS (SELECT cal_g.threshold, cal.label,
+         |    (cal.logodds_fp >= cal_g.threshold * cal.n_tokens * $sc)
+         |      AS pred
+         |  FROM cal, cal_g),
+         |cal_c AS (SELECT threshold,
+         |  CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn
+         |  FROM cal_p GROUP BY 1)
+         |SELECT threshold, tp, fp, tn, fn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+         |  CASE WHEN tp + fn > 0
+         |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
+         |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS acc
+         |FROM cal_c ORDER BY threshold""".stripMargin
+    },
 
     // trained char-bigram langid: ONE lnRatio chain over the
     // (term × class) long frame (then pivoted wide), one over the

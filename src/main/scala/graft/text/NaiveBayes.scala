@@ -64,6 +64,34 @@ object NaiveBayes {
     */
   private[graft] def scoreWithModel(docs: DataFrame, idCol: String,
       textCol: String, counts: DataFrame, docCounts: DataFrame)
+      : DataFrame =
+    scoreWithModelFp(docs, idCol, textCol, counts, docCounts)
+      .select(col(idCol), col("n_tokens"),
+        round(col("logodds_fp").cast("double") / lit(LnScale.toDouble), 6)
+          .as("nb_logodds"),
+        (col("logodds_fp") > 0L).as("pred_pos"))
+
+  /** As [[scoreBinary]] but keeping the EXACT fixed-point log-odds
+    * (`logodds_fp`) — threshold sweeps and compositions compare
+    * integers, never independently-rounded doubles (the
+    * [[BigramLm.scoreFp]] convention). Output: (idCol, n_tokens,
+    * logodds_fp).
+    */
+  def scoreBinaryFp(docs: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, isPos: Column): DataFrame = {
+    val twTrain = tokenized(train, idCol, textCol, Seq(isPos.as("pos")))
+    val t = twTrain.select(explode(col("w")).as("term"), col("pos"))
+    val counts = t.groupBy("term").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("cneg"))
+    val docCounts = twTrain.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("dpos"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("dneg"))
+    scoreWithModelFp(docs, idCol, textCol, counts, docCounts)
+  }
+
+  private[graft] def scoreWithModelFp(docs: DataFrame, idCol: String,
+      textCol: String, counts: DataFrame, docCounts: DataFrame)
       : DataFrame = {
     // the count model is PINNED (eager, vocab-sized): it feeds both
     // the per-term table and the 1-row normaliser, and the pin makes
@@ -110,10 +138,7 @@ object NaiveBayes {
         (col("sum_fp") - col("n") * col("fpn") + col("fprior"))
           .as("logodds_fp"))
       .join(dl, idCol)
-      .select(col(idCol), col("n_tokens"),
-        round(col("logodds_fp").cast("double") / lit(LnScale.toDouble), 6)
-          .as("nb_logodds"),
-        (col("logodds_fp") > 0L).as("pred_pos"))
+      .select(col(idCol), col("n_tokens"), col("logodds_fp"))
   }
 
   // ------------------------------------------------------------------

@@ -89,4 +89,52 @@ class NaiveBayesSpec extends SparkSpec {
     val acc = scored.count(x => x._1 == x._2).toDouble / scored.length
     assert(acc >= 0.95, f"held-out accuracy $acc%.3f")
   }
+
+  test("scoreBinaryFp: exact fp log-odds behind scoreBinary's rounding") {
+    val rounded = run()
+    val fpRows = NaiveBayes.scoreBinaryFp(
+      docs, docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      col("lang") === "en")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fpRows.map(_._1).toSeq == rounded.map(_._1).toSeq)
+    fpRows.zip(rounded).foreach { case ((_, n1, lfp), (_, n2, lo, pp)) =>
+      assert(n1 == n2)
+      assert(math.rint(lfp.toDouble / S * 1e6) / 1e6 == lo)
+      assert((lfp > 0L) == pp)
+    }
+  }
+
+  test("calibration sweep invariants: counts partition the held-out " +
+      "set, recall monotone non-increasing in the threshold") {
+    val big = (0L until 200L).map { i =>
+      val en = i % 3 != 0
+      (i, if (en) "good clean common words here"
+          else "zz qq xx junk noise", if (en) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val scored = NaiveBayes.scoreBinaryFp(
+      big.where(col("doc_id") % 2 =!= 0),
+      big.where(col("doc_id") % 2 === 0), "doc_id", "text",
+      col("lang") === "en")
+      .join(big.select(col("doc_id"), (col("lang") === "en").as("label")),
+        "doc_id")
+    val nTest = scored.count()
+    val rows = (-4L to 4L).map { t =>
+      val p = scored.withColumn("pred",
+        col("logodds_fp") >= lit(t) * col("n_tokens") * lit(S))
+      val tp = p.where(col("pred") && col("label")).count()
+      val fpc = p.where(col("pred") && !col("label")).count()
+      val tn = p.where(!col("pred") && !col("label")).count()
+      val fn = p.where(!col("pred") && col("label")).count()
+      assert(tp + fpc + tn + fn == nTest, s"t=$t")
+      (t, tp, fn)
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    rows.sliding(2).foreach { case Seq((_, tp1, _), (t2, tp2, _)) =>
+      assert(tp2 <= tp1, s"recall rose at threshold $t2")
+    }
+    // the separable corpus calibrates: at t=0 every doc is correct
+    val t0 = rows.find(_._1 == 0L).get
+    assert(t0._2 > 0 && t0._3 == 0)
+  }
 }
