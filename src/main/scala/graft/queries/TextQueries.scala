@@ -446,6 +446,43 @@ object TextQueries {
         .orderBy("seq_id", "doc_id")
     },
 
+    // packing fragmentation report — the diagnostic concat-and-chunk
+    // packing actually needs (fill is 1 by construction on all but the
+    // tail sequence; what varies is how DOCUMENTS fragment across
+    // sequence boundaries, which costs attention context at training
+    // time): per-sequence doc counts + doc-level split fractions as
+    // one exact-integer corpus row. The packed frame is pinned — it
+    // feeds the sequence-keyed and the doc-keyed aggregates
+    "q_pack_stats" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_pack_stats")
+      src(dfl, "documents")
+      val docs = dfl.get("documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("nt"))
+      val packed = graft.text.SeqPack
+        .pack(docs, "doc_id", "nt", seqLen = SeqLen)
+        .localCheckpoint()
+      val perSeq = packed.groupBy("seq_id")
+        .agg(count(lit(1)).as("nd"), sum(col("n_toks")).as("st"))
+      val perDoc = packed.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val seqAgg = perSeq.agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("st")).as("total_tokens"),
+        sum(col("nd")).as("n_fragments"),
+        sum(when(col("st") === SeqLen, 1L).otherwise(0L))
+          .as("n_full_seqs"))
+      val docAgg = perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_split_docs"))
+      seqAgg.crossJoin(docAgg).select(
+        col("n_seqs"), col("n_docs"), col("total_tokens"),
+        col("n_fragments"), col("n_full_seqs"), col("n_split_docs"),
+        round(col("n_fragments").cast("double") /
+          col("n_seqs").cast("double"), 6).as("mean_docs_per_seq"),
+        round(col("n_split_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("split_doc_frac"))
+    },
+
     // TOKENIZER-FAITHFUL packing: real pretraining packs by the
     // TOKENIZER's counts, not whitespace words — compose the BPE
     // encoder's per-document token counts (the q_bpe_encode chain:
@@ -2423,6 +2460,43 @@ object TextQueries {
          |  least(s + n, (seq_id + 1) * $SeqLen)
          |    - greatest(s, seq_id * $SeqLen) AS n_toks
          |FROM x ORDER BY seq_id, doc_id""".stripMargin,
+
+    // the fragmentation report off the same chunking chain: two
+    // bounded aggregates over the pack rows
+    "q_pack_stats" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM toks
+         |  WHERE len(w) > 0),
+         |o AS (SELECT doc_id, n,
+         |  CAST(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+         |    AS BIGINT) AS s
+         |  FROM n),
+         |x AS (SELECT doc_id, n, s,
+         |  unnest(range(s // $SeqLen, (s + n - 1) // $SeqLen + 1)) AS seq_id
+         |  FROM o),
+         |pk AS (SELECT seq_id, doc_id,
+         |  least(s + n, (seq_id + 1) * $SeqLen)
+         |    - greatest(s, seq_id * $SeqLen) AS n_toks
+         |  FROM x),
+         |ps AS (SELECT seq_id, count(*) AS nd,
+         |  CAST(sum(n_toks) AS BIGINT) AS st FROM pk GROUP BY 1),
+         |pd AS (SELECT doc_id, count(*) AS ns FROM pk GROUP BY 1),
+         |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+         |  CAST(sum(st) AS BIGINT) AS total_tokens,
+         |  CAST(sum(nd) AS BIGINT) AS n_fragments,
+         |  CAST(sum(CASE WHEN st = $SeqLen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_full_seqs FROM ps),
+         |da AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_split_docs FROM pd)
+         |SELECT n_seqs, n_docs, total_tokens, n_fragments, n_full_seqs,
+         |  n_split_docs,
+         |  round(CAST(n_fragments AS DOUBLE) / n_seqs, 6)
+         |    AS mean_docs_per_seq,
+         |  round(CAST(n_split_docs AS DOUBLE) / n_docs, 6)
+         |    AS split_doc_frac
+         |FROM sa, da""".stripMargin,
 
     // tokenizer-faithful packing: the q_bpe_encode chain supplies the
     // per-document lengths, the q_seq_pack chunking consumes them

@@ -102,6 +102,10 @@ class PlanGateSpec extends SparkSpec {
     // BOUNDED key histograms (1e-6 quality grid / 1e-3 per-token snap —
     // CdfRank.scala), never the corpus
     "q_quality_ensemble" -> Set("nested-loop", "global-window"),
+    // pack stats: two 1-row aggregates (sequence-keyed and doc-keyed)
+    // crossJoined into the single report row (the pack itself keeps
+    // the two-phase layout — no global window, as q_seq_pack's gate)
+    "q_pack_stats" -> Set("nested-loop"),
     // drift monitor: the slice-0 baseline mean is a 1-row aggregate
     // crossJoined into the slice-count-sized stats frame (both bounded)
     "q_quantizer_drift" -> Set("nested-loop"),
