@@ -1103,6 +1103,38 @@ object StreamingQueries {
     // watermark is needed (nothing is additive). Probe + scan is the
     // trained ivfSearch tail; the oracle replays the batch-0 training,
     // the frozen assignment of the whole corpus, and the probe.
+    // nearline BM25: the LEXICAL leg of the amortized hybrid — the
+    // per-doc length and query-term frequency tables maintained across
+    // micro-batches (append-only under the doc-id anti-join; every doc
+    // contributes once, so the folded tables equal the batch ones under
+    // ANY batching); the scoring tail is the batch topKFrom seam, so
+    // the oracle is q_bm25 verbatim
+    "q_stream_bm25" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.text.Bm25
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val base = tmpDir("graft_sbm25")
+        val (dlDir, tfDir) = (base + "/dl", base + "/tf")
+        Bm25.initState(s, "doc_id", dlDir, tfDir)
+        StreamFlow.writeTimeSplits(docs, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Bm25.applyBatch(s, b, "doc_id", "text",
+              TextQueries.Bm25Terms, dlDir, tfDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Bm25.topKFromState(s, "doc_id", dlDir, tfDir, k = 15)
+      }
+    },
+
     // nearline frozen-quantizer drift monitor: one exact stats row
     // appended per micro-batch against the bootstrap-trained frozen
     // centroids (state = batch-count-sized, the smallest fold state in
@@ -1343,6 +1375,7 @@ object StreamingQueries {
     "q_stream_ann_ivf_trained" -> SimilarityQueries.frozenStreamIvfOracle,
     "q_stream_quantizer_drift" ->
       SimilarityQueries.oracles("q_quantizer_drift"),
+    "q_stream_bm25" -> TextQueries.oracles("q_bm25"),
     "q_stream_ann_pq" -> SimilarityQueries.frozenStreamPqOracle,
     "q_stream_ann_ivf_pq" -> SimilarityQueries.frozenStreamIvfPqOracle,
     "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),

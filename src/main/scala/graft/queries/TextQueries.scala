@@ -1136,7 +1136,7 @@ object TextQueries {
   /** m-estimate pseudo-count for q_source_quality smoothing. */
   private val SmoothM = 20L
   /** Query terms for q_bm25 (common corpus vocabulary). */
-  private val Bm25Terms = Seq("spark", "join", "window")
+  private[graft] val Bm25Terms = Seq("spark", "join", "window")
   /** Tokens per packed training sequence for q_seq_pack. */
   private val SeqLen = 256L
 

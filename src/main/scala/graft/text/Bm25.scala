@@ -45,10 +45,22 @@ object Bm25 {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("tot"))
     val tf = toks.where(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    topKFrom(dl, tf, idCol, k)
+  }
+
+  /** The scoring tail over the model tables — the seam the nearline
+    * fold shares with the batch path (the [[BigramLm.scoreWithCounts]]
+    * convention), so the streamed query's oracle IS the batch oracle.
+    * `dl`: (idCol, dl) per-document lengths; `tf`: (idCol, term, tf)
+    * query-term frequencies. df and the corpus totals derive here —
+    * output-sized frames that broadcast back.
+    */
+  def topKFrom(dl: DataFrame, tf: DataFrame, idCol: String, k: Int)
+      : DataFrame = {
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nd: Column = col("n_docs").cast("double")
     // association mirrors the oracle SQL token for token; the idf
@@ -72,4 +84,66 @@ object Bm25 {
       .orderBy(col("score_fp").desc, col(idCol))
       .limit(k)
   }
+
+  // ------------------------------------------------------------------
+  // nearline: the BM25 statistics maintained across micro-batches —
+  // the LEXICAL leg of the amortized hybrid (the vector leg's
+  // StreamingIvf/Pq/IvfPq siblings)
+  // ------------------------------------------------------------------
+
+  /** Initialise the empty streaming state: the per-document length
+    * table and the (doc, query-term) frequency table.
+    */
+  def initState(s: org.apache.spark.sql.SparkSession, idCol: String,
+      dlDir: String, tfDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val empty = (schema: StructType) => s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    empty(StructType(Seq(StructField(idCol, LongType),
+      StructField("dl", LongType))))
+      .write.mode("overwrite").parquet(dlDir)
+    empty(StructType(Seq(StructField(idCol, LongType),
+      StructField("term", StringType), StructField("tf", LongType))))
+      .write.mode("overwrite").parquet(tfDir)
+  }
+
+  /** Fold one micro-batch of documents: per-doc token length and
+    * query-term frequencies append under the doc-id anti-join (every
+    * document contributes its rows exactly once — nothing merges
+    * across batches, the StreamingIvf append-only contract, so the
+    * folded tables equal the batch `dl`/`tf` under ANY batching).
+    *
+    * Crash contract (the [[LineDedup.applyLineBatch]] order): the tf
+    * rows append FIRST under their own doc-id anti-join, the dl rows
+    * (the replay guard) append LAST — a crash between the appends
+    * replays into recomputing the batch, whose tf rows the tf-side
+    * anti-join drops, and the dl append completes.
+    *
+    * Per-batch cost: one batch-sized tokenize/agg + two appends; the
+    * tf probe is query-term-pruned at the scan.
+    */
+  def applyBatch(s: org.apache.spark.sql.SparkSession, b: DataFrame,
+      idCol: String, textCol: String, queryTerms: Seq[String],
+      dlDir: String, tfDir: String): Unit = {
+    val dlState = s.read.parquet(dlDir)
+    val fresh = b.join(dlState.select(idCol), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val toks = fresh.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tfNew = toks.where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .join(s.read.parquet(tfDir).select(idCol).distinct(),
+        Seq(idCol), "left_anti")
+    tfNew.write.mode("append").parquet(tfDir)
+    toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(dlDir)
+    ()
+  }
+
+  /** The ranked top-k off the folded state — equals the batch [[topK]]
+    * exactly (both state tables equal their batch counterparts).
+    */
+  def topKFromState(s: org.apache.spark.sql.SparkSession, idCol: String,
+      dlDir: String, tfDir: String, k: Int): DataFrame =
+    topKFrom(s.read.parquet(dlDir), s.read.parquet(tfDir), idCol, k)
 }

@@ -45,6 +45,9 @@ class PlanGateSpec extends SparkSpec {
     "q_join_cartesian" -> Set("nested-loop", "cartesian"),
     "q_dm_audit" -> Set("nested-loop", "cartesian"),
     "q_bm25" -> Set("nested-loop"),
+    // streamed BM25: the identical scoring tail (topKFrom) over the
+    // folded state tables — the same 1-row corpus-totals BNLJ
+    "q_stream_bm25" -> Set("nested-loop"),
     // hybrid RRF: the BM25 leg's 1-row corpus-totals frame crossJoins
     // into the per-(doc, term) contribution stream (same bounded shape
     // as q_bm25); the vector leg is literal-parameter explode, no BNLJ
