@@ -81,4 +81,35 @@ object Crossmodal {
     size(graft.text.TextFunctions.tokens(text)).cast("double"),
     (length(text) - length(regexp_replace(text, "e", ""))).cast("double"),
     length(regexp_replace(lower(text), "[^aeiou]", "")).cast("double"))
+
+  // ------------------------------------------------------------------
+  // nearline: the media-side shared-space index folded across batches
+  // ------------------------------------------------------------------
+
+  /** Initialise the empty (doc_id, mv) shared-space index. */
+  def initState(s: org.apache.spark.sql.SparkSession,
+      stateDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("mv", ArrayType(DoubleType)))))
+      .write.mode("overwrite").parquet(stateDir)
+  }
+
+  /** Fold one micro-batch of already-projected (doc_id, mv) media rows
+    * into the shared-space index — append-only under the doc-id
+    * anti-join (the deterministic projection of an item never changes,
+    * so nothing merges across batches: the StreamingIvf/StreamingPq
+    * contract — replays and re-deliveries append nothing, no
+    * watermark needed), so the folded index equals the batch media
+    * tower under ANY batching and the batch oracle applies verbatim.
+    */
+  def applyBatch(s: org.apache.spark.sql.SparkSession,
+      projected: org.apache.spark.sql.DataFrame, stateDir: String): Unit = {
+    projected.select("doc_id", "mv")
+      .join(s.read.parquet(stateDir).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(stateDir)
+    ()
+  }
 }

@@ -222,8 +222,8 @@ object MultimodalQueries {
         .orderBy("qid", "rank")
     })
 
-  private val NumQueries = 5
-  private val TopK = 10
+  private[graft] val NumQueries = 5
+  private[graft] val TopK = 10
   private val PertIdOffset = 1000000L
 
   /** DuckDB replay of [[MediaCodecs.ImageDHash]] over the closed-form

@@ -1103,6 +1103,70 @@ object StreamingQueries {
     // watermark is needed (nothing is additive). Probe + scan is the
     // trained ivfSearch tail; the oracle replays the batch-0 training,
     // the frozen assignment of the whole corpus, and the probe.
+    // nearline cross-modal index: arriving media items decode,
+    // featurize and project into the shared space per batch, appending
+    // under the doc-id anti-join (the projection is deterministic —
+    // nothing merges across batches, the StreamingIvf append-only
+    // contract), so the drained index equals the batch media tower
+    // under ANY batching and text→media retrieval over it is the batch
+    // q_crossmodal_ann verbatim
+    "q_stream_crossmodal_ann" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.multimodal.{Crossmodal, MediaCodecs, Multimodal}
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val base = tmpDir("graft_sxmod")
+        val stateDir = base + "/mv_state"
+        Crossmodal.initState(s, stateDir)
+        StreamFlow.writeTimeSplits(docs, "doc_id", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val wav = udf((id: Long) => MediaCodecs.Synthetic.wavFor(id))
+            val packed = b.select(col("doc_id"), struct(
+              wav(col("doc_id")).as("data"),
+              lit("audio/wav").as("mime"),
+              lit(null).cast("int").as("width"),
+              lit(null).cast("int").as("height"),
+              lit(null).cast("int").as("duration_ms")).as("media"))
+            val proj = Multimodal.featurize(packed, "media", "feat",
+              MediaCodecs.WavEnergyKernel)
+              .select(col("doc_id"),
+                Crossmodal.projectMedia(col("feat")).as("mv"))
+            Crossmodal.applyBatch(s, proj, stateDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // text-side queries as literals + the batch ranking tail
+        val qRows = docs.where(col("doc_id") < MultimodalQueries.NumQueries)
+          .select(col("doc_id"), Crossmodal.projectText(
+            Crossmodal.textFeatures(col("text"))).as("qv"))
+          .orderBy("doc_id").collect()
+        val qLit = array(qRows.map { r =>
+          struct(lit(r.getLong(0)).as("qid"),
+            array(r.getSeq[Double](1).map(lit(_)): _*).as("qv"))
+        }: _*)
+        val rank = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("cosine"), asc("doc_id"))
+        s.read.parquet(stateDir)
+          .select(col("doc_id"), col("mv"), explode(qLit).as("p"))
+          .select(col("p.qid").as("qid"), col("doc_id"), col("mv"),
+            col("p.qv").as("qv"))
+          .withColumn("cosine", graft.similarity.VectorFunctions
+            .cosine(col("qv"), col("mv")))
+          .withColumn("rank", row_number().over(rank).cast("bigint"))
+          .where(col("rank") <= MultimodalQueries.TopK)
+          .select(col("qid"), col("doc_id").as("neighbor"),
+            col("cosine"), col("rank"))
+          .orderBy("qid", "rank")
+      }
+    },
+
     // nearline BM25: the LEXICAL leg of the amortized hybrid — the
     // per-doc length and query-term frequency tables maintained across
     // micro-batches (append-only under the doc-id anti-join; every doc
@@ -1376,6 +1440,8 @@ object StreamingQueries {
     "q_stream_quantizer_drift" ->
       SimilarityQueries.oracles("q_quantizer_drift"),
     "q_stream_bm25" -> TextQueries.oracles("q_bm25"),
+    "q_stream_crossmodal_ann" ->
+      MultimodalQueries.oracles("q_crossmodal_ann"),
     "q_stream_ann_pq" -> SimilarityQueries.frozenStreamPqOracle,
     "q_stream_ann_ivf_pq" -> SimilarityQueries.frozenStreamIvfPqOracle,
     "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),

@@ -43,6 +43,30 @@ class CrossmodalSpec extends SparkSpec {
     }
   }
 
+  test("nearline index fold: batch-count invariance, replay no-op") {
+    val rows = (0L until 24L).map(i =>
+      (i, (0 until Crossmodal.MediaFeatDim)
+        .map(d => (i * 7 + d).toDouble / 10.0)))
+      .toDF("doc_id", "mv")
+    def drained(nBatches: Int): Map[Long, Seq[Double]] = {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"xmod_$nBatches").toString + "/state"
+      Crossmodal.initState(spark, stateDir)
+      val step = 24 / nBatches
+      (0 until nBatches).foreach { i =>
+        Crossmodal.applyBatch(spark,
+          rows.where(col("doc_id") >= i.toLong * step &&
+            col("doc_id") < (i + 1L) * step), stateDir)
+      }
+      // whole-frame replay is a no-op (doc-id anti-join)
+      Crossmodal.applyBatch(spark, rows, stateDir)
+      val st = spark.read.parquet(stateDir)
+      assert(st.count() === 24L)
+      st.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    }
+    assert(drained(1) == drained(3))
+  }
+
   test("textFeatures: exact char/token/e/vowel counts") {
     val got = spark.range(1)
       .select(Crossmodal.textFeatures(lit("The bee sees  me")).as("f"))
