@@ -152,6 +152,17 @@ object ParquetUtil {
     * absent OR empty. An empty first micro-batch can legally leave a
     * zero-row state frame, where `max()` is SQL-null — reading it as a
     * bare long would NPE and wedge every subsequent batch.
+    *
+    * Sub-O(state) read path: the watermark must live INSIDE the data
+    * (the stamp is atomic with the delta it acknowledges — a sidecar
+    * watermark file would open a crash window where data and stamp
+    * disagree), but reading it does NOT need a row scan. `last_batch`
+    * is a constant per written file, so every parquet FOOTER carries it
+    * as the column's min/max statistic: the fast path maxes the footer
+    * stats across the pile's files — metadata-only I/O, O(#files) not
+    * O(rows), and the delta pile's file count is bounded by the
+    * compaction cadence. Any file whose footer lacks usable stats falls
+    * the whole read back to the exact scan (same result, old cost).
     */
   def lastBatch(spark: SparkSession, path: String): Option[Long] = {
     // A safeOverwrite can die mid-swap (state renamed to __old, staging
@@ -161,13 +172,58 @@ object ParquetUtil {
     recoverInterrupted(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val row = spark.read.parquet(path)
-        .agg(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col("last_batch"))).collect()(0)
-      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    if (!fs.exists(p)) { lastWatermarkSource = "none"; return None }
+    footerMax(spark, p, fs) match {
+      case Some(opt) => lastWatermarkSource = "footer"; opt
+      case None =>
+        lastWatermarkSource = "scan"
+        val row = spark.read.parquet(path)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("last_batch"))).collect()(0)
+        if (row.isNullAt(0)) None else Some(row.getLong(0))
     }
+  }
+
+  /** Which path the most recent [[lastBatch]] took ("footer" | "scan" |
+    * "none") — spec observability only.
+    */
+  @volatile private[graft] var lastWatermarkSource: String = ""
+
+  /** Max `last_batch` across the dir's parquet footers. Outer None =
+    * stats unusable somewhere, take the exact-scan fallback; Some(None)
+    * = all files read and zero rows carried the column (empty state).
+    */
+  private def footerMax(spark: SparkSession, target: Path,
+      fs: org.apache.hadoop.fs.FileSystem): Option[Option[Long]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    var acc: Option[Long] = None
+    try {
+      listDataFiles(fs, target).foreach { rel =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(target, rel), conf))
+        try {
+          rd.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala
+              .filter(_.getPath.toDotString == "last_batch")
+              .foreach { cc =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty) return None // no stats: scan
+                if (st.hasNonNullValue) {
+                  val mx = st.genericGetMax match {
+                    case l: java.lang.Long => l.longValue()
+                    case i: java.lang.Integer => i.longValue()
+                    case _ => return None // unexpected type: scan
+                  }
+                  acc = Some(acc.fold(mx)(math.max(_, mx)))
+                }
+              }
+          }
+        } finally rd.close()
+      }
+      Some(acc)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** True for the swap/append protocol's sibling dirs (`__staging`,

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.functions.BloomFilter
+import graft.io.ParquetUtil
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted, OR-mergeable Bloom membership state for the nearline
+  * folds — the sub-O(state) probe guard: every fold that anti-joins its
+  * batch against an accumulated state table (doc-id replay guards, the
+  * line-key first-occurrence index, the BM25 per-doc tables) pays a
+  * full state SCAN per micro-batch even though the batch side is tiny
+  * and, for fresh data, NONE of its keys are in the state. A Bloom
+  * bitset maintained as fold state answers "definitely absent" row-
+  * locally: a batch whose keys all miss skips the exact anti-join —
+  * and therefore the state read — entirely; only bloom-HIT keys (rare:
+  * replays, crash-window re-deliveries, false positives) pay the exact
+  * probe, which restores exactness.
+  *
+  * Safety argument (why a Bloom cannot break a fold): the guard's only
+  * action is SKIPPING an anti-join when the filter proves no batch key
+  * is in the state. False positives merely run the exact probe
+  * unnecessarily; false NEGATIVES are impossible as long as the bitset
+  * over-approximates the state's key set — which the folds guarantee by
+  * writing the updated bloom BEFORE appending the keys it covers (a
+  * crash between the two writes leaves a superset bloom: harmless, the
+  * next probe just pays one exact anti-join).
+  *
+  * Layout: one parquet row `(words: array<long>)` of the m-bit bitset —
+  * fixed O(m) per-batch read/OR/rewrite cost, independent of state
+  * size ([[DefaultNumBits]] = 2^21 bits = 256 KiB; size m to the
+  * expected key cardinality — the probe stays correct when overloaded,
+  * it just degrades to the pre-guard full probe). The swap runs through
+  * [[ParquetUtil.safeOverwrite]], so every crash window recovers. At
+  * 100 TB key cardinalities the single-row array swaps for the
+  * distributed (word, bits) table ([[BloomFilter.build]]'s aggregation
+  * IS that table before the collect) with the same OR-merge algebra;
+  * the probe side is unchanged.
+  *
+  * Hashing is [[BloomFilter]]'s Kirsch–Mitzenmacher family over the
+  * engine's portable md5 — the build (Column rendering) and the probe
+  * (kernel UDF) are bit-identical (unit-asserted in BloomFilterSpec),
+  * so build-side and probe-side never disagree on membership.
+  */
+object BloomGuard {
+
+  /** 2^21 bits = 256 KiB = ~420k keys at 1% FP with k=5. */
+  val DefaultNumBits: Int = 1 << 21
+  val DefaultNumHashes: Int = 5
+
+  /** Kill switch for the counterfactual soak arm: with the guard off,
+    * folds take their pre-guard path (exact anti-join against the full
+    * state every batch) so the soak can measure what the guard saves.
+    * Never off in production.
+    */
+  @volatile var enabled: Boolean = true
+
+  private def schema = StructType(Seq(
+    StructField("words", ArrayType(LongType, containsNull = false))))
+
+  /** Initialise an empty bloom dir (all-zero bitset). */
+  def init(s: SparkSession, dir: String,
+      numBits: Int = DefaultNumBits): Unit = {
+    require(numBits % 64 == 0 && numBits > 0, "numBits must be multiple of 64")
+    write(s, dir, new Array[Long](numBits / 64))
+  }
+
+  /** Read the bitset (empty/missing dir → all-zero default-size bitset,
+    * so folds whose init predates the guard keep working). O(m) driver
+    * cost; the read is metered as state-scan bytes.
+    */
+  def read(s: SparkSession, dir: String): Array[Long] = {
+    ParquetUtil.recoverInterrupted(s, dir)
+    if (ParquetUtil.dirSizeBytes(s, dir) <= 0L)
+      return new Array[Long](DefaultNumBits / 64)
+    StateScanMeter.addGuard(s, dir)
+    val rows = s.read.schema(schema).parquet(dir).collect()
+    if (rows.isEmpty) new Array[Long](DefaultNumBits / 64)
+    else rows(0).getSeq[Long](0).toArray
+  }
+
+  private def write(s: SparkSession, dir: String,
+      words: Array[Long]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val row = org.apache.spark.sql.Row(words.toSeq)
+    ParquetUtil.safeOverwrite(s,
+      s.createDataFrame(Seq(row).asJava, schema).coalesce(1), dir)
+  }
+
+  /** OR the keys of `df(keyCol)` into the persisted bitset — the
+    * mergeable update, run BEFORE the state append it covers. Key
+    * hashing casts through string (the [[BloomFilter.hashCol]]
+    * contract), so long ids and string keys share one code path.
+    */
+  def addKeys(s: SparkSession, dir: String, df: DataFrame,
+      keyCol: String): Unit = {
+    val words = read(s, dir)
+    val delta = BloomFilter.build(df, keyCol, words.length * 64,
+      DefaultNumHashes)
+    var i = 0
+    while (i < words.length) { words(i) |= delta(i); i += 1 }
+    write(s, dir, words)
+  }
+
+  /** Row-local membership probe column for `keyCol` against a read
+    * bitset (never false-negative vs the keys [[addKeys]] recorded).
+    */
+  def hit(words: Array[Long], keyCol: String)
+      : org.apache.spark.sql.Column =
+    BloomFilter.mightContainUdf(words, DefaultNumHashes)(
+      col(keyCol).cast("string"))
+}

@@ -91,8 +91,12 @@ object Bm25 {
   // StreamingIvf/Pq/IvfPq siblings)
   // ------------------------------------------------------------------
 
+  /** The fold's Bloom-guard state dir, derived from the dl dir. */
+  def bloomDir(dlDir: String): String = dlDir + "_bloom"
+
   /** Initialise the empty streaming state: the per-document length
-    * table and the (doc, query-term) frequency table.
+    * table, the (doc, query-term) frequency table, and the doc-id
+    * Bloom guard.
     */
   def initState(s: org.apache.spark.sql.SparkSession, idCol: String,
       dlDir: String, tfDir: String): Unit = {
@@ -105,6 +109,7 @@ object Bm25 {
     empty(StructType(Seq(StructField(idCol, LongType),
       StructField("term", StringType), StructField("tf", LongType))))
       .write.mode("overwrite").parquet(tfDir)
+    graft.streaming.BloomGuard.init(s, bloomDir(dlDir))
   }
 
   /** Fold one micro-batch of documents: per-doc token length and
@@ -113,32 +118,79 @@ object Bm25 {
     * across batches, the StreamingIvf append-only contract, so the
     * folded tables equal the batch `dl`/`tf` under ANY batching).
     *
-    * Crash contract (the [[LineDedup.applyLineBatch]] order): the tf
-    * rows append FIRST under their own doc-id anti-join, the dl rows
-    * (the replay guard) append LAST — a crash between the appends
-    * replays into recomputing the batch, whose tf rows the tf-side
-    * anti-join drops, and the dl append completes.
+    * Sub-O(state) probe ([[graft.streaming.BloomGuard]]): the doc-id
+    * bitset answers "definitely new" row-locally, so a fresh batch —
+    * the steady state of an append-only ingest — runs NO anti-join and
+    * reads NEITHER state table; only bloom-hit batches (replays,
+    * crash-window re-deliveries, false positives) pay the exact dl/tf
+    * probes that restore exactness. Per-batch cost is therefore
+    * O(batch + bloom), not O(state).
     *
-    * Per-batch cost: one batch-sized tokenize/agg + two appends; the
-    * tf probe is query-term-pruned at the scan.
+    * Crash contract: the bloom writes FIRST (adding this batch's doc
+    * ids — a crash after it leaves a harmless superset bloom whose
+    * hits route the replay through the exact probes), then the tf rows
+    * under their doc-id anti-join, then the dl rows (the exact replay
+    * guard) LAST. Both data appends run the exact-retry
+    * [[graft.io.ParquetUtil.safeAppend]] protocol, so a crash MID
+    * append rolls back completely — a plain append could commit a
+    * SUBSET of one doc's (doc, term) rows, and the doc-id-keyed
+    * anti-join would then drop that doc's remaining terms forever.
+    *
+    * Per-batch cost: one batch-sized tokenize/agg, one O(bloom)
+    * read/OR/swap + two appends; the tf probe is query-term-pruned at
+    * the scan.
     */
   def applyBatch(s: org.apache.spark.sql.SparkSession, b: DataFrame,
       idCol: String, textCol: String, queryTerms: Seq[String],
       dlDir: String, tfDir: String): Unit = {
-    val dlState = s.read.parquet(dlDir)
-    val fresh = b.join(dlState.select(idCol), Seq(idCol), "left_anti")
-      .localCheckpoint()
+    import graft.streaming.{BloomGuard, StateScanMeter}
+    // roll back any crashed append FIRST — the exact probes below read
+    // these dirs, and a committed-but-unacknowledged delta would make
+    // the anti-joins drop rows the recovery is about to delete (the
+    // NgramDiversity recovery-before-watermark window, same analysis)
+    graft.io.ParquetUtil.recoverAppend(s, tfDir)
+    graft.io.ParquetUtil.recoverAppend(s, dlDir)
+    val bloom = bloomDir(dlDir)
+    val words = BloomGuard.read(s, bloom)
+    val anyHit = BloomGuard.enabled &&
+      b.where(BloomGuard.hit(words, idCol)).limit(1).count() > 0
+    val fresh =
+      if (BloomGuard.enabled && !anyHit) b
+      else {
+        StateScanMeter.add(s, dlDir)
+        b.join(s.read.parquet(dlDir).select(idCol), Seq(idCol), "left_anti")
+          .localCheckpoint()
+      }
     val toks = fresh.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val tfNew = toks.where(col("term").isin(queryTerms: _*))
+    val tfBatch = toks.where(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .join(s.read.parquet(tfDir).select(idCol).distinct(),
-        Seq(idCol), "left_anti")
-    tfNew.write.mode("append").parquet(tfDir)
-    toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
-      .write.mode("append").parquet(dlDir)
+    val tfNew =
+      if (BloomGuard.enabled && !anyHit) tfBatch
+      else {
+        // materialise before the append below writes into the same dir
+        // it reads (the StreamingDecontam read-your-write convention)
+        StateScanMeter.add(s, tfDir)
+        tfBatch.join(s.read.parquet(tfDir).select(idCol).distinct(),
+          Seq(idCol), "left_anti").localCheckpoint()
+      }
+    BloomGuard.addKeys(s, bloom, fresh.select(idCol), idCol)
+    graft.io.ParquetUtil.safeAppend(s, tfNew, tfDir)
+    if (crashBetweenAppends) {
+      crashBetweenAppends = false
+      throw new RuntimeException("injected crash between tf and dl append")
+    }
+    graft.io.ParquetUtil.safeAppend(s,
+      toks.groupBy(idCol).agg(count(lit(1)).as("dl")), dlDir)
     ()
   }
+
+  /** Failpoint for the crash-contract spec: the next [[applyBatch]]
+    * throws ONCE between the tf and dl appends (the widest kill
+    * window). Never set in production — the
+    * [[graft.io.ParquetUtil.crashPoint]] convention.
+    */
+  @volatile private[graft] var crashBetweenAppends: Boolean = false
 
   /** The ranked top-k off the folded state — equals the batch [[topK]]
     * exactly (both state tables equal their batch counterparts).

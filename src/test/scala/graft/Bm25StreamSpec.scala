@@ -56,14 +56,13 @@ class Bm25StreamSpec extends SparkSpec {
     Bm25.initState(spark, "doc_id", dlDir, tfDir)
     Bm25.applyBatch(spark, docs.where(col("doc_id") < 20),
       "doc_id", "text", terms, dlDir, tfDir)
-    // simulate the kill window: apply the second batch's tf append
-    // only (what a crash after the first append leaves behind)
+    // the real kill window: the fold itself dies after the bloom and
+    // tf writes, before the dl append
     val b2 = docs.where(col("doc_id") >= 20)
-    val toks = b2.select(col("doc_id"),
-      explode(graft.text.TextFunctions.tokens(col("text"))).as("term"))
-    toks.where(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .write.mode("append").parquet(tfDir)
+    Bm25.crashBetweenAppends = true
+    assertThrows[RuntimeException] {
+      Bm25.applyBatch(spark, b2, "doc_id", "text", terms, dlDir, tfDir)
+    }
     // scheduler retry of the whole batch
     Bm25.applyBatch(spark, b2, "doc_id", "text", terms, dlDir, tfDir)
     assert(collectTopK(Bm25.topKFromState(
@@ -72,5 +71,74 @@ class Bm25StreamSpec extends SparkSpec {
     val dup = spark.read.parquet(tfDir).groupBy("doc_id", "term")
       .count().where(col("count") > 1).count()
     assert(dup === 0L)
+  }
+
+  test("crash MID tf append rolls back exactly — a partially-visible " +
+      "doc never loses its remaining term rows") {
+    val base = java.nio.file.Files.createTempDirectory("sbm_midcrash")
+      .toString
+    val (dlDir, tfDir) = (base + "/dl", base + "/tf")
+    Bm25.initState(spark, "doc_id", dlDir, tfDir)
+    Bm25.applyBatch(spark, docs.where(col("doc_id") < 20),
+      "doc_id", "text", terms, dlDir, tfDir)
+    // kill the tf safeAppend after its data commits but before the
+    // pending marker clears — the exact window a plain append would
+    // leave a subset of one doc's (doc, term) rows visible in
+    val b2 = docs.where(col("doc_id") >= 20)
+    graft.io.ParquetUtil.crashPoint = Some("after-append")
+    assertThrows[RuntimeException] {
+      Bm25.applyBatch(spark, b2, "doc_id", "text", terms, dlDir, tfDir)
+    }
+    Bm25.applyBatch(spark, b2, "doc_id", "text", terms, dlDir, tfDir)
+    assert(collectTopK(Bm25.topKFromState(
+      spark, "doc_id", dlDir, tfDir, k = 10)) == truth)
+    val dup = spark.read.parquet(tfDir).groupBy("doc_id", "term")
+      .count().where(col("count") > 1).count()
+    assert(dup === 0L)
+  }
+
+  test("bloom guard: fresh batches read neither state table; a replay " +
+      "routes through the exact probes; the guarded and unguarded " +
+      "arms agree") {
+    import graft.streaming.{BloomGuard, StateScanMeter}
+    val base = java.nio.file.Files.createTempDirectory("sbm_bloom")
+      .toString
+    val (dlDir, tfDir) = (base + "/dl", base + "/tf")
+    Bm25.initState(spark, "doc_id", dlDir, tfDir)
+    Bm25.applyBatch(spark, docs.where(col("doc_id") < 20),
+      "doc_id", "text", terms, dlDir, tfDir)
+    val stateBytes = graft.io.ParquetUtil.dirSizeBytes(spark, dlDir) +
+      graft.io.ParquetUtil.dirSizeBytes(spark, tfDir)
+    // fresh second batch: scan meter must record NO dl/tf read — only
+    // the fixed-size bloom touches disk
+    StateScanMeter.reset()
+    Bm25.applyBatch(spark, docs.where(col("doc_id") >= 20),
+      "doc_id", "text", terms, dlDir, tfDir)
+    val freshScan = StateScanMeter.value
+    assert(freshScan === 0L,
+      s"fresh batch scanned $freshScan bytes of state (want 0)")
+    assert(StateScanMeter.guardValue > 0L, "bloom guard was not read")
+    // replay: bloom hits route through the exact anti-joins (state read)
+    StateScanMeter.reset()
+    Bm25.applyBatch(spark, docs, "doc_id", "text", terms, dlDir, tfDir)
+    assert(StateScanMeter.value >= stateBytes,
+      "replay batch must pay the exact state probe")
+    val guarded = collectTopK(Bm25.topKFromState(
+      spark, "doc_id", dlDir, tfDir, k = 10))
+    // unguarded arm (the counterfactual soak toggle) folds identically
+    val base2 = java.nio.file.Files.createTempDirectory("sbm_noguard")
+      .toString
+    val (dlDir2, tfDir2) = (base2 + "/dl", base2 + "/tf")
+    BloomGuard.enabled = false
+    try {
+      Bm25.initState(spark, "doc_id", dlDir2, tfDir2)
+      Bm25.applyBatch(spark, docs.where(col("doc_id") < 20),
+        "doc_id", "text", terms, dlDir2, tfDir2)
+      Bm25.applyBatch(spark, docs.where(col("doc_id") >= 20),
+        "doc_id", "text", terms, dlDir2, tfDir2)
+    } finally BloomGuard.enabled = true
+    assert(collectTopK(Bm25.topKFromState(
+      spark, "doc_id", dlDir2, tfDir2, k = 10)) == guarded)
+    assert(guarded == truth)
   }
 }
