@@ -238,10 +238,13 @@ object Nearline {
     graft.io.ParquetUtil.safeAppend(s,
       Dedup.exactDedup(b, textCol, idCol)
         .withColumn("last_batch", lit(batchId)), stateDir)
-    if (batchId % compactEvery == compactEvery - 1)
+    if (batchId % compactEvery == compactEvery - 1) {
+      // the amortized O(state/compactEvery) read, metered honestly
+      graft.streaming.StateScanMeter.add(s, stateDir)
       graft.io.ParquetUtil.safeOverwrite(s,
         exactFromState(s, stateDir).withColumn("last_batch", lit(batchId)),
         stateDir)
+    }
   }
 
   /** The min/sum merge of the exact-dedup delta pile: equals

@@ -40,7 +40,8 @@ object ParquetUtil {
     *    recovery deletes the leftover.
     */
   def safeOverwrite(spark: SparkSession, df: DataFrame, path: String,
-      partitionBy: Seq[String] = Seq.empty): Unit = {
+      partitionBy: Seq[String] = Seq.empty,
+      failpoints: Boolean = true): Unit = {
     val target = new Path(path)
     val staging = new Path(path + "__staging")
     val old = new Path(path + "__old")
@@ -49,15 +50,15 @@ object ParquetUtil {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(staging.toString)
-    maybeCrash("after-staging")
+    if (failpoints) maybeCrash("after-staging")
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(
         s"safeOverwrite: rename $target -> $old failed")
-    maybeCrash("mid-swap")
+    if (failpoints) maybeCrash("mid-swap")
     if (!fs.rename(staging, target))
       throw new java.io.IOException(
         s"safeOverwrite: rename $staging -> $target failed")
-    maybeCrash("after-swap")
+    if (failpoints) maybeCrash("after-swap")
     if (fs.exists(old)) fs.delete(old, true)
   }
 

@@ -86,7 +86,12 @@ object Crossmodal {
   // nearline: the media-side shared-space index folded across batches
   // ------------------------------------------------------------------
 
-  /** Initialise the empty (doc_id, mv) shared-space index. */
+  /** The fold's Bloom-guard state dir. */
+  def bloomDir(stateDir: String): String = stateDir + "_bloom"
+
+  /** Initialise the empty (doc_id, mv) shared-space index and its
+    * doc-id Bloom guard.
+    */
   def initState(s: org.apache.spark.sql.SparkSession,
       stateDir: String): Unit = {
     import org.apache.spark.sql.types._
@@ -94,6 +99,7 @@ object Crossmodal {
       StructType(Seq(StructField("doc_id", LongType),
         StructField("mv", ArrayType(DoubleType)))))
       .write.mode("overwrite").parquet(stateDir)
+    graft.streaming.BloomGuard.init(s, bloomDir(stateDir))
   }
 
   /** Fold one micro-batch of already-projected (doc_id, mv) media rows
@@ -103,13 +109,28 @@ object Crossmodal {
     * contract — replays and re-deliveries append nothing, no
     * watermark needed), so the folded index equals the batch media
     * tower under ANY batching and the batch oracle applies verbatim.
+    *
+    * Sub-O(state) probe ([[graft.streaming.BloomGuard]], written
+    * BEFORE the append it covers): fresh batches skip the anti-join
+    * and never read the index; bloom-hit batches take the exact
+    * anti-join, materialised (localCheckpoint) before the append so
+    * the plan never reads the dir it is writing (the
+    * StreamingDecontam read-your-write convention).
     */
   def applyBatch(s: org.apache.spark.sql.SparkSession,
       projected: org.apache.spark.sql.DataFrame, stateDir: String): Unit = {
-    projected.select("doc_id", "mv")
-      .join(s.read.parquet(stateDir).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(stateDir)
+    import graft.streaming.{BloomGuard, StateScanMeter}
+    val bloom = bloomDir(stateDir)
+    val rows = projected.select("doc_id", "mv")
+    val fresh =
+      if (!BloomGuard.needExact(s, bloom, rows, "doc_id")) rows
+      else {
+        StateScanMeter.add(s, stateDir)
+        rows.join(s.read.parquet(stateDir).select("doc_id"),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+      }
+    BloomGuard.addKeys(s, bloom, fresh.select("doc_id"), "doc_id")
+    fresh.write.mode("append").parquet(stateDir)
     ()
   }
 }

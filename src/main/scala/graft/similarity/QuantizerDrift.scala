@@ -65,6 +65,12 @@ object QuantizerDrift {
     * baseline-normalized drift ratio (baseline = slice 0, the
     * bootstrap). Every division's operands are exact-integer doubles,
     * so the quotients are engine-identical.
+    *
+    * A MISSING baseline (slice 0 produced no stats row — e.g. an empty
+    * bootstrap batch appended nothing) must stay visible: the join is
+    * a broadcast LEFT attach, so every slice still reports its own
+    * mean/imbalance with a null `drift_ratio`, instead of the old
+    * cross join silently returning an empty report.
     */
   def withRatios(stats: DataFrame): DataFrame = {
     val mean = col("sum_dist_fp").cast("double") /
@@ -72,7 +78,7 @@ object QuantizerDrift {
     val base = stats.where(col("slice") === 0)
       .select((col("sum_dist_fp").cast("double") /
         col("n_vecs").cast("double")).as("__base_mean"))
-    stats.crossJoin(broadcast(base))
+    stats.join(broadcast(base), lit(true), "left")
       .select(col("slice"), col("n_vecs"), col("sum_dist_fp"),
         round(mean, 6).as("mean_dist_fp"),
         round(col("max_nc").cast("double") /

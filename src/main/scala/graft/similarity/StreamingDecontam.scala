@@ -27,13 +27,15 @@ import org.apache.spark.sql.types._
 object StreamingDecontam {
 
   /** Initialise the empty scored-postings frame. */
-  def initState(s: SparkSession, stateDir: String): Unit =
+  def initState(s: SparkSession, stateDir: String): Unit = {
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(
         StructField("vec_id", LongType),
         StructField("max_eval_cos", DoubleType),
         StructField("contaminated", BooleanType))))
       .write.mode("overwrite").parquet(stateDir)
+    graft.streaming.BloomGuard.init(s, stateDir + "_bloom")
+  }
 
   /** The row-local max-cosine fold over the frozen eval vectors —
     * shared with the batch query so both engines (and both renderings)
@@ -58,11 +60,19 @@ object StreamingDecontam {
     */
   def applyBatch(s: SparkSession, b: DataFrame, eval: Seq[Seq[Float]],
       tau: Double, stateDir: String): Unit = {
+    import graft.streaming.{BloomGuard, StateScanMeter}
     val bs = b.sparkSession
-    val fresh = b.select("vec_id", "embedding")
-      .join(bs.read.parquet(stateDir).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+    val batch = b.select("vec_id", "embedding")
+    val fresh =
+      if (!BloomGuard.needExact(bs, stateDir + "_bloom", batch,
+          "vec_id")) batch
+      else {
+        StateScanMeter.add(bs, stateDir)
+        batch.join(bs.read.parquet(stateDir).select("vec_id"),
+          Seq("vec_id"), "left_anti").localCheckpoint()
+      }
+    BloomGuard.addKeys(bs, stateDir + "_bloom",
+      fresh.select("vec_id"), "vec_id")
     fresh
       .select(col("vec_id"),
         maxEvalCos(bs, eval, col("embedding")).as("max_eval_cos"))

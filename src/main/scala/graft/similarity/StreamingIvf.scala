@@ -36,29 +36,44 @@ object StreamingIvf {
 
   private val SumT = DecimalType(38, 15)
 
-  /** Initialise the empty postings frame (sums start on first batch). */
-  def initState(s: SparkSession, postingsDir: String): Unit =
+  /** The postings' Bloom-guard state dir. */
+  def bloomDir(postingsDir: String): String = postingsDir + "_bloom"
+
+  /** Initialise the empty postings frame (sums start on first batch)
+    * and the vec-id Bloom guard.
+    */
+  def initState(s: SparkSession, postingsDir: String): Unit = {
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
         StructField("label", IntegerType))))
       .write.mode("overwrite").parquet(postingsDir)
+    graft.streaming.BloomGuard.init(s, bloomDir(postingsDir))
+  }
 
   /** Fold one micro-batch of (vec_id, embedding, label) vectors. */
   def applyBatch(s: SparkSession, b: DataFrame, batchId: Long,
       sumsDir: String, postingsDir: String): Unit = {
+    import graft.streaming.{BloomGuard, StateScanMeter}
     val applied = graft.io.ParquetUtil.lastBatch(s, sumsDir)
     if (applied.exists(batchId <= _)) return
     val batch = b.select("vec_id", "embedding", "label").cache()
     try {
       val batchCnt = batch.count()
       // 1. postings FIRST — idempotent under the vec_id anti-join, so a
-      //    crash after this write replays into a skipped append
-      val fresh = batch
-        .join(s.read.parquet(postingsDir).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-        .cache()
+      //    crash after this write replays into a skipped append. The
+      //    vec-id bloom (written before the append it covers) proves
+      //    fresh batches new row-locally, so the steady state never
+      //    reads the postings; bloom hits take the exact probe below.
+      val fresh =
+        if (!BloomGuard.needExact(s, bloomDir(postingsDir), batch,
+            "vec_id")) batch
+        else {
+          StateScanMeter.add(s, postingsDir)
+          batch.join(s.read.parquet(postingsDir).select("vec_id"),
+            Seq("vec_id"), "left_anti").localCheckpoint()
+        }
       val freshCnt = fresh.count()
       // Enforce the batch-atomicity invariant the sums fold rests on:
       // either every vec_id is new (normal batch) or none is (a whole-
@@ -71,8 +86,9 @@ object StreamingIvf {
           s"StreamingIvf batch $batchId re-delivers ${batchCnt - freshCnt} " +
             s"of $batchCnt vec_ids already in the postings: batches must " +
             "be atomic (all-new or an exact replay)")
+      BloomGuard.addKeys(s, bloomDir(postingsDir),
+        fresh.select("vec_id"), "vec_id")
       fresh.write.mode("append").parquet(postingsDir)
-      fresh.unpersist()
       // 2. sums partial from the RAW batch (watermark-gated above, NOT
       //    anti-joined — after the crash the batch is already in postings
       //    and an anti-joined partial would drop it from the sums)
@@ -123,12 +139,22 @@ object StreamingIvf {
     */
   def applyFrozenBatch(s: SparkSession, b: DataFrame,
       centFp: DataFrame, postingsDir: String): Unit = {
+    import graft.streaming.{BloomGuard, StateScanMeter}
     val batch = b.select("vec_id", "embedding")
-    val fresh = batch
-      .join(s.read.parquet(postingsDir).select("vec_id"),
-        Seq("vec_id"), "left_anti")
+    val fresh =
+      if (!BloomGuard.needExact(s, bloomDir(postingsDir), batch,
+          "vec_id")) batch
+      else {
+        // exact replay guard, materialised before the append below
+        // writes into the dir the probe reads
+        StateScanMeter.add(s, postingsDir)
+        batch.join(s.read.parquet(postingsDir).select("vec_id"),
+          Seq("vec_id"), "left_anti").localCheckpoint()
+      }
     val asg = KMeans.assign(
       KMeans.pointsFp(fresh, "vec_id", "embedding"), centFp)
+    BloomGuard.addKeys(s, bloomDir(postingsDir),
+      fresh.select("vec_id"), "vec_id")
     fresh.join(asg, "vec_id")
       .select(col("vec_id"), col("embedding"),
         col("cid").cast("int").as("label"))

@@ -28,9 +28,9 @@ import org.apache.spark.sql.types._
   */
 object StreamingIvfPq {
 
-  /** Initialise the empty postings frame. */
+  /** Initialise the empty postings frame and its vec-id Bloom guard. */
   def initState(s: SparkSession, postingsDir: String,
-      m: Int = ProductQuantizer.NumSubspaces): Unit =
+      m: Int = ProductQuantizer.NumSubspaces): Unit = {
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(
         Seq(StructField("vec_id", LongType),
@@ -38,22 +38,34 @@ object StreamingIvfPq {
           StructField("cid", LongType)) ++
           (0 until m).map(i => StructField(s"code_$i", LongType))))
       .write.mode("overwrite").parquet(postingsDir)
+    graft.streaming.BloomGuard.init(s, postingsDir + "_bloom")
+  }
 
   /** Fold one micro-batch of (vec_id, embedding) vectors: frozen
-    * coarse-list + code assignment, idempotent postings append.
+    * coarse-list + code assignment, idempotent postings append. The
+    * vec-id bloom (written before the append it covers) keeps fresh
+    * batches from reading the postings; bloom hits run the exact
+    * anti-join ([[graft.streaming.BloomGuard]]).
     */
   def applyFrozenBatch(s: SparkSession, b: DataFrame, centFp: DataFrame,
       books: Seq[DataFrame], postingsDir: String,
       m: Int = ProductQuantizer.NumSubspaces): Unit = {
+    import graft.streaming.{BloomGuard, StateScanMeter}
     val batch = b.select("vec_id", "embedding")
-    val fresh = batch
-      .join(s.read.parquet(postingsDir).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+    val fresh =
+      if (!BloomGuard.needExact(s, postingsDir + "_bloom", batch,
+          "vec_id")) batch
+      else {
+        StateScanMeter.add(s, postingsDir)
+        batch.join(s.read.parquet(postingsDir).select("vec_id"),
+          Seq("vec_id"), "left_anti").localCheckpoint()
+      }
     val cids = KMeans.assign(
       KMeans.pointsFp(fresh, "vec_id", "embedding"), centFp)
     val codes = ProductQuantizer.assignCodes(
       fresh, "vec_id", "embedding", books, m)
+    BloomGuard.addKeys(s, postingsDir + "_bloom",
+      fresh.select("vec_id"), "vec_id")
     fresh.join(cids, "vec_id").join(codes, "vec_id")
       .select(col("vec_id") +: col("embedding") +: col("cid") +:
         (0 until m).map(i => col(s"code_$i")): _*)

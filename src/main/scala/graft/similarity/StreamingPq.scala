@@ -27,29 +27,41 @@ import org.apache.spark.sql.types._
   */
 object StreamingPq {
 
-  /** Initialise the empty postings frame. */
+  /** Initialise the empty postings frame and its vec-id Bloom guard. */
   def initState(s: SparkSession, postingsDir: String,
-      m: Int = ProductQuantizer.NumSubspaces): Unit =
+      m: Int = ProductQuantizer.NumSubspaces): Unit = {
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(
         Seq(StructField("vec_id", LongType),
           StructField("embedding", ArrayType(FloatType))) ++
           (0 until m).map(i => StructField(s"code_$i", LongType))))
       .write.mode("overwrite").parquet(postingsDir)
+    graft.streaming.BloomGuard.init(s, postingsDir + "_bloom")
+  }
 
   /** Fold one micro-batch of (vec_id, embedding) vectors: frozen-book
-    * code assignment + idempotent postings append.
+    * code assignment + idempotent postings append. The vec-id bloom
+    * (written before the append it covers) keeps fresh batches from
+    * reading the postings at all — the exact anti-join runs only on
+    * bloom hits ([[graft.streaming.BloomGuard]]).
     */
   def applyFrozenBatch(s: SparkSession, b: DataFrame,
       cents: Seq[DataFrame], postingsDir: String,
       m: Int = ProductQuantizer.NumSubspaces): Unit = {
+    import graft.streaming.{BloomGuard, StateScanMeter}
     val batch = b.select("vec_id", "embedding")
-    val fresh = batch
-      .join(s.read.parquet(postingsDir).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+    val fresh =
+      if (!BloomGuard.needExact(s, postingsDir + "_bloom", batch,
+          "vec_id")) batch
+      else {
+        StateScanMeter.add(s, postingsDir)
+        batch.join(s.read.parquet(postingsDir).select("vec_id"),
+          Seq("vec_id"), "left_anti").localCheckpoint()
+      }
     val codes = ProductQuantizer.assignCodes(
       fresh, "vec_id", "embedding", cents, m)
+    BloomGuard.addKeys(s, postingsDir + "_bloom",
+      fresh.select("vec_id"), "vec_id")
     fresh.join(codes, "vec_id")
       .write.mode("append").parquet(postingsDir)
   }

@@ -66,36 +66,53 @@ object BloomGuard {
     write(s, dir, new Array[Long](numBits / 64))
   }
 
-  /** Read the bitset (empty/missing dir → all-zero default-size bitset,
-    * so folds whose init predates the guard keep working). O(m) driver
-    * cost; the read is metered as state-scan bytes.
+  /** Read the bitset. None when the dir is missing/empty — the FAIL-
+    * SAFE direction: a state dir whose bloom was never initialised
+    * (pre-guard deployments) must take the exact probe path forever,
+    * because a fresh bloom would miss the old state's keys and a miss
+    * is a correctness claim. O(m) driver cost; metered as guard bytes.
     */
-  def read(s: SparkSession, dir: String): Array[Long] = {
+  def read(s: SparkSession, dir: String): Option[Array[Long]] = {
     ParquetUtil.recoverInterrupted(s, dir)
-    if (ParquetUtil.dirSizeBytes(s, dir) <= 0L)
-      return new Array[Long](DefaultNumBits / 64)
+    if (ParquetUtil.dirSizeBytes(s, dir) <= 0L) return None
     StateScanMeter.addGuard(s, dir)
     val rows = s.read.schema(schema).parquet(dir).collect()
-    if (rows.isEmpty) new Array[Long](DefaultNumBits / 64)
-    else rows(0).getSeq[Long](0).toArray
+    if (rows.isEmpty) None
+    else Some(rows(0).getSeq[Long](0).toArray)
   }
 
   private def write(s: SparkSession, dir: String,
       words: Array[Long]): Unit = {
     import scala.jdk.CollectionConverters._
     val row = org.apache.spark.sql.Row(words.toSeq)
+    // failpoints=false: the folds' crash specs aim ParquetUtil.crashPoint
+    // at their OWN state writes; the bloom swap has its own failpoint
     ParquetUtil.safeOverwrite(s,
-      s.createDataFrame(Seq(row).asJava, schema).coalesce(1), dir)
+      s.createDataFrame(Seq(row).asJava, schema).coalesce(1), dir,
+      failpoints = false)
+    if (crashAfterWrite) {
+      crashAfterWrite = false
+      throw new RuntimeException("injected crash after bloom write")
+    }
   }
+
+  /** Failpoint for the guard's own crash spec: the next [[addKeys]] /
+    * [[init]] throws ONCE after its swap completes — the window that
+    * leaves a SUPERSET bloom with no covered data appended. Never set
+    * in production.
+    */
+  @volatile private[graft] var crashAfterWrite: Boolean = false
 
   /** OR the keys of `df(keyCol)` into the persisted bitset — the
     * mergeable update, run BEFORE the state append it covers. Key
     * hashing casts through string (the [[BloomFilter.hashCol]]
     * contract), so long ids and string keys share one code path.
+    * No-op when the bloom was never initialised (see [[read]]'s
+    * fail-safe: creating a bloom that misses pre-existing state keys
+    * would manufacture false negatives).
     */
   def addKeys(s: SparkSession, dir: String, df: DataFrame,
-      keyCol: String): Unit = {
-    val words = read(s, dir)
+      keyCol: String): Unit = read(s, dir).foreach { words =>
     val delta = BloomFilter.build(df, keyCol, words.length * 64,
       DefaultNumHashes)
     var i = 0
@@ -110,4 +127,19 @@ object BloomGuard {
       : org.apache.spark.sql.Column =
     BloomFilter.mightContainUdf(words, DefaultNumHashes)(
       col(keyCol).cast("string"))
+
+  /** The guard decision a fold makes per batch: true when the EXACT
+    * state probe must run — the guard is disabled, the bloom was never
+    * initialised (fail-safe), or at least one batch key hits the
+    * bitset (replays, crash-window re-deliveries, false positives).
+    * False = every key is provably absent from the state: skip the
+    * anti-join and the state read entirely.
+    */
+  def needExact(s: SparkSession, dir: String, df: DataFrame,
+      keyCol: String): Boolean =
+    !enabled || (read(s, dir) match {
+      case None => true
+      case Some(words) =>
+        df.where(hit(words, keyCol)).limit(1).count() > 0
+    })
 }

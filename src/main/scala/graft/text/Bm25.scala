@@ -151,11 +151,9 @@ object Bm25 {
     graft.io.ParquetUtil.recoverAppend(s, tfDir)
     graft.io.ParquetUtil.recoverAppend(s, dlDir)
     val bloom = bloomDir(dlDir)
-    val words = BloomGuard.read(s, bloom)
-    val anyHit = BloomGuard.enabled &&
-      b.where(BloomGuard.hit(words, idCol)).limit(1).count() > 0
+    val exact = BloomGuard.needExact(s, bloom, b, idCol)
     val fresh =
-      if (BloomGuard.enabled && !anyHit) b
+      if (!exact) b
       else {
         StateScanMeter.add(s, dlDir)
         b.join(s.read.parquet(dlDir).select(idCol), Seq(idCol), "left_anti")
@@ -166,7 +164,7 @@ object Bm25 {
     val tfBatch = toks.where(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val tfNew =
-      if (BloomGuard.enabled && !anyHit) tfBatch
+      if (!exact) tfBatch
       else {
         // materialise before the append below writes into the same dir
         // it reads (the StreamingDecontam read-your-write convention)

@@ -138,22 +138,75 @@ object LineDedup {
   // nearline: the line-key index maintained across micro-batches
   // ------------------------------------------------------------------
 
+  /** Number of hash buckets the first-occurrence index partitions
+    * into: probes read ONLY the buckets their bloom-hit keys fall in
+    * (parquet directory pruning), so a batch whose few recurring keys
+    * (the boilerplate banners of a real crawl) hit b buckets scans
+    * b/[[IndexBuckets]] of the index instead of all of it.
+    */
+  val IndexBuckets = 64
+
+  /** Deterministic bucket of a line key (first two hex chars of the
+    * md5 → 0..255 → mod [[IndexBuckets]]).
+    */
+  def keyBucket(k: Column): Column =
+    (conv(substring(k, 1, 2), 16, 10).cast("int") % IndexBuckets)
+
+  private def idxSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("line_key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("page_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("line_no",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Read the index rows of the given buckets only (None = all
+    * buckets) — the bucket-pruned state probe. Missing buckets (never
+    * appended to) contribute nothing; the metered bytes are exactly
+    * the opened buckets' on-disk size.
+    */
+  private def readIndexBuckets(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, buckets: Option[Seq[Int]]): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = base.getFileSystem(s.sessionState.newHadoopConf())
+    val wanted = buckets.getOrElse(0 until IndexBuckets)
+    val paths = wanted.map(b => new org.apache.hadoop.fs.Path(
+        base, s"kb=$b")).filter(fs.exists)
+    if (paths.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        idxSchema)
+    else {
+      paths.foreach(p => graft.streaming.StateScanMeter.addBytes(
+        fs.getContentSummary(p).getLength))
+      s.read.schema(idxSchema).parquet(paths.map(_.toString): _*)
+    }
+  }
+
+  /** The fold's Bloom-guard dirs, derived from the state dirs. */
+  def keyBloomDir(indexDir: String): String = indexDir + "_bloom"
+  def coordBloomDir(marksDir: String): String = marksDir + "_bloom"
+
   /** Initialise the empty streaming state: the first-occurrence
     * line-key index (key WITH its first-occurrence coordinates — the
     * crash contract below needs the coords to re-derive keep flags on
-    * replay) and the per-line keep/drop marks store.
+    * replay; bucket-partitioned by [[keyBucket]]), the per-line
+    * keep/drop marks store, and the two Bloom guards (line keys →
+    * index membership; (page, line) coords → marks membership).
     */
   def initLineState(s: org.apache.spark.sql.SparkSession,
       indexDir: String, marksDir: String): Unit = {
     import org.apache.spark.sql.types._
     val empty = (schema: StructType) => s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    empty(StructType(Seq(StructField("line_key", StringType),
-      StructField("page_id", LongType), StructField("line_no", LongType))))
-      .write.mode("overwrite").parquet(indexDir)
+    // the index dir starts as a bare directory: appends create kb=
+    // partitions, and readIndexBuckets treats "no buckets" as empty
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    p.getFileSystem(s.sessionState.newHadoopConf()).mkdirs(p)
     empty(StructType(Seq(StructField("page_id", LongType),
       StructField("line_no", LongType), StructField("keep", BooleanType))))
       .write.mode("overwrite").parquet(marksDir)
+    graft.streaming.BloomGuard.init(s, keyBloomDir(indexDir))
+    graft.streaming.BloomGuard.init(s, coordBloomDir(marksDir))
   }
 
   /** Failpoint for the crash-contract spec: when set, the next
@@ -165,40 +218,78 @@ object LineDedup {
 
   /** One micro-batch of arriving (page_id, line_no, line) rows against
     * the accumulated index: a line is KEPT iff its (page, line_no) is
-    * its key's FIRST occurrence across the index and this batch. Kept
-    * (key, coords) rows append to the index; every line appends its
-    * keep/drop mark. With the harness's id-ordered slicing this equals
-    * the batch operator's global (page, line_no) rule, so the oracle is
-    * `q_line_dedup` verbatim (the q_stream_span_dedup stance).
+    * its key's FIRST occurrence across the index and this batch — and
+    * its key is either absent from the index or stored with THIS row's
+    * coords (so an out-of-order arrival with smaller coords than an
+    * already-kept key drops instead of double-keeping; under the
+    * documented id-ordered slicing the gate never fires, it guards the
+    * contract's edge). Kept (key, coords) rows append to the index;
+    * every line appends its keep/drop mark. With the harness's
+    * id-ordered slicing this equals the batch operator's global
+    * (page, line_no) rule, so the oracle is `q_line_dedup` verbatim
+    * (the q_stream_span_dedup stance).
+    *
+    * Sub-O(state) probes ([[graft.streaming.BloomGuard]] + the
+    * bucketed index):
+    *  - the marks replay-guard anti-join runs only when the COORDS
+    *    bloom hits — never on fresh data, so the corpus-line-sized
+    *    marks store is read only by replays;
+    *  - the index probe reads only the kb= buckets of the KEY bloom's
+    *    hit rows ([[readIndexBuckets]]) — a batch with no recurring
+    *    keys reads nothing, one with b hit buckets reads
+    *    b/[[IndexBuckets]] of the index.
     *
     * Crash contract — every kill window replays to the fully-applied
-    * state. The index stores its keys' first-occurrence COORDS and is
-    * written first; `keep` is derived as "this row equals its key's
-    * minimum coords over index ∪ batch", so a replay whose kept keys
-    * already landed in the index re-derives the SAME flags (the kept
-    * row still equals its own stored coords — a seen-in-index boolean
-    * would flip it to false and silently lose the batch's marks).
-    * Replays append nothing to the index (its own line_key anti-join)
-    * and nothing twice to marks (the fresh anti-join guard):
+    * state. Write order: blooms FIRST (a crash after them leaves
+    * harmless superset blooms that route the replay through the exact
+    * probes), then the index, then marks. The index stores its keys'
+    * first-occurrence COORDS; `keep` derives as "this row equals its
+    * key's minimum coords over index ∪ batch AND (key absent from the
+    * index OR stored with this row's coords)", so a replay whose kept
+    * keys already landed re-derives the SAME flags, and the index
+    * append (gated on key-absent) no-ops for them:
     *  - crash before the index append: nothing visible, full replay;
     *  - crash between the appends: replay recomputes identical marks,
     *    the index append no-ops, the marks append completes;
     *  - crash after both: the batch is fully applied, replay no-ops.
     *
-    * Per-batch cost: |batch| × (one key agg + one index anti-probe) —
-    * nothing corpus-sized moves per batch; the index is
-    * distinct-line-sized.
+    * Per-batch cost: |batch| × (one key agg + the bloom-pruned index
+    * probe) + two O(bloom) guard swaps — nothing corpus-sized moves
+    * per batch.
     */
   def applyLineBatch(s: org.apache.spark.sql.SparkSession,
       batchLines: DataFrame, indexDir: String, marksDir: String): Unit = {
-    val idx = s.read.parquet(indexDir).cache()
-    val marks = s.read.parquet(marksDir)
-    val fresh = batchLines
+    import graft.streaming.{BloomGuard, StateScanMeter}
+    val kBloom = keyBloomDir(indexDir)
+    val cBloom = coordBloomDir(marksDir)
+    val keyed = batchLines
       .withColumn("line_key", lineKey(col("line")))
-      .join(marks.select("page_id", "line_no"),
-        Seq("page_id", "line_no"), "left_anti")
-      .localCheckpoint()
-    // first occurrence per key across the accumulated index AND this
+      .withColumn("__coord",
+        concat(col("page_id").cast("string"), lit(":"),
+          col("line_no").cast("string")))
+    // marks replay guard: only coord-bloom hits can already be marked
+    val fresh = (
+      if (!BloomGuard.needExact(s, cBloom, keyed, "__coord")) keyed
+      else {
+        StateScanMeter.add(s, marksDir)
+        keyed.join(s.read.parquet(marksDir).select("page_id", "line_no"),
+          Seq("page_id", "line_no"), "left_anti")
+      }).localCheckpoint()
+    // index probe: only key-bloom hits can be in the index, and they
+    // can only live in their keys' buckets (a missing/disabled bloom
+    // fails safe to every touched bucket)
+    val hitFilter =
+      if (BloomGuard.enabled)
+        BloomGuard.read(s, kBloom)
+          .map(w => BloomGuard.hit(w, "line_key")).getOrElse(lit(true))
+      else lit(true)
+    val hitKeys = fresh.where(hitFilter)
+      .select(keyBucket(col("line_key")).as("kb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = readIndexBuckets(s, indexDir,
+      if (hitKeys.isEmpty) Some(Seq.empty) else Some(hitKeys))
+      .cache()
+    // first occurrence per key across the (pruned) index AND this
     // batch: previously-seen keys resolve to their stored (smaller,
     // ordered-arrival) coords, so all their batch rows drop; new keys
     // resolve to their batch minimum.
@@ -208,23 +299,33 @@ object LineDedup {
       .agg(min(struct(col("page_id"), col("line_no"))).as("__first"))
     val marked = fresh
       .join(firsts, Seq("line_key"))
+      .join(idx.select(col("line_key"), col("page_id").as("__ip"),
+        col("line_no").as("__il")), Seq("line_key"), "left")
       .withColumn("keep",
         col("page_id") === col("__first")("page_id") &&
-          col("line_no") === col("__first")("line_no"))
+          col("line_no") === col("__first")("line_no") &&
+          (col("__ip").isNull ||
+            (col("page_id") === col("__ip") &&
+              col("line_no") === col("__il"))))
       .localCheckpoint()
-    marked.where(col("keep"))
-      .select("line_key", "page_id", "line_no")
-      .join(idx.select("line_key"), Seq("line_key"), "left_anti")
-      .write.mode("append").parquet(indexDir)
+    idx.unpersist()
+    // blooms first: coords of every fresh row (they are about to be
+    // marked), keys of every newly-indexed row
+    BloomGuard.addKeys(s, cBloom, fresh.select("__coord"), "__coord")
+    BloomGuard.addKeys(s, kBloom,
+      marked.where(col("keep") && col("__ip").isNull).select("line_key"),
+      "line_key")
+    marked.where(col("keep") && col("__ip").isNull)
+      .select(col("line_key"), col("page_id"), col("line_no"),
+        keyBucket(col("line_key")).as("kb"))
+      .write.mode("append").partitionBy("kb").parquet(indexDir)
     if (crashBetweenAppends) {
       crashBetweenAppends = false
-      idx.unpersist()
       throw new RuntimeException(
         "injected crash between index and marks append")
     }
     marked.select("page_id", "line_no", "keep")
       .write.mode("append").parquet(marksDir)
-    idx.unpersist()
     ()
   }
 

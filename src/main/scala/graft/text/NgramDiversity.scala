@@ -100,6 +100,8 @@ object NgramDiversity {
     graft.io.ParquetUtil.safeAppend(s,
       gramCounts(b).withColumn("last_batch", lit(batchId)), stateDir)
     if (batchId % compactEvery == compactEvery - 1) {
+      // the amortized O(state/compactEvery) read, metered honestly
+      graft.streaming.StateScanMeter.add(s, stateDir)
       val compacted = mergedCounts(s, stateDir)
         .withColumn("last_batch", lit(batchId))
       graft.io.ParquetUtil.safeOverwrite(s, compacted, stateDir)

@@ -6,10 +6,18 @@ import org.apache.spark.sql.types._
 
 /** Nearline soak harness: drives the cross-micro-batch folds (SimHash
   * band index, MinHash band index + shingle store, span-dedup gram
-  * index, frozen-quantizer IVF postings) over MANY batches and records per-batch wall
+  * index, frozen-quantizer IVF postings, BM25 statistics, cross-modal
+  * index) over MANY batches and records per-batch wall
   * time plus accumulated state size — the question a long-lived
   * nearline deployment actually asks: does per-batch latency stay
   * O(batch × bucket-hit) flat, or does it creep with index size?
+  *
+  * Per-batch STATE-SCAN BYTES ride along (graft.streaming
+  * .StateScanMeter): the bloom-guarded folds must record near-zero
+  * scan for fresh-key batches while the state itself grows — the
+  * direct evidence the per-batch probe is sub-O(state). Run with
+  * SPARK_GRAFT_BLOOM=off for the counterfactual arm (guards disabled,
+  * every batch pays the exact full-state probe).
   *
   * Batches replay through the same applyBatch entry points the
   * streaming queries use, sliced by the same id-range rule as
@@ -19,14 +27,15 @@ import org.apache.spark.sql.types._
   *
   * Usage: runMain graft.tools.NearlineSoak <docs.parquet> <nBatches>
   *          <outJson> [families]
-  * families: comma list of simhash,minhash,span,ivf,nb,line,ndiv,dedupx
-  * (default all).
+  * families: comma list of simhash,minhash,span,ivf,nb,line,ndiv,
+  * dedupx,bm25,xmodal (default all).
   * The ivf family (frozen-quantizer streamed IVF) reads the sibling
   * `embeddings.parquet` of the docs path.
   */
 object NearlineSoak {
 
-  private case class BatchPoint(batch: Int, secs: Double, stateRows: Long)
+  private case class BatchPoint(batch: Int, secs: Double, stateRows: Long,
+    scanBytes: Long, guardBytes: Long, stateBytes: Long)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -36,7 +45,9 @@ object NearlineSoak {
     val outJson = args(2)
     val families = if (args.length > 3) args(3).split(',').toSet
       else Set("simhash", "minhash", "span", "ivf", "nb", "line", "ndiv",
-        "dedupx")
+        "dedupx", "bm25", "xmodal")
+    if (sys.env.get("SPARK_GRAFT_BLOOM").contains("off"))
+      graft.streaming.BloomGuard.enabled = false
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,15 +76,22 @@ object NearlineSoak {
 
     def soak(name: String, batches: Seq[DataFrame],
         apply: (DataFrame, Int) => Unit,
-        stateRows: () => Long): Seq[BatchPoint] = {
+        stateRows: () => Long,
+        stateDirs: Seq[String] = Seq.empty): Seq[BatchPoint] = {
       val pts = batches.zipWithIndex.map { case (b, i) =>
         val mat = b.localCheckpoint() // slice cost out of the timing
+        graft.streaming.StateScanMeter.reset()
         val t0 = System.nanoTime()
         apply(mat, i)
         val secs = (System.nanoTime() - t0) / 1e9
-        val p = BatchPoint(i, secs, stateRows())
+        val scan = graft.streaming.StateScanMeter.value
+        val guard = graft.streaming.StateScanMeter.guardValue
+        val sb = stateDirs.map(d =>
+          math.max(0L, graft.io.ParquetUtil.dirSizeBytes(spark, d))).sum
+        val p = BatchPoint(i, secs, stateRows(), scan, guard, sb)
         println(f"[soak] $name batch $i%3d: ${p.secs}%6.2fs  " +
-          f"state=${p.stateRows}%,d rows")
+          f"state=${p.stateRows}%,d rows  scan=${p.scanBytes}%,d B  " +
+          f"guard=${p.guardBytes}%,d B  stateB=${p.stateBytes}%,d B")
         p
       }
       pts
@@ -103,7 +121,8 @@ object NearlineSoak {
       results("simhash") = soak("simhash", slices(hashed, "doc"),
         (b, _) => graft.dedup.Nearline.applyBatch(
           spark, b, indexDir, pairsDir, maxHamming = 3),
-        () => spark.read.parquet(indexDir).count())
+        () => spark.read.parquet(indexDir).count(),
+        Seq(indexDir, pairsDir))
     }
 
     if (families("minhash")) {
@@ -119,7 +138,8 @@ object NearlineSoak {
         (b, _) => graft.dedup.Nearline.applyMinHashBatch(spark, b,
           graft.queries.DedupQueries.JaccardThreshold,
           indexDir, storeDir, pairsDir),
-        () => spark.read.parquet(indexDir).count())
+        () => spark.read.parquet(indexDir).count(),
+        Seq(indexDir, storeDir, pairsDir))
     }
 
     if (families("line")) {
@@ -134,7 +154,46 @@ object NearlineSoak {
       results("line") = soak("line", slices(lines, "lid"),
         (b, _) => graft.text.LineDedup.applyLineBatch(
           spark, b.drop("lid"), indexDir, marksDir),
-        () => spark.read.parquet(indexDir).count())
+        () => spark.read.parquet(indexDir).count(),
+        Seq(indexDir, marksDir))
+    }
+
+    if (families("bm25")) {
+      // nearline BM25 statistics: per-batch cost must be one batch
+      // tokenize/agg + the O(bloom) guard — the growing dl/tf tables
+      // are read only by replays (bloom hits)
+      val base = tmp("soak_bm25")
+      val (dlDir, tfDir) = (base + "/dl", base + "/tf")
+      graft.text.Bm25.initState(spark, "doc_id", dlDir, tfDir)
+      results("bm25") = soak("bm25", slices(docs, "doc_id"),
+        (b, _) => graft.text.Bm25.applyBatch(spark, b, "doc_id", "text",
+          graft.queries.TextQueries.Bm25Terms, dlDir, tfDir),
+        () => spark.read.parquet(dlDir).count(),
+        Seq(dlDir, tfDir))
+    }
+
+    if (families("xmodal")) {
+      // nearline cross-modal index: media decode + projection per
+      // batch, append-only under the bloom-guarded doc-id anti-join
+      import graft.multimodal.{Crossmodal, MediaCodecs, Multimodal}
+      val base = tmp("soak_xmodal")
+      val stateDir = base + "/mv"
+      Crossmodal.initState(spark, stateDir)
+      val wav = udf((id: Long) => MediaCodecs.Synthetic.wavFor(id))
+      val packed = docs.select(col("doc_id"), struct(
+        wav(col("doc_id")).as("data"),
+        lit("audio/wav").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("duration_ms")).as("media"))
+      val projected = Multimodal.featurize(packed, "media", "feat",
+        MediaCodecs.WavEnergyKernel)
+        .select(col("doc_id"), Crossmodal.projectMedia(col("feat")).as("mv"))
+        .localCheckpoint()
+      results("xmodal") = soak("xmodal", slices(projected, "doc_id"),
+        (b, _) => Crossmodal.applyBatch(spark, b, stateDir),
+        () => spark.read.parquet(stateDir).count(),
+        Seq(stateDir))
     }
 
     if (families("span")) {
@@ -144,7 +203,8 @@ object NearlineSoak {
       results("span") = soak("span", slices(docs, "doc_id"),
         (b, _) => graft.dedup.SpanDedup.applyBatch(
           spark, b, "text", "doc_id", indexDir, dupDir),
-        () => spark.read.parquet(indexDir).count())
+        () => spark.read.parquet(indexDir).count(),
+        Seq(indexDir, dupDir))
     }
 
     if (families("ivf")) {
@@ -165,7 +225,8 @@ object NearlineSoak {
       results("ivf_frozen") = soak("ivf_frozen", sl,
         (b, _) => graft.similarity.StreamingIvf.applyFrozenBatch(
           spark, b, centFp, postingsDir),
-        () => spark.read.parquet(postingsDir).count())
+        () => spark.read.parquet(postingsDir).count(),
+        Seq(postingsDir))
     }
 
     if (families("dedupx")) {
@@ -176,7 +237,8 @@ object NearlineSoak {
       results("dedupx") = soak("dedupx", slices(docs.localCheckpoint(), "doc_id"),
         (b, i) => graft.dedup.Nearline.applyExactBatch(
           spark, b, "text", "doc_id", i.toLong, stateDir),
-        () => spark.read.parquet(stateDir).count())
+        () => spark.read.parquet(stateDir).count(),
+        Seq(stateDir))
     }
 
     if (families("ndiv")) {
@@ -191,7 +253,8 @@ object NearlineSoak {
       results("ndiv") = soak("ndiv", slices(ndocs.localCheckpoint(), "doc_id"),
         (b, i) => graft.text.NgramDiversity.applyBatch(
           spark, b, i.toLong, stateDir),
-        () => spark.read.parquet(stateDir).count())
+        () => spark.read.parquet(stateDir).count(),
+        Seq(stateDir))
     }
 
     if (families("nb")) {
@@ -205,7 +268,8 @@ object NearlineSoak {
         slices(labelled.localCheckpoint(), "doc_id"),
         (b, i) => graft.text.NaiveBayes.applyBatch(spark, b,
           "doc_id", "text", col("lang") === "en", i.toLong, stateDir),
-        () => spark.read.parquet(stateDir).count())
+        () => spark.read.parquet(stateDir).count(),
+        Seq(stateDir))
     }
 
     // flatness: mean of the last fifth vs the mean of the second fifth
@@ -219,6 +283,8 @@ object NearlineSoak {
     val json = new StringBuilder
     json.append("{\"docs\":\"").append(docsPath)
       .append("\",\"n_batches\":").append(nBatches).append(",")
+    json.append(s""""bloom_guard":"${
+      if (graft.streaming.BloomGuard.enabled) "on" else "off"}",""")
     json.append(results.map { case (name, pts) =>
       val early = fifth(pts, 1)
       val late = fifth(pts, 4)
@@ -226,14 +292,23 @@ object NearlineSoak {
       // emit null rather than Infinity/NaN, which is invalid JSON
       val ratio =
         if (early > 0.0) graft.util.Fmt.fixed(late / early, 3) else "null"
+      val n = pts.size
+      val lateScans = pts.slice(n * 4 / 5, n).map(_.scanBytes)
+      val lateScanMean =
+        if (lateScans.isEmpty) 0L else lateScans.sum / lateScans.size
       "\"" + name + "\":{" +
         s""""early_fifth_mean_secs":${graft.util.Fmt.fixed(early, 3)},""" +
         s""""late_fifth_mean_secs":${graft.util.Fmt.fixed(late, 3)},""" +
         s""""late_over_early":$ratio,""" +
         s""""final_state_rows":${pts.last.stateRows},""" +
+        s""""final_state_bytes":${pts.last.stateBytes},""" +
+        s""""late_fifth_mean_scan_bytes":$lateScanMean,""" +
         "\"batches\":[" + pts.map(p =>
           s"""{"b":${p.batch},"secs":${graft.util.Fmt.fixed(p.secs, 3)},""" +
-            s""""state_rows":${p.stateRows}}""").mkString(",") + "]}"
+            s""""state_rows":${p.stateRows},""" +
+            s""""scan_bytes":${p.scanBytes},""" +
+            s""""guard_bytes":${p.guardBytes},""" +
+            s""""state_bytes":${p.stateBytes}}""").mkString(",") + "]}"
     }.mkString(","))
     json.append("}")
     val p = java.nio.file.Paths.get(outJson)

@@ -146,6 +146,62 @@ class LineDedupSpec extends SparkSpec {
     assert(spark.read.parquet(marksDir).count() === clines.count())
   }
 
+  test("streamed line dedup: an out-of-order arrival with smaller " +
+      "coords than an already-kept key drops (never double-keeps)") {
+    val base = java.nio.file.Files.createTempDirectory("sld_ooo").toString
+    val (indexDir, marksDir) = (base + "/idx", base + "/marks")
+    LineDedup.initLineState(spark, indexDir, marksDir)
+    // page 5 arrives FIRST and keeps "zeta"
+    LineDedup.applyLineBatch(spark,
+      Seq((5L, 0L, "zeta")).toDF("page_id", "line_no", "line"),
+      indexDir, marksDir)
+    // page 3 arrives late with the same key at SMALLER coords
+    LineDedup.applyLineBatch(spark,
+      Seq((3L, 0L, "zeta")).toDF("page_id", "line_no", "line"),
+      indexDir, marksDir)
+    val marks = spark.read.parquet(marksDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2))
+      .toMap
+    assert(marks((5L, 0L)) === true)
+    assert(marks((3L, 0L)) === false,
+      "late smaller-coords arrival must not re-keep an indexed key")
+    // the index still holds exactly one entry for the key
+    assert(spark.read.parquet(indexDir).count() === 1L)
+  }
+
+  test("bloom + bucketed index: fresh batches scan no state; a " +
+      "recurring-key batch reads only its keys' buckets") {
+    import graft.streaming.StateScanMeter
+    val base = java.nio.file.Files.createTempDirectory("sld_bloom").toString
+    val (indexDir, marksDir) = (base + "/idx", base + "/marks")
+    LineDedup.initLineState(spark, indexDir, marksDir)
+    val mkPage = (p: Long) => Seq((p, 0L, s"banner shared"),
+      (p, 1L, s"unique content $p")).toDF("page_id", "line_no", "line")
+    LineDedup.applyLineBatch(spark, mkPage(0), indexDir, marksDir)
+    val idxBytes = graft.io.ParquetUtil.dirSizeBytes(spark, indexDir)
+    val marksBytes = graft.io.ParquetUtil.dirSizeBytes(spark, marksDir)
+    // page 1 repeats only the banner key: the marks store (fresh
+    // coords) is never read, and the index probe opens at most the
+    // banner key's single bucket — strictly less than the whole index
+    StateScanMeter.reset()
+    LineDedup.applyLineBatch(spark, mkPage(1), indexDir, marksDir)
+    assert(StateScanMeter.value < idxBytes + marksBytes,
+      s"scanned ${StateScanMeter.value} >= full state")
+    assert(StateScanMeter.value > 0L, "banner key must probe its bucket")
+    // an all-fresh batch (no shared banner) scans NOTHING
+    StateScanMeter.reset()
+    LineDedup.applyLineBatch(spark,
+      Seq((9L, 0L, "nothing shared here"), (9L, 1L, "nor here"))
+        .toDF("page_id", "line_no", "line"), indexDir, marksDir)
+    assert(StateScanMeter.value === 0L,
+      s"all-fresh batch scanned ${StateScanMeter.value} bytes of state")
+    // replay of page 0 routes through the exact marks guard
+    StateScanMeter.reset()
+    LineDedup.applyLineBatch(spark, mkPage(0), indexDir, marksDir)
+    assert(StateScanMeter.value > 0L)
+    assert(spark.read.parquet(marksDir).count() === 6L)
+  }
+
   test("pageRepetitionStats: exact dup fractions and rule gates") {
     val rep = LineDedup.pageRepetitionStats(lines)
       .collect().map(r => r.getLong(0) ->
