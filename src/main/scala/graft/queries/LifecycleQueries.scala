@@ -372,6 +372,25 @@ object LifecycleQueries {
         .orderBy("n_nationkey")
     },
 
+    // §2.1 Avro source: typed interchange round trip through a real
+    // AvroDatastore (extension — built on the bundled avro-core jars,
+    // io/Avro.scala: distributed per-file decode, per-partition
+    // container write; no spark-avro connector in this deployment)
+    "q_avro_source" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir, "q_avro_source")
+      val avro = graft.io.AvroDatastore(s"${c.warehousePath}/avro_src")
+      val dfl = DataFlow(s, "q_avro_source")
+      src(dfl, "nation")
+      dfl.dropColumns("nation", dropAuditCols = true)
+      avro.write(s, dfl.get("nation"), "nation")
+      val c2 = c.copy(srcSystems = Map("AVRO" -> avro))
+      val dfl2 = new DataFlow(s, "q_avro_source_read", c2)
+      dfl2.getDataFromSrc("nation", "AVRO")
+      dfl2.dropColumns("nation", dropAuditCols = true)
+      dfl2.getColumns("nation", Seq("n_nationkey", "n_name", "n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
     // §2.1 JDBC source: the reference's Postgres/SQLite front door
     // (betl/io/DatastoreClass_postgres.py:8-85, dbIO.py:9-21) through
     // embedded Derby — write nation into the DB, then read it back
@@ -898,6 +917,9 @@ object LifecycleQueries {
         |WHERE l_partkey <= b.pcut AND l_suppkey <= b.scut
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_orc_source" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_avro_source" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_jdbc_source" ->
