@@ -698,7 +698,7 @@ object SimilarityQueries {
     * [[ivfK]]/[[ivfNProbe]] do), then probes and scans with the same
     * double arithmetic.
     */
-  private def ivfTrainedOracle: String = {
+  private[queries] def ivfTrainedOracle: String = {
     val t = IvfIters
     val kExpr =
       "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM embeddings)"

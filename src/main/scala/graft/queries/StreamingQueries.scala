@@ -1275,6 +1275,61 @@ object StreamingQueries {
       }
     },
 
+    // REQUANTIZE — the drift loop CLOSED: fold the corpus through the
+    // frozen bootstrap quantizer (the amortized deployment), monitor
+    // drift per batch, then fire the maintenance verb
+    // (StreamingIvf.requantizeIfDrifted — retrain on the accumulated
+    // postings, reassign, staging-swap; harness threshold 0 so the
+    // full monitor→retrain→rebuild path runs deterministically,
+    // production gates at drift_ratio > 1.5). Requantize at the batch
+    // k over the full postings is BIT-IDENTICAL to from-scratch batch
+    // training (same point set → same Lloyd init → same model), so the
+    // oracle is the batch q_ann_ivf ivfTrainedOracle VERBATIM — the
+    // strongest possible pin that the rebuilt index lost nothing to
+    // its frozen history.
+    "q_stream_ann_ivf_requantized" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.similarity.{KMeans, QuantizerDrift, StreamingIvf}
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val base = tmpDir("graft_sivfr")
+        val postingsDir = base + "/postings"
+        val driftDir = base + "/drift"
+        StreamingIvf.initState(s, postingsDir)
+        StreamFlow.writeTimeSplits(emb, "vec_id", 3, base + "/splits")
+        val bRow = emb.agg(min(col("vec_id")), max(col("vec_id")))
+          .collect()(0)
+        val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+        val step = math.max(1L, (hi - lo) / 3 + 1)
+        val b0 = emb.where(col("vec_id") < lo + step)
+        val kBoot = SimilarityQueries.ivfK(b0.count())
+        val (centBoot, _) = KMeans.fitModel(
+          b0, "vec_id", "embedding", kBoot, SimilarityQueries.IvfIters)
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            StreamingIvf.applyFrozenBatch(s, b, centBoot, postingsDir)
+            QuantizerDrift.applyBatch(s, b, centBoot, id, driftDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val kFull = SimilarityQueries.ivfK(
+          s.read.parquet(postingsDir).count())
+        val centNew = StreamingIvf.requantizeIfDrifted(s, driftDir,
+          postingsDir, kFull, SimilarityQueries.IvfIters,
+          threshold = 0.0)
+          .getOrElse(sys.error("drift monitor produced no slices"))
+        SimilarityQueries.ivfSearch(s, s.read.parquet(postingsDir),
+          SimilarityQueries.trainedCentroids(centNew),
+          SimilarityQueries.ivfNProbe(kFull))
+      }
+    },
+
     // STREAMED PQ CODES: the frozen-quantizer precedent applied to the
     // product quantizer — codebooks train ONCE on the bootstrap batch,
     // every arriving vector appends (vec_id, embedding, code_0..7)
@@ -1437,6 +1492,9 @@ object StreamingQueries {
     "q_stream_token_budget" -> TextQueries.oracles("q_token_budget"),
     "q_stream_ann_ivf" -> SimilarityQueries.labelIvfOracle,
     "q_stream_ann_ivf_trained" -> SimilarityQueries.frozenStreamIvfOracle,
+    // requantize over the full postings ≡ batch training on the same
+    // corpus, so the trained-IVF oracle applies verbatim
+    "q_stream_ann_ivf_requantized" -> SimilarityQueries.ivfTrainedOracle,
     "q_stream_quantizer_drift" ->
       SimilarityQueries.oracles("q_quantizer_drift"),
     "q_stream_bm25" -> TextQueries.oracles("q_bm25"),

@@ -104,9 +104,20 @@ object KMeans {
   /** `iterations` Lloyd rounds over persisted fixed-point points →
     * final centroid frame (cid, c: array<long>).
     */
-  private def lloyd(pts: DataFrame, k: Int, iterations: Int): DataFrame = {
-    var cent = pts.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("p").as("c"))
+  private def lloyd(pts: DataFrame, k: Int, iterations: Int): DataFrame =
+    lloydFrom(pts,
+      pts.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("p").as("c")),
+      iterations)
+
+  /** WARM-START Lloyd: `iterations` rounds from an explicit starting
+    * centroid frame — the refinement step between a pure reassignment
+    * and a from-scratch retrain (cold [[lloyd]] is this seeded by the
+    * k lowest vec_ids). Same bit-exact integer geometry per round.
+    */
+  private[graft] def lloydFrom(pts: DataFrame, cent0: DataFrame,
+      iterations: Int): DataFrame = {
+    var cent = cent0
     for (_ <- 1 to iterations) {
       cent = assign(pts, cent).join(pts, "vec_id")
         .select(col("cid"), posexplode(col("p")).as(Seq("d0", "v")))
