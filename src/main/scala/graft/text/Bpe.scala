@@ -76,6 +76,24 @@ object Bpe {
         .otherwise(array(element_at(toks, i)))))
   }
 
+  /** [[applyMerge]] as a primitive-loop kernel UDF over
+    * [[applyMergeLocal]] — bit-identical to the Column rendering (the
+    * declarative form is the specification; parity is pinned by the
+    * local/distributed trainer equality specs). The HOF rendering's
+    * `mt`/`kt` intermediates get INLINED by Catalyst into every one of
+    * their O(n) references (no subexpression elimination inside one
+    * projection), making it O(n³) per word after inlining — invisible
+    * on natural vocabulary (n ≲ 30) but a wall-clock killer on the
+    * URL/binary-shaped long words the byte gate routes to the
+    * distributed trainer. Same discipline as
+    * [[graft.functions.BloomFilter.mightContainUdf]].
+    */
+  private[text] def applyMergeUdf(a: String, b: String)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (toks: Seq[String]) =>
+      applyMergeLocal(toks.toArray, a, b).toSeq
+    }
+
   /** A trained merge: 1-based rank, the pair, the merged token, and the
     * weighted pair count that won the round.
     */
@@ -105,6 +123,32 @@ object Bpe {
     */
   val DefaultMaxLocalVocab: Long = 10L * 1000 * 1000
 
+  /** BYTE budget for the same collect — the gate a row count alone
+    * cannot provide: 10M URL-shaped "words" are several GB of driver
+    * heap at a legal row count (the Triangles `estimatedAdjBytes`
+    * pattern). 512 MB default, overridable per call.
+    */
+  val DefaultMaxLocalBytes: Long = 512L * 1024 * 1024
+
+  /** Deliberate per-row overestimate for the collected (String, Long)
+    * rows: UTF8String header + boxed long + tuple + array slot — errs
+    * toward the distributed fallback.
+    */
+  private[text] val RowOverheadBytes = 64L
+
+  /** One cheap aggregate over the projected vocab frame: (rows,
+    * estimated driver bytes) — measured UTF-8 payload + per-row
+    * overhead.
+    */
+  private[text] def vocabFootprint(proj: DataFrame): (Long, Long) = {
+    val r = proj.agg(count(lit(1)),
+      sum(octet_length(col(proj.columns.head)))).collect()(0)
+    val rows = r.getLong(0)
+    val bytes = (if (r.isNullAt(1)) 0L else r.getLong(1)) +
+      rows * RowOverheadBytes
+    (rows, bytes)
+  }
+
   /** Which path the last [[trainMerges]] (or
     * [[WordPiece.trainMerges]]) call took — "local" or "distributed".
     * Test-only observability for the gate spec (the two paths are
@@ -115,14 +159,16 @@ object Bpe {
   def trainMerges(
       spark: SparkSession, words: DataFrame, k: Int,
       wordCol: String = "w", countCol: String = "cnt",
-      maxLocalVocab: Long = DefaultMaxLocalVocab): Seq[Merge] = {
+      maxLocalVocab: Long = DefaultMaxLocalVocab,
+      maxLocalBytes: Long = DefaultMaxLocalBytes): Seq[Merge] = {
     val proj = words
       .select(col(wordCol).cast("string"), col(countCol).cast("long"))
     // cheap guard before the collect: a pathological vocabulary (not
-    // actually vocab-bounded) must not OOM the driver — fall back to
-    // the bit-parity distributed trainer instead
-    val vocabSize = proj.count()
-    if (vocabSize > maxLocalVocab) {
+    // actually vocab-bounded) OR pathological word LENGTHS (few rows,
+    // gigabytes — URL/binary-shaped tokens) must not OOM the driver —
+    // fall back to the bit-parity distributed trainer instead
+    val (vocabSize, vocabBytes) = vocabFootprint(proj)
+    if (vocabSize > maxLocalVocab || vocabBytes > maxLocalBytes) {
       lastTrainPath = "distributed"
       trainMergesDistributed(spark, words, k, wordCol, countCol)
     } else {
@@ -272,7 +318,7 @@ object Bpe {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(r.toLong, a, b, a + b, wt)
         vocab = vocab
-          .withColumn("toks", applyMerge(col("toks"), a, b))
+          .withColumn("toks", applyMergeUdf(a, b)(col("toks")))
           .localCheckpoint(true)
         r += 1
       }

@@ -169,7 +169,7 @@ object WordPiece {
         val (a, b) = (row.getAs[String]("a"), row.getAs[String]("b"))
         merges += Merge(r.toLong, a, b, a + b, row.getAs[Long]("score"))
         vocab = vocab
-          .withColumn("toks", Bpe.applyMerge(col("toks"), a, b))
+          .withColumn("toks", Bpe.applyMergeUdf(a, b)(col("toks")))
           .localCheckpoint(true)
         r += 1
       }
@@ -184,10 +184,12 @@ object WordPiece {
   def trainMerges(
       spark: SparkSession, words: DataFrame, k: Int,
       wordCol: String = "w", countCol: String = "cnt",
-      maxLocalVocab: Long = Bpe.DefaultMaxLocalVocab): Seq[Merge] = {
+      maxLocalVocab: Long = Bpe.DefaultMaxLocalVocab,
+      maxLocalBytes: Long = Bpe.DefaultMaxLocalBytes): Seq[Merge] = {
     val proj = words
       .select(col(wordCol).cast("string"), col(countCol).cast("long"))
-    if (proj.count() > maxLocalVocab) {
+    val (vocabSize, vocabBytes) = Bpe.vocabFootprint(proj)
+    if (vocabSize > maxLocalVocab || vocabBytes > maxLocalBytes) {
       Bpe.lastTrainPath = "distributed"
       trainMergesDistributed(spark, words, k, wordCol, countCol)
     } else {

@@ -624,6 +624,32 @@ class TextDedupSpec extends SparkSpec {
     assert(underW == overW)
   }
 
+  test("trainMerges BYTE gate: a long-word vocab (few rows, big " +
+      "strings — the URL-shaped corpus) trips the byte budget even " +
+      "when the row count passes, values identical") {
+    import graft.text.{Bpe, WordPiece}
+    // 6 rows but ~6 KB of word payload: a row-count gate alone says
+    // "local"; the byte estimate must not
+    val longWords = (0 until 6).map { i =>
+      (("ab" + ('c' + i).toChar).toString * 400, (i + 1).toLong)
+    }.toDF("w", "cnt")
+    val overB = Bpe.trainMerges(spark, longWords, 4,
+      maxLocalVocab = 100L, maxLocalBytes = 1024L)
+    assert(Bpe.lastTrainPath == "distributed",
+      "byte budget must fire at a legal row count")
+    val underB = Bpe.trainMerges(spark, longWords, 4,
+      maxLocalVocab = 100L)
+    assert(Bpe.lastTrainPath == "local")
+    assert(overB == underB)
+    val overW = WordPiece.trainMerges(spark, longWords, 4,
+      maxLocalVocab = 100L, maxLocalBytes = 1024L)
+    assert(Bpe.lastTrainPath == "distributed")
+    val underW = WordPiece.trainMerges(spark, longWords, 4,
+      maxLocalVocab = 100L)
+    assert(Bpe.lastTrainPath == "local")
+    assert(overW == underW)
+  }
+
   test("Bpe.trainMergesLocal trains k>=1000 merges in seconds") {
     import graft.text.Bpe
     // deterministic synthetic vocab: 3000 words over a 26-letter
