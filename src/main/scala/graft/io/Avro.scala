@@ -5,6 +5,7 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -14,21 +15,37 @@ import org.apache.spark.sql.types._
   * the format library is absent, the engine carries its own
   * dependency-light codec and keeps the Spark-side contract real.
   *
-  * Read is a DISTRIBUTED per-file decode: one task per container file
-  * (the MediaCodecs per-file-split pattern — Avro files are
-  * block-synced internally, so a finer sync-marker split is the
-  * upgrade path for giant single files; multi-file layouts, the
-  * default produced by [[AvroDatastore.write]], already parallelise).
-  * Write streams each partition through its own `DataFileWriter`, one
-  * container per partition — no driver funnel in either direction.
+  * Read is a DISTRIBUTED sync-marker-split decode: every container
+  * file is cut into byte ranges of [[DefaultSplitBytes]] and each task
+  * seeks to the first block sync at-or-after its range start
+  * (`DataFileReader.sync`) and decodes until the first sync past its
+  * range end (`pastSync`) — the standard Avro input-split contract, so
+  * ONE giant container file decodes across many tasks, and multi-file
+  * layouts parallelise per file on top. Write streams each partition
+  * through its own `DataFileWriter`, one container per partition — no
+  * driver funnel in either direction.
   *
   * Type surface (documented, checked): boolean / int / long / float /
   * double / string / bytes, nullable via `union(null, T)`, and arrays
-  * of those — the interchange subset the engine's tables use.
-  * Logical types (decimal/timestamp) are out of scope and rejected
-  * loudly rather than mis-decoded.
+  * of those — the interchange subset the engine's tables use. Spark's
+  * Short/Byte columns widen to Avro INT on write (and come back as
+  * IntegerType — Avro has no narrower integer). Logical types
+  * (decimal/timestamp) are out of scope and rejected loudly rather
+  * than mis-decoded.
+  *
+  * Schema discipline: records decode by field position against the
+  * FIRST file's schema, so every read task verifies its own file's
+  * schema equals the expected one (fail loudly, never misalign), and
+  * `write(mode="append")` refuses a frame whose Avro schema differs
+  * from the files already in the directory.
   */
 object Avro {
+
+  /** Target bytes per read split — small enough that a handful of
+    * executors share one multi-block file, large enough that split
+    * overhead (open + seek) stays negligible.
+    */
+  val DefaultSplitBytes: Long = 32L * 1024 * 1024
 
   // ------------------------------------------------------------------
   // schema mapping
@@ -106,6 +123,11 @@ object Avro {
 
   private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
+    // ShortType/ByteType advertise as Avro INT — widen the boxed value
+    // too, or GenericDatumWriter's union resolution (which accepts
+    // Integer only) throws UnresolvedUnionException at write time
+    case (x: Short, _) => Int.box(x.toInt)
+    case (x: Byte, _) => Int.box(x.toInt)
     case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
     case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
       val l = new java.util.ArrayList[Any](s.length)
@@ -131,6 +153,24 @@ object Avro {
   // distributed read / write
   // ------------------------------------------------------------------
 
+  /** The session Hadoop conf as a serializable entry list — executor
+    * tasks rebuild it instead of `new Configuration()`, so filesystem
+    * settings/credentials configured on the session reach the tasks.
+    */
+  private def confEntries(spark: SparkSession): Seq[(String, String)] = {
+    val hc = spark.sessionState.newHadoopConf()
+    val it = hc.iterator()
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) { val e = it.next(); out += (e.getKey -> e.getValue) }
+    out.toSeq
+  }
+
+  private def rebuildConf(entries: Seq[(String, String)]): Configuration = {
+    val hc = new Configuration(false)
+    entries.foreach { case (k, v) => hc.set(k, v) }
+    hc
+  }
+
   private def listAvroFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -141,32 +181,70 @@ object Avro {
   }
 
   /** Read a container file's schema (driver-side, first file only). */
-  private def fileSchema(path: String): Schema = {
+  private def fileSchema(spark: SparkSession, path: String): Schema = {
     val in = new org.apache.avro.mapred.FsInput(
-      new Path(path), new Configuration())
+      new Path(path), spark.sessionState.newHadoopConf())
     val rd = new DataFileReader[GenericRecord](
       in, new GenericDatumReader[GenericRecord]())
     try rd.getSchema finally rd.close()
   }
 
-  /** Distributed read: schema off the first file, one decode task per
-    * container file.
+  /** Distributed read: schema off the first file (every task verifies
+    * its own file matches — position-based decode must never misalign),
+    * one decode task per sync-marker byte-range split, so a single
+    * multi-block container file parallelises across tasks.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+      splitBytes: Long = DefaultSplitBytes): DataFrame = {
+    require(splitBytes > 0, "AvroDatastore: splitBytes must be positive")
     val files = listAvroFiles(spark, path)
     require(files.nonEmpty, s"AvroDatastore: no .avro files under $path")
-    val st = avroToSpark(fileSchema(files.head))
+    val expected = fileSchema(spark, files.head)
+    val expectedJson = expected.toString
+    val st = avroToSpark(expected)
     val fieldTypes = st.fields.map(_.dataType)
     val n = st.fields.length
+    val hc = spark.sessionState.newHadoopConf()
+    // (file, rangeStart, rangeEnd) splits: a block belongs to the split
+    // whose range contains its starting sync marker, so the ranges
+    // partition the blocks exactly (the Avro/Hadoop input-split rule)
+    val splits: Seq[(String, Long, Long)] = files.flatMap { f =>
+      val len = new Path(f).getFileSystem(hc)
+        .getFileStatus(new Path(f)).getLen
+      val nSplits = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until nSplits).map { i =>
+        (f, i * splitBytes, math.min(len, (i + 1) * splitBytes))
+      }
+    }
+    val entries = confEntries(spark)
     val rdd = spark.sparkContext
-      .parallelize(files, files.length)
-      .flatMap { f =>
+      .parallelize(splits, splits.length)
+      .flatMap { case (f, start, end) =>
         val in = new org.apache.avro.mapred.FsInput(
-          new Path(f), new Configuration())
+          new Path(f), rebuildConf(entries))
         val rd = new DataFileReader[GenericRecord](
           in, new GenericDatumReader[GenericRecord]())
+        // partially-consumed iterators (limit/take/downstream failure)
+        // must not leak the file handle — close on task completion
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try rd.close() catch { case _: java.io.IOException => () }
+          })
+        if (rd.getSchema.toString != expectedJson) {
+          val got = rd.getSchema.toString
+          rd.close()
+          throw new IllegalStateException(
+            s"AvroDatastore: $f schema differs from ${splits.head._1} — " +
+              s"position-based decode would misalign.\nexpected: " +
+              s"$expectedJson\ngot: $got")
+        }
+        rd.sync(start)
         val it = new Iterator[Row] {
-          def hasNext: Boolean = { val h = rd.hasNext; if (!h) rd.close(); h }
+          def hasNext: Boolean = {
+            val h = rd.hasNext && !rd.pastSync(end)
+            if (!h) rd.close()
+            h
+          }
           def next(): Row = {
             val rec = rd.next()
             val vals = new Array[Any](n)
@@ -184,31 +262,45 @@ object Avro {
 
   /** Distributed write: one container file per non-empty partition,
     * deflate-compressed (codec from avro-core, no extra dependency).
+    * `syncInterval` caps the approximate block payload bytes — smaller
+    * values produce more sync points and therefore finer read splits.
+    * Appending a frame whose Avro schema differs from the container
+    * files already present is rejected (reads decode by position
+    * against one schema — a silent mismatch would misalign).
     */
   def write(spark: SparkSession, df: DataFrame, path: String,
-      mode: String): Unit = {
+      mode: String, syncInterval: Int = 64 * 1024): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = df.schema
+    val schemaJson = sparkToAvro(st, "row").toString
     mode match {
       case "overwrite" => if (fs.exists(p)) fs.delete(p, true)
-      case "append" => ()
+      case "append" =>
+        if (fs.exists(p)) listAvroFiles(spark, path).headOption.foreach {
+          f =>
+            val existing = fileSchema(spark, f).toString
+            require(existing == schemaJson,
+              s"AvroDatastore: append schema mismatch at $path —\n" +
+                s"existing: $existing\nappending: $schemaJson")
+        }
       case other => throw new IllegalArgumentException(
         s"AvroDatastore: unsupported write mode '$other'")
     }
     fs.mkdirs(p)
-    val st = df.schema
-    val schemaJson = sparkToAvro(st, "row").toString
     val fieldTypes = st.fields.map(_.dataType)
     val uid = java.util.UUID.randomUUID().toString.take(8)
+    val entries = confEntries(spark)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(schemaJson)
         val out = new Path(path, f"part-$pid%05d-$uid.avro")
-        val os = out.getFileSystem(new Configuration()).create(out, true)
+        val os = out.getFileSystem(rebuildConf(entries)).create(out, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.setSyncInterval(syncInterval)
         w.create(schema, os)
         var cnt = 0L
         rows.foreach { r =>

@@ -169,6 +169,20 @@ object LineDedup {
       indexDir: String, buckets: Option[Seq[Int]]): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(indexDir)
     val fs = base.getFileSystem(s.sessionState.newHadoopConf())
+    // layout guard: a FLAT (pre-bucketed) index dir must fail loudly,
+    // not read as empty — silently ignoring its data files would
+    // re-keep every previously indexed line (the bloom's explicit
+    // fail-safe has no analogue for a state-LAYOUT mismatch)
+    if (fs.exists(base)) {
+      val stray = fs.listStatus(base).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+      if (stray.nonEmpty) throw new IllegalStateException(
+        s"LineDedup: index dir $indexDir contains data files outside " +
+          s"kb= bucket partitions (e.g. ${stray.head.getPath.getName}) — " +
+          "a flat pre-bucketed index must be migrated, not ignored")
+    }
     val wanted = buckets.getOrElse(0 until IndexBuckets)
     val paths = wanted.map(b => new org.apache.hadoop.fs.Path(
         base, s"kb=$b")).filter(fs.exists)

@@ -108,4 +108,66 @@ class AvroSpec extends SparkSpec {
       .toDF("k", "ts")
     assertThrows[IllegalArgumentException] { ds.write(spark, bad, "t3") }
   }
+
+  test("sync-marker splits: one multi-block container file decodes " +
+      "across >1 partition with bit-equal rows") {
+    val dir = tmp()
+    // one container FILE (coalesce(1)) with many small blocks (tiny
+    // syncInterval) — payload big enough that splitBytes cuts it
+    val df = spark.range(0, 20000)
+      .select(col("id"), concat(lit("row-"), col("id")).as("s"),
+        (col("id").cast("double") / 7.0).as("d"))
+    Avro.write(spark, df.coalesce(1), s"$dir/t.avro", "overwrite",
+      syncInterval = 256)
+    val files = new java.io.File(s"$dir/t.avro")
+      .listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length === 1, "expected exactly one container file")
+    val len = files(0).length()
+    assert(len > 40000, s"fixture too small to split: $len bytes")
+    val split = Avro.read(spark, s"$dir/t.avro", splitBytes = len / 5)
+    assert(split.rdd.getNumPartitions > 1,
+      "a multi-block file must decode across more than one task")
+    // every split-task partition is non-trivially used (blocks really
+    // distribute across ranges, not all funnel to split 0)
+    val perPart = split.rdd
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPart.count(_ > 0) > 1,
+      s"blocks decoded in one split only: ${perPart.toSeq}")
+    assert(perPart.sum === 20000)
+    // bit-equal to the unsplit read AND the source frame
+    val whole = Avro.read(spark, s"$dir/t.avro")
+    assert(split.exceptAll(whole).count() === 0L)
+    assert(whole.exceptAll(split).count() === 0L)
+    assert(split.exceptAll(df).count() === 0L)
+    assert(df.exceptAll(split).count() === 0L)
+  }
+
+  test("short/byte columns widen to Avro INT and write cleanly") {
+    val dir = tmp()
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 7.toShort, 3.toByte), Row(2L, null, null)),
+      StructType(Seq(StructField("id", LongType),
+        StructField("sh", ShortType), StructField("by", ByteType))))
+    Avro.write(spark, df, s"$dir/t.avro", "overwrite")
+    val back = Avro.read(spark, s"$dir/t.avro").orderBy("id").collect()
+    assert(back(0).getInt(1) === 7 && back(0).getInt(2) === 3)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
+  }
+
+  test("append with a different schema is rejected loudly") {
+    val dir = tmp()
+    Avro.write(spark, Seq((1L, "a")).toDF("k", "v"), s"$dir/t.avro",
+      "overwrite")
+    // different column order → different Avro schema → refuse
+    val ex = intercept[IllegalArgumentException] {
+      Avro.write(spark, Seq(("b", 2L)).toDF("v", "k"), s"$dir/t.avro",
+        "append")
+    }
+    assert(ex.getMessage.contains("append schema mismatch"))
+    // same schema appends fine
+    Avro.write(spark, Seq((2L, "b")).toDF("k", "v"), s"$dir/t.avro",
+      "append")
+    assert(Avro.read(spark, s"$dir/t.avro").count() === 2L)
+  }
 }

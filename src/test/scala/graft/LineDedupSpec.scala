@@ -169,6 +169,39 @@ class LineDedupSpec extends SparkSpec {
     assert(spark.read.parquet(indexDir).count() === 1L)
   }
 
+  test("property: under ANY batch arrival order, at most one keep " +
+      "per line key (the keep rule's intent, pinned beyond the " +
+      "id-ordered contract)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // 8 lines over 4 keys — recurring keys across pages guarantee
+    // cross-batch collisions under shuffled arrival
+    val rows = Seq(
+      (0L, 0L, "alpha"), (0L, 1L, "beta"), (1L, 0L, "alpha"),
+      (1L, 1L, "gamma"), (2L, 0L, "beta"), (2L, 1L, "delta"),
+      (3L, 0L, "gamma"), (3L, 1L, "alpha"))
+    val prop = Prop.forAll(Gen.long, Gen.choose(1, 4)) { (seed, nb) =>
+      val order = new scala.util.Random(seed).shuffle(rows)
+      val base = java.nio.file.Files
+        .createTempDirectory("sld_prop").toString
+      val (indexDir, marksDir) = (base + "/idx", base + "/marks")
+      LineDedup.initLineState(spark, indexDir, marksDir)
+      val size = math.max(1, (order.length + nb - 1) / nb)
+      order.grouped(size).foreach { b =>
+        LineDedup.applyLineBatch(spark,
+          b.toDF("page_id", "line_no", "line"), indexDir, marksDir)
+      }
+      val marks = spark.read.parquet(marksDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val byKey = rows.map { case (p, l, k) => (p, l) -> k }.toMap
+      val keepsPerKey = marks.filter(_._3)
+        .groupBy(m => byKey((m._1, m._2))).map { case (k, ms) => k -> ms.length }
+      marks.length == rows.length && keepsPerKey.values.forall(_ <= 1)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bloom + bucketed index: fresh batches scan no state; a " +
       "recurring-key batch reads only its keys' buckets") {
     import graft.streaming.StateScanMeter
