@@ -134,7 +134,11 @@ object Crossmodal {
         rows.join(s.read.parquet(stateDir).select("doc_id"),
           Seq("doc_id"), "left_anti").localCheckpoint()
       }
-    BloomGuard.addKeys(s, bloom, fresh.select("doc_id"), "doc_id")
+    BloomGuard.addKeys(s, bloom, fresh.select("doc_id"), "doc_id",
+      stateKeys = Some(() => {
+        StateScanMeter.add(s, stateDir)
+        s.read.parquet(stateDir).select("doc_id")
+      }))
     fresh.write.mode("append").parquet(stateDir)
     ()
   }

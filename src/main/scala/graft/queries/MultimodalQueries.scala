@@ -220,6 +220,93 @@ object MultimodalQueries {
         .select(col("qid"), col("doc_id").as("neighbor"), col("cosine"),
           col("rank"))
         .orderBy("qid", "rank")
+    },
+
+    // cross-modal retrieval THROUGH the trained coarse index — the
+    // shared-space vectors composed with the IVF family: the media
+    // tower's projections unit-normalise (spherical k-means — cosine
+    // retrieval is scale-invariant, and normalising restores the
+    // fixed-point quantizer's |v| < 2 precondition that raw
+    // feature-space magnitudes would break), KMeans.fitModel trains
+    // k = ⌊√n⌋ coarse cells over them, and each text query probes only
+    // its nprobe nearest cells instead of the brute full-corpus
+    // explode (q_crossmodal_ann) — the path that survives a 100× media
+    // corpus. Oracle: the trained-IVF kmeans-replay chain RE-ROOTED at
+    // the projected media vectors (both towers replay from the
+    // 3-decimal plane literals), bit-exact through training,
+    // assignment, probe, and scan.
+    "q_crossmodal_ann_ivf" -> { (s, dir) =>
+      implicit val c: GraftConf = conf(dir)
+      val dfl = DataFlow(s, "q_crossmodal_ann_ivf")
+      val docs = src(dfl, "documents")
+      val wav = udf((id: Long) => MediaCodecs.Synthetic.wavFor(id))
+      val packed = docs.select(col("doc_id"), struct(
+        wav(col("doc_id")).as("data"),
+        lit("audio/wav").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("duration_ms")).as("media"))
+      val media = Multimodal.featurize(packed, "media", "feat",
+        MediaCodecs.WavEnergyKernel)
+        .select(col("doc_id"),
+          Crossmodal.projectMedia(col("feat")).as("mv"))
+      val mediaN = media
+        .withColumn("nrm",
+          graft.similarity.VectorFunctions.norm(col("mv")))
+        .select(col("doc_id"),
+          transform(col("mv"), x => x / col("nrm")).as("mvn"))
+        .localCheckpoint()
+      val k = SimilarityQueries.ivfK(mediaN.count())
+      val (centFp, asg) = graft.similarity.KMeans.fitModel(
+        mediaN, "doc_id", "mvn", k, SimilarityQueries.IvfIters)
+      val cents = SimilarityQueries.trainedCentroids(centFp)
+      val qRows = docs.where(col("doc_id") < NumQueries)
+        .select(col("doc_id"), Crossmodal.projectText(
+          Crossmodal.textFeatures(col("text"))).as("qv"))
+        .orderBy("doc_id").collect()
+      // probe assignment driver-side, the ivfSearch convention — the
+      // cosine mirrors the SQL fold exactly (sequential accumulators)
+      def cosD(a: Seq[Double], b: Array[Double]): Double = {
+        var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dt += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+          i += 1
+        }
+        dt / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val nprobe = SimilarityQueries.ivfNProbe(k)
+      val probeRows = qRows.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1)
+        cents.toSeq
+          .map { case (cid, cv) => (cid, cosD(qv, cv)) }
+          .sortBy { case (cid, cc) => (-cc, cid) }
+          .take(nprobe)
+          .map { case (cid, _) =>
+            org.apache.spark.sql.Row(qid, qv, cid.toLong) }
+      }
+      val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType)))
+      val probes = s.createDataFrame(
+        s.sparkContext.parallelize(probeRows.toSeq, 1), probeSchema)
+      val rank = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("cosine"), asc("doc_id"))
+      mediaN.join(asg.select(col("vec_id").as("doc_id"),
+          col("cid").cast("long").as("cid")), Seq("doc_id"))
+        .join(broadcast(probes), Seq("cid"))
+        .withColumn("cosine",
+          graft.similarity.VectorFunctions.cosine(col("qv"), col("mvn")))
+        .withColumn("rank", row_number().over(rank).cast("bigint"))
+        .where(col("rank") <= TopK)
+        .select(col("qid"), col("doc_id").as("neighbor"), col("cosine"),
+          col("rank"))
+        .orderBy("qid", "rank")
     })
 
   private[graft] val NumQueries = 5
@@ -453,6 +540,73 @@ object MultimodalQueries {
         |  FROM tq, mq),
         |r AS (SELECT qid, doc_id, cosine, row_number() OVER
         |  (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank FROM p)
+        |SELECT qid, doc_id AS neighbor, cosine, rank
+        |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+    },
+
+    "q_crossmodal_ann_ivf" -> {
+      // the trained-IVF replay re-rooted at the normalised media tower:
+      // towers from the 3-decimal plane literals, spherical kmeans via
+      // the re-rooted CTE chain, probe + scan with the shared cosine
+      def projSql(fcol: String, salt: Long, featDim: Int): String =
+        "[" + (0 until Crossmodal.SharedDim).map { p =>
+          val lits = Crossmodal.planeSqlLiterals(salt, p, featDim)
+            .mkString(", ")
+          OracleSql.dotExpr(fcol, s"[$lits]", featDim)
+        }.mkString(",\n     ") + "]"
+      val sd = Crossmodal.SharedDim
+      def cosSql(a: String, b: String): String =
+        s"(${OracleSql.dotExpr(a, b, sd)}) / " +
+          s"(sqrt(${OracleSql.dotExpr(a, a, sd)}) * " +
+          s"sqrt(${OracleSql.dotExpr(b, b, sd)}))"
+      val t = SimilarityQueries.IvfIters
+      val kExpr =
+        "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM documents)"
+      val npExpr =
+        """(SELECT greatest(1, CAST(ceil(0.22 * floor(sqrt(count(*))))
+          |  AS BIGINT)) FROM documents)""".stripMargin
+      s"""WITH ${OracleSql.toksCte},
+        |tf AS (SELECT doc_id,
+        |    [CAST(length(text) AS DOUBLE), CAST(len(w) AS DOUBLE),
+        |     CAST(length(text) - length(regexp_replace(text, 'e', '', 'g'))
+        |       AS DOUBLE),
+        |     CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+        |       AS DOUBLE)] AS f
+        |  FROM toks WHERE doc_id < $NumQueries),
+        |tq AS (SELECT doc_id AS qid,
+        |    ${projSql("f", Crossmodal.TextSalt, Crossmodal.TextFeatDim)}
+        |    AS qv FROM tf),
+        |d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |mf AS (SELECT doc_id,
+        |    [${wavBandSql(0)}, ${wavBandSql(1)},
+        |     ${wavBandSql(2)}, ${wavBandSql(3)}] AS feat
+        |  FROM d),
+        |mq AS (SELECT doc_id,
+        |    ${projSql("feat", Crossmodal.MediaSalt, Crossmodal.MediaFeatDim)}
+        |    AS mv FROM mf),
+        |mqn AS (SELECT doc_id, list_transform(mv,
+        |    x -> x / sqrt(${OracleSql.dotExpr("mv", "mv", sd)})) AS mvn
+        |  FROM mq),
+        |${OracleSql.kmeansCtes(kExpr, t, src = "mqn", idCol = "doc_id",
+            vecCol = "mvn", dim = sd)},
+        |cent AS (SELECT cid, list_transform(c,
+        |  x -> x / ${graft.similarity.KMeans.Scale}.0
+        |    - ${graft.similarity.KMeans.Offset}) AS cv FROM c$t),
+        |e AS (SELECT mqn.doc_id, mqn.mvn, asg.cid
+        |  FROM mqn JOIN a${t + 1} asg ON mqn.doc_id = asg.vec_id),
+        |pr AS (SELECT qid, qv, cid, ${cosSql("qv", "cv")} AS cc
+        |  FROM tq CROSS JOIN cent),
+        |p AS (SELECT qid, qv, cid FROM (
+        |    SELECT qid, qv, cid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid)
+        |        AS rn
+        |    FROM pr) WHERE rn <= $npExpr),
+        |cand AS (SELECT p.qid, p.qv, e.doc_id, e.mvn
+        |  FROM p JOIN e USING (cid)),
+        |sc AS (SELECT qid, doc_id, ${cosSql("qv", "mvn")} AS cosine
+        |  FROM cand),
+        |r AS (SELECT qid, doc_id, cosine, row_number() OVER
+        |  (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS rank FROM sc)
         |SELECT qid, doc_id AS neighbor, cosine, rank
         |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
     })

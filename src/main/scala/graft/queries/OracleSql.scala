@@ -91,11 +91,17 @@ object OracleSql {
     * the oracle's cluster count adapts to the corpus exactly as the
     * engine's does (trained-IVF default) — and `ptsWhere` optionally
     * restricts the TRAINING points (the streamed frozen-quantizer
-    * rendering trains on batch 0 only).
+    * rendering trains on batch 0 only). The chain is RE-ROOTABLE:
+    * `src`/`idCol`/`vecCol`/`dim` point it at any earlier CTE carrying
+    * (id, double-vector) rows — the cross-modal composition roots it at
+    * the projected media tower instead of the embeddings table.
     */
-  def kmeansCtes(k: String, iters: Int, ptsWhere: String = ""): String = {
+  def kmeansCtes(k: String, iters: Int, ptsWhere: String = "",
+      src: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = VectorFunctions.Dim): String = {
     import graft.similarity.KMeans.{Scale, Offset}
-    val d1 = VectorFunctions.Dim + 1
+    val d1 = dim + 1
     def dist(p: String, c: String) =
       s"""CAST(list_sum(list_transform(range(1, $d1),
          |      d -> ($p[d] - $c[d]) * ($p[d] - $c[d]))) AS BIGINT)"""
@@ -116,10 +122,10 @@ object OracleSql {
     val rounds = (1 to iters).flatMap(i => Seq(asg(i), cent(i)))
       .mkString(",\n")
     val whereClause = if (ptsWhere.isEmpty) "" else s" WHERE $ptsWhere"
-    s"""pts AS (SELECT vec_id, list_transform(embedding,
+    s"""pts AS (SELECT $idCol AS vec_id, list_transform($vecCol,
        |    v -> CAST(floor((CAST(v AS DOUBLE) + $Offset) * $Scale)
        |      AS BIGINT)) AS p
-       |  FROM embeddings$whereClause),
+       |  FROM $src$whereClause),
        |c0 AS (SELECT vec_id AS cid, p AS c FROM pts
        |  ORDER BY vec_id LIMIT $k),
        |$rounds,

@@ -896,6 +896,105 @@ object SimilarityQueries {
       |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
+  /** Replay of the SPLIT-maintenance deployment
+    * (q_stream_ann_ivf_split): the [[frozenStreamIvfOracle]] bootstrap
+    * chain, then ONE [[graft.similarity.StreamingIvf.splitCells]] step
+    * in SQL — the largest frozen cell (ties to the lower cid) splits
+    * by a 2-means on its OWN members (seeds = the cell's two lowest
+    * vec_ids, the Lloyd init rule; [[IvfIters]] unrolled rounds), the
+    * child with the smaller seed keeps the parent cid and the other
+    * takes max(cid)+1, and ONE global integer argmin reassigns the
+    * corpus against the grown table — bit-exact through training,
+    * split, reassignment, and the probe at the grown-k-fitted nprobe.
+    */
+  private[graft] def splitStreamIvfOracle: String = {
+    val t = IvfIters
+    val d1 = graft.similarity.VectorFunctions.Dim + 1
+    val scale = graft.similarity.KMeans.Scale
+    val offset = graft.similarity.KMeans.Offset
+    val b0Where =
+      """vec_id < (SELECT min(vec_id)
+        |  + ((max(vec_id) - min(vec_id)) // 3 + 1) FROM embeddings)"""
+        .stripMargin
+    val kExpr =
+      s"""(SELECT CAST(floor(sqrt(count(*))) AS BIGINT)
+        |  FROM embeddings WHERE $b0Where)""".stripMargin
+    // nprobe fitted to the GROWN k = bootstrap k + 1
+    val npExpr =
+      s"""(SELECT greatest(1, CAST(ceil(0.22 * (floor(sqrt(count(*)))
+        |  + 1)) AS BIGINT)) FROM embeddings WHERE $b0Where)""".stripMargin
+    def distG(p: String, c: String) =
+      s"""CAST(list_sum(list_transform(range(1, $d1),
+        |      d -> ($p[d] - $c[d]) * ($p[d] - $c[d]))) AS BIGINT)"""
+        .stripMargin
+    def basg(i: Int) =
+      s"""b$i AS (SELECT vec_id, cid FROM (
+        |  SELECT cp.vec_id, s${i - 1}.cid,
+        |    row_number() OVER (PARTITION BY cp.vec_id
+        |      ORDER BY ${distG("cp.p", s"s${i - 1}.c")}, s${i - 1}.cid)
+        |      AS rn
+        |  FROM cp, s${i - 1}) WHERE rn = 1)""".stripMargin
+    def scent(i: Int) =
+      s"""s$i AS (SELECT cid, list(cv ORDER BY dim) AS c FROM (
+        |  SELECT cid, r.range AS dim,
+        |    CAST(sum(p[r.range]) AS BIGINT) // count(*) AS cv
+        |  FROM b$i JOIN cp USING (vec_id), range(1, $d1) r
+        |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+    val splitRounds = (1 to t).flatMap(i => Seq(basg(i), scent(i)))
+      .mkString(",\n")
+    s"""WITH ${OracleSql.kmeansCtes(kExpr, t, b0Where)},
+      |ptsall AS (SELECT vec_id, list_transform(embedding,
+      |    v -> CAST(floor((CAST(v AS DOUBLE) + $offset) * $scale)
+      |      AS BIGINT)) AS p
+      |  FROM embeddings),
+      |asgall AS (SELECT vec_id, cid FROM (
+      |  SELECT ptsall.vec_id, c$t.cid,
+      |    row_number() OVER (PARTITION BY ptsall.vec_id
+      |      ORDER BY ${distG("ptsall.p", s"c$t.c")}, c$t.cid) AS rn
+      |  FROM ptsall, c$t) WHERE rn = 1),
+      |sizes AS (SELECT cid, count(*) AS n FROM asgall GROUP BY 1),
+      |big AS (SELECT cid FROM sizes ORDER BY n DESC, cid LIMIT 1),
+      |cp AS (SELECT ptsall.vec_id, ptsall.p
+      |  FROM ptsall JOIN asgall USING (vec_id)
+      |  WHERE asgall.cid = (SELECT cid FROM big)),
+      |s0 AS (SELECT vec_id AS cid, p AS c FROM cp
+      |  ORDER BY vec_id LIMIT 2),
+      |$splitRounds,
+      |ch AS (SELECT cid AS scid, c FROM s$t),
+      |centg AS (
+      |  SELECT cid, c FROM c$t WHERE cid <> (SELECT cid FROM big)
+      |  UNION ALL
+      |  SELECT CASE WHEN scid = (SELECT min(scid) FROM ch)
+      |      THEN (SELECT cid FROM big)
+      |      ELSE (SELECT max(cid) + 1 FROM c$t) END AS cid, c FROM ch),
+      |asg2 AS (SELECT vec_id, cid FROM (
+      |  SELECT ptsall.vec_id, centg.cid,
+      |    row_number() OVER (PARTITION BY ptsall.vec_id
+      |      ORDER BY ${distG("ptsall.p", "centg.c")}, centg.cid) AS rn
+      |  FROM ptsall, centg) WHERE rn = 1),
+      |centv AS (SELECT cid, list_transform(c,
+      |  x -> x / $scale.0 - $offset) AS cv FROM centg),
+      |e AS (SELECT emb.vec_id, emb.embedding, asg2.cid
+      |  FROM embeddings emb JOIN asg2 ON emb.vec_id = asg2.vec_id),
+      |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |  WHERE vec_id < $NumQueries),
+      |pr AS (SELECT qid, qv, cid, ${cosineExpr("qv", "cv")} AS cc
+      |  FROM q CROSS JOIN centv),
+      |p AS (SELECT qid, qv, cid FROM (
+      |    SELECT qid, qv, cid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cc DESC, cid)
+      |        AS rn
+      |    FROM pr) WHERE rn <= $npExpr),
+      |cand AS (SELECT p.qid, p.qv, e.vec_id, e.embedding
+      |  FROM p JOIN e ON e.cid = p.cid WHERE e.vec_id <> p.qid),
+      |sc AS (SELECT qid, vec_id, ${cosineExpr("qv", "embedding")} AS cosine
+      |  FROM cand),
+      |r AS (SELECT qid, vec_id, cosine, row_number() OVER
+      |  (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+      |SELECT qid, vec_id AS neighbor, cosine, rank
+      |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
   /** Label-partition IVF replay — retained as the STREAMING index's
     * oracle: [[graft.similarity.StreamingIvf]] folds per-LABEL decimal
     * sums across micro-batches, so the streamed search equals this

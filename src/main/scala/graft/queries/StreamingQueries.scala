@@ -1056,6 +1056,52 @@ object StreamingQueries {
       }
     },
 
+    // NEARLINE DUPLICATE-CLUSTER MAINTENANCE: the q_dedup_annotate
+    // chain folded across micro-batches — the inverted-shingle pair
+    // index emits each qualifying Jaccard pair exactly once (in its
+    // later member's batch), and cluster ids are maintained
+    // INCREMENTALLY: existing components contract to their label
+    // nodes, hash-min CC runs on the touched-labels delta graph only,
+    // and a composed (old → fin) remap forwards retired labels — no
+    // global relabel, no edge state beyond the emitted pairs. The
+    // folded annotation equals the batch chain verbatim for any
+    // batching/arrival order (IncrementalCCSpec), so q_dedup_annotate's
+    // oracle applies unchanged — the piece that lets the
+    // annotate-don't-drop flagship run nearline.
+    "q_stream_dedup_annotate" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.dedup.IncrementalCC
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val shingled = docs.select(col("doc_id").as("doc"),
+          graft.functions.GraftFunctions
+            .shinglesK(s, col("text"), 3).as("s"))
+        val base = tmpDir("graft_scc")
+        val (indexDir, pairsDir, labelsDir, remapDir) =
+          (base + "/gram_index", base + "/pairs", base + "/labels",
+            base + "/remap")
+        IncrementalCC.initState(s, indexDir, pairsDir, labelsDir,
+          remapDir)
+        StreamFlow.writeTimeSplits(shingled, "doc", 3, base + "/splits")
+        val schema = StructType(Seq(
+          StructField("doc", LongType),
+          StructField("s", ArrayType(StringType))))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            IncrementalCC.applyBatch(s, b,
+              DedupQueries.JaccardThreshold,
+              indexDir, pairsDir, labelsDir, remapDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        IncrementalCC.annotateFromState(s, labelsDir, remapDir)
+          .orderBy("doc_id")
+      }
+    },
+
     // STREAMING IVF ANN INDEX: per-(label, dim) decimal sums fold
     // additively across micro-batches (exact, associative — the folded
     // centroids are bit-identical to the batch label-partition
@@ -1330,6 +1376,59 @@ object StreamingQueries {
       }
     },
 
+    // CELL-SPLIT MAINTENANCE — the imbalance half of the drift loop,
+    // wired into a query surface: fold the corpus through the frozen
+    // bootstrap quantizer, monitor per-batch, then fire
+    // StreamingIvf.splitIfImbalanced (largest cell splits by a 2-means
+    // on its own members, ONE global argmin reassign — no Lloyd
+    // retrain; harness threshold 0 so the monitor→split→reassign path
+    // runs deterministically, production gates at max_cluster_frac >
+    // 0.5) and probe at the grown-k-fitted nprobe. This is the
+    // frozen-deployment recovery the RECALL_SCALE ladder measures —
+    // now exercised end-to-end by an oracle-checked query (the oracle
+    // replays the split verbatim: SimilarityQueries.splitStreamIvfOracle).
+    "q_stream_ann_ivf_split" -> { (s, dir) =>
+      withStreamParts(s) {
+        import graft.similarity.{KMeans, QuantizerDrift, StreamingIvf}
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val base = tmpDir("graft_sivfs")
+        val postingsDir = base + "/postings"
+        val driftDir = base + "/drift"
+        StreamingIvf.initState(s, postingsDir)
+        StreamFlow.writeTimeSplits(emb, "vec_id", 3, base + "/splits")
+        val bRow = emb.agg(min(col("vec_id")), max(col("vec_id")))
+          .collect()(0)
+        val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+        val step = math.max(1L, (hi - lo) / 3 + 1)
+        val b0 = emb.where(col("vec_id") < lo + step)
+        val kBoot = SimilarityQueries.ivfK(b0.count())
+        val (centBoot, _) = KMeans.fitModel(
+          b0, "vec_id", "embedding", kBoot, SimilarityQueries.IvfIters)
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(base + "/splits")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            StreamingIvf.applyFrozenBatch(s, b, centBoot, postingsDir)
+            QuantizerDrift.applyBatch(s, b, centBoot, id, driftDir)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val centNew = StreamingIvf.splitIfImbalanced(s, driftDir,
+          postingsDir, centBoot, targetK = kBoot + 1,
+          iterations = SimilarityQueries.IvfIters, threshold = 0.0,
+          reassign = true)
+          .getOrElse(sys.error("drift monitor produced no slices"))
+        SimilarityQueries.ivfSearch(s, s.read.parquet(postingsDir),
+          SimilarityQueries.trainedCentroids(centNew),
+          SimilarityQueries.ivfNProbe(kBoot + 1))
+      }
+    },
+
     // STREAMED PQ CODES: the frozen-quantizer precedent applied to the
     // product quantizer — codebooks train ONCE on the bootstrap batch,
     // every arriving vector appends (vec_id, embedding, code_0..7)
@@ -1495,6 +1594,7 @@ object StreamingQueries {
     // requantize over the full postings ≡ batch training on the same
     // corpus, so the trained-IVF oracle applies verbatim
     "q_stream_ann_ivf_requantized" -> SimilarityQueries.ivfTrainedOracle,
+    "q_stream_ann_ivf_split" -> SimilarityQueries.splitStreamIvfOracle,
     "q_stream_quantizer_drift" ->
       SimilarityQueries.oracles("q_quantizer_drift"),
     "q_stream_bm25" -> TextQueries.oracles("q_bm25"),
@@ -1503,6 +1603,7 @@ object StreamingQueries {
     "q_stream_ann_pq" -> SimilarityQueries.frozenStreamPqOracle,
     "q_stream_ann_ivf_pq" -> SimilarityQueries.frozenStreamIvfPqOracle,
     "q_stream_minhash_dedup" -> DedupQueries.oracles("q_dedup_minhash"),
+    "q_stream_dedup_annotate" -> DedupQueries.oracles("q_dedup_annotate"),
     "q_stream_decontam_semantic" ->
       SimilarityQueries.oracles("q_decontam_semantic"),
 

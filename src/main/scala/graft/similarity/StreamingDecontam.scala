@@ -72,7 +72,11 @@ object StreamingDecontam {
           Seq("vec_id"), "left_anti").localCheckpoint()
       }
     BloomGuard.addKeys(bs, stateDir + "_bloom",
-      fresh.select("vec_id"), "vec_id")
+      fresh.select("vec_id"), "vec_id",
+      stateKeys = Some(() => {
+        StateScanMeter.add(bs, stateDir)
+        bs.read.parquet(stateDir).select("vec_id")
+      }))
     fresh
       .select(col("vec_id"),
         maxEvalCos(bs, eval, col("embedding")).as("max_eval_cos"))

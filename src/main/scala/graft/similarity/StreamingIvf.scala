@@ -87,7 +87,11 @@ object StreamingIvf {
             s"of $batchCnt vec_ids already in the postings: batches must " +
             "be atomic (all-new or an exact replay)")
       BloomGuard.addKeys(s, bloomDir(postingsDir),
-        fresh.select("vec_id"), "vec_id")
+        fresh.select("vec_id"), "vec_id",
+        stateKeys = Some(() => {
+          StateScanMeter.add(s, postingsDir)
+          s.read.parquet(postingsDir).select("vec_id")
+        }))
       fresh.write.mode("append").parquet(postingsDir)
       // 2. sums partial from the RAW batch (watermark-gated above, NOT
       //    anti-joined — after the crash the batch is already in postings
@@ -180,6 +184,28 @@ object StreamingIvf {
     val drifted = latest.nonEmpty && !latest(0).isNullAt(0) &&
       latest(0).getDouble(0) > threshold
     if (drifted) Some(requantize(s, postingsDir, k, iterations, trainPred))
+    else None
+  }
+
+  /** Close the monitor→action loop for IMBALANCE: grow the quantizer
+    * by [[splitCells]] iff the LATEST drift slice's `max_cluster_frac`
+    * exceeds `threshold` — the catch-all-cell signal that degrades
+    * probe selectivity long before mean error alarms. Returns the
+    * grown centroid frame when it fired, None when the frozen model's
+    * cells are still balanced.
+    */
+  def splitIfImbalanced(s: SparkSession, driftStateDir: String,
+      postingsDir: String, centFp: DataFrame, targetK: Int,
+      iterations: Int, threshold: Double = 0.5,
+      reassign: Boolean = true): Option[DataFrame] = {
+    val latest = QuantizerDrift.driftFromState(s, driftStateDir)
+      .orderBy(col("slice").desc).limit(1)
+      .select("max_cluster_frac").collect()
+    val imbalanced = latest.nonEmpty && !latest(0).isNullAt(0) &&
+      latest(0).getDouble(0) > threshold
+    if (imbalanced)
+      Some(splitCells(s, postingsDir, centFp, targetK, iterations,
+        reassign = reassign))
     else None
   }
 
@@ -332,7 +358,11 @@ object StreamingIvf {
     val asg = KMeans.assign(
       KMeans.pointsFp(fresh, "vec_id", "embedding"), centFp)
     BloomGuard.addKeys(s, bloomDir(postingsDir),
-      fresh.select("vec_id"), "vec_id")
+      fresh.select("vec_id"), "vec_id",
+      stateKeys = Some(() => {
+        StateScanMeter.add(s, postingsDir)
+        s.read.parquet(postingsDir).select("vec_id")
+      }))
     fresh.join(asg, "vec_id")
       .select(col("vec_id"), col("embedding"),
         col("cid").cast("int").as("label"))

@@ -65,7 +65,11 @@ object StreamingIvfPq {
     val codes = ProductQuantizer.assignCodes(
       fresh, "vec_id", "embedding", books, m)
     BloomGuard.addKeys(s, postingsDir + "_bloom",
-      fresh.select("vec_id"), "vec_id")
+      fresh.select("vec_id"), "vec_id",
+      stateKeys = Some(() => {
+        StateScanMeter.add(s, postingsDir)
+        s.read.parquet(postingsDir).select("vec_id")
+      }))
     fresh.join(cids, "vec_id").join(codes, "vec_id")
       .select(col("vec_id") +: col("embedding") +: col("cid") +:
         (0 until m).map(i => col(s"code_$i")): _*)

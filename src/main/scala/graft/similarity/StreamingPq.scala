@@ -61,7 +61,11 @@ object StreamingPq {
     val codes = ProductQuantizer.assignCodes(
       fresh, "vec_id", "embedding", cents, m)
     BloomGuard.addKeys(s, postingsDir + "_bloom",
-      fresh.select("vec_id"), "vec_id")
+      fresh.select("vec_id"), "vec_id",
+      stateKeys = Some(() => {
+        StateScanMeter.add(s, postingsDir)
+        s.read.parquet(postingsDir).select("vec_id")
+      }))
     fresh.join(codes, "vec_id")
       .write.mode("append").parquet(postingsDir)
   }

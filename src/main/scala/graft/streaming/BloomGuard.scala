@@ -2,7 +2,8 @@ package graft.streaming
 
 import graft.functions.BloomFilter
 import graft.io.ParquetUtil
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,24 +23,56 @@ import org.apache.spark.sql.types._
   * action is SKIPPING an anti-join when the filter proves no batch key
   * is in the state. False positives merely run the exact probe
   * unnecessarily; false NEGATIVES are impossible as long as the bitset
-  * over-approximates the state's key set — which the folds guarantee by
+  * over-approximates the STATE's key set — which the folds guarantee by
   * writing the updated bloom BEFORE appending the keys it covers (a
   * crash between the two writes leaves a superset bloom: harmless, the
   * next probe just pays one exact anti-join).
   *
+  * Capacity scales WITH the state (the 100-TB requirement): a bitset
+  * sized for 420k keys saturates to all-ones at 10^10-key
+  * cardinalities, silently degrading every batch to the pre-guard
+  * O(state) probe. So the guard self-maintains:
+  *
+  *  - '''Cardinality-derived sizing.''' [[planFor]] sizes a bitset at
+  *    [[TargetBitsPerKey]] (~24 bits/key at k=5 → steady fill ~0.19,
+  *    FP ~2·10^-4), pow2-rounded; [[init]] takes a `capacityHint` for
+  *    deployments that know their scale up front.
+  *  - '''Resize instead of saturate.''' [[addKeysMulti]] checks the
+  *    post-OR fill ratio (driver-side popcount, O(m/64)); past
+  *    [[FillThreshold]] it REBUILDS the bitset at [[planFor]]'s size
+  *    from the fold's key set — each fold passes a LAZY `stateKeys`
+  *    thunk (its state table's key column, invoked only when the
+  *    trigger fires), unioned with the in-flight batch keys (the bloom
+  *    writes before the appends it covers). The threshold sits at ≥2×
+  *    the sizing cardinality, so rebuilds are geometric — amortized
+  *    O(1) per batch, the compaction argument. A fold that passes no
+  *    thunk degrades exactly as before: fail-safe to the exact probe,
+  *    never wrong. Dropping old-bloom-only keys (crash-window ids
+  *    whose appends rolled back) is sound — the invariant is
+  *    bloom ⊇ STATE keys, and those ids are in neither state nor
+  *    batch, so a future miss correctly admits them.
+  *  - '''Shard past the hash family's ceiling.''' Kirsch–Mitzenmacher
+  *    over one 60-bit hash caps a single bitset at 2^30 positions; the
+  *    guard promotes a name to `name#i/S` shard rows once [[planFor]]
+  *    exceeds [[maxShardBits]] (2^27 bits = 16 MiB per shard). Keys
+  *    route to shards by a separately-salted hash (top bits of
+  *    md5("bloomshard:"+key) — independent of the position hashes, so
+  *    per-shard FP math is unchanged), and each shard is a standard
+  *    bitset. Capacity is then S × 5.6M keys — 10^10 keys is S=2048,
+  *    32 GiB total, still ~0.4% of a 1-KiB-per-row state table. The
+  *    per-batch swap is O(total bloom bytes) through the driver; past
+  *    ~10^8 keys the same rows become a distributed (name, w, bits)
+  *    table ([[BloomFilter.build]]'s aggregation IS that table before
+  *    its collect) with the identical OR algebra — the probe and this
+  *    object's API are unchanged by that promotion.
+  *
   * Layout: one parquet row `(name, words: array<long>)` PER NAMED
-  * bitset — a fold guarding several stores (LineDedup: line keys for
-  * the index, coords for the marks) keeps them in ONE dir so each
-  * batch pays one read and one combined swap, not one per bitset.
-  * Fixed O(m) per-batch read/OR/rewrite cost, independent of state
-  * size ([[DefaultNumBits]] = 2^21 bits = 256 KiB; size m to the
-  * expected key cardinality — the probe stays correct when overloaded,
-  * it just degrades to the pre-guard full probe). The swap runs through
-  * [[ParquetUtil.safeOverwrite]], so every crash window recovers. At
-  * 100 TB key cardinalities the single-row array swaps for the
-  * distributed (word, bits) table ([[BloomFilter.build]]'s aggregation
-  * IS that table before the collect) with the same OR-merge algebra;
-  * the probe side is unchanged.
+  * bitset (shards are just more names) — a fold guarding several
+  * stores (LineDedup: line keys for the index, coords for the marks)
+  * keeps them in ONE dir so each batch pays one read and one combined
+  * swap. A batch that contributes ZERO new keys (a pure replay) swaps
+  * nothing — the guard dir is untouched. The swap runs through
+  * [[ParquetUtil.safeOverwrite]], so every crash window recovers.
   *
   * Hashing is [[BloomFilter]]'s Kirsch–Mitzenmacher family over the
   * engine's portable md5 — the build (Column rendering) and the probe
@@ -48,12 +81,37 @@ import org.apache.spark.sql.types._
   */
 object BloomGuard {
 
-  /** 2^21 bits = 256 KiB = ~420k keys at 1% FP with k=5. */
+  /** Floor capacity: 2^21 bits = 256 KiB = ~87k keys at
+    * [[TargetBitsPerKey]] — resize grows past it on demand.
+    */
   val DefaultNumBits: Int = 1 << 21
   val DefaultNumHashes: Int = 5
 
-  /** The single-bitset folds' row name. */
+  /** The single-bitset folds' row name (must not contain '#' — the
+    * shard-row separator).
+    */
   val DefaultName: String = "k"
+
+  /** Sizing target: ~24 bits/key at k=5 → steady-state fill
+    * 1 − e^(−5/24) ≈ 0.19, FP ≈ 0.19^5 ≈ 2.3·10^-4 — and the resize
+    * TRIGGER (fill > [[FillThreshold]] ≈ 0.086 keys/bit) then sits at
+    * ≥2× the cardinality the bitset was sized for, so consecutive
+    * rebuilds are geometric (amortized O(1) per batch).
+    */
+  val TargetBitsPerKey: Long = 24L
+
+  /** Post-OR fill ratio past which [[addKeysMulti]] rebuilds (FP at
+    * the trigger ≈ 0.35^5 ≈ 0.5% — degraded but nowhere near
+    * saturated).
+    */
+  val FillThreshold: Double = 0.35
+
+  /** Bits per single bitset row before a name SHARDS (2^27 = 16 MiB,
+    * ~5.6M keys) — far under the hash family's 2^30 ceiling, and a
+    * bounded unit for the per-batch driver round-trip. Var (not val)
+    * only so specs can force shard promotion at test scale.
+    */
+  private[graft] var maxShardBits: Int = 1 << 27
 
   /** Kill switch for the counterfactual soak arm: with the guard off,
     * folds take their pre-guard path (exact anti-join against the full
@@ -66,20 +124,122 @@ object BloomGuard {
     StructField("name", StringType),
     StructField("words", ArrayType(LongType, containsNull = false))))
 
-  /** Initialise empty bitset(s) (all-zero). */
-  def init(s: SparkSession, dir: String,
-      names: Seq[String] = Seq(DefaultName),
-      numBits: Int = DefaultNumBits): Unit = {
-    require(numBits % 64 == 0 && numBits > 0, "numBits must be multiple of 64")
-    write(s, dir, names.map(_ -> new Array[Long](numBits / 64)).toMap)
+  // ------------------------------------------------------------------
+  // sizing
+  // ------------------------------------------------------------------
+
+  /** (numShards, bitsPerShard) for an expected key cardinality:
+    * pow2-rounded [[TargetBitsPerKey]]·n total bits (floor
+    * [[DefaultNumBits]]), split into [[maxShardBits]]-bit shards once
+    * a single bitset would exceed that.
+    */
+  def planFor(nKeys: Long): (Int, Int) = {
+    val want = math.max(DefaultNumBits.toLong,
+      math.max(1L, nKeys) * TargetBitsPerKey)
+    var total = DefaultNumBits.toLong
+    while (total < want) total *= 2
+    if (total <= maxShardBits) (1, total.toInt)
+    else {
+      val s = total / maxShardBits
+      require(s <= (1 << 24), s"BloomGuard: $nKeys keys needs $s shards")
+      (s.toInt, maxShardBits)
+    }
   }
 
-  /** Read every named bitset of the dir. None when the dir is
-    * missing/empty — the FAIL-SAFE direction: a state dir whose bloom
-    * was never initialised (pre-guard deployments) must take the exact
-    * probe path forever, because a fresh bloom would miss the old
-    * state's keys and a miss is a correctness claim. O(m) driver cost;
-    * metered as guard bytes.
+  // ------------------------------------------------------------------
+  // shard assembly
+  // ------------------------------------------------------------------
+
+  /** One named bloom, possibly sharded: `shards.length` is a power of
+    * two; keys route by the top log2(S) bits of the salted shard hash.
+    */
+  final case class NamedBloom(shards: IndexedSeq[Array[Long]]) {
+    require(shards.nonEmpty &&
+      Integer.bitCount(shards.length) == 1 &&
+      shards.forall(_.length == shards.head.length),
+      "shards must be a pow2 count of equal-length bitsets")
+    def numShards: Int = shards.length
+    def shardBits: Int = Integer.numberOfTrailingZeros(numShards)
+    def bitsPerShard: Int = shards.head.length * 64
+    def totalBits: Long = numShards.toLong * bitsPerShard
+    def fill: Double = {
+      var ones = 0L
+      shards.foreach(w => { var i = 0
+        while (i < w.length) { ones += java.lang.Long.bitCount(w(i)); i += 1 } })
+      ones.toDouble / totalBits
+    }
+  }
+
+  private def shardRowName(base: String, i: Int, s: Int): String =
+    if (s == 1) base else s"$base#$i/$s"
+
+  /** Assemble a base name's bloom from raw dir rows — a plain row, or
+    * its complete `name#i/S` shard set. An INCOMPLETE shard set (a
+    * layout no committed swap produces) returns None: fail safe to the
+    * exact probe, never guess membership.
+    */
+  def assemble(rows: Map[String, Array[Long]], name: String)
+      : Option[NamedBloom] =
+    rows.get(name).map(w => NamedBloom(IndexedSeq(w))).orElse {
+      val pre = name + "#"
+      val parts = rows.toSeq.collect {
+        case (n, w) if n.startsWith(pre) &&
+            n.substring(pre.length).matches("\\d+/\\d+") =>
+          val Array(i, s) = n.substring(pre.length).split("/")
+          (i.toInt, s.toInt, w)
+      }
+      parts.headOption.map(_._2).filter { s =>
+        parts.length == s && parts.forall(_._2 == s) &&
+          parts.map(_._1).sorted == (0 until s)
+      }.map { _ =>
+        NamedBloom(parts.sortBy(_._1).map(_._3).toIndexedSeq)
+      }
+    }
+
+  /** Replace a base name's row(s) — plain or sharded — with `nb`'s. */
+  private def replaceRows(rows: Map[String, Array[Long]], name: String,
+      nb: NamedBloom): Map[String, Array[Long]] = {
+    val pre = name + "#"
+    val kept = rows.filterNot { case (n, _) =>
+      n == name || n.startsWith(pre) }
+    kept ++ nb.shards.zipWithIndex.map { case (w, i) =>
+      shardRowName(name, i, nb.numShards) -> w }
+  }
+
+  // ------------------------------------------------------------------
+  // persistence
+  // ------------------------------------------------------------------
+
+  /** Initialise empty bitset(s) (all-zero), sized for `capacityHint`
+    * expected keys (floor [[DefaultNumBits]]; 0 = floor). Deployments
+    * that know their scale up front start at size and never pay a
+    * resize; everyone else grows geometrically via [[addKeysMulti]]'s
+    * trigger.
+    */
+  def init(s: SparkSession, dir: String,
+      names: Seq[String] = Seq(DefaultName),
+      numBits: Int = DefaultNumBits,
+      capacityHint: Long = 0L): Unit = {
+    require(numBits % 64 == 0 && numBits > 0, "numBits must be multiple of 64")
+    require(names.forall(!_.contains("#")),
+      "bitset names must not contain '#' (the shard-row separator)")
+    val (nShards, perShard) =
+      if (capacityHint > 0L) planFor(capacityHint)
+      else if (numBits <= maxShardBits) (1, numBits)
+      else planFor(numBits / TargetBitsPerKey)
+    write(s, dir, names.flatMap { n =>
+      (0 until nShards).map(i =>
+        shardRowName(n, i, nShards) -> new Array[Long](perShard / 64))
+    }.toMap)
+  }
+
+  /** Read every named bitset row of the dir (shard rows included,
+    * under their raw `name#i/S` names — [[assemble]] groups them).
+    * None when the dir is missing/empty — the FAIL-SAFE direction: a
+    * state dir whose bloom was never initialised (pre-guard
+    * deployments) must take the exact probe path forever, because a
+    * fresh bloom would miss the old state's keys and a miss is a
+    * correctness claim. O(m) driver cost; metered as guard bytes.
     */
   def readAll(s: SparkSession, dir: String)
       : Option[Map[String, Array[Long]]] = {
@@ -92,10 +252,10 @@ object BloomGuard {
       .toMap)
   }
 
-  /** Read one named bitset (None = dir or name missing: fail safe). */
+  /** Read one named bloom (None = dir or name missing: fail safe). */
   def read(s: SparkSession, dir: String,
-      name: String = DefaultName): Option[Array[Long]] =
-    readAll(s, dir).flatMap(_.get(name))
+      name: String = DefaultName): Option[NamedBloom] =
+    readAll(s, dir).flatMap(assemble(_, name))
 
   private def write(s: SparkSession, dir: String,
       blooms: Map[String, Array[Long]]): Unit = {
@@ -120,42 +280,160 @@ object BloomGuard {
     */
   @volatile private[graft] var crashAfterWrite: Boolean = false
 
-  /** OR each add's keys into its NAMED persisted bitset — one read,
-    * one combined swap for the whole dir; run BEFORE the state appends
-    * it covers. Key hashing casts through string (the
+  // ------------------------------------------------------------------
+  // build / OR / resize
+  // ------------------------------------------------------------------
+
+  /** Shard-routing hash column — salted separately from the position
+    * hash so shard choice and bit positions are independent.
+    */
+  private def shardHashCol(c: Column): Column =
+    TextFunctions.tokenHash60(concat(lit("bloomshard:"), c))
+
+  /** Build per-shard bitsets in ONE distributed aggregation: keys
+    * route by the salted shard hash's top bits, positions by the
+    * standard family within the shard's bitset.
+    */
+  private def buildSharded(df: DataFrame, keyCol: String,
+      shardBits: Int, bitsPerShard: Int): IndexedSeq[Array[Long]] = {
+    if (shardBits == 0)
+      return IndexedSeq(
+        BloomFilter.build(df, keyCol, bitsPerShard, DefaultNumHashes))
+    val pow2 = array((0 until 64).map(j => lit(1L << j)): _*)
+    val hashed = df.where(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"))
+      .select(
+        shiftrightunsigned(shardHashCol(col("__k")), 60 - shardBits)
+          .cast("int").as("shard"),
+        BloomFilter.hashCol(col("__k")).as("__bh"))
+    val rows = hashed
+      .select(col("shard"), explode(array(
+        BloomFilter.positions(col("__bh"), bitsPerShard,
+          DefaultNumHashes): _*)).as("p"))
+      .select(col("shard"), (col("p") / 64).cast("long").as("w"),
+        element_at(pow2, (col("p") % 64).cast("int") + 1).as("mask"))
+      .groupBy("shard", "w").agg(bit_or(col("mask")).as("bits"))
+      .collect()
+    val out = Array.fill(1 << shardBits)(new Array[Long](bitsPerShard / 64))
+    rows.foreach(r =>
+      out(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    out.toIndexedSeq
+  }
+
+  /** OR each add's keys into its NAMED persisted bloom — one read, one
+    * combined swap for the whole dir; run BEFORE the state appends it
+    * covers. Key hashing casts through string (the
     * [[BloomFilter.hashCol]] contract), so long ids and string keys
-    * share one code path. No-op when the bloom was never initialised
-    * (see [[readAll]]'s fail-safe: creating a bloom that misses
-    * pre-existing state keys would manufacture false negatives); adds
-    * naming an uninitialised bitset within an initialised dir are
-    * rejected loudly (same hazard).
+    * share one code path.
+    *
+    * Adds whose frame is EMPTY contribute nothing and a batch whose
+    * adds are ALL empty (a pure replay) swaps NOTHING — the guard dir
+    * is untouched, so replay batches write zero state.
+    *
+    * `rebuild` carries each name's lazy full-key-set thunk (the fold's
+    * state-table key column — invoked ONLY when that name's post-OR
+    * fill crosses [[FillThreshold]]); on trigger the bloom rebuilds at
+    * [[planFor]]'s size from thunk-keys ∪ batch-keys, growing —
+    * and shard-promoting — instead of saturating. Without a thunk an
+    * overloaded bloom degrades fail-safe (every probe routes exact),
+    * never wrong.
+    *
+    * No-op when the bloom was never initialised (see [[readAll]]'s
+    * fail-safe: creating a bloom that misses pre-existing state keys
+    * would manufacture false negatives); adds naming an uninitialised
+    * bitset within an initialised dir are rejected loudly (same
+    * hazard).
     */
   def addKeysMulti(s: SparkSession, dir: String,
-      adds: Seq[(DataFrame, String, String)]): Unit =
-    readAll(s, dir).foreach { blooms =>
-      adds.foreach { case (df, keyCol, name) =>
-        val words = blooms.getOrElse(name, throw new IllegalArgumentException(
-          s"BloomGuard: bitset '$name' was not initialised in $dir"))
-        val delta = BloomFilter.build(df, keyCol, words.length * 64,
-          DefaultNumHashes)
-        var i = 0
-        while (i < words.length) { words(i) |= delta(i); i += 1 }
+      adds: Seq[(DataFrame, String, String)],
+      rebuild: Map[String, () => DataFrame] = Map.empty): Unit =
+    readAll(s, dir).foreach { rows0 =>
+      val live = adds.filterNot(_._1.isEmpty)
+      if (live.nonEmpty) {
+        var rows = rows0
+        live.foreach { case (df, keyCol, name) =>
+          val nb = assemble(rows, name).getOrElse(
+            throw new IllegalArgumentException(
+              s"BloomGuard: bitset '$name' was not initialised in $dir"))
+          val delta = buildSharded(df, keyCol, nb.shardBits, nb.bitsPerShard)
+          var si = 0
+          while (si < nb.numShards) {
+            val w = nb.shards(si); val d = delta(si); var i = 0
+            while (i < w.length) { w(i) |= d(i); i += 1 }
+            si += 1
+          }
+          val grown =
+            if (nb.fill <= FillThreshold || !rebuild.contains(name)) nb
+            else {
+              // full key set = state keys ∪ this batch's keys (the
+              // bloom precedes the appends it covers); one amortized
+              // scan — the trigger is geometric in cardinality
+              val keys = rebuild(name)().toDF("__k")
+                .select(col("__k").cast("string").as("__k"))
+                .union(df.select(col(keyCol).cast("string").as("__k")))
+                .where(col("__k").isNotNull)
+                .distinct().localCheckpoint()
+              val (nShards, perShard) = planFor(keys.count())
+              val rb = NamedBloom(buildSharded(keys, "__k",
+                Integer.numberOfTrailingZeros(nShards), perShard))
+              keys.unpersist()
+              rb
+            }
+          rows = replaceRows(rows, name, grown)
+        }
+        write(s, dir, rows)
       }
-      write(s, dir, blooms)
     }
 
-  /** Single-bitset convenience over [[addKeysMulti]]. */
-  def addKeys(s: SparkSession, dir: String, df: DataFrame,
-      keyCol: String, name: String = DefaultName): Unit =
-    addKeysMulti(s, dir, Seq((df, keyCol, name)))
-
-  /** Row-local membership probe column for `keyCol` against a read
-    * bitset (never false-negative vs the keys [[addKeys]] recorded).
+  /** Single-bitset convenience over [[addKeysMulti]]: `stateKeys` is
+    * the fold's lazy resize source (its state-table key column).
     */
-  def hit(words: Array[Long], keyCol: String)
-      : org.apache.spark.sql.Column =
-    BloomFilter.mightContainUdf(words, DefaultNumHashes)(
-      col(keyCol).cast("string"))
+  def addKeys(s: SparkSession, dir: String, df: DataFrame,
+      keyCol: String, name: String = DefaultName,
+      stateKeys: Option[() => DataFrame] = None): Unit =
+    addKeysMulti(s, dir, Seq((df, keyCol, name)),
+      stateKeys.map(name -> _).toMap)
+
+  // ------------------------------------------------------------------
+  // probes
+  // ------------------------------------------------------------------
+
+  /** Row-local membership probe column for `keyCol` against an
+    * assembled bloom (never false-negative vs the keys [[addKeys]]
+    * recorded): shard by the salted hash's top bits, then the standard
+    * kernel within the shard.
+    */
+  def hit(nb: NamedBloom, keyCol: String): Column =
+    if (nb.numShards == 1)
+      BloomFilter.mightContainUdf(nb.shards(0), DefaultNumHashes)(
+        col(keyCol).cast("string"))
+    else {
+      val shards = nb.shards.toArray
+      val shardBits = nb.shardBits
+      val numHashes = DefaultNumHashes
+      val kernel = udf { (v: String) =>
+        val words =
+          shards((TextFunctions.md5Hash60("bloomshard:" + v)
+            >>> (60 - shardBits)).toInt)
+        val numBits = words.length * 64
+        val h = TextFunctions.md5Hash60("bloom:" + v)
+        val h1 = h % (1L << 30)
+        val h2 = h >>> 30
+        var i = 0
+        var ok = true
+        while (ok && i < numHashes) {
+          val p = (h1 + i.toLong * h2) % numBits
+          ok = (words((p / 64).toInt) & (1L << (p % 64).toInt)) != 0
+          i += 1
+        }
+        ok
+      }
+      kernel(col(keyCol).cast("string"))
+    }
+
+  /** Back-compat single-bitset probe (specs, direct callers). */
+  def hit(words: Array[Long], keyCol: String): Column =
+    hit(NamedBloom(IndexedSeq(words)), keyCol)
 
   /** The guard decision a fold makes per batch: true when the EXACT
     * state probe must run — the guard is disabled, the bloom was never
@@ -168,7 +446,7 @@ object BloomGuard {
       keyCol: String, name: String = DefaultName): Boolean =
     !enabled || (read(s, dir, name) match {
       case None => true
-      case Some(words) =>
-        df.where(hit(words, keyCol)).limit(1).count() > 0
+      case Some(nb) =>
+        df.where(hit(nb, keyCol)).limit(1).count() > 0
     })
 }

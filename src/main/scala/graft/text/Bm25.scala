@@ -159,6 +159,10 @@ object Bm25 {
         b.join(s.read.parquet(dlDir).select(idCol), Seq(idCol), "left_anti")
           .localCheckpoint()
       }
+    // empty batch or pure replay (every doc already folded): write
+    // NOTHING — no bloom swap, no empty appends; the state dirs are
+    // untouched
+    if (fresh.isEmpty) return
     val toks = fresh.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tfBatch = toks.where(col("term").isin(queryTerms: _*))
@@ -172,7 +176,12 @@ object Bm25 {
         tfBatch.join(s.read.parquet(tfDir).select(idCol).distinct(),
           Seq(idCol), "left_anti").localCheckpoint()
       }
-    BloomGuard.addKeys(s, bloom, fresh.select(idCol), idCol)
+    BloomGuard.addKeys(s, bloom, fresh.select(idCol), idCol,
+      stateKeys = Some(() => {
+        // resize source (amortized: invoked only at fill trigger)
+        StateScanMeter.add(s, dlDir)
+        s.read.parquet(dlDir).select(idCol)
+      }))
     graft.io.ParquetUtil.safeAppend(s, tfNew, tfDir)
     if (crashBetweenAppends) {
       crashBetweenAppends = false

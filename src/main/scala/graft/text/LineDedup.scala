@@ -297,10 +297,10 @@ object LineDedup {
     // ONE probe job over the materialised batch: the kb buckets of the
     // key-bitset hits AND whether any coord hits (a missing/disabled
     // bloom fails safe: every touched bucket, exact marks guard)
-    val keyHitF = blooms.flatMap(_.get(KeyBloom))
-      .map(w => BloomGuard.hit(w, "line_key")).getOrElse(lit(true))
-    val coordHitF = blooms.flatMap(_.get(CoordBloom))
-      .map(w => BloomGuard.hit(w, "__coord")).getOrElse(lit(true))
+    val keyHitF = blooms.flatMap(BloomGuard.assemble(_, KeyBloom))
+      .map(nb => BloomGuard.hit(nb, "line_key")).getOrElse(lit(true))
+    val coordHitF = blooms.flatMap(BloomGuard.assemble(_, CoordBloom))
+      .map(nb => BloomGuard.hit(nb, "__coord")).getOrElse(lit(true))
     val probe = keyed
       .withColumn("__coord", concat(col("page_id").cast("string"),
         lit(":"), col("line_no").cast("string")))
@@ -319,6 +319,10 @@ object LineDedup {
           Seq("page_id", "line_no"), "left_anti")
           .localCheckpoint()
       }
+    // empty batch or pure replay (every row already marked): write
+    // NOTHING — no bloom swap, no empty index/marks appends; the
+    // state dirs are untouched
+    if (fresh.isEmpty) return
     val idx = readIndexBuckets(s, indexDir,
       if (hitKeys.isEmpty) Some(Seq.empty) else Some(hitKeys))
       .cache()
@@ -349,7 +353,18 @@ object LineDedup {
         .select("line_key"), "line_key", KeyBloom),
       (fresh.select(concat(col("page_id").cast("string"), lit(":"),
         col("line_no").cast("string")).as("__coord")),
-        "__coord", CoordBloom)))
+        "__coord", CoordBloom)),
+      rebuild = Map(
+        // resize sources (amortized: invoked only at fill trigger) —
+        // the full index's keys / the full marks store's coords
+        KeyBloom -> (() => readIndexBuckets(s, indexDir, None)
+          .select("line_key")),
+        CoordBloom -> (() => {
+          StateScanMeter.add(s, marksDir)
+          s.read.parquet(marksDir)
+            .select(concat(col("page_id").cast("string"), lit(":"),
+              col("line_no").cast("string")).as("__coord"))
+        })))
     // single writer task for the partitioned append: without it every
     // input task writes a file into every kb= dir it touches (up to
     // tasks × buckets small files per batch, a long-lived stream's

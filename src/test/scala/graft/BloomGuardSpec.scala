@@ -68,6 +68,101 @@ class BloomGuardSpec extends SparkSpec {
       === 10L)
   }
 
+  test("overload WITHOUT a rebuild source: keys far past capacity " +
+      "saturate the bitset — every probe routes exact (fail-safe, " +
+      "never a false negative), nothing breaks") {
+    val dir = java.nio.file.Files.createTempDirectory("bg5").toString +
+      "/bloom"
+    // 128 bits for 5000 keys: hopelessly overloaded by construction
+    BloomGuard.init(spark, dir, numBits = 128)
+    BloomGuard.addKeys(spark, dir, (0L until 5000L).toDF("k"), "k")
+    val nb = BloomGuard.read(spark, dir).get
+    assert(nb.totalBits === 128L, "no thunk → no resize")
+    assert(nb.fill > 0.95, "saturated as expected")
+    val hits = (0L until 5000L).toDF("k")
+      .where(BloomGuard.hit(nb, "k")).count()
+    assert(hits === 5000L, "no false negatives even saturated")
+    assert(BloomGuard.needExact(spark, dir,
+      (90000L until 90020L).toDF("k"), "k"),
+      "a saturated bloom must degrade to the exact probe, not lie")
+  }
+
+  test("resize: past the fill threshold with a rebuild source, the " +
+      "bitset grows to cardinality-derived size — added keys still " +
+      "hit, fresh batches skip again") {
+    val dir = java.nio.file.Files.createTempDirectory("bg6").toString +
+      "/bloom"
+    BloomGuard.init(spark, dir, numBits = 1024)
+    // the fold's state: keys 0..99 already appended
+    BloomGuard.addKeys(spark, dir, (0L until 100L).toDF("k"), "k")
+    assert(BloomGuard.read(spark, dir).get.fill > BloomGuard.FillThreshold,
+      "fixture must be past the trigger")
+    // next batch arrives WITH the resize source (state keys thunk)
+    BloomGuard.addKeys(spark, dir, (100L until 200L).toDF("k"), "k",
+      stateKeys = Some(() => (0L until 100L).toDF("k")))
+    val nb = BloomGuard.read(spark, dir).get
+    assert(nb.totalBits === BloomGuard.DefaultNumBits.toLong,
+      s"planFor(200) floors at DefaultNumBits, got ${nb.totalBits}")
+    assert(nb.fill < BloomGuard.FillThreshold)
+    val hits = (0L until 200L).toDF("k")
+      .where(BloomGuard.hit(nb, "k")).count()
+    assert(hits === 200L, "state ∪ batch keys all survive the rebuild")
+    assert(!BloomGuard.needExact(spark, dir,
+      (500000L until 500020L).toDF("k"), "k"),
+      "fresh batches skip the exact probe again after the resize")
+  }
+
+  test("shard promotion: a rebuild whose plan exceeds maxShardBits " +
+      "splits into name#i/S rows — membership is unchanged, fresh " +
+      "keys still miss") {
+    val saved = BloomGuard.maxShardBits
+    try {
+      // force sharding at test scale: 2^17-bit shards → planFor's
+      // DefaultNumBits floor (2^21) promotes to 16 shards
+      BloomGuard.maxShardBits = 1 << 17
+      val dir = java.nio.file.Files.createTempDirectory("bg7")
+        .toString + "/bloom"
+      BloomGuard.init(spark, dir, numBits = 1024)
+      BloomGuard.addKeys(spark, dir, (0L until 100L).toDF("k"), "k")
+      BloomGuard.addKeys(spark, dir, (100L until 200L).toDF("k"), "k",
+        stateKeys = Some(() => (0L until 100L).toDF("k")))
+      val rows = BloomGuard.readAll(spark, dir).get
+      assert(rows.keySet === (0 until 16).map(i => s"k#$i/16").toSet,
+        s"expected 16 shard rows, got ${rows.keySet}")
+      val nb = BloomGuard.read(spark, dir).get
+      assert(nb.numShards === 16 && nb.bitsPerShard === (1 << 17))
+      val hits = (0L until 200L).toDF("k")
+        .where(BloomGuard.hit(nb, "k")).count()
+      assert(hits === 200L, "no false negatives across the shard split")
+      assert(!BloomGuard.needExact(spark, dir,
+        (500000L until 500020L).toDF("k"), "k"))
+      // sharded blooms keep OR-merging and probing on later batches
+      BloomGuard.addKeys(spark, dir, (200L until 300L).toDF("k"), "k")
+      val nb2 = BloomGuard.read(spark, dir).get
+      assert((0L until 300L).toDF("k")
+        .where(BloomGuard.hit(nb2, "k")).count() === 300L)
+    } finally BloomGuard.maxShardBits = saved
+  }
+
+  test("a pure-replay add (all frames empty) swaps nothing — the " +
+      "guard dir's files are untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("bg8").toString +
+      "/bloom"
+    BloomGuard.init(spark, dir)
+    BloomGuard.addKeys(spark, dir, (0L until 50L).toDF("k"), "k")
+    def listing = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(p).map(st =>
+        (st.getPath.getName, st.getLen, st.getModificationTime)).toSeq
+        .sortBy(_._1)
+    }
+    val before = listing
+    BloomGuard.addKeys(spark, dir, (0L until 50L).toDF("k")
+      .where(col("k") < 0), "k")
+    assert(listing === before, "zero-new-key batch must not rewrite")
+  }
+
   test("a LOST bloom (deleted dir) degrades to the exact path without " +
       "breaking the fold") {
     import graft.multimodal.Crossmodal

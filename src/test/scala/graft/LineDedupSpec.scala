@@ -112,6 +112,35 @@ class LineDedupSpec extends SparkSpec {
     }
   }
 
+  test("streamed line dedup: a pure-replay batch writes NOTHING — " +
+      "bloom, index, and marks dirs byte-identical after the replay") {
+    val base = java.nio.file.Files.createTempDirectory("sld_noop")
+      .toString
+    val (indexDir, marksDir) = (base + "/idx", base + "/marks")
+    LineDedup.initLineState(spark, indexDir, marksDir)
+    LineDedup.applyLineBatch(spark, lines, indexDir, marksDir)
+    def walk(dir: String): Seq[(String, Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val it = fs.listFiles(p, true)
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        while (it.hasNext) { val st = it.next()
+          out += ((st.getPath.toString, st.getLen, st.getModificationTime)) }
+        out.toSeq.sortBy(_._1)
+      }
+    }
+    val dirs = Seq(indexDir, marksDir, LineDedup.bloomDir(indexDir))
+    val before = dirs.map(walk)
+    LineDedup.applyLineBatch(spark, lines, indexDir, marksDir)
+    // an empty batch writes nothing either
+    LineDedup.applyLineBatch(spark, lines.where(lit(false)),
+      indexDir, marksDir)
+    assert(dirs.map(walk) === before,
+      "replay must swap no bloom and append no files")
+  }
+
   test("streamed line dedup: crash between index and marks append " +
       "replays to the fully-applied state") {
     // "three" is first kept in batch 2 (the crashed batch) and re-occurs
