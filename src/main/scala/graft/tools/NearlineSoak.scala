@@ -45,7 +45,7 @@ object NearlineSoak {
     val outJson = args(2)
     val families = if (args.length > 3) args(3).split(',').toSet
       else Set("simhash", "minhash", "span", "ivf", "nb", "line", "ndiv",
-        "dedupx", "bm25", "xmodal")
+        "dedupx", "bm25", "xmodal", "cc")
     if (sys.env.get("SPARK_GRAFT_BLOOM").contains("off"))
       graft.streaming.BloomGuard.enabled = false
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -140,6 +140,28 @@ object NearlineSoak {
           indexDir, storeDir, pairsDir),
         () => spark.read.parquet(indexDir).count(),
         Seq(indexDir, storeDir, pairsDir))
+    }
+
+    if (families("cc")) {
+      // nearline duplicate-cluster maintenance (IncrementalCC): the
+      // candidate join reads the gram index (metered, the Nearline
+      // keyed-store shape); the CC side must stay touched-labels-sized
+      // — per-batch flatness is the claim under test
+      val base = tmp("soak_cc")
+      val (idxDir, pairsDir, labelsDir, remapDir) =
+        (base + "/gidx", base + "/pairs", base + "/labels",
+          base + "/remap")
+      graft.dedup.IncrementalCC.initState(spark, idxDir, pairsDir,
+        labelsDir, remapDir)
+      val shingled = docs.select(col("doc_id").as("doc"),
+        graft.functions.GraftFunctions.shinglesK(spark, col("text"), 3)
+          .as("s")).localCheckpoint()
+      results("cc") = soak("cc", slices(shingled, "doc"),
+        (b, _) => graft.dedup.IncrementalCC.applyBatch(spark, b,
+          graft.queries.DedupQueries.JaccardThreshold,
+          idxDir, pairsDir, labelsDir, remapDir),
+        () => spark.read.parquet(pairsDir).count(),
+        Seq(idxDir, pairsDir, labelsDir, remapDir))
     }
 
     if (families("line")) {
