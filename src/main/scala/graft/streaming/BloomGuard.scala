@@ -348,14 +348,19 @@ object BloomGuard {
       adds: Seq[(DataFrame, String, String)],
       rebuild: Map[String, () => DataFrame] = Map.empty): Unit =
     readAll(s, dir).foreach { rows0 =>
-      val live = adds.filterNot(_._1.isEmpty)
-      if (live.nonEmpty) {
-        var rows = rows0
-        live.foreach { case (df, keyCol, name) =>
-          val nb = assemble(rows, name).getOrElse(
-            throw new IllegalArgumentException(
-              s"BloomGuard: bitset '$name' was not initialised in $dir"))
-          val delta = buildSharded(df, keyCol, nb.shardBits, nb.bitsPerShard)
+      var rows = rows0
+      var changed = false
+      adds.foreach { case (df, keyCol, name) =>
+        val nb = assemble(rows, name).getOrElse(
+          throw new IllegalArgumentException(
+            s"BloomGuard: bitset '$name' was not initialised in $dir"))
+        val delta = buildSharded(df, keyCol, nb.shardBits, nb.bitsPerShard)
+        // a zero delta = the add carried no (non-null) keys — the
+        // emptiness answer falls out of the build aggregation that runs
+        // anyway, so a pure-replay batch costs no extra probe job and
+        // swaps nothing
+        if (delta.exists(_.exists(_ != 0L))) {
+          changed = true
           var si = 0
           while (si < nb.numShards) {
             val w = nb.shards(si); val d = delta(si); var i = 0
@@ -381,8 +386,8 @@ object BloomGuard {
             }
           rows = replaceRows(rows, name, grown)
         }
-        write(s, dir, rows)
       }
+      if (changed) write(s, dir, rows)
     }
 
   /** Single-bitset convenience over [[addKeysMulti]]: `stateKeys` is
