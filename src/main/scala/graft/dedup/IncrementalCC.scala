@@ -226,8 +226,18 @@ object IncrementalCC {
         Seq("doc_b"))
       .where(col("la") =!= col("lb"))
       .select("la", "lb")
+    // the delta graph's labels are collected into `merges` regardless
+    // (the resolve map is driver-side by design), so when the EDGE list
+    // is also driver-bounded the hash-min loop's ~4 jobs per round are
+    // pure overhead: one limit-probe job fetches up to the gate, and a
+    // union-find-by-min computes the identical min-label fixpoint on
+    // the driver. Oversized deltas (the gate trips) keep the
+    // distributed loop — same results either way (IncrementalCCSpec).
+    val probe = contracted.limit(DriverCcMaxEdges + 1).collect()
     val merges: Map[Long, Long] =
-      if (contracted.isEmpty) Map.empty
+      if (probe.isEmpty) Map.empty
+      else if (probe.length <= DriverCcMaxEdges)
+        driverCc(probe.map(r => (r.getLong(0), r.getLong(1))))
       else Dedup.connectedComponents(contracted, "la", "lb")
         .where(col("id") =!= col("comp"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -265,6 +275,40 @@ object IncrementalCC {
         kbCol(col("doc")).as("kb")).coalesce(1),
       labelsDir, partitionBy = Seq("kb"))
     ()
+  }
+
+  /** Driver-CC gate: label-space delta graphs at or under this many
+    * edges (16 B/edge → ≤ ~3 MiB — the same driver budget class as the
+    * merge map itself) run union-find locally; larger deltas take the
+    * distributed hash-min loop.
+    */
+  val DriverCcMaxEdges = 200000
+
+  /** Union-find-by-min over an edge list: returns id → component-min
+    * for every node whose component min is not itself — exactly the
+    * non-identity rows of [[Dedup.connectedComponents]]'s fixpoint
+    * (union by smaller root keeps each root the component's minimum).
+    */
+  private[graft] def driverCc(edges: Array[(Long, Long)])
+      : Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    edges.iterator.flatMap(e => Iterator(e._1, e._2))
+      .map(x => x -> find(x))
+      .filter { case (x, r) => x != r }
+      .toMap
   }
 
   private implicit class SeqToDf(private val rows: Seq[(Long, Long)]) {

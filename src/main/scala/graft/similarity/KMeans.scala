@@ -116,22 +116,17 @@ object KMeans {
     * k lowest vec_ids). Same bit-exact integer geometry per round.
     */
   private[graft] def lloydFrom(pts: DataFrame, cent0: DataFrame,
-      iterations: Int): DataFrame = {
-    var cent = cent0
-    for (_ <- 1 to iterations) {
-      cent = assign(pts, cent).join(pts, "vec_id")
-        .select(col("cid"), posexplode(col("p")).as(Seq("d0", "v")))
-        .groupBy(col("cid"), (col("d0") + 1).cast("long").as("dim"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .select(col("cid"), col("dim"), expr("s div n").as("cv"))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("cv")))),
-          x => x.getField("cv")).as("c"))
-        .localCheckpoint()
-    }
-    cent
-  }
+      iterations: Int): DataFrame =
+    // the single-group chain IS the grouped chain at grp = 0: each
+    // round fuses the argmin into the update aggregation's scan — one
+    // job per round, where the former assign-then-join form paid a
+    // checkpointed assignment plus a vec_id join (two exchanges) per
+    // round. Same integer arithmetic, same results (KMeansSpec).
+    lloydMultiFrom(
+      pts.select(lit(0).as("grp"), col("vec_id"), col("p")),
+      cent0.select(lit(0).as("grp"), col("cid"), col("c")),
+      iterations)
+      .select("cid", "c")
 
   /** Final (vec_id, cid) assignment after `iterations` Lloyd rounds —
     * the clustering handle compositions build on (semantic dedup shards
@@ -199,6 +194,98 @@ object KMeans {
       val cent = lloyd(pts, k, iterations)
       (cent, assign(pts, cent))
     } finally pts.unpersist()
+  }
+
+  /** Collect a GROUPED centroid frame (grp: int, cid: long,
+    * c: array&lt;long&gt;) into the per-group argmin kernel's broadcast
+    * shape: grp → centroids ascending by cid (the tie rule's iteration
+    * order).
+    */
+  private def collectGrouped(cent: DataFrame)
+      : Map[Int, Array[(Long, Array[Long])]] =
+    cent.collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Long](2).toArray)))
+      .groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(_._2).sortBy(_._1) }
+
+  /** Per-group argmin kernel over a broadcast grp → centroids map —
+    * the multi-group rendering of [[assign]]'s loop, bit-identical per
+    * group (same integer distance, same strict-&lt; ties-to-smaller-cid
+    * rule over ascending cids).
+    */
+  private def argminGrouped(
+      bc: org.apache.spark.broadcast.Broadcast[
+        Map[Int, Array[(Long, Array[Long])]]]) =
+    udf { (g: Int, p: Seq[Long]) =>
+      val cs = bc.value(g)
+      val pa = p.toArray
+      var bestCid = 0L
+      var bestD = Long.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)._2
+        var d = 0L
+        var j = 0
+        val n = math.min(pa.length, c.length)
+        while (j < n) { val x = pa(j) - c(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; bestCid = cs(i)._1 }
+        i += 1
+      }
+      bestCid
+    }
+
+  /** MULTI-GROUP assignment: `pts` (grp: int, vec_id, p) against a
+    * grouped centroid frame (grp, cid, c) — one Spark job assigns every
+    * group, each group bit-identical to [[assign]] against that group's
+    * centroids alone (KMeansSpec pins the parity). This is the
+    * product-quantizer job-count lever: M subspaces assign in 1 pass
+    * instead of M.
+    */
+  private[graft] def assignMulti(pts: DataFrame, cent: DataFrame)
+      : DataFrame = {
+    val bc = pts.sparkSession.sparkContext.broadcast(collectGrouped(cent))
+    val out = pts.select(col("grp"), col("vec_id"),
+      argminGrouped(bc)(col("grp"), col("p")).as("cid"))
+      .localCheckpoint()
+    bc.destroy()
+    out
+  }
+
+  /** MULTI-GROUP warm-start Lloyd: `iterations` rounds over
+    * (grp, vec_id, p) points from the grouped seed frame `cent0`
+    * (grp, cid, c). Each round is ONE fused job — the per-group argmin
+    * runs inside the update aggregation's scan (no materialised
+    * assignment, no join back to the points), and per-(grp, cid, dim)
+    * integer sums are disjoint across groups, so every group's chain
+    * replays [[lloydFrom]] on its slice bit-exactly while the family
+    * pays one job per round instead of one per group per round.
+    * Precondition (callers': ProductQuantizer): groups partition the
+    * SAME row set, i.e. every (grp, vec_id) appears exactly once.
+    */
+  private[graft] def lloydMultiFrom(pts: DataFrame, cent0: DataFrame,
+      iterations: Int): DataFrame = {
+    var cent = cent0
+    for (_ <- 1 to iterations) {
+      val bc = pts.sparkSession.sparkContext
+        .broadcast(collectGrouped(cent))
+      cent = pts
+        .select(col("grp"), argminGrouped(bc)(col("grp"), col("p"))
+          .as("cid"), col("p"))
+        .select(col("grp"), col("cid"),
+          posexplode(col("p")).as(Seq("d0", "v")))
+        .groupBy(col("grp"), col("cid"),
+          (col("d0") + 1).cast("long").as("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("grp"), col("cid"), col("dim"),
+          expr("s div n").as("cv"))
+        .groupBy("grp", "cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+        .localCheckpoint()
+      bc.destroy()
+    }
+    cent
   }
 
   /** Run `iterations` Lloyd rounds; output one row per (cluster, dim):

@@ -67,57 +67,108 @@ object ProductQuantizer {
   def subDim(m: Int): Int = VectorFunctions.Dim / m
   def SubDim: Int = subDim(NumSubspaces)
 
+  /** (vec_id, grp, p) multi-subspace points: every vector row explodes
+    * into its m contiguous fixed-point slices, grp = subspace index.
+    * Slicing commutes with the fixed-point snap, so group i's rows ARE
+    * the per-subspace chain's input frame.
+    */
+  private def multiPts(pts: DataFrame, m: Int): DataFrame = {
+    val sd = subDim(m)
+    pts.select(col("vec_id"),
+      posexplode(array((0 until m).map(i =>
+        slice(col("p"), i * sd + 1, sd)): _*)).as(Seq("grp", "p")))
+  }
+
+  /** Per-subspace seed frame (grp, cid, c): the k smallest vec_ids'
+    * slices — identical to seeding each subspace chain alone (all
+    * subspaces share the vector id set by construction), computed as
+    * one scale-safe TakeOrdered over the un-exploded points.
+    */
+  private def multiSeeds(pts: DataFrame, m: Int, k: Int): DataFrame = {
+    val sd = subDim(m)
+    pts.orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("p"), i * sd + 1, sd)): _*)).as(Seq("grp", "c")))
+      .select(col("grp"), col("vec_id").as("cid"), col("c"))
+  }
+
+  /** Pivot a multi-group assignment (grp, vec_id, cid) into the wide
+    * codes frame (vec_id, code_0..code_{m-1}) — one aggregation instead
+    * of an m-way join chain; grp is unique per vec_id, so the sorted
+    * struct array's i-th cid IS subspace i's code.
+    */
+  private def pivotCodes(asg: DataFrame, m: Int): DataFrame =
+    asg.groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("grp"), col("cid")))),
+        x => x.getField("cid")).as("cs"))
+      .select(col("vec_id") +:
+        (0 until m).map(i => col("cs")(i).as(s"code_$i")): _*)
+      .localCheckpoint()
+
+  /** Split a grouped centroid frame into the per-subspace Seq the ADC
+    * tail consumes ((cid, c) per subspace, backed by the one
+    * localCheckpointed grouped frame).
+    */
+  private def splitBooks(cent: DataFrame, m: Int): Seq[DataFrame] =
+    (0 until m).map(i =>
+      cent.where(col("grp") === i).select("cid", "c"))
+
   /** Train the M codebooks and assign codes: returns the centroid
     * frames (cid, c fixed-point) per subspace plus the codes frame
     * (vec_id, code_0..code_{M-1}).
+    *
+    * All M subspace chains run JOINTLY as one grouped Lloyd loop
+    * ([[KMeans.lloydMultiFrom]]): per-(grp, cid, dim) sums are disjoint
+    * across subspaces, so every codebook and code is bit-identical to
+    * the per-subspace chains (ProductQuantizerSpec pins it), while
+    * training pays one Spark job per round instead of one per subspace
+    * per round — M×(iters+1) jobs collapse to (iters+1).
     */
   def train(emb: DataFrame, idCol: String, vecCol: String,
       m: Int = NumSubspaces, k: Int = CodebookK)
       : (Seq[DataFrame], DataFrame) = {
-    val sd = subDim(m)
     val pts = KMeans.pointsFp(emb, idCol, vecCol)
-    val chains = (0 until m).map { i =>
-      val sub = pts.select(col("vec_id"),
-        slice(col("p"), i * sd + 1, sd).as("p"))
-      KMeans.fitModelFp(sub, k, Iters)
-    }
-    val codes = chains.zipWithIndex.map { case ((_, asg), i) =>
-      asg.select(col("vec_id"), col("cid").as(s"code_$i"))
-    }.reduce(_.join(_, "vec_id"))
-    (chains.map(_._1), codes)
+    val multi = multiPts(pts, m).persist()
+    try {
+      multi.count()
+      val cent = KMeans.lloydMultiFrom(multi, multiSeeds(pts, m, k), Iters)
+      val codes = pivotCodes(KMeans.assignMulti(multi, cent), m)
+      (splitBooks(cent, m), codes)
+    } finally multi.unpersist()
   }
 
   /** Codebooks ONLY, trained on `train` — the frozen-quantizer shape
     * (the streamed index trains on the bootstrap batch and assigns
     * every later arrival against these fixed books via
-    * [[assignCodes]]).
+    * [[assignCodes]]). Joint grouped Lloyd, see [[train]].
     */
   def trainBooks(train: DataFrame, idCol: String, vecCol: String,
       m: Int = NumSubspaces, k: Int = CodebookK): Seq[DataFrame] = {
-    val sd = subDim(m)
     val pts = KMeans.pointsFp(train, idCol, vecCol)
-    (0 until m).map { i =>
-      KMeans.fitCentroidsFp(
-        pts.select(col("vec_id"), slice(col("p"), i * sd + 1, sd).as("p")),
-        k, Iters)
-    }
+    val multi = multiPts(pts, m).persist()
+    try {
+      multi.count()
+      splitBooks(
+        KMeans.lloydMultiFrom(multi, multiSeeds(pts, m, k), Iters), m)
+    } finally multi.unpersist()
   }
 
   /** Assign every vector of `emb` to its nearest sub-centroid per
     * subspace against FROZEN codebooks (the bit-exact integer argmin,
     * ties to the smaller cid — identical to the training-time
-    * assignment): (vec_id, code_0..code_{m-1}).
+    * assignment): (vec_id, code_0..code_{m-1}). One grouped assignment
+    * job for all m subspaces ([[KMeans.assignMulti]]).
     */
   def assignCodes(emb: DataFrame, idCol: String, vecCol: String,
       cents: Seq[DataFrame], m: Int = NumSubspaces): DataFrame = {
-    val sd = subDim(m)
-    val pts = KMeans.pointsFp(emb, idCol, vecCol)
-    (0 until m).map { i =>
-      KMeans.assign(
-        pts.select(col("vec_id"), slice(col("p"), i * sd + 1, sd).as("p")),
-        cents(i))
-        .select(col("vec_id"), col("cid").as(s"code_$i"))
-    }.reduce(_.join(_, "vec_id"))
+    val centAll = cents.zipWithIndex.map { case (c, i) =>
+      c.select(lit(i).as("grp"), col("cid"), col("c"))
+    }.reduce(_.unionByName(_))
+    pivotCodes(
+      KMeans.assignMulti(
+        multiPts(KMeans.pointsFp(emb, idCol, vecCol), m), centAll), m)
   }
 
   /** Strict left-fold double dot — the driver mirror of the oracle's

@@ -184,4 +184,22 @@ class IncrementalCCSpec extends SparkSpec {
     feed(12L until 18L, dirs, 2)
     assert(collectAnn(dirs._3, dirs._4) === want)
   }
+
+  test("driver union-find equals the distributed CC fixpoint") {
+    // chains, a clique, a star, bridges, self-referential mins — the
+    // driver path must emit exactly connectedComponents' non-identity
+    // rows (id -> component min)
+    val edges = Array[(Long, Long)](
+      (5L, 3L), (3L, 9L), (9L, 7L),            // chain, min 3
+      (20L, 21L), (21L, 22L), (20L, 22L),      // clique, min 20
+      (40L, 41L), (40L, 42L), (40L, 43L),      // star, min 40
+      (7L, 41L),                               // bridge: mins collapse to 3
+      (100L, 100L))                            // self-loop: identity, dropped
+    val got = IncrementalCC.driverCc(edges)
+    val want = Dedup.connectedComponents(
+      edges.toSeq.toDF("la", "lb"), "la", "lb")
+      .where(col("id") =!= col("comp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
 }

@@ -142,6 +142,45 @@ class ProductQuantizerSpec extends SparkSpec {
     expect.foreach { case (k, v) => assert(got(k) == v, s"score drift at $k") }
   }
 
+  test("joint grouped training equals the per-subspace reference chains") {
+    // the fused multi-group Lloyd (one job per round for all M
+    // subspaces) must reproduce the independent per-subspace chains
+    // bit-exactly: same codebooks, same codes
+    val m = ProductQuantizer.NumSubspaces
+    val k = ProductQuantizer.CodebookK
+    val sd = ProductQuantizer.SubDim
+    val (gotCents, gotCodes) =
+      ProductQuantizer.train(emb, "vec_id", "embedding")
+    val pts = KMeans.pointsFp(emb, "vec_id", "embedding")
+    val ref = (0 until m).map { i =>
+      KMeans.fitModelFp(
+        pts.select(col("vec_id"), slice(col("p"), i * sd + 1, sd).as("p")),
+        k, ProductQuantizer.Iters)
+    }
+    (0 until m).foreach { i =>
+      val got = gotCents(i).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = ref(i)._1.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"subspace $i codebook drift")
+      val gotAsg = gotCodes.select(col("vec_id"), col(s"code_$i"))
+        .as[(Long, Long)].collect().toMap
+      val wantAsg = ref(i)._2.select(col("vec_id"), col("cid"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotAsg == wantAsg, s"subspace $i code drift")
+    }
+    // frozen-book assignment takes the same fused path
+    val frozen = ProductQuantizer.assignCodes(
+      emb, "vec_id", "embedding", ref.map(_._1))
+    (0 until m).foreach { i =>
+      val got = frozen.select(col("vec_id"), col(s"code_$i"))
+        .as[(Long, Long)].collect().toMap
+      val want = ref(i)._2.select(col("vec_id"), col("cid"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"frozen subspace $i code drift")
+    }
+  }
+
   test("an exact duplicate shares all codes and fuses to the same score") {
     val dup = emb.union(Seq((100L, vec(1L))).toDF("vec_id", "embedding"))
     val (_, codes) = ProductQuantizer.train(dup, "vec_id", "embedding")
