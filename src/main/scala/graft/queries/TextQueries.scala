@@ -1085,12 +1085,15 @@ object TextQueries {
         .scoreFp(docs, trainGen, "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           col("sum_fp").as("fp_gen"))
-      val own = LangIdClasses.map { l =>
-        graft.text.BigramLm.scoreFp(
-          docs.where(col("lang") === l),
-          trainGen.where(col("lang") === l), "doc_id", "text")
-          .select(col("doc_id"), col("sum_fp").as("fp_own"))
-      }.reduce(_ unionByName _)
+      // one fused grouped chain for all five per-language models —
+      // bit-identical to the per-language scoreFp union it replaces
+      // (BigramLm.scoreFpGrouped: disjoint per-lang counts/snaps/sums),
+      // at 1/5th the pin jobs and corpus scans
+      val own = graft.text.BigramLm.scoreFpGrouped(
+          docs.where(col("lang").isin(LangIdClasses: _*)),
+          trainGen.where(col("lang").isin(LangIdClasses: _*)),
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("sum_fp").as("fp_own"))
       val perDom = gen.join(own, "doc_id")
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy("lang")

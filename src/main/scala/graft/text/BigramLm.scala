@@ -55,12 +55,20 @@ object BigramLm {
     * generate per document, no self-join, no window.
     */
   private def bigramPairs(tw: DataFrame, idCol: String): DataFrame =
+    bigramPairsCols(tw, Seq(idCol))
+
+  /** [[bigramPairs]] carrying several pass-through columns (the grouped
+    * scorer needs both the group key and the doc id on the stream).
+    */
+  private def bigramPairsCols(tw: DataFrame, carry: Seq[String])
+      : DataFrame =
     tw.where(size(col("w")) >= 2)
-      .select(col(idCol), explode(
+      .select(carry.map(col) :+ explode(
         transform(slice(col("w"), lit(1), size(col("w")) - 1),
           (x, i) => struct(x.as("w1"),
-            element_at(col("w"), i + lit(2)).as("w2")))).as("p"))
-      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+            element_at(col("w"), i + lit(2)).as("w2")))).as("p"): _*)
+      .select(carry.map(col) ++
+        Seq(col("p.w1").as("w1"), col("p.w2").as("w2")): _*)
 
   /** Byte budget for broadcasting model tables into the corpus scoring
     * streams. Below it (every curation-sized reference split) the vocab
@@ -199,6 +207,79 @@ object BigramLm {
           .otherwise(coalesce(col("fp1b"), lit(0L)) - col("fpn")
             + lit(AlphaFp)).as("fp"))
     val dl = tw.select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
+    sFirst.unionByName(sBigram)
+      .groupBy(col(idCol))
+      .agg(sum(col("fp")).as("sum_fp"))
+      .join(dl, idCol)
+      .select(col(idCol), col("n_tokens"), col("sum_fp"))
+  }
+
+  /** GROUPED [[scoreFp]] — one independent model PER VALUE of `grpCol`,
+    * trained and scored in a single fused chain (the DoReMi shape: one
+    * LM per domain). Every count, ln snap, and fixed-point sum is keyed
+    * by the group column and groups are disjoint, so each group's
+    * (idCol, n_tokens, sum_fp) rows are bit-identical to running
+    * [[scoreFp]] on that group's docs/train slices alone
+    * (BigramLmSpec pins the parity; the q_domain_weights oracle pins it
+    * cross-engine). The win is job- and scan-count: G per-group chains
+    * pay G×(2 pins + 2 gate counts) and re-read the corpus 2G times in
+    * the final job; the grouped chain pays the pins once and reads the
+    * corpus twice total.
+    *
+    * Precondition: every `docs` group value must appear in `train`
+    * (a group with NO training rows has no model — its docs drop out
+    * here, where the per-slice chain would emit null-scored rows).
+    */
+  def scoreFpGrouped(docs: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, grpCol: String): DataFrame = {
+    val lnFp: Column => Column =
+      c => floor(graft.functions.DetLog.lnInt(c) * LnScale).cast("long")
+    def tokenized(df: DataFrame): DataFrame = df
+      .select(col(grpCol), col(idCol),
+        TextFunctions.tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+    val twTrain = tokenized(train)
+    // per-group unigram table — pinned once for all groups
+    val u = twTrain.select(col(grpCol), explode(col("w")).as("term"))
+      .groupBy(grpCol, "term").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val fpu = u.select(col(grpCol), col("term"), lnFp(col("c1")).as("fp1"))
+    // per-group ln N — groups-sized, rides into the scans with the gate
+    val fpn = u.groupBy(grpCol).agg(lnFp(sum(col("c1"))).as("fpn"))
+      .localCheckpoint()
+    val fpb = bigramPairsCols(twTrain, Seq(grpCol))
+      .groupBy(grpCol, "w1", "w2").agg(count(lit(1)).as("c2"))
+      .select(col(grpCol), col("w1"), col("w2"), lnFp(col("c2")).as("fp2"))
+      .join(fpu.select(col(grpCol), col("term").as("w1"), col("fp1")),
+        Seq(grpCol, "w1"))
+      .select(col(grpCol), col("w1"), col("w2"),
+        (col("fp2") - col("fp1")).as("fpseen"))
+      .localCheckpoint()
+    val small =
+      vocabBroadcastOk(u.count(),
+        vocabRowBytes(strCols = 2, numCols = 1)) &&
+        vocabBroadcastOk(fpb.count(),
+          vocabRowBytes(strCols = 3, numCols = 1))
+    def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val tw = tokenized(docs)
+    val sFirst = tw
+      .select(col(grpCol), col(idCol), element_at(col("w"), 1).as("w1"))
+      .join(gated(fpu.select(col(grpCol), col("term").as("w1"),
+        col("fp1"))), Seq(grpCol, "w1"), "left")
+      .join(broadcast(fpn), Seq(grpCol))
+      .select(col(idCol),
+        (coalesce(col("fp1"), lit(0L)) - col("fpn")).as("fp"))
+    val sBigram = bigramPairsCols(tw, Seq(grpCol, idCol))
+      .join(gated(fpu.select(col(grpCol), col("term").as("w2"),
+        col("fp1").as("fp1b"))), Seq(grpCol, "w2"), "left")
+      .join(gated(fpb), Seq(grpCol, "w1", "w2"), "left")
+      .join(broadcast(fpn), Seq(grpCol))
+      .select(col(idCol),
+        when(col("fpseen").isNotNull, col("fpseen"))
+          .otherwise(coalesce(col("fp1b"), lit(0L)) - col("fpn")
+            + lit(AlphaFp)).as("fp"))
+    val dl = tw.select(col(idCol),
+      size(col("w")).cast("long").as("n_tokens"))
     sFirst.unionByName(sBigram)
       .groupBy(col(idCol))
       .agg(sum(col("fp")).as("sum_fp"))

@@ -63,6 +63,29 @@ class BigramLmSpec extends SparkSpec {
     assert(BigramLm.AlphaFp < 0L)
   }
 
+  test("grouped scoring equals the per-group scoreFp union") {
+    // two languages with deliberately overlapping vocabulary so a
+    // cross-group count leak would change a score; every scoring path
+    // (seen bigram, unseen in-vocab, OOV backoff) fires in each group
+    val d = Seq(
+      (0L, "en", "a b a b"), (2L, "en", "b x"),
+      (1L, "en", "a b z x"), (3L, "en", "b a b"),
+      (4L, "fr", "a b c"), (6L, "fr", "c c a"),
+      (5L, "fr", "a c z b"), (7L, "fr", "b a"))
+      .toDF("doc_id", "lang", "text")
+    val train = d.where(col("doc_id") % 2 === 0)
+    val got = BigramLm.scoreFpGrouped(d, train, "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Seq("en", "fr").map { l =>
+      BigramLm.scoreFp(d.where(col("lang") === l),
+        train.where(col("lang") === l), "doc_id", "text")
+    }.reduce(_ unionByName _)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
+
   test("a document of train-seen bigrams outscores its scrambled twin") {
     val d = Seq(
       0L -> "the cat sat on the mat",
