@@ -146,11 +146,9 @@ object Bench {
       (name, runs.sorted.apply(runs.size / 2), runs)
     }
     val total = results.map(_._2).sum
-    // stdout line: per-query medians at 3 decimals (the full-precision
-    // values live in the artifact file below), and the headline
-    // metric/value/sf fields LAST — the driver captures only the final
-    // ~2000 chars of output, so leading fields of a 4KB+ line vanish
-    // from the round artifact while trailing ones always survive
+    // stdout line 1 — the legacy full contract line, unchanged shape:
+    // per-query medians at 3 decimals (full precision in the sidecars
+    // below), headline metric/value/sf fields last
     val qsShort = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + graft.util.Fmt.fixed(v, 3)
     }.mkString("{", ",", "}")
@@ -158,21 +156,38 @@ object Bench {
       s"""{"queries":$qsShort,"n_queries":${results.size},""" +
         s""""sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
     println(line)
-    // artifact FILE with full precision and every run per query:
-    // stdout's head gets truncated by the driver's tail-capture; this
-    // file never does
+    // sidecar FILES with full precision and every run per query: the
+    // driver keeps only the final ~2000 chars of stdout, so the 5KB+
+    // full line above has never survived its tail-capture whole
+    // (BENCH_r01..r16.json all carry parsed:null). The per-query map
+    // lives here; written both to $SPARK_GRAFT_BENCH_OUT and to CWD
+    // bench_detail.json so it is discoverable without the env var.
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, rs) =>
       s"\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val cpusJson =
+      if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else "\"" + cpus + "\""
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","cpus":$cpusJson,""" +
+        s""""runs":$runsJson}""" + "\n"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench_last.json")
-    val p = java.nio.file.Paths.get(outPath)
-    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(p,
-      (s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","runs":$runsJson}""" + "\n")
-        .getBytes("UTF-8"))
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+      .toAbsolutePath.toString
+    Seq(outPath, detailPath).distinct.foreach { path =>
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    }
+    // stdout line 2, LAST — a compact headline line guaranteed to fit
+    // whole inside the driver's 2000-char tail so its JSON parse
+    // finally succeeds: total, n_queries, sf, cpus, sidecar path
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_queries":${results.size},"sf":"$sfDir","cpus":$cpusJson,""" +
+        s""""queries_detail":"$detailPath"}""")
   }
 }
