@@ -217,7 +217,10 @@ object KMeans {
       bc: org.apache.spark.broadcast.Broadcast[
         Map[Int, Array[(Long, Array[Long])]]]) =
     udf { (g: Int, p: Seq[Long]) =>
-      val cs = bc.value(g)
+      // a group with no centroid rows (e.g. an empty codebook frame)
+      // assigns cid 0 for every point — the single-group assign()'s
+      // empty-centroid behavior, not an executor NoSuchElementException
+      val cs = bc.value.getOrElse(g, Array.empty[(Long, Array[Long])])
       val pa = p.toArray
       var bestCid = 0L
       var bestD = Long.MaxValue

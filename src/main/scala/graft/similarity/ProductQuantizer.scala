@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * is 256 B/vector; int8 ([[graft.queries.SimilarityQueries]]'
   * q_ann_quantized) reads 64 B; PQ reads [[NumSubspaces]]
   * codes ≈ 4-32 B, and the scan side of the plan is a narrow
-  * integer-column parquet read joined against broadcast codebook
-  * tables of [[CodebookK]] rows — nothing vector-sized shuffles or
-  * broadcasts besides the query parameters themselves.
+  * integer-column parquet read projected through literal per-query
+  * lookup arrays (queries × [[NumSubspaces]] × [[CodebookK]] doubles,
+  * riding in the plan) — nothing vector-sized shuffles or broadcasts
+  * besides the query parameters themselves.
   *
   * Determinism: codebooks and code assignments come from the shared
   * all-integer [[KMeans]] chain on SLICED fixed-point points (slicing
@@ -199,54 +200,123 @@ object ProductQuantizer {
     adcTopKWith(s, emb, idCol, vecCol, cents, codes, numQueries, topK, m)
   }
 
-  /** Per-query ADC lookup tables, query-norm frame, and the raw query
-    * rows for `emb`'s first `numQueries` ids against the reconstructed
-    * codebooks `cents`. Parameters: query vectors and codebooks are
-    * both tiny — LUTs are computed on the driver with the reference
-    * fold and broadcast at the join sites.
+  /** Driver-computed per-query ADC model: raw query rows, per-subspace
+    * LUT rows (qid, cid, q_m·c_m, ‖c_m‖²) from the reference fold, and
+    * per-query norms. Query vectors and codebooks are both tiny, so the
+    * double arithmetic happens ONCE on the driver; the scoring tail
+    * consumes these rows either as literal lookup arrays (the fused
+    * row-local path) or as broadcast-joined frames (the fallback).
     */
+  private final case class AdcModel(
+      qRows: Array[(Long, Array[Float])],
+      lutRows: IndexedSeq[Seq[(Long, Long, Double, Double)]],
+      qnormRows: Seq[(Long, Double)])
+
   private def queryLuts(s: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, cents: Seq[DataFrame], numQueries: Int, m: Int)
-      : (Seq[DataFrame], DataFrame, Array[(Long, Array[Float])]) = {
-    import s.implicits._
+      : AdcModel = {
     val sd = subDim(m)
     val qRows = emb.where(col(idCol) < numQueries)
       .select(col(idCol), col(vecCol)).orderBy(idCol).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val books: Seq[Array[(Long, Array[Float])]] = cents.map(_.collect()
       .map(r => (r.getLong(0), reconstruct(r.getSeq[Long](1)))).sortBy(_._1))
-    val luts: Seq[DataFrame] = (0 until m).map { i =>
-      val rows = for {
+    val lutRows = (0 until m).map { i =>
+      for {
         (qid, qv) <- qRows.toSeq
         qs = qv.slice(i * sd, (i + 1) * sd).toSeq
         (cid, cv) <- books(i)
       } yield (qid, cid, dotRef(qs, cv.toSeq), dotRef(cv.toSeq, cv.toSeq))
-      rows.toDF("qid", s"code_$i", s"dot_$i", s"nsq_$i")
     }
-    val qnorm = qRows.toSeq
+    val qnormRows = qRows.toSeq
       .map { case (qid, qv) => (qid, math.sqrt(dotRef(qv.toSeq, qv.toSeq))) }
-      .toDF("qid", "qnorm")
-    (luts, qnorm, qRows)
+    AdcModel(qRows, lutRows, qnormRows)
   }
 
-  /** The ADC scoring tail over a candidate frame
-    * (qid, vec_id, code_0..code_{m-1}): each subspace resolves through
-    * one broadcast hash join against its k-row LUT, the blocked sums
-    * assemble in strict left association (the oracle's form), and the
-    * per-query top-`topK` ranks by (cosine_pq desc, vec_id asc).
+  /** Fused-path gate: flat (qid × subspace × cid) literal arrays stay
+    * sane only while ids are small non-negative ints — true for every
+    * engine corpus (qid &lt; numQueries, cid = a seed vec_id &lt; k in
+    * the dense-id corpora). Oversized/sparse id spaces fall back to the
+    * join rendering, bit-identical either way.
     */
-  private def adcScore(cand: DataFrame, luts: Seq[DataFrame],
-      qnorm: DataFrame, m: Int, topK: Int): DataFrame = {
-    // strict left association — the oracle assembles identically
-    val num = (0 until m).map(i => col(s"dot_$i")).reduceLeft(_ + _)
-    val nsq = (0 until m).map(i => col(s"nsq_$i")).reduceLeft(_ + _)
+  private val MaxFusedEntries = 1 << 21
+
+  /** Spec seam: forces the broadcast-join rendering so the parity spec
+    * can compare it against the fused projection. Never off in
+    * production.
+    */
+  private[graft] var fuseLuts: Boolean = true
+
+  /** The ADC scoring tail over a candidate frame
+    * (qid, vec_id, code_0..code_{m-1}).
+    *
+    * Fused path (the default): the per-subspace LUTs and query norms
+    * become THREE literal double arrays indexed by
+    * ((qid·m + subspace)·kw + code), so the whole assembly — m dot
+    * lookups + m norm lookups + the blocked sums — is ONE row-local
+    * projection with zero joins, where the join rendering paid m+1
+    * broadcast hash-join probes and row-widening copies per candidate.
+    * Lookup values are the SAME driver-computed doubles and the sums
+    * keep strict left association (the oracle's form), so scores are
+    * bit-identical (ProductQuantizerSpec pins fused == join rendering).
+    * Candidate qids/codes always hit populated slots by construction:
+    * qids come from the model's own query set and codes from
+    * assignment against these books.
+    *
+    * Fallback (ids outside the flat-array gate): each subspace resolves
+    * through one broadcast hash join against its k-row LUT — the
+    * pre-fusion rendering, kept as the parity reference.
+    */
+  private def adcScore(cand: DataFrame, model: AdcModel, m: Int,
+      topK: Int): DataFrame = {
     val rank = row_number().over(
       Window.partitionBy("qid").orderBy(desc("cosine_pq"), asc("vec_id")))
-    (0 until m).foldLeft(cand) {
-      case (df, i) => df.join(broadcast(luts(i)), Seq("qid", s"code_$i"))
-    }
-      .join(broadcast(qnorm), "qid")
-      .withColumn("cosine_pq", num / (col("qnorm") * sqrt(nsq)))
+    val qids = model.qRows.map(_._1)
+    val cids = model.lutRows.flatMap(_.map(_._2))
+    val nq = if (qids.isEmpty) 0L else qids.max + 1
+    val kw = if (cids.isEmpty) 0L else cids.max + 1
+    val fuse = fuseLuts && qids.nonEmpty && cids.nonEmpty &&
+      qids.forall(_ >= 0) && cids.forall(_ >= 0) &&
+      model.lutRows.forall(_.nonEmpty) &&
+      nq * m * kw <= MaxFusedEntries
+    val scored =
+      if (fuse) {
+        val dotFlat = new Array[Double]((nq * m * kw).toInt)
+        val nsqFlat = new Array[Double]((nq * m * kw).toInt)
+        for (i <- 0 until m; (qid, cid, d, n) <- model.lutRows(i)) {
+          val ix = ((qid * m + i) * kw + cid).toInt
+          dotFlat(ix) = d; nsqFlat(ix) = n
+        }
+        val qnFlat = new Array[Double](nq.toInt)
+        model.qnormRows.foreach { case (q, v) => qnFlat(q.toInt) = v }
+        val dotLit = typedlit(dotFlat.toSeq)
+        val nsqLit = typedlit(nsqFlat.toSeq)
+        val qnLit = typedlit(qnFlat.toSeq)
+        def ix(i: Int) =
+          ((col("qid") * m + i) * kw + col(s"code_$i") + 1).cast("int")
+        // strict left association — the oracle assembles identically
+        val num = (0 until m).map(i => element_at(dotLit, ix(i)))
+          .reduceLeft(_ + _)
+        val nsq = (0 until m).map(i => element_at(nsqLit, ix(i)))
+          .reduceLeft(_ + _)
+        val qn = element_at(qnLit, (col("qid") + 1).cast("int"))
+        cand.withColumn("cosine_pq", num / (qn * sqrt(nsq)))
+      } else {
+        val s = cand.sparkSession
+        import s.implicits._
+        val luts = (0 until m).map(i =>
+          model.lutRows(i).toDF("qid", s"code_$i", s"dot_$i", s"nsq_$i"))
+        val qnorm = model.qnormRows.toDF("qid", "qnorm")
+        // strict left association — the oracle assembles identically
+        val num = (0 until m).map(i => col(s"dot_$i")).reduceLeft(_ + _)
+        val nsq = (0 until m).map(i => col(s"nsq_$i")).reduceLeft(_ + _)
+        (0 until m).foldLeft(cand) {
+          case (df, i) => df.join(broadcast(luts(i)), Seq("qid", s"code_$i"))
+        }
+          .join(broadcast(qnorm), "qid")
+          .withColumn("cosine_pq", num / (col("qnorm") * sqrt(nsq)))
+      }
+    scored
       .withColumn("rank", rank.cast("bigint"))
       .where(col("rank") <= topK)
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine_pq"),
@@ -262,16 +332,15 @@ object ProductQuantizer {
   def adcTopKWith(s: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, cents: Seq[DataFrame], codes: DataFrame,
       numQueries: Int, topK: Int, m: Int = NumSubspaces): DataFrame = {
-    val (luts, qnorm, qRows) =
-      queryLuts(s, emb, idCol, vecCol, cents, numQueries, m)
+    val model = queryLuts(s, emb, idCol, vecCol, cents, numQueries, m)
     // candidate side: the integer codes frame fans out per query id
     // via a literal explode (generate, not a join)
-    val qids = array(qRows.map(q => lit(q._1)): _*)
+    val qids = array(model.qRows.map(q => lit(q._1)): _*)
     val cand = codes.select(
       col("vec_id") +: explode(qids).as("qid") +:
         (0 until m).map(i => col(s"code_$i")): _*)
       .where(col("qid") =!= col("vec_id"))
-    adcScore(cand, luts, qnorm, m, topK)
+    adcScore(cand, model, m, topK)
   }
 
   /** IVF-probed ADC: the candidate scan is restricted to each query's
@@ -287,14 +356,13 @@ object ProductQuantizer {
       vecCol: String, cents: Seq[DataFrame], codes: DataFrame,
       probes: DataFrame, asg: DataFrame,
       numQueries: Int, topK: Int, m: Int = NumSubspaces): DataFrame = {
-    val (luts, qnorm, _) =
-      queryLuts(s, emb, idCol, vecCol, cents, numQueries, m)
+    val model = queryLuts(s, emb, idCol, vecCol, cents, numQueries, m)
     val cand = codes.join(asg, "vec_id")
       .join(broadcast(probes), "label")
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid") +: col("vec_id") +:
         (0 until m).map(i => col(s"code_$i")): _*)
-    adcScore(cand, luts, qnorm, m, topK)
+    adcScore(cand, model, m, topK)
   }
 
   /** The production deployment (Jégou et al.'s ADC + rerank): the

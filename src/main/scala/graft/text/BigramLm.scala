@@ -226,9 +226,10 @@ object BigramLm {
     * the final job; the grouped chain pays the pins once and reads the
     * corpus twice total.
     *
-    * Precondition: every `docs` group value must appear in `train`
-    * (a group with NO training rows has no model — its docs drop out
-    * here, where the per-slice chain would emit null-scored rows).
+    * A group with NO training rows has no model: its docs emit
+    * null-scored rows (null `sum_fp`), exactly the per-slice chain's
+    * degenerate-case shape (ln N left-joins and nulls propagate
+    * through the fixed-point arithmetic).
     */
   def scoreFpGrouped(docs: DataFrame, train: DataFrame, idCol: String,
       textCol: String, grpCol: String): DataFrame = {
@@ -266,14 +267,14 @@ object BigramLm {
       .select(col(grpCol), col(idCol), element_at(col("w"), 1).as("w1"))
       .join(gated(fpu.select(col(grpCol), col("term").as("w1"),
         col("fp1"))), Seq(grpCol, "w1"), "left")
-      .join(broadcast(fpn), Seq(grpCol))
+      .join(broadcast(fpn), Seq(grpCol), "left")
       .select(col(idCol),
         (coalesce(col("fp1"), lit(0L)) - col("fpn")).as("fp"))
     val sBigram = bigramPairsCols(tw, Seq(grpCol, idCol))
       .join(gated(fpu.select(col(grpCol), col("term").as("w2"),
         col("fp1").as("fp1b"))), Seq(grpCol, "w2"), "left")
       .join(gated(fpb), Seq(grpCol, "w1", "w2"), "left")
-      .join(broadcast(fpn), Seq(grpCol))
+      .join(broadcast(fpn), Seq(grpCol), "left")
       .select(col(idCol),
         when(col("fpseen").isNotNull, col("fpseen"))
           .otherwise(coalesce(col("fp1b"), lit(0L)) - col("fpn")

@@ -142,6 +142,34 @@ class ProductQuantizerSpec extends SparkSpec {
     expect.foreach { case (k, v) => assert(got(k) == v, s"score drift at $k") }
   }
 
+  test("fused LUT-array scoring equals the broadcast-join rendering") {
+    // the row-local literal-array projection must reproduce the m+1
+    // broadcast-hash-join rendering bit-exactly — same rows, same
+    // doubles — on both the full-fanout and the IVF-probed tails
+    val (books, codes) = ProductQuantizer.train(emb, "vec_id", "embedding")
+    def runBoth(f: () => org.apache.spark.sql.DataFrame)
+        : (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+      val fused = f().collect().toSeq
+      ProductQuantizer.fuseLuts = false
+      val joined =
+        try f().collect().toSeq
+        finally ProductQuantizer.fuseLuts = true
+      (fused, joined)
+    }
+    val (f1, j1) = runBoth(() => ProductQuantizer.adcTopKWith(spark, emb,
+      "vec_id", "embedding", books, codes, numQueries = 3, topK = 7))
+    assert(f1 == j1, "full-fanout ADC: fused != join rendering")
+    assert(f1.nonEmpty)
+    val asgL = codes.select(col("vec_id"),
+      (col("code_0") % 2).cast("int").as("label"))
+    val probes = Seq((0L, 0), (0L, 1), (1L, 0)).toDF("qid", "label")
+    val (f2, j2) = runBoth(() => ProductQuantizer.adcIvfTopKWith(spark,
+      emb, "vec_id", "embedding", books, codes, probes, asgL,
+      numQueries = 2, topK = 7))
+    assert(f2 == j2, "IVF-probed ADC: fused != join rendering")
+    assert(f2.nonEmpty)
+  }
+
   test("joint grouped training equals the per-subspace reference chains") {
     // the fused multi-group Lloyd (one job per round for all M
     // subspaces) must reproduce the independent per-subspace chains
