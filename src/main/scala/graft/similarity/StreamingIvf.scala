@@ -36,6 +36,13 @@ object StreamingIvf {
 
   private val SumT = DecimalType(38, 15)
 
+  /** Cells trained per grouped [[splitCells]] prefetch pass — bounds
+    * the per-pass union plan and driver collect (k×dim centroid rows
+    * per cell), not a semantic knob: any value replays the identical
+    * largest-first split sequence.
+    */
+  val MaxSplitBatch = 64
+
   /** The postings' Bloom-guard state dir. */
   def bloomDir(postingsDir: String): String = postingsDir + "_bloom"
 
@@ -241,6 +248,7 @@ object StreamingIvf {
       "refineIters needs reassign=true (refined centroids must be " +
         "followed by the global assignment they define)")
     import scala.collection.mutable
+    import org.apache.spark.sql.expressions.Window
     val postings = graft.io.ParquetUtil.readRecovered(s, postingsDir)
       .select("vec_id", "embedding", "label").localCheckpoint()
     val pts = KMeans.pointsFp(postings, "vec_id", "embedding")
@@ -254,6 +262,154 @@ object StreamingIvf {
     // membership frames: unsplit cells resolve from the postings;
     // split children from their 2-means assignment (checkpointed)
     val members = mutable.Map[Long, DataFrame]()
+    var nextId = (cents.keys ++ sizes.keys).max + 1
+    val changed = mutable.ArrayBuffer[Long]()
+    // BATCHED prefetch: 2-means results for cells that have not split
+    // yet are order-independent (a cell's members never change unless
+    // THAT cell splits), so the top `needed` frontier cells train in
+    // ONE grouped Lloyd chain per driver pass instead of one full
+    // chain per split. The largest-first decision sequence — including
+    // child-id allocation and re-splits of children — is then replayed
+    // on the driver consuming the precomputed results; a result stays
+    // valid across passes until its cell is consumed, so no grouped
+    // work is wasted. Each consumed result is bit-identical to the
+    // one-cell chain ([[KMeans.lloydMultiFrom]]'s grouped parity plus
+    // identical 2-lowest-vec_id seeding), and the sequential reference
+    // is retained as [[splitCellsSeq]] (RequantizeSpec pins equality).
+    val pending = mutable.Map[Long,
+      (Seq[(Long, Seq[Long])], Map[Long, Long], Int, DataFrame)]()
+    def prefetch(cells: Seq[Long]): Unit = if (cells.nonEmpty) {
+      import s.implicits._
+      val idx = cells.zipWithIndex
+      val unsplit = cells.filterNot(members.contains)
+      val tagged = ((if (unsplit.isEmpty) Seq.empty[DataFrame] else Seq(
+        postings.where(col("label").isin(unsplit: _*))
+          .select(col("vec_id"), col("label").cast("long").as("cell"))))
+        ++ cells.filter(members.contains).map(c =>
+          members(c).select(col("vec_id"), lit(c).as("cell"))))
+        .reduce(_ unionByName _)
+      val gpts = pts.join(tagged, "vec_id")
+        .join(broadcast(idx.toDF("cell", "grp")), "cell")
+        .select(col("grp"), col("vec_id"), col("p"))
+        .persist()
+      try {
+        gpts.count()
+        // per-group seeds: the 2 lowest vec_ids' points — the KMeans
+        // init rule on each cell's own members
+        val seeds = gpts
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("grp").orderBy("vec_id")))
+          .where(col("rn") <= 2)
+          .select(col("grp"), col("vec_id").as("cid"), col("p").as("c"))
+        val cent2 = KMeans.lloydMultiFrom(gpts, seeds, iterations)
+        val asg2m = KMeans.assignMulti(gpts, cent2) // localCheckpointed
+        val centRows = cent2.collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+        val cnts = asg2m.groupBy("grp", "cid").count().collect()
+          .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+        idx.foreach { case (c, g) =>
+          val c2 = centRows.filter(_._1 == g)
+            .map(t => (t._2, t._3)).sortBy(_._1).toSeq
+          val counts = cnts.collect {
+            case ((gg, cc), n) if gg == g => cc -> n }
+          pending(c) = (c2, counts, g, asg2m)
+        }
+      } finally gpts.unpersist()
+    }
+    while (cents.size < targetK && sizes.exists(_._2 >= 2)) {
+      val (cid, _) = sizes.filter(_._2 >= 2)
+        .maxBy { case (c, n) => (n, -c) }
+      if (!pending.contains(cid)) {
+        val needed = targetK - cents.size
+        prefetch(sizes.filter(_._2 >= 2).toSeq
+          .sortBy { case (c, n) => (-n, c) }
+          .take(math.min(needed, MaxSplitBatch)).map(_._1)
+          .filterNot(pending.contains))
+      }
+      val (c2rows, childCounts, g, asg2m) = pending.remove(cid).get
+      if (c2rows.length < 2) sizes(cid) = 0L // all-identical: unsplittable
+      else {
+        val childA = c2rows.map(_._1).min // keeps the parent id
+        val idB = nextId; nextId += 1
+        cents.remove(cid)
+        c2rows.foreach { case (ccid, cvec) =>
+          cents(if (ccid == childA) cid else idB) = cvec
+        }
+        members(cid) = asg2m
+          .where(col("grp") === g && col("cid") === childA)
+          .select("vec_id")
+        members(idB) = asg2m
+          .where(col("grp") === g && col("cid") =!= childA)
+          .select("vec_id")
+        sizes(cid) = childCounts.getOrElse(childA, 0L)
+        sizes(idB) = childCounts.values.sum - sizes(cid)
+        changed += cid; changed += idB
+      }
+    }
+    def memberIds(cid: Long): DataFrame = members.getOrElse(cid,
+      postings.where(col("label") === cid).select("vec_id"))
+    import scala.jdk.CollectionConverters._
+    val centGrown = s.createDataFrame(
+      cents.toSeq.map { case (cid, c) =>
+        org.apache.spark.sql.Row(cid, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+      .localCheckpoint()
+    // optional warm-start refinement: `refineIters` Lloyd rounds FROM
+    // the grown table (cost = refineIters assignment passes — between
+    // the pure reassign and a cold retrain; never a re-init)
+    val centNew =
+      if (refineIters == 0) centGrown
+      else KMeans.lloydFrom(pts, centGrown, refineIters).localCheckpoint()
+    if (reassign) {
+      // one global argmin pass over the grown table — releases vectors
+      // trapped by the frozen parent boundaries; not a retrain
+      val asg = KMeans.assign(pts, centNew)
+      graft.io.ParquetUtil.safeOverwrite(s,
+        postings.drop("label").join(asg, "vec_id")
+          .select(col("vec_id"), col("embedding"),
+            col("cid").cast("int").as("label")),
+        postingsDir)
+    } else if (changed.nonEmpty) {
+      val remap = changed.distinct.map(cid =>
+        memberIds(cid).select(col("vec_id"), lit(cid).as("new_label")))
+        .reduce(_ unionByName _)
+      graft.io.ParquetUtil.safeOverwrite(s,
+        postings.join(remap, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("embedding"),
+            coalesce(col("new_label"), col("label").cast("long"))
+              .cast("int").as("label")),
+        postingsDir)
+    }
+    centNew
+  }
+
+  /** The pre-batching one-full-chain-per-split [[splitCells]] — kept
+    * verbatim as the bit-parity reference for the grouped prefetch
+    * (RequantizeSpec pins splitCells == splitCellsSeq: same grown
+    * centroid table, same postings state).
+    */
+  private[graft] def splitCellsSeq(s: SparkSession, postingsDir: String,
+      centFp: DataFrame, targetK: Int, iterations: Int,
+      reassign: Boolean = false, refineIters: Int = 0): DataFrame = {
+    require(refineIters == 0 || reassign,
+      "refineIters needs reassign=true")
+    import scala.collection.mutable
+    val postings = graft.io.ParquetUtil.readRecovered(s, postingsDir)
+      .select("vec_id", "embedding", "label").localCheckpoint()
+    val pts = KMeans.pointsFp(postings, "vec_id", "embedding")
+      .localCheckpoint()
+    val cents = mutable.LinkedHashMap[Long, Seq[Long]](
+      centFp.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1)).toSeq: _*)
+    val sizes = mutable.Map[Long, Long](
+      postings.groupBy("label").count().collect().map(r =>
+        r.getInt(0).toLong -> r.getLong(1)).toSeq: _*)
+    val members = mutable.Map[Long, DataFrame]()
     def memberIds(cid: Long): DataFrame = members.getOrElse(cid,
       postings.where(col("label") === cid).select("vec_id"))
     var nextId = (cents.keys ++ sizes.keys).max + 1
@@ -264,9 +420,9 @@ object StreamingIvf {
       val cellPts = pts.join(memberIds(cid), "vec_id")
       val (c2, asg2) = KMeans.fitModelFp(cellPts, 2, iterations)
       val c2rows = c2.collect()
-      if (c2rows.length < 2) sizes(cid) = 0L // all-identical: unsplittable
+      if (c2rows.length < 2) sizes(cid) = 0L
       else {
-        val childA = c2rows.map(_.getLong(0)).min // keeps the parent id
+        val childA = c2rows.map(_.getLong(0)).min
         val idB = nextId; nextId += 1
         val asg2m = asg2.localCheckpoint()
         val childCounts = asg2m.groupBy("cid").count().collect()
@@ -294,15 +450,10 @@ object StreamingIvf {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType)))))
       .localCheckpoint()
-    // optional warm-start refinement: `refineIters` Lloyd rounds FROM
-    // the grown table (cost = refineIters assignment passes — between
-    // the pure reassign and a cold retrain; never a re-init)
     val centNew =
       if (refineIters == 0) centGrown
       else KMeans.lloydFrom(pts, centGrown, refineIters).localCheckpoint()
     if (reassign) {
-      // one global argmin pass over the grown table — releases vectors
-      // trapped by the frozen parent boundaries; not a retrain
       val asg = KMeans.assign(pts, centNew)
       graft.io.ParquetUtil.safeOverwrite(s,
         postings.drop("label").join(asg, "vec_id")

@@ -161,7 +161,8 @@ object NearlineSoak {
           graft.queries.DedupQueries.JaccardThreshold,
           idxDir, pairsDir, labelsDir, remapDir),
         () => spark.read.parquet(pairsDir).count(),
-        Seq(idxDir, pairsDir, labelsDir, remapDir))
+        Seq(idxDir, graft.dedup.IncrementalCC.setsDir(idxDir), pairsDir,
+          labelsDir, remapDir))
     }
 
     if (families("line")) {

@@ -163,6 +163,45 @@ class BloomGuardSpec extends SparkSpec {
     assert(listing === before, "zero-new-key batch must not rewrite")
   }
 
+  test("distributed build equals the driver OR path bit-for-bit: " +
+      "OR-merge, resize + shard promotion, and replay-writes-nothing") {
+    val savedGate = BloomGuard.distributedBuildMinBytes
+    val savedShard = BloomGuard.maxShardBits
+    def run(tag: String): Map[String, Array[Long]] = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString +
+        "/bloom"
+      BloomGuard.init(spark, dir, numBits = 1024)
+      BloomGuard.addKeys(spark, dir, (0L until 100L).toDF("k"), "k")
+      // resize + shard promotion (maxShardBits forced small)
+      BloomGuard.addKeys(spark, dir, (100L until 200L).toDF("k"), "k",
+        stateKeys = Some(() => (0L until 100L).toDF("k")))
+      // post-promotion OR-merge
+      BloomGuard.addKeys(spark, dir, (200L until 300L).toDF("k"), "k")
+      // pure replay: must not change anything
+      BloomGuard.addKeys(spark, dir,
+        (0L until 10L).toDF("k").where(col("k") < 0), "k")
+      BloomGuard.readAll(spark, dir).get
+    }
+    try {
+      BloomGuard.maxShardBits = 1 << 17
+      BloomGuard.distributedBuildMinBytes = Long.MaxValue
+      val driver = run("bgd1")
+      BloomGuard.distributedBuildMinBytes = -1L
+      val dist = run("bgd2")
+      assert(dist.keySet === driver.keySet)
+      driver.keySet.foreach { n =>
+        assert(java.util.Arrays.equals(dist(n), driver(n)),
+          s"row $n differs between the driver and distributed builds")
+      }
+      val nb = BloomGuard.assemble(dist, "k").get
+      assert((0L until 300L).toDF("k")
+        .where(BloomGuard.hit(nb, "k")).count() === 300L)
+    } finally {
+      BloomGuard.distributedBuildMinBytes = savedGate
+      BloomGuard.maxShardBits = savedShard
+    }
+  }
+
   test("a LOST bloom (deleted dir) degrades to the exact path without " +
       "breaking the fold") {
     import graft.multimodal.Crossmodal

@@ -141,4 +141,32 @@ class RequantizeSpec extends SparkSpec {
         .select("vec_id", "label")).count()
     assert(diff === 0L, "unsplit cells must keep their exact members")
   }
+
+  test("batched splitCells equals the sequential reference: same grown " +
+      "centroid table, same postings state, reassign on and off") {
+    for (reassign <- Seq(false, true)) {
+      val b1 = java.nio.file.Files.createTempDirectory("rqb1").toString
+      val b2 = java.nio.file.Files.createTempDirectory("rqb2").toString
+      val (p1, kBoot) = foldFrozen(b1)
+      val (p2, _) = foldFrozen(b2)
+      val b = emb.agg(min(col("vec_id")), max(col("vec_id"))).collect()(0)
+      val step = math.max(1L, (b.getLong(1) - b.getLong(0)) / 3 + 1)
+      val b0 = emb.where(col("vec_id") < b.getLong(0) + step)
+      val (centBoot, _) = KMeans.fitModel(b0, "vec_id", "embedding",
+        kBoot, graft.queries.SimilarityQueries.IvfIters)
+      val targetK = graft.queries.SimilarityQueries.ivfK(emb.count())
+      val iters = graft.queries.SimilarityQueries.IvfIters
+      val got = StreamingIvf.splitCells(spark, p1, centBoot,
+        targetK, iters, reassign = reassign)
+      val want = StreamingIvf.splitCellsSeq(spark, p2, centBoot,
+        targetK, iters, reassign = reassign)
+      assert(centSet(got) === centSet(want),
+        s"reassign=$reassign: centroid tables differ")
+      val gp = spark.read.parquet(p1).select("vec_id", "label")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val wp = spark.read.parquet(p2).select("vec_id", "label")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(gp === wp, s"reassign=$reassign: postings labels differ")
+    }
+  }
 }
