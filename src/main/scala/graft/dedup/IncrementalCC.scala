@@ -33,44 +33,30 @@ import org.apache.spark.sql.types._
   * label IS the minimum doc id of its connected component over all
   * pairs seen so far — exactly the batch CC's fixpoint.
   *
-  * Pair generation is a PPJoin-style PREFIX inverted index maintained
-  * across batches (the nearline rendering of
-  * [[Dedup.jaccardPairsPrefix]]): under the STABLE global shingle
-  * order (xxhash64(g), g) each arriving doc indexes only its first
-  * `n - ceil(t·n) + 1` shingles with their ranks, so any qualifying
-  * pair must collide inside both prefixes and candidates survive the
-  * exact PPJoin length + aggregate-position bounds; exact
-  * intersections then come from the candidates' FULL shingle sets,
-  * stored doc-hash-bucketed (`db=`) so verification opens only the
-  * candidate docs' buckets — point lookups, never an index-sized
-  * read. The order is FIXED (not df-maintained) precisely so that
-  * prefixes indexed in earlier batches stay valid forever; in-batch
-  * pairs self-join the batch's own full gram rows. Every qualifying
-  * pair emits exactly once — in the batch where its LATER member
-  * arrives (the [[Nearline]] contract) — and `inter/(na+nb-inter)` is
-  * computed from the same full distinct-shingle sets, bit-identical to
+  * Pair generation is the [[Dedup.jaccardPairs]] inverted shingle
+  * index maintained across batches: arriving docs' (doc, n, g) gram
+  * rows join the accumulated index for new-vs-history intersections
+  * and self-join for in-batch pairs, so every qualifying pair emits
+  * exactly once — in the batch where its LATER member arrives (the
+  * [[Nearline]] contract). Shared-gram counts use each doc's full
+  * distinct-shingle rows, so `inter/(na+nb-inter)` is bit-identical to
   * the batch query.
   *
-  * Scale shape per batch: |batch| PREFIX rows ((1-t) of the gram rows)
-  * join the prefix index (the Nearline stance: at 100 TB the parquet
-  * prefix index swaps for a keyed store, join shape unchanged);
-  * verification reads only candidate `db=` buckets; the contracted CC
-  * graph is bounded by 2×|delta pairs|; label lookups open only the
-  * endpoint ids' `kb=` buckets; `remap` is bounded by labels retired
-  * since the last [[compactLabels]] (cumulative merges — compaction
-  * folds it into the base and empties it). Nothing corpus-sized moves
-  * on a fresh batch.
+  * Scale shape per batch: |batch| gram rows join the keyed index (the
+  * Nearline stance: at 100 TB the parquet index swaps for a keyed
+  * store, join shape unchanged); the contracted CC graph is bounded by
+  * 2×|delta pairs|; label lookups open only the endpoint ids' `kb=`
+  * buckets; `remap` is bounded by labels retired since the last
+  * [[compactLabels]] (cumulative merges — compaction folds it into the
+  * base and empties it). Nothing corpus-sized moves on a fresh batch.
   *
   * Crash contract — write order and why every window heals:
   *  1. doc-id bloom ([[BloomGuard]], with a resize source) — a crash
   *     after it leaves a harmless superset bloom;
   *  2. pairs append — replays drop re-emissions by the exact pairs
   *     anti-join (bloom-hit path only);
-  *  3. prefix-index append, then shingle-set append — replays drop
-  *     already-indexed docs by each store's own doc anti-join
-  *     (bloom-hit path only; a doc present in either store implies its
-  *     batch's pairs already landed, so re-generated candidates
-  *     anti-join away at 2 regardless of which append the crash split);
+  *  3. gram-index append — replays drop already-indexed docs by the
+  *     index-docs anti-join (bloom-hit path only);
   *  4. remap swap ([[ParquetUtil.safeOverwrite]]) — recomputing the
   *     delta from already-merged labels yields the identity mapping,
   *     so a replay rewrites nothing; appended-but-unremapped ids
@@ -91,30 +77,10 @@ object IncrementalCC {
   private def kbCol(id: org.apache.spark.sql.Column) =
     pmod(id, lit(LabelBuckets.toLong)).cast("int")
 
-  /** Shingle-set store hash buckets (`db=`): candidate verification
-    * opens only the candidate old docs' buckets — the point-lookup
-    * side of the prefix-index design (see [[applyBatch]]).
-    */
-  val SetBuckets = 64
-
-  private def dbCol(id: org.apache.spark.sql.Column) =
-    pmod(id, lit(SetBuckets.toLong)).cast("int")
-
   def bloomDir(labelsDir: String): String = labelsDir + "_bloom"
-
-  /** The full shingle-set store rides next to the prefix index. */
-  def setsDir(indexDir: String): String = indexDir + "_sets"
 
   private def labelsSchema = StructType(Seq(
     StructField("id", LongType), StructField("comp", LongType)))
-
-  private def prefixSchema = StructType(Seq(
-    StructField("doc", LongType), StructField("n", IntegerType),
-    StructField("g", StringType), StructField("pos", IntegerType)))
-
-  private def setsSchema = StructType(Seq(
-    StructField("doc", LongType), StructField("n", IntegerType),
-    StructField("s", ArrayType(StringType))))
 
   /** Initialise the combined nearline-annotate state: the gram index,
     * the emitted-pairs store, the bucketed labels base, the empty
@@ -126,33 +92,29 @@ object IncrementalCC {
       capacityHint: Long = 0L): Unit = {
     val empty = (schema: StructType) => s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    empty(prefixSchema).write.mode("overwrite").parquet(indexDir)
+    empty(StructType(Seq(StructField("doc", LongType),
+      StructField("n", IntegerType), StructField("g", StringType))))
+      .write.mode("overwrite").parquet(indexDir)
     empty(StructType(Seq(StructField("doc_a", LongType),
       StructField("doc_b", LongType),
       StructField("jaccard", DoubleType))))
       .write.mode("overwrite").parquet(pairsDir)
-    // labels and the shingle-set store start as bare dirs: appends
-    // create their kb= / db= partitions
-    val conf = s.sessionState.newHadoopConf()
-    Seq(labelsDir, setsDir(indexDir)).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(conf).mkdirs(p)
-    }
+    // labels start as a bare dir: appends create kb= partitions
+    val p = new org.apache.hadoop.fs.Path(labelsDir)
+    p.getFileSystem(s.sessionState.newHadoopConf()).mkdirs(p)
     empty(StructType(Seq(StructField("old", LongType),
       StructField("fin", LongType))))
       .write.mode("overwrite").parquet(remapDir)
     BloomGuard.init(s, bloomDir(labelsDir), capacityHint = capacityHint)
   }
 
-  /** Read a hash-bucketed store's rows for the given buckets only
-    * (None = all) — the bucket-pruned point lookup; metered as the
-    * opened buckets' bytes. Fails loudly on data files outside the
-    * bucket partitions (a layout no committed append produces).
+  /** Read labels rows of the given `kb=` buckets only (None = all) —
+    * the bucket-pruned endpoint lookup; metered as the opened buckets'
+    * bytes.
     */
-  private def readBuckets(s: SparkSession, dir: String, part: String,
-      nBuckets: Int, schema: StructType,
+  private def readLabelBuckets(s: SparkSession, labelsDir: String,
       buckets: Option[Seq[Int]]): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(dir)
+    val base = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = base.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(base)) {
       val stray = fs.listStatus(base).filter { st =>
@@ -160,33 +122,21 @@ object IncrementalCC {
         st.isFile && !n.startsWith(".") && !n.startsWith("_")
       }
       if (stray.nonEmpty) throw new IllegalStateException(
-        s"IncrementalCC: dir $dir contains data files " +
-          s"outside $part= partitions (e.g. ${stray.head.getPath.getName})")
+        s"IncrementalCC: labels dir $labelsDir contains data files " +
+          s"outside kb= partitions (e.g. ${stray.head.getPath.getName})")
     }
-    val wanted = buckets.getOrElse(0 until nBuckets)
+    val wanted = buckets.getOrElse(0 until LabelBuckets)
     val paths = wanted.map(b => new org.apache.hadoop.fs.Path(
-      base, s"$part=$b")).filter(fs.exists)
+      base, s"kb=$b")).filter(fs.exists)
     if (paths.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
+        labelsSchema)
     else {
       paths.foreach(p => StateScanMeter.addBytes(
         fs.getContentSummary(p).getLength))
-      s.read.schema(schema).parquet(paths.map(_.toString): _*)
+      s.read.schema(labelsSchema).parquet(paths.map(_.toString): _*)
     }
   }
-
-  /** Read labels rows of the given `kb=` buckets only (None = all). */
-  private def readLabelBuckets(s: SparkSession, labelsDir: String,
-      buckets: Option[Seq[Int]]): DataFrame =
-    readBuckets(s, labelsDir, "kb", LabelBuckets, labelsSchema, buckets)
-
-  /** Read shingle-set rows of the given `db=` buckets only (None =
-    * all).
-    */
-  private def readSetBuckets(s: SparkSession, dir: String,
-      buckets: Option[Seq[Int]]): DataFrame =
-    readBuckets(s, dir, "db", SetBuckets, setsSchema, buckets)
 
   /** Fold one micro-batch of (doc, s: array&lt;string&gt; shingles)
     * rows: emit the batch's qualifying Jaccard pairs, merge the
@@ -196,7 +146,7 @@ object IncrementalCC {
   def applyBatch(s: SparkSession, b: DataFrame, threshold: Double,
       indexDir: String, pairsDir: String, labelsDir: String,
       remapDir: String): Unit = {
-    Seq(indexDir, setsDir(indexDir), pairsDir, labelsDir).foreach(
+    Seq(indexDir, pairsDir, labelsDir).foreach(
       ParquetUtil.recoverAppend(s, _))
     ParquetUtil.recoverInterrupted(s, remapDir)
     val bloom = bloomDir(labelsDir)
@@ -212,66 +162,16 @@ object IncrementalCC {
     val newRows = fresh
       .select(col("doc"), size(col("s")).as("n"), explode(col("s")).as("g"))
       .localCheckpoint()
-    // ---- pairs: new-vs-history through the PREFIX index + verified
-    //      set point-lookups, plus the in-batch self-join ----
-    // Prefix rows under the STABLE global shingle order (xxhash64(g),
-    // g): a doc's first n - ceil(n·t) + 1 shingles in that order. Any
-    // pair with jaccard >= t must collide inside both prefixes (the
-    // prefix-filter principle; [[Dedup.jaccardPairsPrefix]] is the
-    // batch rendering), and because the order never changes, prefixes
-    // indexed in earlier batches stay valid forever — a df-maintained
-    // order would invalidate them on every df shift.
-    val newPrefix = fresh
-      .select(col("doc"), size(col("s")).cast("int").as("n"),
-        array_sort(transform(col("s"), g =>
-          struct(xxhash64(g).as("h"), g.as("g")))).as("sg"))
-      .select(col("doc"), col("n"),
-        posexplode(slice(col("sg"), lit(1),
-          (col("n") - ceil(col("n") * threshold) + 1).cast("int")))
-          .as(Seq("p0", "e")))
-      .select(col("doc"), col("n"), col("e.g").as("g"),
-        (col("p0") + 1).cast("int").as("pos"))
-      .localCheckpoint()
-    val idxp = s.read.schema(prefixSchema).parquet(indexDir)
+    // ---- pairs: new-vs-history through the gram index + in-batch ----
+    val idx = s.read.parquet(indexDir)
     StateScanMeter.add(s, indexDir)
-    // PPJoin candidate generation — the jaccardPairsPrefix filters:
-    // pair-level length ratio per collision row (before the shuffle),
-    // then the aggregate position bound overlap <= cnt +
-    // min(na - max_pa, nb - max_pb), exact because positions are ranks
-    // in the SHARED stable order. The 1e-9 slack means double rounding
-    // can only under-prune, never drop a boundary pair.
-    val alpha = (lit(threshold) * (col("na") + col("nb"))
-      / (1.0 + threshold)) - lit(1e-9)
-    val candOld = newPrefix
-      .select(col("g"), col("doc"), col("pos").as("pa"), col("n").as("na"))
-      .join(idxp.select(col("g"), col("doc").as("doc_o"),
-        col("pos").as("pb"), col("n").as("nb")), Seq("g"))
+    val newOld = newRows
+      .join(idx.select(col("g"), col("doc").as("doc_o"),
+        col("n").as("n_o")), Seq("g"))
       .where(col("doc") =!= col("doc_o"))
-      .where(least(col("na"), col("nb")).cast("double")
-        >= lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
-      .groupBy("doc", "doc_o")
-      .agg(count(lit(1)).as("cnt"), max(col("pa")).as("pa"),
-        max(col("pb")).as("pb"), first(col("na")).as("na"),
-        first(col("nb")).as("nb"))
-      .where((col("cnt") + least(col("na") - col("pa"),
-        col("nb") - col("pb"))).cast("double") >= alpha)
-      .select("doc", "doc_o")
-      .localCheckpoint()
-    // verification: exact intersections against the candidate docs'
-    // FULL shingle sets — a bucket-pruned point lookup (only the
-    // candidate docs' db= dirs open), never an index-sized scan
-    val candDbs = candOld.select(dbCol(col("doc_o")).as("db"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val sets = setsDir(indexDir)
-    val newOld = candOld
-      .join(fresh.select(col("doc"), col("s").as("sa")), Seq("doc"))
-      .join(readSetBuckets(s, sets, Some(candDbs))
-        .select(col("doc").as("doc_o"), col("n").as("nb"),
-          col("s").as("sb")), Seq("doc_o"))
-      .select(col("doc"), col("doc_o"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long")
-          .as("inter"),
-        size(col("sa")).as("na"), col("nb"))
+      .groupBy(col("doc"), col("doc_o"))
+      .agg(count(lit(1)).as("inter"), first(col("n")).as("na"),
+        first(col("n_o")).as("nb"))
     val aRows = newRows.select(col("g"), col("doc").as("doc_a"),
       col("n").as("na"))
     val bRows = newRows.select(col("g"), col("doc").as("doc_b"),
@@ -352,31 +252,15 @@ object IncrementalCC {
       stateKeys = Some(() =>
         readLabelBuckets(s, labelsDir, None).select("id")))
     ParquetUtil.safeAppend(s, delta, pairsDir)
-    val prefNew =
-      if (!exact) newPrefix
+    val idxNew =
+      if (!exact) newRows
       else {
-        // replay guard for the crash window after the prefix append
+        // replay guard for the crash window after the index append
         StateScanMeter.add(s, indexDir)
-        newPrefix.join(idxp.select("doc").distinct(), Seq("doc"),
-          "left_anti").localCheckpoint()
+        newRows.join(idx.select("doc").distinct(), Seq("doc"), "left_anti")
+          .localCheckpoint()
       }
-    ParquetUtil.safeAppend(s, prefNew.select("doc", "n", "g", "pos"),
-      indexDir)
-    val setRows = fresh.select(col("doc"),
-      size(col("s")).cast("int").as("n"), col("s"),
-      dbCol(col("doc")).as("db"))
-    val setsNew =
-      if (!exact) setRows
-      else {
-        // replay guard for the crash window after the sets append —
-        // bucket-pruned to the batch docs' own buckets
-        val batchDbs = fresh.select(dbCol(col("doc")).as("db"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        setRows.join(readSetBuckets(s, sets, Some(batchDbs))
-          .select("doc"), Seq("doc"), "left_anti").localCheckpoint()
-      }
-    ParquetUtil.safeAppend(s, setsNew.coalesce(1), sets,
-      partitionBy = Seq("db"))
+    ParquetUtil.safeAppend(s, idxNew.select("doc", "n", "g"), indexDir)
     if (merges.nonEmpty) {
       val mergeDf = merges.toSeq.toDF(s)("old", "fin")
       // compose: forward every retired label through the new merges,

@@ -1038,9 +1038,14 @@ object TextQueries {
     // LM (trained on the whole training split); keep documents the
     // in-domain model likes better. The per-token delta differences
     // the exact fixed-point sums and divides ONCE, so selection never
-    // compares two independently-rounded doubles. TWO full LM scoring
-    // passes by design — two models, each linear with gate-broadcast
-    // vocab tables (text/BigramLm.scoreFp)
+    // compares two independently-rounded doubles. The two models train
+    // and score as ONE model-keyed grouped chain
+    // (BigramLm.scoreFpGroupedKeyed): train rows explode into their
+    // model memberships (gen = the whole split, in = its lang='en'
+    // slice) and every doc scores under both models in one pass — each
+    // model's rows bit-identical to its own scoreFp chain (disjoint
+    // model-keyed counts and exact long sums), at half the corpus
+    // tokenization passes and half the vocab-table pins
     "q_moore_lewis" -> { (s, dir) =>
       implicit val c: GraftConf = conf(dir)
       val dfl = DataFlow(s, "q_moore_lewis")
@@ -1048,12 +1053,22 @@ object TextQueries {
       val docs = dfl.get("documents")
       val sc = graft.text.BigramLm.LnScale
       val trainGen = docs.where(col("doc_id") % 2 === 0)
-      val trainIn = trainGen.where(col("lang") === "en")
-      val gen = graft.text.BigramLm.scoreFp(docs, trainGen, "doc_id", "text")
-        .select(col("doc_id"), col("n_tokens"), col("sum_fp").as("fp_gen"))
-      val ind = graft.text.BigramLm.scoreFp(docs, trainIn, "doc_id", "text")
-        .select(col("doc_id"), col("sum_fp").as("fp_in"))
-      gen.join(ind, "doc_id")
+      val trainG = trainGen
+        .select(col("doc_id"), col("text"), lit("gen").as("mdl"))
+        .unionByName(trainGen.where(col("lang") === "en")
+          .select(col("doc_id"), col("text"), lit("in").as("mdl")))
+      val docsG = docs.select(col("doc_id"), col("text"),
+        explode(array(lit("gen"), lit("in"))).as("mdl"))
+      val scored = graft.text.BigramLm.scoreFpGroupedKeyed(
+        docsG, trainG, "doc_id", "text", "mdl")
+      // pivot the two model rows per doc in ONE aggregation (max over a
+      // single non-null long = that long) — no self-join, no second
+      // execution of the scoring chain
+      scored.groupBy("doc_id")
+        .agg(
+          max(when(col("mdl") === "gen", col("n_tokens"))).as("n_tokens"),
+          max(when(col("mdl") === "gen", col("sum_fp"))).as("fp_gen"),
+          max(when(col("mdl") === "in", col("sum_fp"))).as("fp_in"))
         .where(col("fp_in") > col("fp_gen"))
         .select(col("doc_id"), col("n_tokens"),
           round((col("fp_in") - col("fp_gen")).cast("double") /

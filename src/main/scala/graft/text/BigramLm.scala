@@ -232,7 +232,22 @@ object BigramLm {
     * through the fixed-point arithmetic).
     */
   def scoreFpGrouped(docs: DataFrame, train: DataFrame, idCol: String,
-      textCol: String, grpCol: String): DataFrame = {
+      textCol: String, grpCol: String): DataFrame =
+    scoreFpGroupedKeyed(docs, train, idCol, textCol, grpCol)
+      .select(col(idCol), col("n_tokens"), col("sum_fp"))
+
+  /** [[scoreFpGrouped]] KEYED by (grpCol, idCol) in the output — the
+    * multi-membership shape: a doc may appear under SEVERAL group
+    * values (e.g. scored under both a general and an in-domain model —
+    * the Moore–Lewis pair as one chain) and each (group, doc) row is
+    * that group's independent score. All counts and the final
+    * fixed-point sum are keyed by the group column, so each group's
+    * rows are bit-identical to [[scoreFp]] on that group's slices
+    * alone whether memberships overlap or not (long sums are exact,
+    * order-free).
+    */
+  def scoreFpGroupedKeyed(docs: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, grpCol: String): DataFrame = {
     val lnFp: Column => Column =
       c => floor(graft.functions.DetLog.lnInt(c) * LnScale).cast("long")
     def tokenized(df: DataFrame): DataFrame = df
@@ -268,24 +283,24 @@ object BigramLm {
       .join(gated(fpu.select(col(grpCol), col("term").as("w1"),
         col("fp1"))), Seq(grpCol, "w1"), "left")
       .join(broadcast(fpn), Seq(grpCol), "left")
-      .select(col(idCol),
+      .select(col(grpCol), col(idCol),
         (coalesce(col("fp1"), lit(0L)) - col("fpn")).as("fp"))
     val sBigram = bigramPairsCols(tw, Seq(grpCol, idCol))
       .join(gated(fpu.select(col(grpCol), col("term").as("w2"),
         col("fp1").as("fp1b"))), Seq(grpCol, "w2"), "left")
       .join(gated(fpb), Seq(grpCol, "w1", "w2"), "left")
       .join(broadcast(fpn), Seq(grpCol), "left")
-      .select(col(idCol),
+      .select(col(grpCol), col(idCol),
         when(col("fpseen").isNotNull, col("fpseen"))
           .otherwise(coalesce(col("fp1b"), lit(0L)) - col("fpn")
             + lit(AlphaFp)).as("fp"))
-    val dl = tw.select(col(idCol),
+    val dl = tw.select(col(grpCol), col(idCol),
       size(col("w")).cast("long").as("n_tokens"))
     sFirst.unionByName(sBigram)
-      .groupBy(col(idCol))
+      .groupBy(col(grpCol), col(idCol))
       .agg(sum(col("fp")).as("sum_fp"))
-      .join(dl, idCol)
-      .select(col(idCol), col("n_tokens"), col("sum_fp"))
+      .join(dl, Seq(grpCol, idCol))
+      .select(col(grpCol), col(idCol), col("n_tokens"), col("sum_fp"))
   }
 
   // ------------------------------------------------------------------

@@ -161,8 +161,7 @@ object NearlineSoak {
           graft.queries.DedupQueries.JaccardThreshold,
           idxDir, pairsDir, labelsDir, remapDir),
         () => spark.read.parquet(pairsDir).count(),
-        Seq(idxDir, graft.dedup.IncrementalCC.setsDir(idxDir), pairsDir,
-          labelsDir, remapDir))
+        Seq(idxDir, pairsDir, labelsDir, remapDir))
     }
 
     if (families("line")) {

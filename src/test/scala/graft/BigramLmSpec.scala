@@ -86,6 +86,39 @@ class BigramLmSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("keyed grouped scoring with OVERLAPPING memberships equals the " +
+      "per-model scoreFp chains (the Moore-Lewis shape)") {
+    // every doc scores under BOTH models; the models train on nested
+    // splits (gen = the even split, in = its lang='en' slice) — the
+    // model-keyed counts must not leak between the two models
+    val d = Seq(
+      (0L, "en", "a b a b"), (2L, "en", "b x"),
+      (1L, "en", "a b z x"), (3L, "fr", "b a b"),
+      (4L, "fr", "a b c"), (6L, "en", "c c a"),
+      (5L, "fr", "a c z b"), (7L, "fr", "b a"))
+      .toDF("doc_id", "lang", "text")
+    val train = d.where(col("doc_id") % 2 === 0)
+    val trainG = train
+      .select(col("doc_id"), col("text"), lit("gen").as("mdl"))
+      .unionByName(train.where(col("lang") === "en")
+        .select(col("doc_id"), col("text"), lit("in").as("mdl")))
+    val docsG = d.select(col("doc_id"), col("text"),
+      explode(array(lit("gen"), lit("in"))).as("mdl"))
+    val got = BigramLm
+      .scoreFpGroupedKeyed(docsG, trainG, "doc_id", "text", "mdl")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = Seq(
+      "gen" -> train,
+      "in" -> train.where(col("lang") === "en")).flatMap {
+      case (m, tr) =>
+        BigramLm.scoreFp(d, tr, "doc_id", "text").collect()
+          .map(r => (m, r.getLong(0)) -> (r.getLong(1), r.getLong(2)))
+    }.toMap
+    assert(got === want)
+  }
+
   test("a document of train-seen bigrams outscores its scrambled twin") {
     val d = Seq(
       0L -> "the cat sat on the mat",

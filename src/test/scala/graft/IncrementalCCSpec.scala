@@ -126,8 +126,8 @@ class IncrementalCCSpec extends SparkSpec {
         out.toSeq.sortBy(_._1)
       }
     }
-    val all = Seq(dirs._1, IncrementalCC.setsDir(dirs._1), dirs._2,
-      dirs._3, dirs._4, IncrementalCC.bloomDir(dirs._3))
+    val all = Seq(dirs._1, dirs._2, dirs._3, dirs._4,
+      IncrementalCC.bloomDir(dirs._3))
     val before = all.map(walk)
     // full replay, then a partial (overlapping) one
     IncrementalCC.applyBatch(spark, shingled, T,
